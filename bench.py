@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": dir}.
+
+Each query is forced through the noop sink (full materialization on the
+executors, no driver collect) so timings reflect real plan execution —
+``count()`` would let Catalyst prune the computed columns away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from wp_etl_migration_spark.session import get_spark
+from wp_etl_migration_spark.queries import REGISTRY
+
+#: Headline subset: one per plan family (scan/agg, sort+limit, joins,
+#: window, generator, merge, iterative, dedup, LSH, ANN, text, windows).
+BENCH_QUERIES = [
+    "pricing_summary",
+    "scan_filter_sort_limit",
+    "union_merge",
+    "author_embed",
+    "meta_embed",
+    "window_funcs",
+    "meta_melt",
+    "upsert_merge",
+    "cascaded_lookup",
+    "hierarchy_resolve",
+    "dedup_exact",
+    "ngram_jaccard_dedup",
+    "minhash_signatures",
+    "token_stats",
+    "embedding_topk",
+    "event_window_agg",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("wp-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        start = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

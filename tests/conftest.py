@@ -1,0 +1,14 @@
+from __future__ import annotations
+
+import pytest
+
+from wp_etl_migration_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("wp-etl-tests", master="local[8]")
+    yield s

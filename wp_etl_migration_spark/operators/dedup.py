@@ -1,0 +1,147 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (it has no dedup surface); these are the
+LLM-data-pipeline extensions required by BASELINE.json, designed
+Spark-first for 100 TB:
+
+- ``exact_dedup``          — hash-groupBy; one shuffle on a 128-bit digest,
+  map-side partial aggregation, no skew (digests are uniform).
+- ``shingles``             — word n-gram shingling as a generator
+  expression (no UDF, no shuffle).
+- ``ngram_jaccard_pairs``  — exact Jaccard over distinct shingles via
+  shingle-inverted-index self-join. The classic scale trap is hot
+  shingles (stop-phrase shingles shared by millions of docs) → quadratic
+  pair blowup; ``max_doc_freq`` drops shingles above a document-frequency
+  cap, which at worst *underestimates* Jaccard slightly (standard
+  practice) and bounds the join fan-out.
+- ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash + banded LSH:
+  signature cost O(docs × hashes), candidate generation via band-bucket
+  join (shuffle on band hash), exact-Jaccard verification only on
+  candidates. This is the 100 TB path: work is linear in corpus size +
+  candidate pairs, never all-pairs.
+
+Hashing uses ``md5`` (hex string) rather than engine-native ``hash()`` so
+results are reproducible across engines and versions — md5 is overkill
+cryptographically but its 32-hex-char prefix ordering is stable
+everywhere, which the DuckDB oracle parity relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str],
+                keep: str = "min") -> DataFrame:
+    """Keep one row id per distinct content digest (min id by default)."""
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                         for c in content_cols]))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (df.groupBy(digest.alias("__digest"))
+            .agg(agg.alias(id_col))
+            .select(id_col))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str,
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure generator expressions — tokenize, slide an n-window, explode —
+    no Python, no shuffle (the distinct is per-document via
+    ``array_distinct`` before the explode).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    with_toks = df.select(F.col(id_col), toks.alias("__toks")) \
+                  .where(F.size("__toks") >= n)
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__toks, i, {n}))))")
+    return (with_toks.select(F.col(id_col), grams.alias("__grams"))
+            .select(F.col(id_col), F.explode("__grams").alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, common, total_a, total_b, jaccard), id_a < id_b.
+    Jaccard is an exact integer-ratio (|∩| / (|A|+|B|−|∩|)) so the value
+    is bit-deterministic.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        rare = (sh.groupBy("shingle").count()
+                .where(F.col("count") <= max_doc_freq).select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, on="shingle")
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"))
+              .agg(F.count("*").alias("common")))
+    out = (common
+           .join(sizes.select(F.col(id_col).alias("id_a"),
+                              F.col("__size").alias("total_a")), "id_a")
+           .join(sizes.select(F.col(id_col).alias("id_b"),
+                              F.col("__size").alias("total_b")), "id_b")
+           .withColumn("jaccard",
+                       F.col("common").cast("double") /
+                       (F.col("total_a") + F.col("total_b")
+                        - F.col("common")).cast("double"))
+           .where(F.col("jaccard") >= threshold))
+    return out.select("id_a", "id_b", "common", "total_a", "total_b",
+                      "jaccard")
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature rows: (id, seed ∈ [0,num_hashes), minhash).
+
+    minhash(seed) = min over shingles of md5(shingle ∥ '#' ∥ seed) — an
+    engine-portable hash family (per-seed suffix ≙ independent hash
+    functions). Long format keeps the plan columnar and lets the band
+    grouping be a plain aggregation.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    seeded = sh.select(F.col(id_col), F.col("shingle"),
+                       seeds.alias("seed"))
+    h = F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")))
+    return (seeded.select(F.col(id_col), F.col("seed"), h.alias("__h"))
+            .groupBy(id_col, "seed")
+            .agg(F.min("__h").alias("minhash")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, num_hashes: int = 16,
+                      rows_per_band: int = 2,
+                      verify_threshold: float | None = None) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Bands of ``rows_per_band`` signature rows are hashed to buckets; docs
+    sharing any band bucket become candidates (id_a < id_b, with the count
+    of agreeing bands). With ``verify_threshold`` the candidates are
+    verified with exact shingle Jaccard and filtered.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band = (F.col("seed") / F.lit(rows_per_band)).cast("int")
+    bands = (sig.withColumn("band", band)
+             .groupBy(id_col, "band")
+             .agg(F.md5(F.concat_ws("|", F.sort_array(
+                 F.collect_list("minhash")))).alias("band_hash")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, on=["band", "band_hash"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("agreeing_bands")))
+    if verify_threshold is None:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n,
+                                threshold=verify_threshold)
+    return cand.join(exact, on=["id_a", "id_b"], how="inner") \
+               .select("id_a", "id_b", "agreeing_bands", "jaccard")

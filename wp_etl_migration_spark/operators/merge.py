@@ -1,0 +1,82 @@
+"""Join-based MERGE / upsert primitives (SURVEY §2.2 L5–L9, §2.4 J4–J6).
+
+The reference's loaders do row-at-a-time lookup-before-insert
+(WordPressPostLoader.php:172-194 etc.). Spark-first that becomes a set
+operation over the whole batch:
+
+- matched rows   → source values win (full replace or per-column update)
+- unmatched target rows → kept
+- unmatched source rows → inserted
+
+``merge_upsert`` is the plain-Parquet strategy (MERGE INTO needs Delta);
+it is one shuffle on the key (both sides hash-partitioned) and AQE handles
+skew. The anti-join side broadcasts automatically when small.
+
+``cascaded_lookup`` is the existence probe with key fallback
+(≙ user lookup by email then login, WPUserLoader.php:83-90; term lookup by
+id → slug → name, WordPressTermLoader.php:118-145).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame,
+                 keys: Sequence[str],
+                 update_cols: Sequence[str] | None = None) -> DataFrame:
+    """SQL-MERGE semantics on plain DataFrames.
+
+    With ``update_cols`` only those columns take the source value on
+    match (partial update ≙ the reference's update-vs-insert branches,
+    WPPostsLoader.php:119-146); otherwise the whole source row replaces
+    the matched target row.
+    """
+    keys = list(keys)
+    if update_cols is None:
+        # Full-row replace: source rows + target rows with no source match.
+        survivors = target.join(source.select(*keys), on=keys,
+                                how="left_anti")
+        return survivors.unionByName(source.select(*target.columns))
+
+    upd = set(update_cols)
+    src_cols = [F.col("s." + c).alias("__src_" + c) for c in upd]
+    joined = target.alias("t").join(
+        source.alias("s").select(*keys, *[F.col(c) for c in upd]).alias("s"),
+        on=keys, how="left")
+    # Re-select target schema, preferring source values for update_cols.
+    merged = joined.select(
+        *[F.col(k) for k in keys],
+        *[F.coalesce(F.col("s." + c), F.col("t." + c)).alias(c)
+          if c in upd else F.col("t." + c)
+          for c in target.columns if c not in keys],
+    )
+    inserts = source.join(target.select(*keys), on=keys, how="left_anti")
+    return merged.unionByName(inserts.select(*target.columns))
+
+
+def cascaded_lookup(incoming: DataFrame, existing: DataFrame,
+                    id_col: str,
+                    key_sets: Sequence[Sequence[str]],
+                    out_col: str = "matched_id") -> DataFrame:
+    """Probe ``existing`` by each key set in order; first hit wins.
+
+    Returns ``incoming`` plus ``out_col`` (null → no match at any level,
+    i.e. the insert branch). Duplicate keys in ``existing`` resolve to the
+    MIN id — deterministic, unlike an arbitrary dropDuplicates. Each probe
+    is a broadcast-eligible left join.
+    """
+    out = incoming
+    hit_cols = []
+    for i, ks in enumerate(key_sets):
+        ks = list(ks)
+        probe = (existing
+                 .groupBy(*ks)
+                 .agg(F.min(id_col).alias(f"__hit{i}")))
+        out = out.join(probe, on=ks, how="left")
+        hit_cols.append(f"__hit{i}")
+    out = out.withColumn(out_col, F.coalesce(*[F.col(h) for h in hit_cols]))
+    return out.drop(*hit_cols)

@@ -1,0 +1,92 @@
+"""Text-analysis operators (LLM-pipeline extension).
+
+Language ID (stopword-hit heuristic), quality scoring, token counting and
+document fingerprinting over a text column — all as native Column
+expressions (codegen, no UDFs), so they run at scan speed over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+#: Deterministic and oracle-portable; real deployments would swap in
+#: fastText or CLD3 behind the same operator signature.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "et"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace tokens (BIGINT)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """How many tokens are in ``words`` (BIGINT)."""
+    toks = tokens(col)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) \
+        .cast("long")
+
+
+def lang_id(col: Column | str,
+            stopwords: dict[str, list[str]] | None = None) -> Column:
+    """Pick the language whose stopword list hits most tokens.
+
+    Deterministic tiebreak: languages are compared in sorted key order and
+    a strictly-greater hit count is required to displace the leader, so
+    ties resolve to the alphabetically-first language. 0 hits → 'und'.
+    """
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS
+    best_lang = F.lit("und")
+    best_hits = F.lit(0).cast("long")
+    for lang in sorted(sw):
+        hits = stopword_hits(col, sw[lang])
+        displace = hits > best_hits
+        best_lang = F.when(displace, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(displace, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(col: Column | str,
+                  stopwords: list[str] | None = None) -> Column:
+    """Heuristic quality ∈ [0,1]: mean of three ratio features.
+
+    - length feature: min(1, tokens/64)
+    - mean-word-length feature: 1 if mean token length ∈ [3, 10]
+    - stopword feature: min(1, 4 × stopword_ratio)
+    All integer-ratio arithmetic → bit-deterministic.
+    """
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_chars = F.length(F.trim(c)).cast("long")
+    # mean token length ≈ (chars - separators) / tokens
+    mean_len = (n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double")
+    len_feat = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(64.0))
+    word_feat = F.when((mean_len >= 3.0) & (mean_len <= 10.0), 1.0) \
+        .otherwise(0.0)
+    stop_feat = F.least(
+        F.lit(1.0),
+        F.lit(4.0) * stopword_hits(c, sw).cast("double")
+        / n_tok.cast("double"))
+    return (len_feat + word_feat + stop_feat) / F.lit(3.0)
+
+
+def fingerprint(col: Column | str, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text, truncated to ``length`` hex chars."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.substring(F.md5(normalized), 1, length)

@@ -1,0 +1,646 @@
+"""Driver-facing query registry.
+
+One named query per implemented operator family from SURVEY.md §2 plus the
+LLM-pipeline extensions. Each entry pairs a PySpark callable
+``(spark, sf_dir) -> DataFrame`` with an equivalent DuckDB oracle SQL
+string (run against the same parquet tables, pre-registered views).
+
+Exact-parity discipline (every query here hash-matches its oracle):
+- session timezone pinned to UTC (``tune``) before building any plan;
+- float aggregation goes through DECIMAL (order-independent, exact) and
+  is cast back to DOUBLE — see ``functions.numbers``;
+- every computed column is aliased identically on both sides;
+- non-deterministic outputs (uuid/now) are excluded from oracle queries;
+- LIMIT queries carry a unique-key tiebreak so the row set is stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.session import tune
+from wp_etl_migration_spark.sources.tables import Tables
+from wp_etl_migration_spark.functions.text import (
+    to_slug, split_trim, nullif_value, sanitize_key)
+from wp_etl_migration_spark.functions.numbers import dec_sum, dec_avg
+from wp_etl_migration_spark.operators.prefix import prefix_all, select_prefix
+from wp_etl_migration_spark.operators.rename import rename_snake_scrub
+from wp_etl_migration_spark.operators.cleaning import string_to_null
+from wp_etl_migration_spark.operators.melt import melt_meta
+from wp_etl_migration_spark.operators.merge import (
+    merge_upsert, cascaded_lookup)
+from wp_etl_migration_spark.operators.hierarchy import resolve_paths
+from wp_etl_migration_spark.operators.dedup import (
+    exact_dedup, ngram_jaccard_pairs, minhash_signatures)
+from wp_etl_migration_spark.operators.similarity import cosine_topk
+from wp_etl_migration_spark.operators import textstats as ts
+
+
+def _t(spark: SparkSession, sf_dir: str) -> Tables:
+    return Tables(tune(spark), sf_dir)
+
+
+# ---------------------------------------------------------------- aggregates
+
+def q_pricing_summary(spark, sf_dir):
+    """Flagship TPC-H-Q1-style pricing summary (scan → filter → hash agg).
+
+    Exercises: parquet scan w/ predicate pushdown, decimal-exact sums,
+    map-side partial aggregation. ≙ the reference's analyze/count surface
+    (SURVEY §2.6) generalized to real aggregation.
+    """
+    l = _t(spark, sf_dir).lineitem()
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)")
+    tax = F.lit(1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)")
+    return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dec_sum("l_quantity", 2).alias("sum_qty"),
+                 dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+                 F.sum(ext * disc).cast("double").alias("sum_disc_price"),
+                 F.sum(ext * disc * tax).cast("double").alias("sum_charge"),
+                 dec_avg("l_quantity", 2).alias("avg_qty"),
+                 dec_avg("l_extendedprice", 2).alias("avg_price"),
+                 dec_avg("l_discount", 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+       AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+       AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       * CAST(1 - CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(7,4)))
+       AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+       * CAST(1 - CAST(l_discount AS DECIMAL(6,4)) AS DECIMAL(7,4))
+       * CAST(1 + CAST(l_tax AS DECIMAL(6,4)) AS DECIMAL(7,4)))
+       AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+       / count(l_quantity) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+       / count(l_extendedprice) AS avg_price,
+  CAST(CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE)
+       / count(l_discount) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------- scans/filters/limits
+
+def q_scan_filter_sort_limit(spark, sf_dir):
+    """S6/P7/S11: predicate + order pushdown + limit (top-100 open orders)."""
+    o = _t(spark, sf_dir).orders()
+    return (o.where((F.col("o_orderstatus") == "O")
+                    & (F.col("o_totalprice") > 200000.0))
+            .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey"))
+            .limit(100)
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+                    .alias("order_date"),
+                    "o_totalprice"))
+
+
+ORACLE_SCAN = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+       o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+ORDER BY o_orderdate DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_union_merge(spark, sf_dir):
+    """U1 multi-source merge: lazy unionByName of two event slices
+    (≙ RSS multi-page merge, Extract Orchestrator.php:216-227 — without
+    the reference's eager materialization)."""
+    e = _t(spark, sf_dir).events()
+    cut = F.lit("2024-01-15").cast("timestamp")
+    page1 = (e.where(F.col("ts") < cut)
+             .select("event_id", "event_type", F.lit(1).alias("page")))
+    page2 = (e.where(F.col("ts") >= cut)
+             .select("event_id", "event_type", F.lit(2).alias("page")))
+    return page1.unionByName(page2)
+
+
+ORACLE_UNION = """
+SELECT event_id, event_type, 1 AS page FROM events
+WHERE ts < TIMESTAMP '2024-01-15'
+UNION ALL
+SELECT event_id, event_type, 2 AS page FROM events
+WHERE ts >= TIMESTAMP '2024-01-15'
+"""
+
+
+# --------------------------------------------------------- scalar functions
+
+def q_slugify(spark, sf_dir):
+    """F8 to_slug + F16 sanitize_key over part names."""
+    p = _t(spark, sf_dir).part()
+    return p.select("p_partkey",
+                    to_slug("p_name").alias("slug"),
+                    sanitize_key("p_name").alias("key"))
+
+
+ORACLE_SLUG = """
+SELECT p_partkey,
+  regexp_replace(regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '-', 'g'),
+                 '^-+|-+$', '', 'g') AS slug,
+  regexp_replace(lower(p_name), '[^a-z0-9_-]', '', 'g') AS key
+FROM part
+"""
+
+
+def q_split_trim(spark, sf_dir):
+    """F9 to_explode (split + trim → array; joined for a stable digest)."""
+    c = _t(spark, sf_dir).customer()
+    parts = split_trim("c_name", "#")
+    return c.select("c_custkey",
+                    F.array_join(parts, "|").alias("name_parts"),
+                    F.size(parts).cast("long").alias("n_parts"))
+
+
+ORACLE_SPLIT = """
+SELECT c_custkey,
+  array_to_string(list_transform(string_split(c_name, '#'), x -> trim(x)), '|')
+    AS name_parts,
+  CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts
+FROM customer
+"""
+
+
+def q_nullif_sentinel(spark, sf_dir):
+    """F10 compare_set_null: 'F' status → NULL."""
+    o = _t(spark, sf_dir).orders()
+    return o.select("o_orderkey",
+                    nullif_value("o_orderstatus", "F").alias("status_or_null"))
+
+
+ORACLE_NULLIF = """
+SELECT o_orderkey, NULLIF(o_orderstatus, 'F') AS status_or_null FROM orders
+"""
+
+
+def q_string_to_null(spark, sf_dir):
+    """F11 string_to_null: sentinel 'en' in lang column → NULL (frame-wide
+    operator restricted to one column)."""
+    d = _t(spark, sf_dir).documents()
+    cleaned = string_to_null(d.select("doc_id", "lang", "source"),
+                             "en", columns=["lang"])
+    return cleaned
+
+
+ORACLE_STR2NULL = """
+SELECT doc_id, NULLIF(lang, 'en') AS lang, source FROM documents
+"""
+
+
+# ------------------------------------------------------ renames / prefixes
+
+def q_prefix_pipeline(spark, sf_dir):
+    """P5 prefix_all + P2 select_prefix round trip with a lit column
+    (≙ legacy.* namespacing at Extract Orchestrator.php:125-130)."""
+    c = _t(spark, sf_dir).customer()
+    legacy = prefix_all(c, "legacy.")
+    restored = select_prefix(legacy, "legacy.", strip=True)
+    return restored.select("c_custkey", "c_name", "c_mktsegment",
+                           F.lit("customer").alias("pipeline"))
+
+
+ORACLE_PREFIX = """
+SELECT c_custkey, c_name, c_mktsegment, 'customer' AS pipeline FROM customer
+"""
+
+
+def q_snake_scrub_rename(spark, sf_dir):
+    """P4 renameAllStyle('snake') + control/non-ASCII scrub of names."""
+    r = _t(spark, sf_dir).region()
+    messy = r.toDF("R Regionkey", "R\x01 Nameÿ")
+    return rename_snake_scrub(messy)
+
+
+ORACLE_SNAKE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+# ------------------------------------------------------------------- joins
+
+def q_author_embed(spark, sf_dir):
+    """J1 author embed: orders ⋈ customer (broadcast left join)."""
+    t = _t(spark, sf_dir)
+    o, c = t.orders(), t.customer()
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+            .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment"))
+
+
+ORACLE_AUTHOR = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_meta_embed(spark, sf_dir):
+    """J3 meta embed: group child rows to a deterministic per-key digest
+    (collect_list → sort → join ≙ key→values map)."""
+    l = _t(spark, sf_dir).lineitem()
+    kv = F.concat_ws(":", F.col("l_linenumber").cast("string"),
+                     F.col("l_partkey").cast("string"))
+    return (l.groupBy("l_orderkey")
+            .agg(F.array_join(F.array_sort(F.collect_list(kv)), ",")
+                 .alias("line_parts"),
+                 F.count("*").alias("n_lines")))
+
+
+ORACLE_META_EMBED = """
+SELECT l_orderkey,
+  string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR),
+             ',' ORDER BY CAST(l_linenumber AS VARCHAR) || ':' ||
+             CAST(l_partkey AS VARCHAR)) AS line_parts,
+  count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_window_funcs(spark, sf_dir):
+    """§2.7 window functions: row_number + lag per customer order
+    history (used for synthetic ID assignment in the merge sinks)."""
+    o = _t(spark, sf_dir).orders()
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select("o_orderkey", "o_custkey",
+                    F.row_number().over(w).cast("long").alias("rn"),
+                    F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"))
+
+
+ORACLE_WINDOW = """
+SELECT o_orderkey, o_custkey,
+  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    AS rn,
+  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+"""
+
+
+# ----------------------------------------------------------- melt / upsert
+
+def q_meta_melt(spark, sf_dir):
+    """L6 meta melt: wide meta.* columns → EAV long rows with add/update
+    mode parsing (≙ WPPostMetaLoader.php:86-141)."""
+    l = _t(spark, sf_dir).lineitem()
+    wide = l.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("meta.quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        .alias("meta.extendedprice"),
+        F.col("l_returnflag").alias("meta.note.add"),
+    )
+    return melt_meta(wide, ["l_orderkey", "l_linenumber"])
+
+
+ORACLE_MELT = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS meta_key, 'update' AS mode,
+       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS meta_value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', 'update',
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'note', 'add', l_returnflag
+FROM lineitem
+"""
+
+
+def q_upsert_merge(spark, sf_dir):
+    """L5/J4 join-based MERGE: source rows win on key match, unmatched
+    target rows survive, unmatched source rows insert."""
+    o = _t(spark, sf_dir).orders()
+    target = (o.where(F.col("o_orderkey") % 3 != 0)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    source = (o.where(F.col("o_orderkey") % 2 == 0)
+              .select("o_orderkey",
+                      F.lit("X").alias("o_orderstatus"),
+                      (F.col("o_totalprice") * 2).alias("o_totalprice")))
+    return merge_upsert(target, source, ["o_orderkey"])
+
+
+ORACLE_UPSERT = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 3 <> 0
+), source AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT t.* FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+UNION ALL
+SELECT * FROM source
+"""
+
+
+def q_cascaded_lookup(spark, sf_dir):
+    """J5/J6 existence probe with key fallback (email→login pattern):
+    probe by exact custkey, else by nation's min customer."""
+    t = _t(spark, sf_dir)
+    o, c = t.orders(), t.customer()
+    incoming = o.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 2 == 0, F.col("o_custkey"))
+        .otherwise(F.col("o_custkey") + 10000000).alias("c_custkey"),
+        (F.col("o_orderkey") % 25).cast("int").alias("c_nationkey"))
+    out = cascaded_lookup(incoming, c, "c_custkey",
+                          [["c_custkey"], ["c_nationkey"]])
+    return out.select("o_orderkey", "matched_id")
+
+
+ORACLE_CASCADE = """
+WITH inc AS (
+  SELECT o_orderkey,
+    CASE WHEN o_custkey % 2 = 0 THEN o_custkey
+         ELSE o_custkey + 10000000 END AS k1,
+    CAST(o_orderkey % 25 AS INTEGER) AS k2
+  FROM orders
+), p1 AS (
+  SELECT c_custkey AS k1, min(c_custkey) AS h1 FROM customer GROUP BY 1
+), p2 AS (
+  SELECT c_nationkey AS k2, min(c_custkey) AS h2 FROM customer GROUP BY 1
+)
+SELECT o_orderkey, coalesce(h1, h2) AS matched_id
+FROM inc LEFT JOIN p1 USING (k1) LEFT JOIN p2 USING (k2)
+"""
+
+
+def q_hierarchy_resolve(spark, sf_dir):
+    """J8 iterative parent-hierarchy resolution on a synthetic part tree
+    (parent = ⌊key/2⌋; keys ≤ 1 are roots)."""
+    p = _t(spark, sf_dir).part()
+    nodes = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") <= 1, F.lit(None).cast("long"))
+        .otherwise(F.floor(F.col("p_partkey") / 2).cast("long"))
+        .alias("parent"))
+    return resolve_paths(nodes, "p_partkey", "parent")
+
+
+ORACLE_HIERARCHY = """
+WITH RECURSIVE h AS (
+  SELECT p_partkey, p_partkey AS root_id, 0 AS depth
+  FROM part WHERE p_partkey <= 1
+  UNION ALL
+  SELECT p.p_partkey, h.root_id, h.depth + 1
+  FROM part p JOIN h ON p.p_partkey > 1 AND p.p_partkey // 2 = h.p_partkey
+)
+SELECT p_partkey, CAST(root_id AS BIGINT) AS root_id,
+       CAST(depth AS INTEGER) AS depth
+FROM h
+"""
+
+
+# ------------------------------------------------------------ LLM pipeline
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: one surviving doc_id per md5(text) digest."""
+    d = _t(spark, sf_dir).documents()
+    return exact_dedup(d, "doc_id", ["text"])
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
+_DUCK_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+)"""
+
+
+def q_ngram_jaccard_dedup(spark, sf_dir):
+    """Near-dup pairs by exact trigram-shingle Jaccard ≥ 0.8."""
+    d = _t(spark, sf_dir).documents()
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+ORACLE_JACCARD = f"""
+WITH {_DUCK_SHINGLES}, sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       sa.n AS total_a, sb.n AS total_b,
+       CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE)
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (16 portable md5-family hashes per doc)."""
+    d = _t(spark, sf_dir).documents()
+    sig = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=16)
+    return sig.select("doc_id", F.col("seed").cast("int").alias("seed"),
+                      "minhash")
+
+
+ORACLE_MINHASH = f"""
+WITH {_DUCK_SHINGLES}
+SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+       min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+FROM sh, UNNEST(range(0, 16)) AS s(seed)
+GROUP BY doc_id, seed
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting + document fingerprint + stopword hits."""
+    d = _t(spark, sf_dir).documents()
+    return d.select("doc_id",
+                    ts.token_count("text").alias("n_tokens"),
+                    ts.fingerprint("text").alias("fingerprint"),
+                    ts.stopword_hits("text", ts.LANG_STOPWORDS["en"])
+                    .alias("stop_hits"))
+
+
+ORACLE_TOKEN = r"""
+SELECT doc_id,
+  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+    AS n_tokens,
+  substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)
+    AS fingerprint,
+  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+       t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT)
+    AS stop_hits
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Heuristic quality scoring (length/word-length/stopword features)."""
+    d = _t(spark, sf_dir).documents()
+    return d.select("doc_id",
+                    ts.quality_score("text").alias("quality"))
+
+
+ORACLE_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      AS n_tok,
+    CAST(length(trim(text)) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT)
+      AS hits
+  FROM documents
+)
+SELECT doc_id,
+  (least(1.0, CAST(n_tok AS DOUBLE) / 64.0)
+   + (CASE WHEN CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)
+             >= 3.0
+           AND CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)
+             <= 10.0
+      THEN 1.0 ELSE 0.0 END)
+   + least(1.0, 4.0 * CAST(hits AS DOUBLE) / CAST(n_tok AS DOUBLE))) / 3.0
+    AS quality
+FROM f
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-hit language ID with deterministic tiebreak."""
+    d = _t(spark, sf_dir).documents()
+    return d.select("doc_id", ts.lang_id("text").alias("lang_pred"))
+
+
+_HITS = (r"CAST(len(list_filter(string_split_regex(lower(trim(text)),"
+         r" '\s+'), t -> list_contains({words}, t))) AS BIGINT)")
+
+ORACLE_LANG = f"""
+WITH h AS (
+  SELECT doc_id,
+    {_HITS.format(words="['der','die','das','und','ist']")} AS h_de,
+    {_HITS.format(words="['the','a','of','and','to']")} AS h_en,
+    {_HITS.format(words="['el','la','de','que','los']")} AS h_es,
+    {_HITS.format(words="['le','la','les','des','et']")} AS h_fr
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM h
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors per vector (ANN baseline)."""
+    e = _t(spark, sf_dir).embeddings()
+    return cosine_topk(e, "vec_id", "embedding", k=5)
+
+
+ORACLE_TOPK = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+         * sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i]))))
+      AS sim
+  FROM v a, v b WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+      AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+def q_event_window_agg(spark, sf_dir):
+    """Tumbling 1-hour event-time window aggregation (batch semantics of
+    the streaming rollup; the streaming variant shares this plan)."""
+    e = _t(spark, sf_dir).events()
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 dec_sum("value", 2).alias("sum_value"))
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
+ORACLE_EVENT_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+#: name → (spark callable, oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
+                          str | None]] = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "scan_filter_sort_limit": (q_scan_filter_sort_limit, ORACLE_SCAN),
+    "union_merge": (q_union_merge, ORACLE_UNION),
+    "slugify": (q_slugify, ORACLE_SLUG),
+    "split_trim": (q_split_trim, ORACLE_SPLIT),
+    "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
+    "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
+    "prefix_pipeline": (q_prefix_pipeline, ORACLE_PREFIX),
+    "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
+    "author_embed": (q_author_embed, ORACLE_AUTHOR),
+    "meta_embed": (q_meta_embed, ORACLE_META_EMBED),
+    "window_funcs": (q_window_funcs, ORACLE_WINDOW),
+    "meta_melt": (q_meta_melt, ORACLE_MELT),
+    "upsert_merge": (q_upsert_merge, ORACLE_UPSERT),
+    "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
+    "hierarchy_resolve": (q_hierarchy_resolve, ORACLE_HIERARCHY),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
+    "token_stats": (q_token_stats, ORACLE_TOKEN),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "lang_id": (q_lang_id, ORACLE_LANG),
+    "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
+    "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items()
+            if sql is not None}
