@@ -1,0 +1,110 @@
+"""SimHash near-duplicate detection (LLM-pipeline extension).
+
+Charikar SimHash over word tokens: each token votes ±1 on ``bits``
+signature positions according to its hash; the signature bit is the sign
+of the vote sum. Near-duplicates differ in few bits (small Hamming
+distance).
+
+Scale design (100 TB):
+- signature computation is one shuffle (groupBy doc) with ``bits``
+  map-side-combinable SUM aggregates — columnar, whole-stage codegen,
+  no UDFs, linear in token count;
+- candidate generation uses the standard chunk trick: a ``bits``-bit
+  signature split into ``chunks`` equal chunks; by pigeonhole, any pair
+  with Hamming distance < ``chunks`` shares at least one identical chunk,
+  so an equi-join on (chunk_index, chunk_value) finds ALL pairs with
+  distance ≤ chunks-1 — no quadratic all-pairs compare, one shuffle on
+  the chunk value;
+- Hamming verification runs only on candidates.
+
+Hashing is engine-portable: per-token md5 hex nibbles (same trick as
+``operators.dedup``), so the DuckDB oracle reproduces signatures exactly.
+
+No counterpart in the reference (it has no dedup surface); cf. SURVEY §2
+"beyond-parity" scope.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def _vote_expr(j: int) -> str:
+    """SQL expr: ±1 vote of bit ``j`` of md5 hex column ``__h``.
+
+    Bit j lives in hex nibble j//4 (1-based substring position), at
+    in-nibble position j%4. Pure integer arithmetic → portable.
+    """
+    pos, shift = j // 4 + 1, 2 ** (j % 4)
+    return (f"((((instr('{HEX}', substring(__h, {pos}, 1)) - 1)"
+            f" div {shift}) % 2) * 2 - 1)")
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       bits: int = 32) -> DataFrame:
+    """(id, simhash) — simhash as a ``bits``-char '0'/'1' string.
+
+    Distinct word tokens per doc each vote on every bit; one shuffle,
+    ``bits`` SUM aggregates, string assembly after the agg.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+"))
+    exploded = (df.select(F.col(id_col), toks.alias("__toks"))
+                .where(F.size("__toks") >= 1)
+                .select(F.col(id_col), F.explode("__toks").alias("__tok"))
+                .withColumn("__h", F.md5(F.col("__tok"))))
+    sums = exploded.groupBy(id_col).agg(
+        *[F.sum(F.expr(_vote_expr(j))).alias(f"__s{j}")
+          for j in range(bits)])
+    sig = F.concat(*[F.when(F.col(f"__s{j}") >= 0, "1").otherwise("0")
+                     for j in range(bits)])
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming(a: Column, b: Column, bits: int) -> Column:
+    """Hamming distance between two '0'/'1' signature strings."""
+    terms = [F.when(F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), 1)
+             .otherwise(0) for j in range(bits)]
+    return functools.reduce(operator.add, terms).cast("long")
+
+
+def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
+                     bits: int = 32, chunks: int = 4,
+                     max_hamming: int | None = None) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, hamming) via the chunk equi-join.
+
+    Complete for ``hamming ≤ chunks - 1`` (pigeonhole); ``max_hamming``
+    defaults to that bound. One shuffle on chunk value; Hamming check on
+    candidates only.
+    """
+    if bits % chunks:
+        raise ValueError("bits must divide evenly into chunks")
+    if max_hamming is None:
+        max_hamming = chunks - 1
+    width = bits // chunks
+    sig = simhash_signatures(df, id_col, text_col, bits)
+    chunked = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.substring("simhash", c * width + 1, width)
+                     .alias("v"))
+            for c in range(chunks)])).alias("__ch"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (a.join(b, on=[F.col("a.__ch") == F.col("b.__ch")])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("__sa"),
+                    F.col("b.simhash").alias("__sb"))
+            .distinct())
+    return (cand.withColumn("hamming",
+                            hamming(F.col("__sa"), F.col("__sb"), bits))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

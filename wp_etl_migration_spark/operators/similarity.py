@@ -74,6 +74,90 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
             .select("query_id", "neighbor_id", "rank"))
 
 
+def embedding_near_dup(emb: DataFrame, id_col: str, vec_col: str,
+                       threshold: float = 0.95,
+                       dims: int | None = None) -> DataFrame:
+    """Near-duplicate vector pairs by cosine ≥ threshold (id_a < id_b).
+
+    Brute-force O(N²) kernel — the correctness baseline; at corpus scale
+    wrap the same similarity expression inside ``cosine_topk_lsh``-style
+    hyperplane buckets so only bucket-local pairs are scored. Returns
+    (id_a, id_b, cos_sim). The dot product is an unrolled left-to-right
+    chain (see module docstring) so the float value is bit-deterministic.
+    """
+    if dims is None:
+        dims = _dims(emb, vec_col)
+    v = emb.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("__v"))
+    norm = F.sqrt(unrolled_dot(F.col("__v"), F.col("__v"), dims))
+    vn = v.withColumn("__n", norm)
+    a = vn.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+                  F.col("__n").alias("__na"))
+    b = vn.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+                  F.col("__n").alias("__nb"))
+    sim = (unrolled_dot(F.col("__va"), F.col("__vb"), dims)
+           / (F.col("__na") * F.col("__nb")))
+    return (a.crossJoin(F.broadcast(b))
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", sim)
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
+             centroid_stride: int = 100,
+             dims: int | None = None) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to centroids, search within cells.
+
+    Deterministic toy quantizer: every ``centroid_stride``-th vector (by
+    id) is a centroid — production would run k-means, but the *query
+    shape* is identical: (1) assign each vector to its nearest centroid
+    (argmax cosine, centroid-id tiebreak) via a broadcast join against
+    the small centroid set; (2) top-k search only among vectors sharing
+    a cell (nprobe=1 ⇒ recall < 1, the standard IVF tradeoff — raise
+    nprobe by assigning each query to its p nearest cells).
+
+    Scale: the N×C assignment is broadcast (C ≪ N); the search join
+    shuffles on cell id — cells are ~N/C vectors so the quadratic term
+    is (N/C)² per cell, not N².
+    """
+    if dims is None:
+        dims = _dims(emb, vec_col)
+    v = emb.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("__v"))
+    v = v.withColumn("__n", F.sqrt(unrolled_dot(F.col("__v"), F.col("__v"),
+                                                dims)))
+    cents = (v.where(F.col(id_col) % centroid_stride == 0)
+             .select(F.col(id_col).alias("__cid"),
+                     F.col("__v").alias("__cv"),
+                     F.col("__n").alias("__cn")))
+    csim = (unrolled_dot(F.col("__v"), F.col("__cv"), dims)
+            / (F.col("__n") * F.col("__cn")))
+    wass = Window.partitionBy(id_col).orderBy(
+        F.col("__csim").desc(), F.col("__cid"))
+    assigned = (v.crossJoin(F.broadcast(cents))
+                .withColumn("__csim", csim)
+                .withColumn("__rn", F.row_number().over(wass))
+                .where(F.col("__rn") == 1)
+                .select(id_col, "__v", "__n", "__cid"))
+    a = assigned.select(F.col(id_col).alias("query_id"),
+                        F.col("__v").alias("__qv"),
+                        F.col("__n").alias("__qn"), "__cid")
+    b = assigned.select(F.col(id_col).alias("neighbor_id"),
+                        F.col("__v").alias("__cv2"),
+                        F.col("__n").alias("__cn2"), "__cid")
+    sim = (unrolled_dot(F.col("__qv"), F.col("__cv2"), dims)
+           / (F.col("__qn") * F.col("__cn2")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id"))
+    return (a.join(b, on="__cid")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]],
                       dims: int) -> Column:
     """SimHash bucket id: sign pattern of dot products against fixed

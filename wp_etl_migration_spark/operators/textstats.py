@@ -32,6 +32,19 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the split GPT-style BPE applies before merges. Counting these matches
+#: approximates "token count" far better than whitespace words.
+BPE_SPLIT_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_count(col: Column | str,
+                    pattern: str = BPE_SPLIT_PATTERN) -> Column:
+    """Count of BPE-style pre-tokens (regexp_count — JVM regex, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(F.trim(c)), F.lit(pattern)).cast("long")
+
+
 def stopword_hits(col: Column | str, words: list[str]) -> Column:
     """How many tokens are in ``words`` (BIGINT)."""
     toks = tokens(col)

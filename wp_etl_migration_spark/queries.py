@@ -34,8 +34,13 @@ from wp_etl_migration_spark.operators.merge import (
     merge_upsert, cascaded_lookup)
 from wp_etl_migration_spark.operators.hierarchy import resolve_paths
 from wp_etl_migration_spark.operators.dedup import (
-    exact_dedup, ngram_jaccard_pairs, minhash_signatures)
-from wp_etl_migration_spark.operators.similarity import cosine_topk
+    exact_dedup, ngram_jaccard_pairs, minhash_signatures, minhash_lsh_pairs)
+from wp_etl_migration_spark.operators.similarity import (
+    cosine_topk, cosine_topk_lsh, embedding_near_dup, ivf_topk)
+from wp_etl_migration_spark.operators.simhash import (
+    HEX, simhash_signatures, simhash_near_dup)
+from wp_etl_migration_spark.operators.multimodal import (
+    attach_binary, extract_features)
 from wp_etl_migration_spark.operators import textstats as ts
 
 
@@ -583,6 +588,257 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Banded MinHash LSH near-dup pipeline: 16 hashes, bands of 2 →
+    candidate pairs by band-bucket equi-join → exact-Jaccard verify ≥ 0.7.
+    The 100 TB dedup path: linear signature pass + candidate-only verify."""
+    d = _t(spark, sf_dir).documents()
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16,
+                             rows_per_band=2, verify_threshold=0.7)
+
+
+ORACLE_LSH_DEDUP = f"""
+WITH {_DUCK_SHINGLES}, sig AS (
+  SELECT doc_id, seed,
+         min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+  FROM sh, UNNEST(range(0, 16)) AS s(seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS agreeing_bands
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), jac AS (
+  SELECT id_a, id_b,
+    CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT c.id_a, c.id_b, c.agreeing_bands, j.jaccard
+FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.7
+"""
+
+
+def q_simhash_signatures(spark, sf_dir):
+    """32-bit SimHash signature per document (portable md5-nibble votes)."""
+    d = _t(spark, sf_dir).documents()
+    return simhash_signatures(d, "doc_id", "text", bits=32)
+
+
+def _simhash_duck_ctes(bits: int = 32) -> str:
+    votes = ",\n    ".join(
+        f"sum((((strpos('{HEX}', substring(h, {j // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (j % 4)}) % 2) * 2 - 1) AS s{j}"
+        for j in range(bits))
+    sig = " || ".join(f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END"
+                      for j in range(bits))
+    return rf"""
+stoks AS (
+  SELECT doc_id,
+    unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+      AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM stoks
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM th GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sig} AS simhash FROM votes
+)"""
+
+
+ORACLE_SIMHASH = f"WITH {_simhash_duck_ctes()} SELECT doc_id, simhash FROM sig"
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: 4-chunk candidate equi-join (complete for
+    Hamming ≤ 3 by pigeonhole) + Hamming verify on candidates only."""
+    d = _t(spark, sf_dir).documents()
+    return simhash_near_dup(d, "doc_id", "text", bits=32, chunks=4,
+                            max_hamming=3)
+
+
+def _hamming_sql(bits: int = 32) -> str:
+    return " + ".join(
+        f"CASE WHEN substring(sa, {j + 1}, 1) <> substring(sb, {j + 1}, 1)"
+        f" THEN 1 ELSE 0 END" for j in range(bits))
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_simhash_duck_ctes()}, ch AS (
+  SELECT doc_id, simhash, c, substring(simhash, c * 8 + 1, 8) AS v
+  FROM sig, UNNEST(range(0, 4)) AS r(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST({_hamming_sql()} AS BIGINT) AS hamming FROM cand
+) WHERE hamming <= 3
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35, exact kernel)."""
+    e = _t(spark, sf_dir).embeddings()
+    return embedding_near_dup(e, "vec_id", "embedding", threshold=0.35)
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+    sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nm
+  FROM v
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+      / (a.nm * b.nm) AS cos_sim
+  FROM n a, n b WHERE a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.35
+"""
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize to every-100th-id centroids (broadcast
+    N×C assignment), then top-5 within the cell (nprobe=1)."""
+    e = _t(spark, sf_dir).embeddings()
+    return ivf_topk(e, "vec_id", "embedding", k=5, centroid_stride=100)
+
+
+ORACLE_IVF = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+    sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nm
+  FROM v
+), c AS (
+  SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n WHERE vec_id % 100 = 0
+), assign AS (
+  SELECT vec_id, e, nm, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY
+      list_sum(list_transform(range(1, 65), i -> e[i] * ce[i]))
+        / (nm * cnm) DESC, cid) AS rn
+  FROM n, c
+), cell AS (
+  SELECT vec_id, e, nm, cid FROM assign WHERE rn = 1
+), sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+      / (a.nm * b.nm) AS sim
+  FROM cell a JOIN cell b USING (cid)
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+      AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+#: Fixed, seeded hyperplanes for the LSH ANN query — generated by a pure
+#: formula so Spark and the oracle embed bit-identical double literals.
+ANN_PLANES = [[__import__("math").sin(0.1 + p * 7.3 + i * 0.61)
+               for i in range(64)] for p in range(4)]
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN: top-5 within sign-pattern buckets (the scale
+    path for corpus×corpus similarity — recall < 1 by construction)."""
+    e = _t(spark, sf_dir).embeddings()
+    return cosine_topk_lsh(e, "vec_id", "embedding", planes=ANN_PLANES, k=5)
+
+
+def _plane_sql(p: list[float]) -> str:
+    lits = ", ".join(repr(x) for x in p)
+    return (f"CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> e[i] * (CAST([{lits}] AS DOUBLE[]))[i])) >= 0"
+            f" THEN '1' ELSE '0' END")
+
+
+ORACLE_ANN_LSH = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+    sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nm,
+    {" || ".join(_plane_sql(p) for p in ANN_PLANES)} AS bucket
+  FROM v
+), sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+      / (a.nm * b.nm) AS sim
+  FROM n a JOIN n b USING (bucket)
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+      AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column + metadata struct →
+    Arrow-batched mapInPandas feature extraction (deterministic stand-in
+    for a media decode; see operators.multimodal)."""
+    d = _t(spark, sf_dir).documents()
+    binary = attach_binary(d, "doc_id", "text", mime="text/plain")
+    return extract_features(binary, "doc_id", "payload")
+
+
+ORACLE_MULTIMODAL = f"""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS digest,
+  CAST((strpos('{HEX}', substring(md5(text), 1, 1)) - 1) * 16
+     + (strpos('{HEX}', substring(md5(text), 2, 1)) - 1) AS BIGINT)
+    AS fake_width,
+  CAST((strpos('{HEX}', substring(md5(text), 3, 1)) - 1) * 16
+     + (strpos('{HEX}', substring(md5(text), 4, 1)) - 1) AS BIGINT)
+    AS fake_height
+FROM documents
+"""
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex pre-tokenizer count vs whitespace word count."""
+    d = _t(spark, sf_dir).documents()
+    return d.select("doc_id",
+                    ts.bpe_token_count("text").alias("n_bpe"),
+                    ts.token_count("text").alias("n_words"))
+
+
+ORACLE_BPE = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(trim(text)),
+       '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+    AS n_words
+FROM documents
+"""
+
+
 def q_event_window_agg(spark, sf_dir):
     """Tumbling 1-hour event-time window aggregation (batch semantics of
     the streaming rollup; the streaming variant shares this plan)."""
@@ -629,6 +885,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
+    "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
+    "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
+    "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
+    "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
     "token_stats": (q_token_stats, ORACLE_TOKEN),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "lang_id": (q_lang_id, ORACLE_LANG),
