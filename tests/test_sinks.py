@@ -1,0 +1,248 @@
+"""Unit tests for the sinks layer: file writers, ledger lineage, and the
+staged upsert loader chain (SURVEY §2.2). Upsert stages additionally get
+idempotency checks — re-running a migration must update, not duplicate
+(the reference's operational correctness contract, SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.sinks import files as fsink
+from wp_etl_migration_spark.sinks import ledger as lsink
+from wp_etl_migration_spark.sinks.wordpress import (
+    media_stage, meta_stage, post_upsert_stage, run_stages,
+    term_upsert_stage, terms_stage, user_upsert_stage)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+# ----------------------------------------------------------------- files
+
+def test_write_json_prefix_filter(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", "x")], ["post.id", "post.title", "ledger.src"])
+    path = str(tmp_path / "out")
+    fsink.write_json(df, path, prefix="post.")
+    back = spark.read.json(path)
+    assert sorted(back.columns) == ["id", "title"]
+
+
+def test_write_json_single_pretty(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    path = str(tmp_path / "out.json")
+    fsink.write_json(df, path, single_file=True, pretty=True)
+    data = json.load(open(path))
+    assert data == [{"id": 1, "name": "a"}]
+
+
+def test_destination_naming(tmp_path):
+    fixed = fsink.destination(str(tmp_path), "posts", "json", overwrite=True)
+    assert fixed.endswith("posts.json")
+    stamped = fsink.destination(str(tmp_path), "posts", "json",
+                                overwrite=False)
+    assert not stamped.endswith("posts.json") and "posts-" in stamped
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    path = str(tmp_path / "csv")
+    fsink.write_csv(df, path)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 2
+
+
+# ---------------------------------------------------------------- ledger
+
+def test_ledger_write_and_latest(spark, tmp_path):
+    df = lsink.with_uid(spark.createDataFrame(
+        [(1, "t1"), (2, "t2")], ["id", "ledger.title"]))
+    d = str(tmp_path)
+    p1 = lsink.write_ledger(df, d, "posts")
+    p2 = lsink.write_ledger(df, d, "posts")
+    assert lsink.latest_ledger_path(d, "posts") == max(p1, p2)
+    back = lsink.read_latest_ledger(spark, d, "posts")
+    assert sorted(back.columns) == ["title", "uid"]
+    assert back.count() == 2
+    assert back.select("uid").distinct().count() == 2
+    assert lsink.read_latest_ledger(spark, d, "absent") is None
+
+
+# ------------------------------------------------------------ post stage
+
+def _post_state(spark):
+    posts = spark.createDataFrame(
+        [(1, "alpha", "post", "old A"), (2, "beta", "post", "old B")],
+        ["ID", "post_name", "post_type", "post_title"])
+    incoming = spark.createDataFrame(
+        [(None, "beta", "post", "new B"),      # match by (name, type)
+         (None, "gamma", "post", "new C")],    # insert
+        "`post.ID` long, `post.post_name` string, "
+        "`post.post_type` string, `post.post_title` string")
+    return {"incoming": incoming, "posts": posts}
+
+
+def test_post_upsert_updates_and_inserts(spark):
+    out = run_stages(_post_state(spark), [post_upsert_stage()])
+    posts = out["posts"]
+    assert rows(posts, "ID", "post_name", "post_title") == [
+        (1, "alpha", "old A"), (2, "beta", "new B"), (3, "gamma", "new C")]
+    # Stream mutation: every incoming row now has a resolved post.ID.
+    got = {r["post.post_name"]: r["post.ID"]
+           for r in out["incoming"].collect()}
+    assert got == {"beta": 2, "gamma": 3}
+
+
+def test_post_upsert_idempotent(spark):
+    once = run_stages(_post_state(spark), [post_upsert_stage()])
+    twice = run_stages({**once, "incoming": _post_state(spark)["incoming"]},
+                       [post_upsert_stage()])
+    assert rows(twice["posts"], "ID", "post_name", "post_title") == \
+        rows(once["posts"], "ID", "post_name", "post_title")
+
+
+# ------------------------------------------------------------ meta stage
+
+def test_meta_stage_add_vs_update(spark):
+    meta = spark.createDataFrame(
+        [(2, "color", "red"), (2, "size", "L")],
+        ["post_id", "meta_key", "meta_value"])
+    incoming = spark.createDataFrame(
+        [(2, "blue", "note1"), (3, "green", "note2")],
+        ["post.ID", "meta.color", "meta.note.add"])
+    out = run_stages({"incoming": incoming, "postmeta": meta},
+                     [meta_stage()])
+    assert rows(out["postmeta"], "post_id", "meta_key", "meta_value") == [
+        (2, "color", "blue"),      # updated in place
+        (2, "note", "note1"),      # added
+        (2, "size", "L"),          # untouched
+        (3, "color", "green"),     # update-mode on absent key inserts
+        (3, "note", "note2")]
+
+
+# ----------------------------------------------------------- terms stage
+
+def test_terms_stage_replace_semantics(spark):
+    rel = spark.createDataFrame(
+        [(1, "category", "old"), (1, "post_tag", "keep"),
+         (9, "category", "other")],
+        ["post_id", "taxonomy", "term"])
+    incoming = spark.createDataFrame(
+        [(1, ["news", "tech"], "solo")],
+        ["post.ID", "tax.category", "tax.post_tag"])
+    out = run_stages({"incoming": incoming, "term_relationships": rel},
+                     [terms_stage()])
+    assert rows(out["term_relationships"],
+                "post_id", "taxonomy", "term") == [
+        (1, "category", "news"), (1, "category", "tech"),
+        (1, "post_tag", "solo"),      # scalar coerced; old row replaced
+        (9, "category", "other")]     # untouched post
+
+
+# ------------------------------------------------------------ user stage
+
+def test_user_two_pass_match(spark):
+    users = spark.createDataFrame(
+        [(1, "a@x.com", "alice", "Alice"),
+         (2, "b@x.com", "bob", "Bob")],
+        ["ID", "user_email", "user_login", "display_name"])
+    incoming = spark.createDataFrame(
+        [("a@x.com", "newlogin", "Alice2"),    # email match wins
+         (None, "bob", "Bob2"),                # login fallback
+         ("c@x.com", "carol", "Carol")],       # insert
+        "`user.user_email` string, `user.user_login` string, "
+        "`user.display_name` string")
+    out = run_stages({"incoming": incoming, "users": users},
+                     [user_upsert_stage()])
+    assert rows(out["users"], "ID", "user_login", "display_name") == [
+        (1, "alice", "Alice2"), (2, "bob", "Bob2"), (3, "carol", "Carol")]
+
+
+# ------------------------------------------------------------ term stage
+
+def test_term_upsert_creates_missing_parent(spark):
+    terms = spark.createDataFrame(
+        [(1, "existing", "Existing", "category")],
+        ["term_id", "slug", "name", "taxonomy"])
+    incoming = spark.createDataFrame(
+        [(None, None, "Child Term", "category", "ghost-parent"),
+         (None, "existing", "Existing", "category", None)],
+        "`term.term_id` long, `term.slug` string, `term.name` string, "
+        "`term.taxonomy` string, `term.parent_slug` string")
+    out = run_stages({"incoming": incoming, "terms": terms},
+                     [term_upsert_stage()])
+    got = rows(out["terms"], "term_id", "slug", "taxonomy")
+    # ghost-parent placeholder created (id 2), child inserted (id 3),
+    # existing matched by slug — no duplicate.
+    assert got == [(1, "existing", "category"),
+                   (2, "ghost-parent", "category"),
+                   (3, "child-term", "category")]
+
+
+# ----------------------------------------------------------- media stage
+
+def test_media_stage_dedupe_and_substitution(spark):
+    atts = spark.createDataFrame(
+        [(10, "hero.jpg"), (11, "pic-1.png")],
+        ["ID", "file"])
+    incoming = spark.createDataFrame(
+        [("http://cdn/x/hero.jpg?v=2", "see %%media.featured.attachment_id%%"),
+         ("http://cdn/y/pic.png", "b"),     # matches pic-1.png variant
+         ("http://cdn/z/new.gif", "c")],    # genuinely new
+        ["media.featured.url", "body"])
+    out = run_stages({"incoming": incoming, "attachments": atts},
+                     [media_stage(subst_cols=["body"])])
+    ids = {r["media.featured.url"]: r["media.featured.attachment_id"]
+           for r in out["incoming"].collect()}
+    assert ids == {"http://cdn/x/hero.jpg?v=2": 10,
+                   "http://cdn/y/pic.png": 11,
+                   "http://cdn/z/new.gif": 12}
+    assert rows(out["attachments"], "ID", "file") == [
+        (10, "hero.jpg"), (11, "pic-1.png"), (12, "new.gif")]
+    body = {r["media.featured.url"]: r["body"]
+            for r in out["incoming"].collect()}
+    assert body["http://cdn/x/hero.jpg?v=2"] == "see 10"
+
+
+# ------------------------------------------------- full WP_Post_All chain
+
+def test_wp_post_all_chain(spark):
+    """≙ Load Orchestrator.php:125-135: media → post → meta → terms, with
+    row mutation flowing through every stage."""
+    state = {
+        "incoming": spark.createDataFrame(
+            [(None, "hello", "post", "Hello",
+              "http://cdn/img.png", "img=%%media.featured.attachment_id%%",
+              ["news"])],
+            "`post.ID` long, `post.post_name` string, "
+            "`post.post_type` string, `post.post_title` string, "
+            "`media.featured.url` string, `meta.img_note` string, "
+            "`tax.category` array<string>"),
+        "posts": spark.createDataFrame(
+            [(7, "other", "post", "Other")],
+            ["ID", "post_name", "post_type", "post_title"]),
+        "attachments": spark.createDataFrame([(3, "old.png")],
+                                             ["ID", "file"]),
+        "postmeta": spark.createDataFrame(
+            [], "post_id long, meta_key string, meta_value string"),
+        "term_relationships": spark.createDataFrame(
+            [], "post_id long, taxonomy string, term string"),
+    }
+    out = run_stages(state, [
+        media_stage(subst_cols=["meta.img_note"]),
+        post_upsert_stage(),
+        meta_stage(),
+        terms_stage(),
+    ])
+    assert rows(out["posts"], "ID", "post_name") == [
+        (7, "other"), (8, "hello")]
+    assert rows(out["attachments"], "ID", "file") == [
+        (3, "old.png"), (4, "img.png")]
+    meta = rows(out["postmeta"], "post_id", "meta_key", "meta_value")
+    assert (8, "img_note", "img=4") in meta
+    assert rows(out["term_relationships"],
+                "post_id", "taxonomy", "term") == [(8, "category", "news")]

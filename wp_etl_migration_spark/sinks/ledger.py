@@ -1,0 +1,74 @@
+"""Ledger lineage sink + registry (SURVEY §2.2 L12, §2.1 S10, §2.4 J9).
+
+≙ LedgerLoader.php:47-60 (per-row ledger entries: ``etl.uid`` +
+prefix-reduced ``ledger.*`` fields), WithLedger.php:81-104 (written as
+``<name>-ledger-<uid>.json``), LedgerRegistry.php:93-129 (dependent jobs
+glob the dir, load the latest ledger as a DataFrame).
+
+Spark-first: the ledger is an append-only JSON (or parquet) dataset per
+job run, written distributed; the registry picks the latest run directory
+by its sortable timestamp suffix and reads it back lazily. Dependent jobs
+get a broadcast-eligible DataFrame (J9: ledger ⋈ stream lookups).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.operators.prefix import select_prefix
+
+UID_COL = "etl.uid"
+
+
+def with_uid(df: DataFrame, uid_col: str = UID_COL) -> DataFrame:
+    """Attach the engine-owned per-row uuid (≙ Load Orchestrator.php:100)."""
+    return df.withColumn(uid_col, F.expr("uuid()"))
+
+
+def ledger_entries(df: DataFrame, uid_col: str = UID_COL,
+                   prefix: str = "ledger.") -> DataFrame:
+    """Project the ledger view of a stream: uid + ``ledger.*`` (stripped).
+
+    ≙ LedgerLoader.php:47-60's reduce_row_on_prefix projection.
+    """
+    ledger_cols = [c for c in df.columns if c.startswith(prefix)]
+    out = df.select(F.col("`" + uid_col + "`").alias("uid"),
+                    *[F.col("`" + c + "`") for c in ledger_cols])
+    return out.toDF("uid", *[c[len(prefix):] for c in ledger_cols])
+
+
+def write_ledger(df: DataFrame, ledger_dir: str, name: str,
+                 uid_col: str = UID_COL, prefix: str = "ledger.",
+                 fmt: str = "json") -> str:
+    """Write the ledger dataset for one job run; returns its path.
+
+    Run directories are ``<name>-ledger-<millis>-<uid8>`` — sortable by
+    timestamp so the registry's "latest" pick is a name sort, no mtimes.
+    """
+    run_id = f"{int(time.time() * 1000):015d}-{uuid.uuid4().hex[:8]}"
+    path = os.path.join(ledger_dir, f"{name}-ledger-{run_id}")
+    entries = ledger_entries(df, uid_col, prefix)
+    entries.write.mode("overwrite").format(fmt).save(path)
+    return path
+
+
+def latest_ledger_path(ledger_dir: str, name: str) -> str | None:
+    """≙ LedgerRegistry.php:106-124: glob ``<name>-ledger-*``, max by name."""
+    hits = glob.glob(os.path.join(ledger_dir, f"{name}-ledger-*"))
+    return max(hits) if hits else None
+
+
+def read_latest_ledger(spark: SparkSession, ledger_dir: str, name: str,
+                       fmt: str = "json") -> DataFrame | None:
+    """≙ LedgerRegistry.php:93-129: latest run's ledger as a DataFrame
+    (None when the dependency never ran)."""
+    path = latest_ledger_path(ledger_dir, name)
+    if path is None:
+        return None
+    return spark.read.format(fmt).load(path)
