@@ -1,0 +1,141 @@
+"""Pipeline layer tests: YAML !include, DAG validation, job filters,
+dry-run, analyze, and an end-to-end CSV → transforms → JSON + ledger job
+(the reference's full lifecycle, SURVEY §3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from wp_etl_migration_spark.plans.config import dot_get, load_yaml
+from wp_etl_migration_spark.plans.pipeline import (
+    JobConfig, PipelineConfigError, select_jobs, validate_dag)
+from wp_etl_migration_spark.plans.runner import Runner
+from wp_etl_migration_spark.sinks.ledger import read_latest_ledger
+
+
+# ----------------------------------------------------------------- config
+
+def test_yaml_include_and_dot_get(tmp_path):
+    (tmp_path / "inner.yaml").write_text("adapter: csv\nsource: x.csv\n")
+    (tmp_path / "main.yaml").write_text(
+        "name: demo\nmigration:\n  - name: j1\n    extract: !include inner.yaml\n")
+    cfg = load_yaml(str(tmp_path / "main.yaml"))
+    assert dot_get(cfg, "migration.0.extract.adapter") == "csv"
+    assert dot_get(cfg, "migration.0.extract.missing", "dflt") == "dflt"
+
+
+# -------------------------------------------------------------------- DAG
+
+def _jobs(*specs):
+    return [JobConfig.from_dict(dict(s)) for s in specs]
+
+
+def test_dag_unknown_dependency():
+    with pytest.raises(PipelineConfigError, match="unknown job"):
+        validate_dag(_jobs({"name": "a", "depends_on": "ghost"}))
+
+
+def test_dag_order_violation():
+    with pytest.raises(PipelineConfigError, match="declared after"):
+        validate_dag(_jobs({"name": "a", "depends_on": "b"}, {"name": "b"}))
+
+
+def test_dag_duplicate_names():
+    with pytest.raises(PipelineConfigError, match="duplicate"):
+        validate_dag(_jobs({"name": "a"}, {"name": "a"}))
+
+
+def test_dag_ok_chain():
+    validate_dag(_jobs({"name": "a"}, {"name": "b", "depends_on": "a"},
+                       {"name": "c", "depends_on": "b"}))
+
+
+def test_select_jobs_filters():
+    jobs = _jobs({"name": "a"}, {"name": "b", "skip": True}, {"name": "c"})
+    assert [j.name for j in select_jobs(jobs)] == ["a", "c"]
+    assert [j.name for j in select_jobs(jobs, include=["c"])] == ["c"]
+    assert [j.name for j in select_jobs(jobs, skip=["a"])] == ["c"]
+    with pytest.raises(PipelineConfigError):
+        select_jobs(jobs, include=["nope"])
+
+
+# ------------------------------------------------------------- end-to-end
+
+MIGRATION = """
+name: demo
+migration:
+  - name: articles
+    extract:
+      adapter: csv
+      source: "{src}"
+      prefix: "legacy."
+    transform:
+      - slugify: {{column: legacy.title, into: post.post_name}}
+      - with_column: {{name: post.post_title, expr: "`legacy.title`"}}
+      - nullif: {{column: legacy.author, value: "unknown"}}
+      - with_column: {{name: ledger.source_id, expr: "`legacy.id`"}}
+    load:
+      - adapter: json
+        destination: "{out}/articles.json"
+        prefix: "post."
+      - adapter: ledger
+  - name: downstream
+    depends_on: articles
+    skip: true
+    extract:
+      adapter: csv
+      source: "{src}"
+"""
+
+
+@pytest.fixture()
+def project(tmp_path):
+    src = tmp_path / "articles.csv"
+    src.write_text("id,Title,Author\n1,Hello World,alice\n"
+                   "2,Second Post,unknown\n")
+    cfg = tmp_path / "migration.yaml"
+    cfg.write_text(MIGRATION.format(src=src, out=tmp_path))
+    return tmp_path, cfg
+
+
+def test_runner_end_to_end(spark, project, tmp_path):
+    root, cfg = project
+    runner = Runner(spark, str(cfg), output_dir=str(root))
+    reports = runner.run()
+    assert [r.name for r in reports] == ["articles"]  # skip honored
+
+    out = spark.read.json(str(root / "articles.json"))
+    got = {r["post_name"]: r["post_title"] for r in out.collect()}
+    assert got == {"hello-world": "Hello World",
+                   "second-post": "Second Post"}
+    # Prefix filter stripped the namespace and dropped legacy/ledger cols.
+    assert sorted(out.columns) == ["post_name", "post_title"]
+
+    ledger = read_latest_ledger(spark, str(root), "articles")
+    assert ledger.count() == 2
+    assert sorted(ledger.columns) == ["source_id", "uid"]
+
+
+def test_runner_dry_run_no_outputs(spark, project):
+    root, cfg = project
+    runner = Runner(spark, str(cfg), output_dir=str(root))
+    reports = runner.run(dry_run=True)
+    assert [r.name for r in reports] == ["articles"]
+    assert not (root / "articles.json").exists()
+
+
+def test_runner_analyze_counts(spark, project):
+    root, cfg = project
+    runner = Runner(spark, str(cfg), output_dir=str(root))
+    reports = runner.analyze()
+    assert [(r.name, r.rows) for r in reports] == [("articles", 2)]
+
+
+def test_runner_invalid_transform(spark, project):
+    root, cfg = project
+    runner = Runner(spark, str(cfg), output_dir=str(root))
+    runner.jobs[0].transform = [{"bogus": {}}]
+    with pytest.raises(ValueError, match="unknown transform"):
+        runner.run()
