@@ -35,8 +35,15 @@ BENCH_QUERIES = [
     "dedup_exact",
     "ngram_jaccard_dedup",
     "minhash_signatures",
+    "minhash_lsh_dedup",
+    "simhash_near_dup",
     "token_stats",
+    "bpe_token_stats",
     "embedding_topk",
+    "embedding_near_dup",
+    "ivf_ann_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
     "event_window_agg",
 ]
 
@@ -45,6 +52,14 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("wp-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed warmup: JVM/codegen/Arrow path initialization, so the first
+    # timed query measures the plan, not executor startup.
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.groupBy("r_name").count().write.format("noop") \
+        .mode("overwrite").save()
+    warm.mapInPandas(lambda it: it, schema=warm.schema) \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -107,13 +107,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     grouping be a plain aggregation.
     """
     sh = shingles(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-    seeded = sh.select(F.col(id_col), F.col("shingle"),
-                       seeds.alias("seed"))
-    h = F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")))
-    return (seeded.select(F.col(id_col), F.col("seed"), h.alias("__h"))
-            .groupBy(id_col, "seed")
-            .agg(F.min("__h").alias("minhash")))
+    # One wide aggregation (num_hashes MIN columns, map-side partial) then
+    # stack to long — shuffles one row per doc instead of exploding
+    # num_hashes× rows through the groupBy.
+    aggs = [F.min(F.md5(F.concat_ws("#", F.col("shingle"),
+                                    F.lit(str(s))))).alias(f"__m{s}")
+            for s in range(num_hashes)]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    pairs = ", ".join(f"{s}, __m{s}" for s in range(num_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {pairs}) as (seed, minhash)"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,

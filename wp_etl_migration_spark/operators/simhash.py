@@ -89,8 +89,13 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
         max_hamming = chunks - 1
     width = bits // chunks
     sig = simhash_signatures(df, id_col, text_col, bits)
-    chunked = sig.select(
-        F.col(id_col), F.col("simhash"),
+    # Pack the signature into a long once: Hamming becomes
+    # bit_count(a XOR b) — one integer op per candidate instead of
+    # ``bits`` substring compares, and the candidate distinct dedupes
+    # fixed-width longs, not 32-char strings.
+    packed = sig.withColumn("__si", F.conv("simhash", 2, 10).cast("long"))
+    chunked = packed.select(
+        F.col(id_col), F.col("__si"),
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("c"),
                      F.substring("simhash", c * width + 1, width)
@@ -101,10 +106,10 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.simhash").alias("__sa"),
-                    F.col("b.simhash").alias("__sb"))
+                    F.col("a.__si").alias("__sa"),
+                    F.col("b.__si").alias("__sb"))
             .distinct())
-    return (cand.withColumn("hamming",
-                            hamming(F.col("__sa"), F.col("__sb"), bits))
+    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
+    return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
