@@ -12,9 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: PHP DATE_ATOM ≙ ISO-8601 with offset; under a UTC session this renders
-#: a ``+00:00`` suffix.
-ATOM_FORMAT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+#: PHP DATE_ATOM ≙ ISO-8601 with offset; ``xxx`` (not ``XXX``, which
+#: renders UTC as 'Z') yields the ATOM-style ``+00:00`` suffix.
+ATOM_FORMAT = "yyyy-MM-dd'T'HH:mm:ssxxx"
 
 
 def normalize_datetime(col: Column | str, fmt: str = ATOM_FORMAT) -> Column:

@@ -414,6 +414,225 @@ FROM h
 """
 
 
+def q_placeholder_subst(spark, sf_dir):
+    """F19 %%placeholder%% substitution from a per-row value map; missing
+    keys replace with '' (≙ WordPressMediaLoader.php:96-148)."""
+    from wp_etl_migration_spark.functions.templates import (
+        substitute_placeholders)
+    o = _t(spark, sf_dir).orders()
+    tpl = F.concat(F.lit("order %%id%% status "), F.col("o_orderstatus"),
+                   F.lit(" x%%missing%%y"))
+    vals = F.create_map(F.lit("id"), F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey",
+        substitute_placeholders(tpl, vals, ["id", "missing"])
+        .alias("rendered"))
+
+
+ORACLE_PLACEHOLDER = """
+SELECT o_orderkey,
+  replace(replace('order %%id%% status ' || o_orderstatus
+                  || ' x%%missing%%y',
+          '%%id%%', CAST(o_orderkey AS VARCHAR)),
+          '%%missing%%', '') AS rendered
+FROM orders
+"""
+
+
+def q_media_dedupe_lookup(spark, sf_dir):
+    """J7 media dedupe probe: attachment match by filename variants
+    (base, base-1, base-2 before the extension) — the anti-join side of
+    the media stage (≙ WPMediaLoader.php:354-426)."""
+    from wp_etl_migration_spark.sinks.wordpress import filename_variants
+    from wp_etl_migration_spark.functions.text import to_slug
+    p = _t(spark, sf_dir).part()
+    incoming = p.select(
+        "p_partkey",
+        F.concat(to_slug("p_name"), F.lit(".jpg")).alias("fname"))
+    atts = (p.where(F.col("p_partkey") % 7 == 0)
+            .select(F.col("p_partkey").alias("att_id"),
+                    F.concat(to_slug("p_name"),
+                             F.when(F.col("p_partkey") % 2 == 0,
+                                    F.lit("-1")).otherwise(F.lit("")),
+                             F.lit(".jpg")).alias("file")))
+    probes = incoming.withColumn(
+        "variant", F.explode(filename_variants(F.col("fname"))))
+    hits = (probes.join(atts, probes.variant == atts.file)
+            .groupBy("p_partkey")
+            .agg(F.min("att_id").alias("att_id")))
+    return (incoming.join(hits, "p_partkey", "left")
+            .select("p_partkey", "fname", "att_id"))
+
+
+ORACLE_MEDIA_DEDUPE = """
+WITH slugged AS (
+  SELECT p_partkey,
+    regexp_replace(regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '-',
+                   'g'), '^-+|-+$', '', 'g') AS slug
+  FROM part
+), incoming AS (
+  SELECT p_partkey, slug || '.jpg' AS fname FROM slugged
+), atts AS (
+  SELECT p_partkey AS att_id,
+    slug || CASE WHEN p_partkey % 2 = 0 THEN '-1' ELSE '' END || '.jpg'
+      AS file
+  FROM slugged WHERE p_partkey % 7 = 0
+), probes AS (
+  SELECT p_partkey, fname, unnest([
+    fname,
+    regexp_replace(fname, '\\.[^.]+$', '') || '-1'
+      || regexp_extract(fname, '(\\.[^.]+)$', 1),
+    regexp_replace(fname, '\\.[^.]+$', '') || '-2'
+      || regexp_extract(fname, '(\\.[^.]+)$', 1)]) AS variant
+  FROM incoming
+), hits AS (
+  SELECT p.p_partkey, min(a.att_id) AS att_id
+  FROM probes p JOIN atts a ON p.variant = a.file
+  GROUP BY 1
+)
+SELECT i.p_partkey, i.fname, h.att_id
+FROM incoming i LEFT JOIN hits h ON i.p_partkey = h.p_partkey
+"""
+
+
+def q_unpack_roundtrip(spark, sf_dir):
+    """P3 prefix-reduce + nested unpack: dotted suffixes become struct
+    fields (≙ BaseLoader.php:109-177), flattened back for the compare."""
+    from wp_etl_migration_spark.operators.prefix import unpack_prefixed
+    c = _t(spark, sf_dir).customer()
+    wide = c.select(F.col("c_custkey").alias("x.key"),
+                    F.col("c_name").alias("x.person.name"),
+                    F.col("c_mktsegment").alias("x.person.segment"))
+    nested = unpack_prefixed(wide, "x.")  # → key, person{name, segment}
+    return nested.select("key",
+                         F.col("person.name").alias("name"),
+                         F.col("person.segment").alias("segment"))
+
+
+ORACLE_UNPACK = """
+SELECT c_custkey AS key, c_name AS name, c_mktsegment AS segment
+FROM customer
+"""
+
+
+def q_date_validate(spark, sf_dir):
+    """F13/F14 date normalize + validate: exact format, else ISO-8601,
+    else fallback; rendered as the ATOM string (≙ WPPostsLoader.php:
+    254-269 + EntryNormalizer.php:18-29)."""
+    from wp_etl_migration_spark.functions.dates import (
+        normalize_datetime, validate_date)
+    o = _t(spark, sf_dir).orders()
+    raw = (F.when(F.col("o_orderkey") % 3 == 0,
+                  F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+           .when(F.col("o_orderkey") % 3 == 1,
+                 F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"))
+           .otherwise(F.lit("not a date")))
+    parsed = validate_date(raw, fallback=F.lit("2000-01-01 00:00:00")
+                           .cast("timestamp"))
+    return o.select("o_orderkey", raw.alias("raw"),
+                    normalize_datetime(parsed).alias("normalized"))
+
+
+ORACLE_DATE_VALIDATE = """
+WITH raw AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0
+           THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+         WHEN o_orderkey % 3 = 1
+           THEN strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S')
+         ELSE 'not a date' END AS raw
+  FROM orders
+)
+SELECT o_orderkey, raw,
+  strftime(coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                    try_cast(raw AS TIMESTAMP),
+                    TIMESTAMP '2000-01-01'),
+           '%Y-%m-%dT%H:%M:%S+00:00') AS normalized
+FROM raw
+"""
+
+
+def q_sanitize_chain(spark, sf_dir):
+    """F16 sanitize family: strip tags, %XX octets, whitespace collapse;
+    absint (≙ WPPostsLoader.php:163-246 sanitize_text_field / absint)."""
+    from wp_etl_migration_spark.functions.text import (
+        absint, sanitize_text_field)
+    p = _t(spark, sf_dir).part()
+    messy = F.concat(F.lit("<b>"), F.col("p_name"),
+                     F.lit("</b> %4A\tend  here"))
+    return p.select(
+        "p_partkey",
+        sanitize_text_field(messy).alias("clean"),
+        absint(F.col("p_partkey") - 1000).alias("abs_id"))
+
+
+ORACLE_SANITIZE = r"""
+SELECT p_partkey,
+  trim(regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace('<b>' || p_name || '</b> %4A' || chr(9)
+                       || 'end  here', '<[^>]*>', '', 'g'),
+        '%[a-fA-F0-9]{2}', '', 'g'),
+      '[\x00-\x1F\x7F]', '', 'g'),
+    '[ \t]+', ' ', 'g')) AS clean,
+  abs(p_partkey - 1000) AS abs_id
+FROM part
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Multi-join aggregation: lineitem ⋈ orders (shuffle) ⋈ customer
+    (broadcast), decimal-exact revenue, top-10 with key tiebreak —
+    the canonical join+agg plan the upsert/embed operators rely on."""
+    t = _t(spark, sf_dir)
+    l, o, c = t.lineitem(), t.orders(), t.customer()
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(6,4)")
+              - F.col("l_discount").cast("decimal(6,4)")))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(rev).cast("decimal(30,6)").cast("string")
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy(F.col("revenue").cast("double").desc(), "c_custkey")
+            .limit(10))
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+    AS DECIMAL(30,6)) AS VARCHAR) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY CAST(revenue AS DOUBLE) DESC, c_custkey
+LIMIT 10
+"""
+
+
+def q_rollup_status(spark, sf_dir):
+    """ROLLUP aggregation (absent in the reference — SURVEY §2.6 lists it
+    as free-from-Spark; this query proves it against the oracle)."""
+    o = _t(spark, sf_dir).orders()
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 dec_sum("o_totalprice", 2).alias("total")))
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS VARCHAR) AS DOUBLE)
+    AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
 # ------------------------------------------------------------ LLM pipeline
 
 def q_dedup_exact(spark, sf_dir):
@@ -882,6 +1101,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "upsert_merge": (q_upsert_merge, ORACLE_UPSERT),
     "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
     "hierarchy_resolve": (q_hierarchy_resolve, ORACLE_HIERARCHY),
+    "placeholder_subst": (q_placeholder_subst, ORACLE_PLACEHOLDER),
+    "media_dedupe_lookup": (q_media_dedupe_lookup, ORACLE_MEDIA_DEDUPE),
+    "unpack_roundtrip": (q_unpack_roundtrip, ORACLE_UNPACK),
+    "date_validate": (q_date_validate, ORACLE_DATE_VALIDATE),
+    "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
