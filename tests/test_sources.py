@@ -1,0 +1,75 @@
+"""Source adapter tests (SURVEY §2.1): CSV, JSON (JSONL + array), XML
+(Spark 4 native rowTag reader), in-memory rows, and the multi-page
+union-merge + limit patterns."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+from wp_etl_migration_spark.sources import files as fsrc
+from wp_etl_migration_spark.sources.memory import from_rows
+
+RSS = """<?xml version="1.0"?>
+<rss version="2.0">
+  <channel>
+    <title>Feed</title>
+    <item><title>First post</title><guid>g1</guid><pos>1</pos></item>
+    <item><title>Second post</title><guid>g2</guid><pos>2</pos></item>
+  </channel>
+</rss>
+"""
+
+
+def test_xml_rowtag_scan(spark, tmp_path):
+    p = tmp_path / "feed.xml"
+    p.write_text(RSS)
+    df = fsrc.from_xml(spark, str(p), row_tag="item")
+    rows = {r["guid"]: (r["title"], r["pos"]) for r in df.collect()}
+    assert rows == {"g1": ("First post", 1), "g2": ("Second post", 2)}
+
+
+def test_json_jsonl_and_array(spark, tmp_path):
+    jl = tmp_path / "rows.jsonl"
+    jl.write_text('{"id": 1, "t": "a"}\n{"id": 2, "t": "b"}\n')
+    assert fsrc.from_json(spark, str(jl)).count() == 2
+
+    arr = tmp_path / "doc.json"
+    arr.write_text('[{"id": 1}, {"id": 2}, {"id": 3}]')
+    assert fsrc.from_json(spark, str(arr), multi_line=True).count() == 3
+
+
+def test_csv_schema_inference(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("id,name,score\n1,a,1.5\n2,b,2.5\n")
+    df = fsrc.from_csv(spark, str(p))
+    assert dict(df.dtypes) == {"id": "int", "name": "string",
+                               "score": "double"}
+
+
+def test_memory_rows(spark):
+    df = from_rows(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert df.count() == 2 and sorted(df.columns) == ["a", "b"]
+
+
+def test_multipage_union_merge(spark, tmp_path):
+    """S5 RSS multi-page: N page scans merged lazily
+    (≙ Extract Orchestrator.php:173-227, without its eager to_array)."""
+    pages = []
+    for i in range(3):
+        p = tmp_path / f"page{i}.xml"
+        p.write_text(RSS.replace("g1", f"g1-{i}").replace("g2", f"g2-{i}"))
+        pages.append(fsrc.from_xml(spark, str(p), row_tag="item"))
+    merged = reduce(DataFrame.unionByName, pages)
+    assert merged.count() == 6
+    assert merged.select("guid").distinct().count() == 6
+
+
+def test_limit_pushdown_plan(spark, tmp_path):
+    """S11 Limitable/STOP ≙ df.limit — Catalyst plants a LocalLimit at
+    the scan instead of reading everything."""
+    df = fsrc.from_parquet(spark, "/root/testdata/sf0.001/orders.parquet")
+    plan = df.limit(7)._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan or "CollectLimit" in plan
+    assert len(df.limit(7).collect()) == 7

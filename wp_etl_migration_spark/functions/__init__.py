@@ -29,3 +29,8 @@ from wp_etl_migration_spark.functions.numbers import (  # noqa: F401
 from wp_etl_migration_spark.functions.templates import (  # noqa: F401
     substitute_placeholders,
 )
+from wp_etl_migration_spark.functions.html import (  # noqa: F401
+    html_to_blocks,
+    html_to_blocks_str,
+    block_pattern_lookup,
+)

@@ -15,7 +15,31 @@ from wp_etl_migration_spark.operators.rename import (  # noqa: F401
 from wp_etl_migration_spark.operators.cleaning import (  # noqa: F401
     string_to_null,
 )
-from wp_etl_migration_spark.operators.melt import melt  # noqa: F401
+from wp_etl_migration_spark.operators.melt import (  # noqa: F401
+    melt,
+    melt_meta,
+)
+from wp_etl_migration_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+)
+from wp_etl_migration_spark.operators.simhash import (  # noqa: F401
+    simhash_signatures,
+    simhash_near_dup,
+)
+from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup,
+    ivf_topk,
+)
+from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401
+    attach_binary,
+    extract_features,
+    decode_media,
+)
 from wp_etl_migration_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     cascaded_lookup,

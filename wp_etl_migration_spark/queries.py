@@ -615,6 +615,25 @@ LIMIT 10
 """
 
 
+def q_html_blocks(spark, sf_dir):
+    """F20 HTML → Gutenberg blocks (Arrow-batched pandas UDF): paragraph
+    + separator round trip over synthesized HTML."""
+    from wp_etl_migration_spark.functions.html import html_to_blocks
+    d = _t(spark, sf_dir).documents()
+    html = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p><hr>"))
+    return d.select("doc_id", html_to_blocks(html).alias("blocks"))
+
+
+ORACLE_HTML_BLOCKS = """
+SELECT doc_id,
+  '<!-- wp:paragraph --><p>' || text || '</p><!-- /wp:paragraph -->'
+  || chr(10) || chr(10)
+  || '<!-- wp:separator --><hr class="wp-block-separator"/>'
+  || '<!-- /wp:separator -->' AS blocks
+FROM documents
+"""
+
+
 def q_rollup_status(spark, sf_dir):
     """ROLLUP aggregation (absent in the reference — SURVEY §2.6 lists it
     as free-from-Spark; this query proves it against the oracle)."""
@@ -1108,6 +1127,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
+    "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),

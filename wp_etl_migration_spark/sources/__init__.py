@@ -11,3 +11,7 @@ from wp_etl_migration_spark.sources.tables import (  # noqa: F401
     load_table,
 )
 from wp_etl_migration_spark.sources.memory import from_rows  # noqa: F401
+from wp_etl_migration_spark.sources.rss import (  # noqa: F401
+    from_rss,
+    from_rss_pages,
+)
