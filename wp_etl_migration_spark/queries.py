@@ -615,6 +615,86 @@ LIMIT 10
 """
 
 
+def q_entity_embed_full(spark, sf_dir):
+    """S6 composite entity scan: the posts-with-embeds shape — author
+    struct (J1) + child-rows-to-map meta embed (J2/J3) in ONE plan:
+    broadcast dim join + one grouped child aggregation."""
+    t = _t(spark, sf_dir)
+    o, c, l = t.orders(), t.customer(), t.lineitem()
+    per_line = (l.groupBy("l_orderkey", "l_linenumber")
+                .agg(F.sum(F.col("l_quantity").cast("long")).alias("__q")))
+    entry = F.struct(F.col("l_linenumber").cast("string").alias("k"),
+                     F.col("__q").alias("v"))
+    meta = (per_line.groupBy("l_orderkey")
+            .agg(F.to_json(F.map_from_entries(
+                F.sort_array(F.collect_list(entry)))).alias("meta_json")))
+    author = F.struct(F.col("c_name").alias("name"),
+                      F.col("c_mktsegment").alias("segment"))
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+            .withColumn("author", author)
+            .join(meta, o.o_orderkey == meta.l_orderkey)
+            .select("o_orderkey",
+                    F.col("author.name").alias("author_name"),
+                    F.col("author.segment").alias("author_segment"),
+                    "meta_json"))
+
+
+ORACLE_ENTITY_EMBED = """
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         sum(CAST(l_quantity AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT o_orderkey, c_name AS author_name, c_mktsegment AS author_segment,
+  '{' || string_agg('"' || CAST(l_linenumber AS VARCHAR) || '":'
+                    || CAST(q AS VARCHAR),
+                    ',' ORDER BY CAST(l_linenumber AS VARCHAR)) || '}'
+    AS meta_json
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+JOIN per_line ON l_orderkey = o_orderkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_numeric_preserve(spark, sf_dir):
+    """F18 numeric type preservation: integral strings canonicalize as
+    longs, float-form as doubles, non-numerics pass through
+    (≙ WPPostMetaLoader.php:177-205)."""
+    from wp_etl_migration_spark.functions.numbers import (
+        preserve_numeric_type)
+    o = _t(spark, sf_dir).orders()
+    raw = (F.when(F.col("o_orderkey") % 4 == 0,
+                  F.concat(F.lit("0"), F.col("o_orderkey").cast("string")))
+           .when(F.col("o_orderkey") % 4 == 1,
+                 F.concat(F.col("o_orderkey").cast("string"),
+                          F.lit(".2500")))
+           .when(F.col("o_orderkey") % 4 == 2, F.lit("n/a"))
+           .otherwise(F.concat(F.lit("-"),
+                               F.col("o_orderkey").cast("string"))))
+    return o.select("o_orderkey", raw.alias("raw"),
+                    preserve_numeric_type(raw).alias("canonical"))
+
+
+ORACLE_NUMERIC_PRESERVE = r"""
+WITH r AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 4 = 0 THEN '0' || CAST(o_orderkey AS VARCHAR)
+         WHEN o_orderkey % 4 = 1 THEN CAST(o_orderkey AS VARCHAR) || '.2500'
+         WHEN o_orderkey % 4 = 2 THEN 'n/a'
+         ELSE '-' || CAST(o_orderkey AS VARCHAR) END AS raw
+  FROM orders
+)
+SELECT o_orderkey, raw,
+  CASE WHEN regexp_matches(raw, '^-?\d+$')
+         THEN CAST(CAST(raw AS BIGINT) AS VARCHAR)
+       WHEN regexp_matches(raw, '^-?\d*\.\d+$')
+         THEN CAST(CAST(raw AS DOUBLE) AS VARCHAR)
+       ELSE raw END AS canonical
+FROM r
+"""
+
+
 def q_html_blocks(spark, sf_dir):
     """F20 HTML → Gutenberg blocks (Arrow-batched pandas UDF): paragraph
     + separator round trip over synthesized HTML."""
@@ -1128,6 +1208,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
     "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
+    "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
+    "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
