@@ -35,23 +35,16 @@ from pyspark.sql import functions as F
 HEX = "0123456789abcdef"
 
 
-def _vote_expr(j: int) -> str:
-    """SQL expr: ±1 vote of bit ``j`` of md5 hex column ``__h``.
-
-    Bit j lives in hex nibble j//4 (1-based substring position), at
-    in-nibble position j%4. Pure integer arithmetic → portable.
-    """
-    pos, shift = j // 4 + 1, 2 ** (j % 4)
-    return (f"((((instr('{HEX}', substring(__h, {pos}, 1)) - 1)"
-            f" div {shift}) % 2) * 2 - 1)")
-
-
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        bits: int = 32) -> DataFrame:
     """(id, simhash) — simhash as a ``bits``-char '0'/'1' string.
 
     Distinct word tokens per doc each vote on every bit; one shuffle,
-    ``bits`` SUM aggregates, string assembly after the agg.
+    ``bits`` SUM aggregates (map-side combinable), string assembly after
+    the agg. Each hex nibble of the token hash is decoded once in a
+    projection (bit j lives in nibble j//4 at in-nibble position j%4 —
+    pure integer arithmetic, engine-portable), so the per-token cost is
+    ``bits/4`` instr calls, not ``bits``.
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))),
                                     r"\s+"))
@@ -59,9 +52,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                 .where(F.size("__toks") >= 1)
                 .select(F.col(id_col), F.explode("__toks").alias("__tok"))
                 .withColumn("__h", F.md5(F.col("__tok"))))
-    sums = exploded.groupBy(id_col).agg(
-        *[F.sum(F.expr(_vote_expr(j))).alias(f"__s{j}")
-          for j in range(bits)])
+    nibbles = exploded.select(
+        F.col(id_col),
+        *[F.expr(f"instr('{HEX}', substring(__h, {q + 1}, 1)) - 1")
+          .alias(f"__n{q}") for q in range(bits // 4)])
+    vote = [F.expr(f"(((__n{j // 4} div {2 ** (j % 4)}) % 2) * 2 - 1)")
+            for j in range(bits)]
+    sums = nibbles.groupBy(id_col).agg(
+        *[F.sum(vote[j]).alias(f"__s{j}") for j in range(bits)])
     sig = F.concat(*[F.when(F.col(f"__s{j}") >= 0, "1").otherwise("0")
                      for j in range(bits)])
     return sums.select(F.col(id_col), sig.alias("simhash"))
