@@ -9,6 +9,8 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("wp-etl-tests", master="local[8]")
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark("wp-etl-tests", master="local[8]",
+                  **{"spark.sql.warehouse.dir": warehouse})
     yield s

@@ -1,0 +1,99 @@
+"""Scale tooling: salted joins (result parity with the plain join),
+bucketed co-located joins (exchange-free plan), janitor rollback, and
+the CLI entry points."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from wp_etl_migration_spark.operators.skew import salted_join, write_bucketed
+from wp_etl_migration_spark.plans import janitor
+from wp_etl_migration_spark.sources.tables import load_table
+
+
+def test_salted_join_matches_plain(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    plain = (o.join(c, on="o_custkey")
+             .select("o_orderkey", "c_name"))
+    salted = salted_join(o, c, ["o_custkey"]) \
+        .select("o_orderkey", "c_name")
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_no_exchange(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    write_bucketed(o, "b_orders", ["o_custkey"], buckets=4)
+    write_bucketed(c, "b_customer", ["o_custkey"], buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table("b_orders")
+                  .join(spark.table("b_customer"), on="o_custkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Bucket-aligned scan: the join needs no shuffle exchange.
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_janitor_preview_delete_rewrite(spark, tmp_path):
+    path = str(tmp_path / "posts")
+    load_table(spark, SF_SMALL, "orders").write.parquet(path)
+    df = spark.read.parquet(path)
+    total = df.count()
+    pred = F.col("o_orderstatus") == "F"
+    n = janitor.preview_delete(df, pred)
+    assert 0 < n < total
+    janitor.rewrite_dataset(spark, path, janitor.delete_where(df, pred))
+    back = spark.read.parquet(path)
+    assert back.count() == total - n
+    assert back.where(pred).count() == 0
+
+
+def test_janitor_ledger_rollback(spark, tmp_path):
+    from wp_etl_migration_spark.sinks.ledger import with_uid, write_ledger
+    posts = spark.createDataFrame(
+        [(1, "keep"), (2, "mine"), (3, "mine2")], ["id", "title"])
+    loaded = (posts.where(F.col("id") >= 2)
+              .withColumn("ledger.post_id", F.col("id")))
+    write_ledger(with_uid(loaded), str(tmp_path), "myjob")
+    survivors = janitor.delete_by_ledger(
+        spark, posts, "id", str(tmp_path), "myjob", ledger_key="post_id")
+    assert [r["id"] for r in survivors.collect()] == [1]
+
+
+def test_cli_config_analyze_extract(spark, tmp_path, capsys):
+    from wp_etl_migration_spark.__main__ import main
+    src = tmp_path / "d.csv"
+    src.write_text("id,title\n1,A\n2,B\n")
+    cfg = tmp_path / "m.yaml"
+    cfg.write_text(f"""
+migration:
+  - name: j1
+    extract: {{adapter: csv, source: "{src}"}}
+    load: [{{adapter: json}}]
+""")
+    assert main(["config", str(cfg)]) == 0
+    assert "j1" in capsys.readouterr().out
+
+    assert main(["process", str(cfg), "--output-dir", str(tmp_path),
+                 "--dry-run"]) == 0
+    assert "validated" in capsys.readouterr().out
+
+    assert main(["extract", str(cfg), "j1",
+                 "--output-dir", str(tmp_path)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2
+    assert main(["extract", str(cfg), "ghost",
+                 "--output-dir", str(tmp_path)]) == 1

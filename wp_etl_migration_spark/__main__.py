@@ -1,0 +1,110 @@
+"""CLI entry points (SURVEY §3).
+
+≙ the reference's WP-CLI commands (lib/CommandRegistrar.php:32-36:
+``wp etl config|process|janitor|extract|transform``):
+
+    python -m wp_etl_migration_spark process   migration.yaml [--dry-run]
+                                               [--include a,b] [--skip c]
+    python -m wp_etl_migration_spark analyze   migration.yaml [--manifest p]
+    python -m wp_etl_migration_spark extract   migration.yaml JOB --mode json
+    python -m wp_etl_migration_spark config    migration.yaml
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from wp_etl_migration_spark.plans.pipeline import write_manifest
+from wp_etl_migration_spark.plans.runner import Runner
+from wp_etl_migration_spark.session import get_spark
+from wp_etl_migration_spark.sinks import files as fsink
+
+
+def _split(s: str | None) -> list[str] | None:
+    return s.split(",") if s else None
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="wp_etl_migration_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("process", help="run the full ETL (≙ wp etl process)")
+    p.add_argument("config")
+    p.add_argument("--output-dir", default="output")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("--include")
+    p.add_argument("--skip")
+
+    a = sub.add_parser("analyze", help="row counts per job (≙ analyze)")
+    a.add_argument("config")
+    a.add_argument("--output-dir", default="output")
+    a.add_argument("--manifest")
+
+    e = sub.add_parser("extract", help="extract one job to a file sink")
+    e.add_argument("config")
+    e.add_argument("job")
+    e.add_argument("--output-dir", default="output")
+    e.add_argument("--mode", choices=["json", "csv"], default="json")
+    e.add_argument("--file")
+
+    c = sub.add_parser("config", help="validate config + preview jobs")
+    c.add_argument("config")
+
+    args = ap.parse_args(argv)
+    spark = get_spark("wp-etl-cli")
+    runner = Runner(spark, args.config,
+                    output_dir=getattr(args, "output_dir", "output"))
+
+    if args.cmd == "config":
+        # Reaching here means the DAG validated (Runner.__init__).
+        for job in runner.jobs:
+            flags = []
+            if job.skip:
+                flags.append("skip")
+            if job.depends_on:
+                flags.append(f"depends_on={job.depends_on}")
+            print(f"{job.name}" + (f"  [{', '.join(flags)}]"
+                                   if flags else ""))
+        return 0
+
+    if args.cmd == "process":
+        reports = runner.run(include=_split(args.include),
+                             skip=_split(args.skip),
+                             dry_run=args.dry_run)
+        for r in reports:
+            state = "validated" if args.dry_run else "loaded"
+            print(f"{r.name}: {state} in {r.seconds}s")
+        return 0
+
+    if args.cmd == "analyze":
+        reports = runner.analyze()
+        for r in reports:
+            print(f"{r.name}: {r.rows} rows in {r.seconds}s")
+        if args.manifest:
+            write_manifest(reports, args.manifest)
+        return 0
+
+    if args.cmd == "extract":
+        job = next((j for j in runner.jobs if j.name == args.job), None)
+        if job is None:
+            print(f"unknown job '{args.job}'", file=sys.stderr)
+            return 1
+        runner.current_job = job.name
+        df = runner.extract(job)
+        dest = args.file or fsink.destination(
+            runner.output_dir, job.name, args.mode)
+        if args.mode == "json":
+            fsink.write_json(df, dest)
+        else:
+            fsink.write_csv(df, dest)
+        n = spark.read.format(args.mode).load(dest).count()
+        print(json.dumps({"job": job.name, "rows": n, "dest": dest}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

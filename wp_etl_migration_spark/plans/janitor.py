@@ -1,0 +1,57 @@
+"""Janitor: preview + bulk rollback of loaded data (SURVEY §5).
+
+≙ lib/Commands/JanitorCommand.php:117-314 — ``empty-posts`` /
+``empty-terms`` delete migrated rows in batches after a SQL COUNT
+preview (``:132-137``, ``:244-249``). On immutable datasets "delete"
+is a filtered rewrite: one anti-join/predicate scan, atomic swap via
+overwrite — no row-at-a-time batching needed (Spark partitions the
+rewrite; the reference batches only because MySQL row deletes are
+serial).
+
+Targeting mirrors the reference: rows are selected either by predicate
+(post_type / created-after) or by the migration's own ledger (the audit
+trail of what a job loaded — the safer rollback key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.sinks.ledger import read_latest_ledger
+
+
+def preview_delete(df: DataFrame, predicate: Column) -> int:
+    """≙ the janitor's COUNT(*) confirmation prompt."""
+    return df.where(predicate).count()
+
+
+def delete_where(df: DataFrame, predicate: Column) -> DataFrame:
+    """Survivors after deleting rows matching ``predicate``."""
+    return df.where(~F.coalesce(predicate, F.lit(False)))
+
+
+def delete_by_ledger(spark: SparkSession, df: DataFrame, key: str,
+                     ledger_dir: str, job_name: str,
+                     ledger_key: str | None = None) -> DataFrame:
+    """Roll back exactly the rows a job loaded: anti-join the target
+    against the job's latest ledger on the lineage key."""
+    led = read_latest_ledger(spark, ledger_dir, job_name)
+    if led is None:
+        return df
+    lk = ledger_key or key
+    return df.join(led.select(F.col(lk).alias(key)).distinct(),
+                   on=key, how="left_anti")
+
+
+def rewrite_dataset(spark: SparkSession, path: str, survivors: DataFrame,
+                    fmt: str = "parquet") -> None:
+    """Atomic-swap rewrite of a file dataset with the surviving rows.
+
+    Materializes survivors to a staging path first (they usually derive
+    from the dataset being overwritten), then swaps.
+    """
+    staging = path.rstrip("/") + ".__staging__"
+    survivors.write.mode("overwrite").format(fmt).save(staging)
+    spark.read.format(fmt).load(staging) \
+        .write.mode("overwrite").format(fmt).save(path)
