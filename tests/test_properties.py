@@ -1,0 +1,97 @@
+"""Property-based parity: scalar functions vs DuckDB on generated edge-
+case strings (empty, punctuation runs, leading/trailing separators…).
+The oracle queries cover the synthetic tables; these cover the corners
+the tables don't contain. ASCII-printable alphabet — the engine contract
+(Java regex vs RE2 unicode case folding differ outside it).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.functions.numbers import preserve_numeric_type
+from wp_etl_migration_spark.functions.text import sanitize_key, to_slug
+from wp_etl_migration_spark.operators.textstats import (
+    fingerprint, token_count)
+
+ASCII = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=40)
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def _both(spark, values, spark_expr, duck_expr):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [r["out"] for r in
+           df.select(spark_expr(F.col("s")).alias("out"))
+           .collect()]
+    con = duckdb.connect()
+    want = [con.execute(f"SELECT {duck_expr} FROM (SELECT ? AS s)",
+                        [v]).fetchone()[0]
+            for v in values]
+    return got, want
+
+
+@given(vals=st.lists(ASCII, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_to_slug_matches_duckdb(spark, vals):
+    got, want = _both(
+        spark, vals, to_slug,
+        "regexp_replace(regexp_replace(lower(trim(s)), '[^a-z0-9]+', '-',"
+        " 'g'), '^-+|-+$', '', 'g')")
+    assert got == want
+
+
+@given(vals=st.lists(ASCII, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_sanitize_key_matches_duckdb(spark, vals):
+    got, want = _both(
+        spark, vals, sanitize_key,
+        "regexp_replace(lower(s), '[^a-z0-9_-]', '', 'g')")
+    assert got == want
+
+
+@given(vals=st.lists(ASCII, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_token_count_matches_duckdb(spark, vals):
+    got, want = _both(
+        spark, vals, token_count,
+        r"CAST(len(string_split_regex(lower(trim(s)), '\s+')) AS BIGINT)")
+    assert got == want
+
+
+@given(vals=st.lists(ASCII, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_fingerprint_matches_duckdb(spark, vals):
+    got, want = _both(
+        spark, vals, fingerprint,
+        r"substring(md5(regexp_replace(lower(trim(s)), '\s+', ' ', 'g')),"
+        " 1, 16)")
+    assert got == want
+
+
+NUMERIC_ISH = st.one_of(
+    st.integers(-10**12, 10**12).map(str),
+    st.from_regex(r"-?[0-9]{1,6}\.[0-9]{1,4}", fullmatch=True),
+    st.from_regex(r"0[0-9]{1,5}", fullmatch=True),
+    ASCII)
+
+
+@given(vals=st.lists(NUMERIC_ISH, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_preserve_numeric_type_matches_duckdb(spark, vals):
+    got, want = _both(
+        spark, vals, preserve_numeric_type,
+        r"""CASE WHEN regexp_matches(s, '^-?\d+$')
+              THEN CAST(CAST(s AS BIGINT) AS VARCHAR)
+            WHEN regexp_matches(s, '^-?\d*\.\d+$')
+              THEN CAST(CAST(s AS DOUBLE) AS VARCHAR)
+            ELSE s END""")
+    assert got == want

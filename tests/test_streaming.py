@@ -75,6 +75,29 @@ def test_sessionize_stream_matches_batch(spark, events_dir):
     assert len(b) > 10
 
 
+def test_stream_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
+    from wp_etl_migration_spark.streaming.dedup import (
+        stream_dedup_content, stream_dedup_keys)
+    # Duplicate the stream input: same events, two files.
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(events_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+
+    stream = stream_events(spark, dup_dir)
+    run_to_memory(stream_dedup_keys(stream, ["event_id"]), "dedup_keys")
+    assert (spark.table("dedup_keys").count()
+            == base.select("event_id").distinct().count())
+
+    stream2 = stream_events(spark, dup_dir)
+    run_to_memory(stream_dedup_content(stream2, ["user_id", "event_type",
+                                                 "value"]),
+                  "dedup_content")
+    assert (spark.table("dedup_content").count()
+            == base.select("user_id", "event_type", "value")
+            .distinct().count())
+
+
 def test_sessionize_batch_gap_semantics(spark):
     rows = [(1, f"2024-01-01 00:{m:02d}:00", 1.0) for m in (0, 10, 20)] + \
            [(1, "2024-01-01 02:00:00", 2.0),
