@@ -73,6 +73,63 @@ def test_janitor_ledger_rollback(spark, tmp_path):
     assert [r["id"] for r in survivors.collect()] == [1]
 
 
+def test_partitioned_write_prunes(spark, tmp_path):
+    """partitionBy layout + partition pruning: a filtered read must scan
+    only the matching partition directories (PartitionFilters, not a
+    post-scan filter)."""
+    path = str(tmp_path / "events_by_type")
+    load_table(spark, SF_SMALL, "events") \
+        .write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+        "PartitionFilters")[1][:120]
+    full = load_table(spark, SF_SMALL, "events")
+    assert df.count() == full.where(F.col("event_type") == "click").count()
+
+
+def test_cli_janitor_preview_and_delete(spark, tmp_path, capsys):
+    from wp_etl_migration_spark.__main__ import main
+    path = str(tmp_path / "ds")
+    load_table(spark, SF_SMALL, "orders").write.parquet(path)
+    total = spark.read.parquet(path).count()
+
+    assert main(["janitor", path, "--where", "o_orderstatus = 'F'"]) == 0
+    n = int(capsys.readouterr().out.split()[0])
+    assert 0 < n < total
+    assert main(["janitor", path, "--where", "o_orderstatus = 'F'",
+                 "--yes"]) == 0
+    assert spark.read.parquet(path).count() == total - n
+
+
+def test_runner_rerun_is_idempotent(spark, tmp_path):
+    """Running the same migration twice must leave the same sink state
+    (overwrite-mode file sinks ≙ SaveMode::Overwrite,
+    Load Orchestrator.php:106)."""
+    from wp_etl_migration_spark.plans.runner import Runner
+    src = tmp_path / "d.csv"
+    src.write_text("id,title\n1,A\n2,B\n")
+    cfg = tmp_path / "m.yaml"
+    cfg.write_text(f"""
+migration:
+  - name: j1
+    extract: {{adapter: csv, source: "{src}"}}
+    transform:
+      - slugify: {{column: legacy.title, into: post.post_name}}
+    load:
+      - adapter: json
+        destination: "{tmp_path}/out.json"
+        prefix: "post."
+""")
+    Runner(spark, str(cfg), output_dir=str(tmp_path)).run()
+    first = sorted(map(tuple, spark.read.json(
+        str(tmp_path / "out.json")).collect()))
+    Runner(spark, str(cfg), output_dir=str(tmp_path)).run()
+    second = sorted(map(tuple, spark.read.json(
+        str(tmp_path / "out.json")).collect()))
+    assert first == second == [("a",), ("b",)]
+
+
 def test_cli_config_analyze_extract(spark, tmp_path, capsys):
     from wp_etl_migration_spark.__main__ import main
     src = tmp_path / "d.csv"

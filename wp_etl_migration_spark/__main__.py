@@ -52,7 +52,31 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("config", help="validate config + preview jobs")
     c.add_argument("config")
 
+    j = sub.add_parser("janitor",
+                       help="preview/delete rows of a dataset "
+                            "(≙ wp etl janitor empty-posts)")
+    j.add_argument("dataset", help="parquet dataset path")
+    j.add_argument("--where", required=True,
+                   help="SQL predicate selecting rows to delete")
+    j.add_argument("--yes", action="store_true",
+                   help="actually delete (default: preview count only)")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "janitor":
+        from pyspark.sql import functions as F
+        from wp_etl_migration_spark.plans import janitor
+        spark = get_spark("wp-etl-cli")
+        df = spark.read.parquet(args.dataset)
+        pred = F.expr(args.where)
+        n = janitor.preview_delete(df, pred)
+        print(f"{n} rows match")
+        if args.yes and n:
+            janitor.rewrite_dataset(
+                spark, args.dataset, janitor.delete_where(df, pred))
+            print(f"deleted {n} rows")
+        return 0
+
     spark = get_spark("wp-etl-cli")
     runner = Runner(spark, args.config,
                     output_dir=getattr(args, "output_dir", "output"))
