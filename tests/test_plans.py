@@ -133,6 +133,46 @@ def test_runner_analyze_counts(spark, project):
     assert [(r.name, r.rows) for r in reports] == [("articles", 2)]
 
 
+def test_pipeline_class_lifecycle(spark, project):
+    """§2.10 class plugin: prepare → run → finalize over the job frame."""
+    from pyspark.sql import functions as F
+    from wp_etl_migration_spark.plans.runner import (
+        Runner, TransformPipeline, register_pipeline)
+
+    calls = []
+
+    @register_pipeline("tagger")
+    class Tagger(TransformPipeline):
+        def prepare(self, df):
+            calls.append("prepare")
+            return df.withColumn("stage", F.lit("prepared"))
+
+        def run(self, df):
+            calls.append("run")
+            return df.withColumn("stage", F.lit("ran"))
+
+        def finalize(self, df):
+            calls.append("finalize")
+            return df.withColumn("stage", F.lit("done"))
+
+    root, cfg = project
+    runner = Runner(spark, str(cfg), output_dir=str(root))
+    runner.jobs[0].transform = [{"pipeline": "tagger"}]
+    df = runner.compose(runner.jobs[0])
+    assert calls == ["prepare", "run", "finalize"]
+    assert df.select("stage").distinct().collect()[0][0] == "done"
+
+
+def test_cli_extract_with_transform(spark, project, capsys):
+    from wp_etl_migration_spark.__main__ import main
+    root, cfg = project
+    assert main(["extract", str(cfg), "articles",
+                 "--output-dir", str(root), "--with-transform",
+                 "--file", str(root / "tx.json")]) == 0
+    out = spark.read.json(str(root / "tx.json"))
+    assert "post.post_name" in out.columns
+
+
 def test_runner_invalid_transform(spark, project):
     root, cfg = project
     runner = Runner(spark, str(cfg), output_dir=str(root))

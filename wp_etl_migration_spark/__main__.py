@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--output-dir", default="output")
     e.add_argument("--mode", choices=["json", "csv"], default="json")
     e.add_argument("--file")
+    e.add_argument("--with-transform", action="store_true",
+                   help="also apply the job's transform steps "
+                        "(≙ wp etl transform)")
 
     c = sub.add_parser("config", help="validate config + preview jobs")
     c.add_argument("config")
@@ -117,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         runner.current_job = job.name
         df = runner.extract(job)
+        if args.with_transform:
+            df = runner.transform(df, job)
         dest = args.file or fsink.destination(
             runner.output_dir, job.name, args.mode)
         if args.mode == "json":

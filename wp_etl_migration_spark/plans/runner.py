@@ -38,6 +38,38 @@ Loader = Callable[[DataFrame, dict[str, Any], "Runner"], None]
 
 _TRANSFORMS: dict[str, Transform] = {}
 _LOADERS: dict[str, Loader] = {}
+_PIPELINES: dict[str, type["TransformPipeline"]] = {}
+
+
+class TransformPipeline:
+    """Class-based transform plugin with the reference's lifecycle
+    (prepare → run → finalize, TransformationPipeline.php:15-59 /
+    BaseTransformationPipeline.php:24-88). Subclass, override ``run``
+    (and optionally prepare/finalize), register with
+    ``register_pipeline``; a YAML job references it as
+    ``transform: [{pipeline: <name>}]``."""
+
+    def __init__(self, job_config: dict[str, Any] | None = None):
+        self.job_config = job_config or {}
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def run(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def finalize(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.finalize(self.run(self.prepare(df)))
+
+
+def register_pipeline(name: str):
+    def deco(cls: type[TransformPipeline]) -> type[TransformPipeline]:
+        _PIPELINES[name] = cls
+        return cls
+    return deco
 
 
 def register_transform(name: str):
@@ -199,6 +231,14 @@ class Runner:
                 name, args = step, {}
             else:
                 name, args = next(iter(step.items()))
+            if name == "pipeline":
+                # Class plugin ≙ YAML `pipeline: <FQCN>`
+                # (Transform Orchestrator.php:103-117).
+                pname = args if isinstance(args, str) else args["name"]
+                if pname not in _PIPELINES:
+                    raise ValueError(f"unknown pipeline '{pname}'")
+                df = _PIPELINES[pname](job.__dict__)(df)
+                continue
             if name not in _TRANSFORMS:
                 raise ValueError(f"unknown transform '{name}'")
             df = _TRANSFORMS[name](df, args or {})
