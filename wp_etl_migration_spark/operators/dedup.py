@@ -77,14 +77,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        _shingles: DataFrame | None = None) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
     Returns (id_a, id_b, common, total_a, total_b, jaccard), id_a < id_b.
     Jaccard is an exact integer-ratio (|∩| / (|A|+|B|−|∩|)) so the value
-    is bit-deterministic.
+    is bit-deterministic. ``_shingles`` lets callers that already built
+    the shingle frame (LSH verify) reuse it instead of recomputing.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = _shingles if _shingles is not None \
+        else shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
         rare = (sh.groupBy("shingle").count()
                 .where(F.col("count") <= max_doc_freq).select("shingle"))
@@ -112,7 +115,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3, num_hashes: int = 16) -> DataFrame:
+                       n: int = 3, num_hashes: int = 16,
+                       _shingles: DataFrame | None = None) -> DataFrame:
     """MinHash signature rows: (id, seed ∈ [0,num_hashes), minhash).
 
     minhash(seed) = min over shingles of md5(shingle ∥ '#' ∥ seed) — an
@@ -120,7 +124,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     functions). Long format keeps the plan columnar and lets the band
     grouping be a plain aggregation.
     """
-    sh = shingles(df, id_col, text_col, n)
+    sh = _shingles if _shingles is not None \
+        else shingles(df, id_col, text_col, n)
     # One wide aggregation (num_hashes MIN columns, map-side partial) then
     # stack to long — shuffles one row per doc instead of exploding
     # num_hashes× rows through the groupBy.
@@ -145,7 +150,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     of agreeing bands). With ``verify_threshold`` the candidates are
     verified with exact shingle Jaccard and filtered.
     """
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                             _shingles=sh)
     band = (F.col("seed") / F.lit(rows_per_band)).cast("int")
     bands = (sig.withColumn("band", band)
              .groupBy(id_col, "band")
@@ -160,6 +167,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if verify_threshold is None:
         return cand
     exact = ngram_jaccard_pairs(df, id_col, text_col, n,
-                                threshold=verify_threshold)
+                                threshold=verify_threshold, _shingles=sh)
     return cand.join(exact, on=["id_a", "id_b"], how="inner") \
                .select("id_a", "id_b", "agreeing_bands", "jaccard")

@@ -1179,6 +1179,46 @@ GROUP BY 1, 2
 """
 
 
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization, batch form (the streaming operator's
+    semantic twin — streaming/sessions.sessionize_batch): 30-min gaps
+    split per-user sessions; lag + cumulative window, one shuffle."""
+    from wp_etl_migration_spark.streaming.sessions import sessionize_batch
+    e = _t(spark, sf_dir).events()
+    out = sessionize_batch(e.select("user_id", "ts", "value"))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSS")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSS")
+        .alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"))
+
+
+ORACLE_SESSIONIZATION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%g') AS session_end,
+  count(*) AS n_events,
+  round(sum(value), 4) AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -1226,6 +1266,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "lang_id": (q_lang_id, ORACLE_LANG),
     "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
     "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
+    "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
 }
 
 
