@@ -60,12 +60,24 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col),
         *[F.expr(f"instr('{HEX}', substring(__h, {q + 1}, 1)) - 1")
           .alias(f"__n{q}") for q in range(bits // 4)])
-    vote = [F.expr(f"(((__n{j // 4} div {2 ** (j % 4)}) % 2) * 2 - 1)")
-            for j in range(bits)]
+    # Lane packing: the 4 one-bit votes of each nibble occupy 16-bit
+    # lanes of ONE long, so the shuffle aggregates bits/4 SUMs + a
+    # count, not ``bits`` SUMs (4× fewer accumulators and a much
+    # smaller codegen). ones_j ≥ half the tokens ⟺ the ±1 vote sum is
+    # ≥ 0. Lane width bounds docs at 65k distinct tokens.
+    lane = [F.expr(
+        f"(__n{q} % 2) + ((__n{q} div 2) % 2) * 65536"
+        f" + ((__n{q} div 4) % 2) * 4294967296"
+        f" + ((__n{q} div 8) % 2) * 281474976710656")
+        for q in range(bits // 4)]
     sums = nibbles.groupBy(id_col).agg(
-        *[F.sum(vote[j]).alias(f"__s{j}") for j in range(bits)])
-    sig = F.concat(*[F.when(F.col(f"__s{j}") >= 0, "1").otherwise("0")
-                     for j in range(bits)])
+        F.count("*").alias("__cnt"),
+        *[F.sum(lane[q]).alias(f"__L{q}") for q in range(bits // 4)])
+    ones = [F.expr(f"(__L{j // 4} div {2 ** (16 * (j % 4))}) % 65536")
+            for j in range(bits)]
+    sig = F.concat(*[
+        F.when(ones[j] * 2 >= F.col("__cnt"), "1").otherwise("0")
+        for j in range(bits)])
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -91,13 +103,18 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
         max_hamming = chunks - 1
     width = bits // chunks
     sig = simhash_signatures(df, id_col, text_col, bits)
-    # Pack the signature into a long once: Hamming becomes
-    # bit_count(a XOR b) — one integer op per candidate instead of
+    # Pack the signature into 32-bit words once: Hamming becomes
+    # Σ bit_count(a XOR b) — a few integer ops per candidate instead of
     # ``bits`` substring compares, and the candidate distinct dedupes
-    # fixed-width longs, not 32-char strings.
-    packed = sig.withColumn("__si", F.conv("simhash", 2, 10).cast("long"))
+    # fixed-width longs, not bit strings. (Word size 32 keeps conv()'s
+    # signed-long parse safe at any ``bits``.)
+    n_words = (bits + 31) // 32
+    words = [F.conv(F.substring("simhash", w * 32 + 1,
+                                min(32, bits - w * 32)), 2, 10)
+             .cast("long").alias(f"__si{w}") for w in range(n_words)]
+    packed = sig.select(F.col(id_col), F.col("simhash"), *words)
     chunked = packed.select(
-        F.col(id_col), F.col("__si"),
+        F.col(id_col), *[F.col(f"__si{w}") for w in range(n_words)],
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("c"),
                      F.substring("simhash", c * width + 1, width)
@@ -108,10 +125,14 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.__si").alias("__sa"),
-                    F.col("b.__si").alias("__sb"))
+                    *[F.col(f"a.__si{w}").alias(f"__sa{w}")
+                      for w in range(n_words)],
+                    *[F.col(f"b.__si{w}").alias(f"__sb{w}")
+                      for w in range(n_words)])
             .distinct())
-    ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("long")
+    ham = functools.reduce(operator.add, [
+        F.bit_count(F.col(f"__sa{w}").bitwiseXOR(F.col(f"__sb{w}")))
+        for w in range(n_words)]).cast("long")
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))

@@ -981,10 +981,11 @@ ORACLE_SIMHASH = f"WITH {_simhash_duck_ctes()} SELECT doc_id, simhash FROM sig"
 
 
 def q_simhash_near_dup(spark, sf_dir):
-    """SimHash near-dup pairs: 4-chunk candidate equi-join (complete for
-    Hamming ≤ 3 by pigeonhole) + Hamming verify on candidates only."""
+    """SimHash near-dup pairs at 64 bits: 4-chunk candidate equi-join
+    (complete for Hamming ≤ 3 by pigeonhole; 16-bit chunks keep bucket
+    collisions ~N/65536) + XOR-popcount verify on candidates only."""
     d = _t(spark, sf_dir).documents()
-    return simhash_near_dup(d, "doc_id", "text", bits=32, chunks=4,
+    return simhash_near_dup(d, "doc_id", "text", bits=64, chunks=4,
                             max_hamming=3)
 
 
@@ -995,8 +996,8 @@ def _hamming_sql(bits: int = 32) -> str:
 
 
 ORACLE_SIMHASH_PAIRS = f"""
-WITH {_simhash_duck_ctes()}, ch AS (
-  SELECT doc_id, simhash, c, substring(simhash, c * 8 + 1, 8) AS v
+WITH {_simhash_duck_ctes(64)}, ch AS (
+  SELECT doc_id, simhash, c, substring(simhash, c * 16 + 1, 16) AS v
   FROM sig, UNNEST(range(0, 4)) AS r(c)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1004,7 +1005,8 @@ WITH {_simhash_duck_ctes()}, ch AS (
   FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, hamming FROM (
-  SELECT id_a, id_b, CAST({_hamming_sql()} AS BIGINT) AS hamming FROM cand
+  SELECT id_a, id_b, CAST({_hamming_sql(64)} AS BIGINT) AS hamming
+  FROM cand
 ) WHERE hamming <= 3
 """
 
