@@ -98,6 +98,30 @@ def test_stream_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
             .distinct().count())
 
 
+def test_windowed_agg_to_parquet_sink_resumes(spark, events_dir, tmp_path):
+    """Durable streaming sink: windowed agg → parquet with a checkpoint.
+    A second run over unchanged input must be a no-op (exactly-once via
+    checkpointed offsets), not a duplicate append."""
+    out = str(tmp_path / "agg_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (windowed_event_counts(stream_events(spark, events_dir))
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 500
+    run_once()
+    assert spark.read.parquet(out).count() == n1
+
+
 def test_sessionize_batch_gap_semantics(spark):
     rows = [(1, f"2024-01-01 00:{m:02d}:00", 1.0) for m in (0, 10, 20)] + \
            [(1, "2024-01-01 02:00:00", 2.0),

@@ -714,6 +714,45 @@ FROM documents
 """
 
 
+def q_regional_revenue(spark, sf_dir):
+    """Six-table join (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation
+    ⋈ region) with co-nation constraint and decimal-exact revenue per
+    region — the deepest join-ordering/broadcast-planning exercise in
+    the registry (TPC-H Q5 shape)."""
+    t = _t(spark, sf_dir)
+    l, o, c = t.lineitem(), t.orders(), t.customer()
+    s, n, r = t.supplier(), t.nation(), t.region()
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(6,4)")
+              - F.col("l_discount").cast("decimal(6,4)")))
+    return (l.join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, (l.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum(rev).cast("decimal(30,6)").cast("string")
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+ORACLE_REGIONAL = """
+SELECT r_name,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+    AS DECIMAL(30,6)) AS VARCHAR) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_rollup_status(spark, sf_dir):
     """ROLLUP aggregation (absent in the reference — SURVEY §2.6 lists it
     as free-from-Spark; this query proves it against the oracle)."""
@@ -1248,6 +1287,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "date_validate": (q_date_validate, ORACLE_DATE_VALIDATE),
     "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
     "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
     "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
     "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
