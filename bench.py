@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "upsert_merge",
     "cascaded_lookup",
     "hierarchy_resolve",
+    "top_customers",
+    "regional_revenue",
+    "sessionization",
     "dedup_exact",
     "ngram_jaccard_dedup",
     "minhash_signatures",
