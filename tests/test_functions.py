@@ -1,0 +1,64 @@
+"""Unit tests for scalar functions and operator edges not exercised by
+the oracle queries: UTF-8 scrub, GMT derivation, tag stripping, email
+sanitize, generic melt, dedup keep=max, and split_trim literalness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.functions.dates import local_to_gmt
+from wp_etl_migration_spark.functions.text import (
+    sanitize_email, split_trim, strip_all_tags, utf8_scrub)
+from wp_etl_migration_spark.operators.dedup import exact_dedup
+from wp_etl_migration_spark.operators.melt import melt
+
+
+def one(spark, value, col_fn, schema="s string"):
+    df = spark.createDataFrame([(value,)], schema)
+    return df.select(col_fn(F.col("s")).alias("out")).first()["out"]
+
+
+def test_utf8_scrub(spark):
+    assert one(spark, "ok\x00bad\x1fx�y", utf8_scrub) == "okbadxy"
+    assert one(spark, "clean", utf8_scrub) == "clean"
+
+
+def test_local_to_gmt(spark):
+    df = spark.createDataFrame([("2024-06-01 12:00:00",)], "s string")
+    out = df.select(
+        F.date_format(local_to_gmt(F.to_timestamp("s"),
+                                   "America/New_York"),
+                      "yyyy-MM-dd HH:mm:ss").alias("gmt")).first()["gmt"]
+    assert out == "2024-06-01 16:00:00"      # EDT is UTC-4
+
+
+def test_strip_all_tags(spark):
+    html = "<style>p{x}</style><p>Hello <b>world</b></p>\n <script>1</script>tail"
+    assert one(spark, html, strip_all_tags) == "Hello world tail"
+
+
+def test_sanitize_email(spark):
+    assert one(spark, " a b@x.com ", sanitize_email) == "ab@x.com"
+    assert one(spark, "not-an-email", sanitize_email) is None
+    assert one(spark, "x@y.co", sanitize_email) == "x@y.co"
+
+
+def test_split_trim_literal_delimiter(spark):
+    # '.' must split literally, not as a regex wildcard.
+    out = one(spark, "a . b.c", lambda c: F.array_join(
+        split_trim(c, "."), "|"))
+    assert out == "a|b|c"
+
+
+def test_melt_generic(spark):
+    df = spark.createDataFrame([(1, "x", 2.5)], ["id", "a", "b"])
+    rows = sorted(map(tuple, melt(df, ["id"], ["a", "b"]).collect()))
+    assert rows == [(1, "a", "x"), (1, "b", "2.5")]
+
+
+def test_exact_dedup_keep_max(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (5, "same"), (3, "other")], ["id", "text"])
+    kept = sorted(r["id"] for r in
+                  exact_dedup(df, "id", ["text"], keep="max").collect())
+    assert kept == [3, 5]
