@@ -133,6 +133,43 @@ def test_runner_analyze_counts(spark, project):
     assert [(r.name, r.rows) for r in reports] == [("articles", 2)]
 
 
+def test_incremental_extract_skips_ledgered_rows(spark, tmp_path):
+    """CDC-style re-run: rows already recorded in the job's own ledger
+    are anti-joined away; a new source row still flows through."""
+    src = tmp_path / "inc.csv"
+    src.write_text("id,Title\n1,A\n2,B\n")
+    cfg = tmp_path / "m.yaml"
+    cfg.write_text(f"""
+migration:
+  - name: incjob
+    extract:
+      adapter: csv
+      source: "{src}"
+      incremental_key: {{source: legacy.id, ledger: source_id}}
+    transform:
+      - with_column: {{name: ledger.source_id, expr: "`legacy.id`"}}
+      - with_column: {{name: post.post_title, expr: "`legacy.title`"}}
+    load:
+      - adapter: json
+        destination: "{tmp_path}/inc.json"
+        prefix: "post."
+      - adapter: ledger
+""")
+    runner = Runner(spark, str(cfg), output_dir=str(tmp_path))
+    runner.run()
+    assert spark.read.json(str(tmp_path / "inc.json")).count() == 2
+
+    # Re-run with one new source row: only id=3 survives the extract.
+    src.write_text("id,Title\n1,A\n2,B\n3,C\n")
+    runner2 = Runner(spark, str(cfg), output_dir=str(tmp_path))
+    out = runner2.extract(runner2.jobs[0])
+    assert [r["legacy.id"] for r in out.collect()] == [3]
+    runner2.run()
+    titles = {r["post_title"] for r in
+              spark.read.json(str(tmp_path / "inc.json")).collect()}
+    assert titles == {"C"}   # overwrite sink holds only the delta batch
+
+
 def test_pipeline_class_lifecycle(spark, project):
     """§2.10 class plugin: prepare → run → finalize over the job frame."""
     from pyspark.sql import functions as F

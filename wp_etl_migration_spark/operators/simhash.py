@@ -29,7 +29,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
@@ -79,13 +79,6 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.when(ones[j] * 2 >= F.col("__cnt"), "1").otherwise("0")
         for j in range(bits)])
     return sums.select(F.col(id_col), sig.alias("simhash"))
-
-
-def hamming(a: Column, b: Column, bits: int) -> Column:
-    """Hamming distance between two '0'/'1' signature strings."""
-    terms = [F.when(F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), 1)
-             .otherwise(0) for j in range(bits)]
-    return functools.reduce(operator.add, terms).cast("long")
 
 
 def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,

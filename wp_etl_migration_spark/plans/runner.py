@@ -223,6 +223,28 @@ class Runner:
             if led is not None:
                 df = df.join(F.broadcast(led),
                              on=ex["join_ledger"], how="left")
+        # Incremental extract: drop rows this job's own ledger already
+        # recorded — the set-wise form of the reference's per-row
+        # lookup-before-insert (one anti-join against the audit trail
+        # instead of N probe queries). Config:
+        #   incremental_key: {source: legacy.id, ledger: source_id}
+        # (source = post-prefix scan column; ledger = stripped ledger
+        # field; a bare string means both sides share the name).
+        inc_key = ex.get("incremental_key")
+        if inc_key:
+            if isinstance(inc_key, dict):
+                src_col, led_col = inc_key["source"], inc_key["ledger"]
+            else:
+                src_col = led_col = inc_key
+            own = lsink.read_latest_ledger(self.spark, self.output_dir,
+                                           job.name)
+            if own is not None and led_col in own.columns:
+                seen = (own.select(F.col(led_col).alias("__seen"))
+                        .distinct())
+                df = df.join(
+                    F.broadcast(seen),
+                    F.col("`" + src_col + "`") == F.col("__seen"),
+                    "left_anti")
         return df
 
     def transform(self, df: DataFrame, job: JobConfig) -> DataFrame:

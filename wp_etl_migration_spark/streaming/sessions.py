@@ -18,8 +18,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (DoubleType, IntegerType, LongType,
-                               StructField, StructType, TimestampType)
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType, TimestampType)
 
 SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
