@@ -43,8 +43,7 @@ def _dims(emb: DataFrame, vec_col: str) -> int:
 
 
 def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
-                queries: DataFrame | None = None,
-                dims: int | None = None) -> DataFrame:
+                queries: DataFrame | None = None) -> DataFrame:
     """Top-k cosine neighbors for each query vector (exact).
 
     ``queries`` defaults to the corpus itself (self-join, excluding the
@@ -63,8 +62,6 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
     import numpy as np
     import pandas as pd
 
-    if dims is None:
-        dims = _dims(emb, vec_col)
     qdf = queries if queries is not None else emb
 
     rows = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")
@@ -221,8 +218,7 @@ def _grouped_topk(grouped: DataFrame, group_col: str, k: int) -> DataFrame:
 
 
 def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
-             centroid_stride: int = 100,
-             dims: int | None = None) -> DataFrame:
+             centroid_stride: int = 100) -> DataFrame:
     """IVF-style ANN: coarse-quantize to centroids, search within cells.
 
     Deterministic toy quantizer: every ``centroid_stride``-th vector (by
@@ -271,6 +267,41 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
     assigned = src.mapInPandas(
         assign, schema="__id long, __v array<double>, __cell long")
     return _grouped_topk(assigned, "__cell", k)
+
+
+def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,
+                           planes: list[list[float]],
+                           threshold: float = 0.35,
+                           dims: int | None = None) -> DataFrame:
+    """Near-dup pairs within hyperplane buckets — the corpus-scale path.
+
+    Same exact left-to-right cosine as ``embedding_near_dup`` but only
+    bucket-local pairs are scored (one shuffle on the sign pattern), so
+    cost is Σ bucket² instead of N². Recall < 1 by construction: a pair
+    split by any hyperplane is missed — union several plane sets to
+    recover recall, exactly as with ``cosine_topk_lsh``.
+    """
+    if dims is None:
+        dims = _dims(emb, vec_col)
+    v = emb.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("__v"))
+    norm = F.sqrt(unrolled_dot(F.col("__v"), F.col("__v"), dims))
+    bucketed = (v.withColumn("__n", norm)
+                .withColumn("__b",
+                            hyperplane_bucket(F.col("__v"), planes, dims)))
+    a = bucketed.select(F.col(id_col).alias("id_a"),
+                        F.col("__v").alias("__va"),
+                        F.col("__n").alias("__na"), "__b")
+    b = bucketed.select(F.col(id_col).alias("id_b"),
+                        F.col("__v").alias("__vb"),
+                        F.col("__n").alias("__nb"), "__b")
+    sim = (unrolled_dot(F.col("__va"), F.col("__vb"), dims)
+           / (F.col("__na") * F.col("__nb")))
+    return (a.join(b, on="__b")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", sim)
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim"))
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]],

@@ -36,7 +36,8 @@ from wp_etl_migration_spark.operators.hierarchy import resolve_paths
 from wp_etl_migration_spark.operators.dedup import (
     exact_dedup, ngram_jaccard_pairs, minhash_signatures, minhash_lsh_pairs)
 from wp_etl_migration_spark.operators.similarity import (
-    cosine_topk, cosine_topk_lsh, embedding_near_dup, ivf_topk)
+    cosine_topk, cosine_topk_lsh, embedding_near_dup,
+    embedding_near_dup_lsh, ivf_topk)
 from wp_etl_migration_spark.operators.simhash import (
     HEX, simhash_signatures, simhash_near_dup)
 from wp_etl_migration_spark.operators.multimodal import (
@@ -1053,7 +1054,8 @@ SELECT id_a, id_b, hamming FROM (
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.35, exact kernel)."""
     e = _t(spark, sf_dir).embeddings()
-    return embedding_near_dup(e, "vec_id", "embedding", threshold=0.35)
+    return embedding_near_dup(e, "vec_id", "embedding", threshold=0.35,
+                              dims=64)
 
 
 ORACLE_EMB_NEAR_DUP = """
@@ -1123,7 +1125,8 @@ def q_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH ANN: top-5 within sign-pattern buckets (the scale
     path for corpus×corpus similarity — recall < 1 by construction)."""
     e = _t(spark, sf_dir).embeddings()
-    return cosine_topk_lsh(e, "vec_id", "embedding", planes=ANN_PLANES, k=5)
+    return cosine_topk_lsh(e, "vec_id", "embedding", planes=ANN_PLANES,
+                           k=5, dims=64)
 
 
 def _plane_sql(p: list[float]) -> str:
@@ -1154,6 +1157,75 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
       AS rank
   FROM sims
 ) WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (threshold 0.3 within buckets) —
+    the corpus-scale variant of embedding_near_dup; recall < 1 by
+    construction, candidates bucket-local."""
+    e = _t(spark, sf_dir).embeddings()
+    return embedding_near_dup_lsh(e, "vec_id", "embedding",
+                                  planes=ANN_PLANES, threshold=0.3,
+                                  dims=64)
+
+
+ORACLE_EMB_LSH_NEAR_DUP = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+    sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nm,
+    {" || ".join(_plane_sql(p) for p in ANN_PLANES)} AS bucket
+  FROM v
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+      / (a.nm * b.nm) AS cos_sim
+  FROM n a JOIN n b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.3
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT (absent in the reference — SURVEY §2.5 notes
+    them free-from-Spark; proven here): customers in AUTOMOBILE minus
+    those with open orders, plus the intersection count marker."""
+    t = _t(spark, sf_dir)
+    c, o = t.customer(), t.orders()
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE") \
+            .select("c_custkey")
+    open_cust = o.where(F.col("o_orderstatus") == "O") \
+                 .select(F.col("o_custkey").alias("c_custkey"))
+    return (auto.exceptAll(auto.intersect(open_cust))
+            .select("c_custkey"))
+
+
+ORACLE_SET_OPS = """
+WITH auto AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+), open_cust AS (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT c_custkey FROM auto
+EXCEPT ALL
+SELECT c_custkey FROM (SELECT * FROM auto INTERSECT
+                       SELECT * FROM open_cust)
+"""
+
+
+def q_cube_agg(spark, sf_dir):
+    """CUBE aggregation over (status, priority) — all 4 grouping sets."""
+    o = _t(spark, sf_dir).orders()
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n")))
+
+
+ORACLE_CUBE = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
@@ -1299,6 +1371,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
     "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
+                               ORACLE_EMB_LSH_NEAR_DUP),
+    "set_ops": (q_set_ops, ORACLE_SET_OPS),
+    "cube_agg": (q_cube_agg, ORACLE_CUBE),
     "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
