@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "top_customers",
     "regional_revenue",
     "sessionization",
+    "asof_join",
+    "range_join",
     "dedup_exact",
     "ngram_jaccard_dedup",
     "minhash_signatures",

@@ -1,0 +1,114 @@
+"""Unit tests for operators/temporal — semantics the oracle queries
+don't reach: forward direction, tolerance bound, duplicate-(key,ts)
+determinism, inner range join, and plan shape (no nested-loop join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01T10:00:00")),
+         (2, "a", _ts("2024-01-01T12:00:00")),
+         (3, "b", _ts("2024-01-01T09:00:00"))],
+        "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01T09:30:00"), 100),
+         ("a", _ts("2024-01-01T11:00:00"), 200),
+         ("b", _ts("2024-01-01T09:30:00"), 300)],
+        "k string, ts timestamp, v int")
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], payload=["v"])
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None}
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], payload=["v"],
+                    direction="forward")
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: 200, 2: None, 3: 300}
+
+
+def test_asof_tie_matches_inclusive(spark):
+    left, right = _frames(spark)
+    tied = left.withColumn(
+        "ts", F.lit(_ts("2024-01-01T09:30:00")).cast("timestamp"))
+    out = asof_join(tied, right, on=["k"], payload=["v"])
+    assert {r.v for r in out.collect()} == {100, 300}
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on=["k"], payload=["v"],
+                    tolerance=F.expr("INTERVAL 45 MINUTES"))
+    got = {r.id: r.v for r in out.collect()}
+    # id=1 gap 30min kept; id=2 gap 1h dropped; id=3 never matched
+    assert got == {1: 100, 2: None, 3: None}
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    left, right = _frames(spark)
+    dup = right.unionByName(spark.createDataFrame(
+        [("a", _ts("2024-01-01T09:30:00"), 150)],
+        "k string, ts timestamp, v int"))
+    out = asof_join(left, right=dup, on=["k"], payload=["v"])
+    # greatest payload struct per (k, ts) wins, every run
+    assert {r.id: r.v for r in out.collect()}[1] == 150
+
+
+def test_asof_plan_has_no_nested_loop(spark):
+    left, right = _frames(spark)
+    plan = asof_join(left, right, on=["k"], payload=["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_range_join_inner_and_left(spark):
+    points = spark.createDataFrame(
+        [("a", _ts("2024-01-01T10:30:00"), 1),
+         ("a", _ts("2024-01-01T13:00:00"), 2),
+         ("b", _ts("2024-01-01T10:30:00"), 3)],
+        "k string, pts timestamp, pid int")
+    intervals = spark.createDataFrame(
+        [("a", _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"), 10),
+         ("a", _ts("2024-01-01T14:00:00"), _ts("2024-01-01T15:00:00"), 20)],
+        "k string, s timestamp, e timestamp, iid int")
+    inner = range_join(points, intervals, on=["k"], point_ts="pts",
+                       start="s", end="e")
+    assert [(r.iid, r.pid) for r in inner.collect()] == [(10, 1)]
+
+    left = range_join(points, intervals, on=["k"], point_ts="pts",
+                      start="s", end="e", how="left")
+    got = sorted((r.iid, r.pid) for r in left.collect())
+    assert got == [(10, 1), (20, None)]
+
+
+def test_range_join_boundary_semantics(spark):
+    points = spark.createDataFrame(
+        [("a", _ts("2024-01-01T10:00:00"), 1),
+         ("a", _ts("2024-01-01T11:00:00"), 2)],
+        "k string, pts timestamp, pid int")
+    intervals = spark.createDataFrame(
+        [("a", _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"), 10)],
+        "k string, s timestamp, e timestamp, iid int")
+    open_start = range_join(points, intervals, on=["k"], point_ts="pts",
+                            start="s", end="e")
+    assert [r.pid for r in open_start.collect()] == [2]
+    closed = range_join(points, intervals, on=["k"], point_ts="pts",
+                        start="s", end="e", open_start=False)
+    assert sorted(r.pid for r in closed.collect()) == [1, 2]

@@ -1,0 +1,149 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and point-in-
+interval (band/range) join.
+
+The reference has no temporal joins at all (SURVEY §2.4 — its joins are
+per-row WordPress lookups); these belong to the beyond-reference
+training-pipeline surface, where event attribution ("most recent prior
+click for this purchase") and windowed correlation ("errors in the hour
+before each purchase") are everyday operations.
+
+Both operators are built so the plan scales: **one shuffle on the equi
+keys, no row explosion beyond a constant factor** — never a
+BroadcastNestedLoopJoin / cartesian refine, which is what a naive
+``l.join(r, (keys) & (l.ts >= r.ts))`` degenerates into on Spark.
+
+As-of join — union + running ``last(ignorenulls)``:
+    Tag right rows 0 and left rows 1, union them, and take the running
+    last right payload over a window partitioned by the keys and ordered
+    by (ts, tag).  Each input row is touched once, so cost is
+    O((|L|+|R|) log) within a single hash partition by key — the same
+    merge-scan an ASOF join does in DuckDB/kdb, expressed with Spark
+    primitives (exchange + window sort) so AQE still handles skew.
+
+Range join — bucketed band join:
+    Intervals explode into the fixed-width buckets they overlap, points
+    map to one bucket, and the join becomes an equi-join on
+    (keys…, bucket) refined by the exact predicate.  With bucket width
+    chosen ≥ the typical interval length each interval lands in ≤ 2
+    buckets, so the shuffle grows by at most 2× while the matcher stays
+    a hash join Catalyst/AQE can plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_PAY = "__asof_payload"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str = "ts", right_ts: str = "ts",
+              payload: Sequence[str] = (),
+              direction: str = "backward",
+              tolerance: Column | None = None) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (``backward``; ties match) or smallest
+    ``right_ts`` ≥ ``left_ts`` (``forward``) sharing the ``on`` keys.
+
+    Left rows without a match keep null payload columns (left-join
+    semantics).  ``payload`` columns must not collide with left column
+    names.  ``tolerance`` (a Column interval/µs bound) drops matches
+    further than the bound from the left timestamp.
+
+    Right rows with duplicate (keys, ts) are resolved deterministically
+    by taking the greatest payload struct per (keys, ts) first — same
+    row count as an ASOF join, independent of partition order.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    payload = list(payload) or [
+        c for c in right.columns if c not in on and c != right_ts]
+
+    r = (right.groupBy(*on, F.col(right_ts).alias(_TS))
+         .agg(F.max(F.struct(*payload)).alias("__p"))
+         .select(*on, _TS,
+                 F.struct(F.col(_TS).alias("__rts"),
+                          F.col("__p").alias("__p")).alias(_PAY))
+         .withColumn(_SIDE, F.lit(0)))
+    pay_type = r.schema[_PAY].dataType
+
+    l = (left
+         .withColumn(_TS, F.col(left_ts))
+         .withColumn(_SIDE, F.lit(1))
+         .withColumn(_PAY, F.lit(None).cast(pay_type)))
+
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+    ts_ord = F.col(_TS).asc() if direction == "backward" else \
+        F.col(_TS).desc()
+    w = (Window.partitionBy(*on).orderBy(ts_ord, F.col(_SIDE).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = (merged
+               .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+               .filter(F.col(_SIDE) == 1))
+
+    if tolerance is not None:
+        gap = F.abs(F.unix_micros(F.col(_TS)) -
+                    F.unix_micros(F.col(f"{_PAY}.__rts")))
+        bound = F.unix_micros(
+            F.lit("1970-01-01 00:00:00").cast("timestamp") + tolerance)
+        matched = matched.withColumn(
+            _PAY, F.when(gap <= bound, F.col(_PAY)))
+
+    return matched.select(
+        *left.columns,
+        *[F.col(f"{_PAY}.__p.{c}").alias(c) for c in payload])
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: Sequence[str],
+               point_ts: str, start: str, end: str,
+               bucket_width: str = "1 hour",
+               open_start: bool = True,
+               how: str = "inner") -> DataFrame:
+    """Join point rows to interval rows sharing ``on`` keys where
+    ``start < point_ts <= end`` (``open_start``) or
+    ``start <= point_ts <= end``.
+
+    Implemented as a bucketed band join (module docstring): intervals
+    fan out to every ``bucket_width`` bucket they overlap, points hash
+    to one bucket, so the matcher is a pure equi-join on
+    (keys…, bucket) plus a cheap refine filter.  ``how`` of ``left``
+    keeps unmatched intervals (one null-point row each).
+    """
+    width_us = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {bucket_width}"))
+
+    b_pt = (F.unix_micros(F.col(point_ts)) / width_us).cast("long")
+    b_lo = (F.unix_micros(F.col(start)) / width_us).cast("long")
+    b_hi = (F.unix_micros(F.col(end)) / width_us).cast("long")
+
+    pts = points.withColumn("__bucket", b_pt)
+    ivs = (intervals
+           .withColumn("__bucket", F.explode(F.sequence(b_lo, b_hi))))
+
+    cmp_lo = (F.col(point_ts) > F.col(start)) if open_start else \
+        (F.col(point_ts) >= F.col(start))
+    refine = cmp_lo & (F.col(point_ts) <= F.col(end))
+
+    keys = [*on, "__bucket"]
+    if how == "inner":
+        return ivs.join(pts, keys, "inner").filter(refine) \
+            .drop("__bucket")
+    if how != "left":
+        raise ValueError(f"how must be inner/left: {how}")
+    matched = ivs.join(pts, keys, "inner").filter(refine).drop("__bucket")
+    pt_cols = [c for c in points.columns if c not in on]
+    missing = (intervals.join(
+        matched.select(*intervals.columns).distinct(),
+        intervals.columns, "left_anti"))
+    for c in pt_cols:
+        missing = missing.withColumn(
+            c, F.lit(None).cast(dict(points.dtypes)[c]))
+    return matched.unionByName(missing)

@@ -1332,6 +1332,115 @@ GROUP BY user_id, sid
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): attribute each purchase
+    to the same user's most recent prior-or-equal click.  No temporal
+    joins exist in the reference (SURVEY §2.4); this is the
+    training-pipeline event-attribution primitive, planned as one
+    shuffle + window scan instead of an inequality nested-loop join."""
+    from wp_etl_migration_spark.operators.temporal import asof_join
+    e = _t(spark, sf_dir).events()
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    out = asof_join(purchases, clicks, on=["user_id"],
+                    payload=["click_id", "click_ts"])
+    return out.select(
+        "event_id", "user_id", "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"))
+
+
+ORACLE_ASOF = """
+SELECT p.event_id, p.user_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Point-in-interval join (operators/temporal.range_join): count
+    error events in the hour before each purchase.  Bucketed band join —
+    equi-join on (user, hour-bucket) + refine — so Catalyst plans a hash
+    join, not a cartesian with filter."""
+    from wp_etl_migration_spark.operators.temporal import range_join
+    e = _t(spark, sf_dir).events()
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"), "user_id",
+                         (F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+                         .alias("w_start"),
+                         F.col("ts").alias("w_end")))
+    errors = (e.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("ts").alias("err_ts"),
+                      F.col("event_id").alias("err_id")))
+    joined = range_join(errors, purchases, on=["user_id"],
+                        point_ts="err_ts", start="w_start", end="w_end",
+                        bucket_width="1 HOUR", how="left")
+    return joined.groupBy("purchase_id").agg(
+        F.count("err_id").alias("n_errors"))
+
+
+ORACLE_RANGE_JOIN = """
+SELECT p.event_id AS purchase_id, count(e.event_id) AS n_errors
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts > p.ts - INTERVAL 1 HOUR AND e.ts <= p.ts
+GROUP BY 1
+"""
+
+
+def q_pivot_wide(spark, sf_dir):
+    """Pivot long→wide (absent in the reference; Spark-native
+    ``groupBy().pivot()`` with explicit value list so the plan is a
+    single pass, no second distinct-values job)."""
+    li = _t(spark, sf_dir).lineitem()
+    out = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["F", "O"])
+           .agg(dec_sum("l_quantity", 2)))
+    return out.select("l_returnflag",
+                      F.col("F").alias("qty_f"),
+                      F.col("O").alias("qty_o"))
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2)))
+       FILTER (WHERE l_linestatus = 'F') AS VARCHAR) AS DOUBLE) AS qty_f,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,2)))
+       FILTER (WHERE l_linestatus = 'O') AS VARCHAR) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation (SQL surface; rollup/cube's general
+    form).  Same shuffle count as a plain groupBy — Spark expands the
+    sets map-side."""
+    t = _t(spark, sf_dir)
+    t.lineitem().createOrReplaceTempView("__gs_lineitem")
+    return t.spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               grouping(l_returnflag) AS g_flag
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """)
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(grouping(l_returnflag) AS TINYINT) AS g_flag
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -1383,6 +1492,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
+    "asof_join": (q_asof_join, ORACLE_ASOF),
+    "range_join": (q_range_join, ORACLE_RANGE_JOIN),
+    "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
+    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
     "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
 }
