@@ -133,3 +133,40 @@ def test_sessionize_batch_gap_semantics(spark):
     assert out == {(1, "2024-01-01 00:00:00"): 3,
                    (1, "2024-01-01 02:00:00"): 1,
                    (2, "2024-01-01 00:00:00"): 1}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    from wp_etl_migration_spark.streaming.joins import interval_join
+
+    def split(df):
+        purchases = (df.filter(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             "user_id", F.col("ts").alias("p_ts")))
+        clicks = (df.filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          "user_id", F.col("ts").alias("c_ts")))
+        return purchases, clicks
+
+    sp, sc = split(stream_events(spark, events_dir))
+    streamed = interval_join(sp, sc, on=["user_id"],
+                             left_ts="p_ts", right_ts="c_ts")
+    assert streamed.isStreaming
+    run_to_memory(streamed, "sj")
+    got = {(r.purchase_id, r.click_id)
+           for r in spark.table("sj").collect()}
+
+    bp, bc = split(spark.read.parquet(events_dir))
+    want = {(r.purchase_id, r.click_id)
+            for r in interval_join(bp, bc, on=["user_id"],
+                                   left_ts="p_ts",
+                                   right_ts="c_ts").collect()}
+    assert got == want
+    assert len(got) >= 1  # sf0.001 has ~5 pairs within the hour
+
+
+def test_interval_join_rejects_column_collision(spark, events_dir):
+    from wp_etl_migration_spark.streaming.joins import interval_join
+    df = spark.read.parquet(events_dir)
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(df, df, on=["user_id"], left_ts="ts",
+                      right_ts="ts")

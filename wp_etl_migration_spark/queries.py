@@ -1441,6 +1441,27 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
 """
 
 
+def q_percentile_stats(spark, sf_dir):
+    """Exact interpolated percentiles per group (absent in the
+    reference).  Spark ``percentile`` is a sort-based exact aggregate;
+    at cluster scale swap for ``percentile_approx`` (t-digest, one
+    pass, mergeable) when exactness isn't contractual."""
+    o = _t(spark, sf_dir).orders()
+    return (o.groupBy("o_orderstatus")
+            .agg(F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+                 F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+                 F.expr("median(o_totalprice)").alias("med")))
+
+
+ORACLE_PERCENTILE = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  median(o_totalprice) AS med
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -1492,6 +1513,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
+    "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
     "asof_join": (q_asof_join, ORACLE_ASOF),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
     "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
