@@ -56,20 +56,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     further than the bound from the left timestamp.
 
     Right rows with duplicate (keys, ts) are resolved deterministically
-    by taking the greatest payload struct per (keys, ts) first — same
-    row count as an ASOF join, independent of partition order.
+    — the greatest payload struct wins — by ordering ties on the payload
+    inside the window, so no dedup pre-aggregation (and no second
+    shuffle) is needed: the whole join is ONE exchange on the keys.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
     payload = list(payload) or [
         c for c in right.columns if c not in on and c != right_ts]
 
-    r = (right.groupBy(*on, F.col(right_ts).alias(_TS))
-         .agg(F.max(F.struct(*payload)).alias("__p"))
-         .select(*on, _TS,
-                 F.struct(F.col(_TS).alias("__rts"),
-                          F.col("__p").alias("__p")).alias(_PAY))
-         .withColumn(_SIDE, F.lit(0)))
+    r = (right.select(
+        *on, F.col(right_ts).alias(_TS),
+        F.struct(F.col(right_ts).alias("__rts"),
+                 F.struct(*payload).alias("__p")).alias(_PAY))
+        .withColumn(_SIDE, F.lit(0)))
     pay_type = r.schema[_PAY].dataType
 
     l = (left
@@ -82,7 +82,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     from pyspark.sql import Window
     ts_ord = F.col(_TS).asc() if direction == "backward" else \
         F.col(_TS).desc()
-    w = (Window.partitionBy(*on).orderBy(ts_ord, F.col(_SIDE).asc())
+    # Ties: right (0) before left (1) so equal timestamps match, and
+    # payload ascending so the greatest duplicate is the running last.
+    w = (Window.partitionBy(*on)
+         .orderBy(ts_ord, F.col(_SIDE).asc(), F.col(_PAY).asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     matched = (merged
                .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
