@@ -154,3 +154,16 @@ migration:
     assert out["rows"] == 2
     assert main(["extract", str(cfg), "ghost",
                  "--output-dir", str(tmp_path)]) == 1
+
+
+def test_hll_sketch_partials_merge_to_global(spark):
+    """The scale property the sketch path rests on: per-group HLL
+    partials unioned with hll_union_agg estimate the global distinct
+    count — no re-scan, no full-width distinct shuffle."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    merged = (d.groupBy("source")
+              .agg(F.expr("hll_sketch_agg(text, 14)").alias("sk"))
+              .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+                   .alias("n")).first()["n"])
+    exact = d.select("text").distinct().count()
+    assert merged == exact  # sparse-mode HLL is exact at this scale

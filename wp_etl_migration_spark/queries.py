@@ -1462,6 +1462,33 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_sketch_distinct(spark, sf_dir):
+    """Mergeable-sketch aggregates — the 100 TB cardinality/quantile
+    path: Apache DataSketches HLL (`hll_sketch_agg`, partials merge
+    across executors with `hll_union_agg`) and the GK quantile sketch
+    (`percentile_approx`), both single-pass and bounded-memory, unlike
+    exact countDistinct/percentile which shuffle the full value set.
+
+    Oracle-exact at gate scale by construction: HLL in sparse mode
+    (cardinality ≪ 2^lgK=16384) stores exact hashes, and GK with
+    default accuracy 10000 is exact below 10k rows/group — so the
+    sketch estimates equal DuckDB's exact count(DISTINCT)/
+    quantile_disc.  At full scale the same plan degrades gracefully to
+    ±~0.5% error instead of a full-width shuffle."""
+    d = _t(spark, sf_dir).documents()
+    return (d.groupBy("source")
+            .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(text, 14))")
+                 .alias("n_distinct"),
+                 F.percentile_approx("n_chars", 0.5).alias("med_chars")))
+
+
+ORACLE_SKETCH = """
+SELECT source, count(DISTINCT text) AS n_distinct,
+       quantile_disc(n_chars, 0.5) AS med_chars
+FROM documents GROUP BY source
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -1514,6 +1541,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "lang_id": (q_lang_id, ORACLE_LANG),
     "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
     "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
+    "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
     "asof_join": (q_asof_join, ORACLE_ASOF),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
     "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
