@@ -1489,6 +1489,61 @@ FROM documents GROUP BY source
 """
 
 
+def q_json_extract(spark, sf_dir):
+    """Typed JSON extraction (`from_json` with an explicit schema — the
+    vectorized JVM path; schema-on-read instead of per-row parsing) over
+    the events ``props`` payload, rolled up per event type."""
+    e = _t(spark, sf_dir).events()
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"),
+                 F.count(F.when(F.col("k") >= 50, True)).alias("n_hi"),
+                 F.max("k").alias("max_k")))
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        >= 50) AS n_hi,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_date_parts(spark, sf_dir):
+    """Calendar/date-function breadth: part extraction, ISO week,
+    month boundaries, date arithmetic — all codegen'd built-ins."""
+    o = _t(spark, sf_dir).orders()
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(d, 30).alias("plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("age_days"))
+
+
+ORACLE_DATE_PARTS = """
+SELECT o_orderkey,
+  year(o_orderdate) AS y,
+  quarter(o_orderdate) AS q,
+  month(o_orderdate) AS m,
+  day(o_orderdate) AS d,
+  week(o_orderdate) AS iso_week,
+  last_day(o_orderdate) AS month_end,
+  CAST(o_orderdate AS DATE) + 30 AS plus30,
+  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+    AS age_days
+FROM orders
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -1542,6 +1597,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
     "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
     "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
+    "json_extract": (q_json_extract, ORACLE_JSON),
+    "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
     "asof_join": (q_asof_join, ORACLE_ASOF),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
     "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
