@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "hierarchy_resolve",
     "top_customers",
     "regional_revenue",
+    "shipping_priority",
     "sessionization",
     "asof_join",
     "range_join",

@@ -1544,6 +1544,74 @@ FROM orders
 """
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective filters on both join sides, 3-way join,
+    revenue agg, top-10 with a deterministic tiebreak.  The customer
+    side broadcasts; lineitem⋈orders shuffles once on the order key."""
+    t = _t(spark, sf_dir)
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    c = t.customer().filter(F.col("c_nationkey") < 5) \
+        .select("c_custkey")
+    o = t.orders().filter(F.col("o_orderdate") < cutoff)
+    li = t.lineitem().filter(F.col("l_shipdate") >= cutoff)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(dec_sum(rev, 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_orderdate"),
+                    "o_orderpriority", "revenue"))
+
+
+ORACLE_SHIPPING = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey < 5
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_array_ops(spark, sf_dir):
+    """Array-function breadth over tokenized text — all codegen'd
+    built-ins (size/distinct/sort/slice/contains), no UDF."""
+    d = _t(spark, sf_dir).documents()
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.concat_ws(" ", F.slice(F.array_sort(F.array_distinct(toks)),
+                                 1, 3)).alias("first3"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"))
+
+
+ORACLE_ARRAY_OPS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique,
+       array_to_string(list_sort(list_distinct(toks))[1:3], ' ')
+         AS first3,
+       CAST(list_contains(toks, 'the') AS INT) AS has_the
+FROM t
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -1598,6 +1666,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
     "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
     "json_extract": (q_json_extract, ORACLE_JSON),
+    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
+    "array_ops": (q_array_ops, ORACLE_ARRAY_OPS),
     "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
     "asof_join": (q_asof_join, ORACLE_ASOF),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
