@@ -1612,6 +1612,28 @@ FROM t
 """
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k (rank-filter pattern).  Catalyst rewrites the
+    ``row_number() <= k`` filter into WindowGroupLimit: each map task
+    keeps only k rows per group *before* the exchange, so at 100 TB the
+    shuffle carries O(groups × k), not the full table."""
+    e = _t(spark, sf_dir).events()
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"),
+                                                 "event_id")
+    return (e.select("event_type", "event_id", "user_id", "value",
+                     F.row_number().over(w).cast("long").alias("rk"))
+            .filter(F.col("rk") <= 3))
+
+
+ORACLE_TOPK_GROUP = """
+SELECT * FROM (
+  SELECT event_type, event_id, user_id, value,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC, event_id) AS rk
+  FROM events) WHERE rk <= 3
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -1667,6 +1689,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
     "json_extract": (q_json_extract, ORACLE_JSON),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
     "array_ops": (q_array_ops, ORACLE_ARRAY_OPS),
     "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
     "asof_join": (q_asof_join, ORACLE_ASOF),
