@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation pipeline, composed from the
+engine's operators — the kind of job this engine exists for at 100 TB:
+
+    documents ──ž quality gate ──ž language filter ──ž exact dedup
+              ──ž MinHash-LSH near-dup removal ──ž token accounting
+    embeddings ─ž ANN top-k (IVF) for nearest-neighbor audit
+
+Run:  python examples/llm_corpus_pipeline.py [sf_dir] [out_dir]
+
+Every stage is declarative DataFrame composition (one Catalyst plan per
+materialization), so filters push into the parquet scan and the dedup
+shuffles are the only wide stages.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.operators import textstats as ts
+from wp_etl_migration_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs)
+from wp_etl_migration_spark.operators.similarity import ivf_topk
+from wp_etl_migration_spark.session import get_spark, tune
+from wp_etl_migration_spark.sources.tables import Tables
+
+
+def build_corpus(spark: SparkSession, sf_dir: str,
+                 min_quality: float = 0.3,
+                 langs: tuple[str, ...] = ("en",),
+                 jaccard: float = 0.7) -> DataFrame:
+    """Curated corpus: quality-gated, language-filtered, exact- and
+    near-dup-free documents with token accounting columns."""
+    d = Tables(spark, sf_dir).documents()
+
+    scored = d.select(
+        "doc_id", "text", "source",
+        ts.quality_score("text").alias("quality"),
+        ts.lang_id("text").alias("lang_pred"),
+        ts.token_count("text").alias("n_tokens"),
+        ts.fingerprint("text").alias("fingerprint"))
+    gated = scored.filter((F.col("quality") >= min_quality) &
+                          F.col("lang_pred").isin(*langs))
+
+    # Exact dedup keeps the smallest doc_id per identical text.
+    survivors = exact_dedup(gated, "doc_id", ["text"])
+    gated = gated.join(survivors, "doc_id", "left_semi")
+
+    # Near-dup removal: keep the smaller id of every LSH-confirmed pair.
+    pairs = minhash_lsh_pairs(gated, "doc_id", "text",
+                              verify_threshold=jaccard)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return gated.join(losers, "doc_id", "left_anti")
+
+
+def nearest_neighbor_audit(spark: SparkSession, sf_dir: str,
+                           k: int = 5) -> DataFrame:
+    """IVF ANN top-k over the embeddings table — the audit view used to
+    spot-check that near-dups really left the corpus."""
+    e = Tables(spark, sf_dir).embeddings()
+    return ivf_topk(e, "vec_id", "embedding", k=k)
+
+
+def main(argv: list[str]) -> int:
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    out_dir = argv[1] if len(argv) > 1 else "/tmp/llm_corpus"
+    spark = tune(get_spark("llm-corpus-pipeline"))
+
+    corpus = build_corpus(spark, sf_dir)
+    corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+
+    stats = corpus.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality")).first()
+    print(f"corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
+          f"avg quality {stats['avg_quality']} -> {out_dir}/corpus")
+
+    nn = nearest_neighbor_audit(spark, sf_dir)
+    nn.write.mode("overwrite").parquet(f"{out_dir}/nn_audit")
+    print(f"nn audit: {nn.count()} rows -> {out_dir}/nn_audit")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
