@@ -29,6 +29,44 @@ def _duck():
     return con
 
 
+def _canon_duck_type(t: str):
+    """DuckDB column type → numeric family string (None = not numeric).
+
+    Mirrors duckdb's Arrow conversion, which is what the driver hashes:
+    HUGEINT (the silent result type of sum(BIGINT)) becomes
+    decimal128(38,0), NOT int64 — repr()-based value compares can't see
+    that, so we check it structurally."""
+    t = t.upper()
+    if t in ("TINYINT", "UTINYINT", "SMALLINT", "USMALLINT",
+             "INTEGER", "UINTEGER", "BIGINT", "UBIGINT"):
+        # int widths hash equal under the driver (r1 evidence:
+        # ivf_ann_topk rank i32-vs-i64 passed); only int-vs-decimal bites
+        return "int"
+    if t == "HUGEINT":
+        return "dec(38,0)"
+    if t == "FLOAT":
+        return "f32"
+    if t == "DOUBLE":
+        return "f64"
+    if t.startswith("DECIMAL"):
+        return "dec" + t[len("DECIMAL"):].replace(" ", "")
+    return None
+
+
+def _canon_spark_type(dt):
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType)):
+        return "int"
+    if isinstance(dt, T.FloatType):
+        return "f32"
+    if isinstance(dt, T.DoubleType):
+        return "f64"
+    if isinstance(dt, T.DecimalType):
+        return f"dec({dt.precision},{dt.scale})"
+    return None
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -57,6 +95,14 @@ def test_oracle_parity(spark, name):
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+
+    duck_types = {r[0]: _canon_duck_type(r[1])
+                  for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    for f in sdf.schema.fields:
+        st, dt = _canon_spark_type(f.dataType), duck_types.get(f.name)
+        assert st == dt, (
+            f"{name}.{f.name}: numeric dtype mismatch spark={st} "
+            f"duck={dt} — the driver hashes typed values; align with CAST")
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
 

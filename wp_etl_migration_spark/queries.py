@@ -1504,7 +1504,10 @@ def q_json_extract(spark, sf_dir):
 
 ORACLE_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       -- DuckDB sum(BIGINT) widens to HUGEINT (int128); Spark stays LONG.
+       -- Cast back so the driver's typed hash compares equal.
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        count(*) FILTER (CAST(json_extract_string(props, '$.k') AS BIGINT)
                         >= 50) AS n_hi,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
