@@ -17,7 +17,9 @@ import sys
 import time
 
 from wp_etl_migration_spark.session import get_spark
-from wp_etl_migration_spark.queries import REGISTRY
+from wp_etl_migration_spark.queries import REGISTRY, EXTRA_REGISTRY
+
+ALL_QUERIES = {**REGISTRY, **EXTRA_REGISTRY}
 
 #: Headline subset: one per plan family (scan/agg, sort+limit, joins,
 #: window, generator, merge, iterative, dedup, LSH, ANN, text, windows).
@@ -69,7 +71,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn, _ = REGISTRY[name]
+        fn, _ = ALL_QUERIES[name]
         start = time.monotonic()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -13,8 +13,10 @@ import math
 import duckdb
 import pytest
 
-from wp_etl_migration_spark.queries import REGISTRY
+from wp_etl_migration_spark.queries import REGISTRY, EXTRA_REGISTRY
 from tests.conftest import SF_DIR
+
+ALL_QUERIES = {**REGISTRY, **EXTRA_REGISTRY}
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -80,10 +82,10 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
-@pytest.mark.parametrize("name", [n for n, (_, sql) in REGISTRY.items()
+@pytest.mark.parametrize("name", [n for n, (_, sql) in ALL_QUERIES.items()
                                   if sql is not None])
 def test_oracle_parity(spark, name):
-    fn, sql = REGISTRY[name]
+    fn, sql = ALL_QUERIES[name]
     sdf = fn(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
