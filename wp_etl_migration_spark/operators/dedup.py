@@ -32,6 +32,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_thin_input(df: DataFrame) -> DataFrame:
+    """Repartition when the scan would yield fewer tasks than cores.
+
+    Uses ``inputFiles()`` (catalog metadata — does NOT trigger the
+    RDD/plan conversion that ``df.rdd.getNumPartitions()`` forces) as the
+    task-count proxy: the testdata parquet is single-row-group, so each
+    file scans as ONE task and interpreted per-row work (shingling,
+    SimHash) serializes on one core unless spread first. The repartition
+    is a bytes-tiny narrow shuffle relative to the work it parallelizes.
+    Frames with no file lineage (in-memory relations) are left alone —
+    Spark already parallelizes those to ``defaultParallelism``.
+    """
+    sc = df.sparkSession.sparkContext
+    n_files = len(df.inputFiles())
+    if 0 < n_files < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str],
                 keep: str = "min") -> DataFrame:
     """Keep one row id per distinct content digest (min id by default)."""
@@ -57,9 +76,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if parallelize:
-        sc = df.sparkSession.sparkContext
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            df = df.repartition(sc.defaultParallelism)
+        df = spread_thin_input(df)
     with_toks = df.select(F.col(id_col), toks.alias("__toks")) \
                   .where(F.size("__toks") >= n)
     # Sliding window as arrays_zip of n shifted slices — unlike

@@ -48,10 +48,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))),
                                     r"\s+"))
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        # Single-row-group inputs otherwise shingle on one core.
-        df = df.repartition(sc.defaultParallelism)
+    from wp_etl_migration_spark.operators.dedup import spread_thin_input
+    # Single-row-group inputs otherwise tokenize on one core.
+    df = spread_thin_input(df)
     exploded = (df.select(F.col(id_col), toks.alias("__toks"))
                 .where(F.size("__toks") >= 1)
                 .select(F.col(id_col), F.explode("__toks").alias("__tok"))

@@ -827,18 +827,30 @@ toks AS (
 )"""
 
 
+#: Hot-shingle document-frequency cap for the Jaccard headline.  Shingles
+#: shared by more docs than this (stop phrases) are dropped before the
+#: inverted-index self-join — without it a handful of hot shingles makes
+#: the join fan-out quadratic at scale (operators/dedup.py docstring).
+JACCARD_MAX_DOC_FREQ = 100
+
+
 def q_ngram_jaccard_dedup(spark, sf_dir):
-    """Near-dup pairs by exact trigram-shingle Jaccard ≥ 0.8."""
+    """Near-dup pairs by exact trigram-shingle Jaccard ≥ 0.8, with the
+    hot-shingle doc-frequency cap wired in (the scale guard)."""
     d = _t(spark, sf_dir).documents()
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8,
+                               max_doc_freq=JACCARD_MAX_DOC_FREQ)
 
 
 ORACLE_JACCARD = f"""
-WITH {_DUCK_SHINGLES}, sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+WITH {_DUCK_SHINGLES}, rare AS (
+  SELECT doc_id, shingle FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {JACCARD_MAX_DOC_FREQ}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM rare GROUP BY 1
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b USING (shingle)
+  FROM rare a JOIN rare b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT id_a, id_b, common,
