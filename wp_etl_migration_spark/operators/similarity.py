@@ -42,126 +42,134 @@ def _dims(emb: DataFrame, vec_col: str) -> int:
     return first[0]["d"]
 
 
+def _grid_cogroup(emb: DataFrame, qdf: DataFrame, id_col: str,
+                  vec_col: str, grid: int | None):
+    """Block-grid cogroup for exact pairwise kernels — no driver collect.
+
+    Queries are hashed to ``grid`` row-blocks and replicated across the
+    ``grid`` corpus column-blocks (and vice versa), then cogrouped on the
+    (query-block, corpus-block) cell — the classic distributed block
+    matrix multiply. Each task sees O(N/grid · d) of each side, so the
+    kernel scales by adding cells, never by materializing the corpus on
+    the driver or in a broadcast. Shuffled volume is N·grid rows per
+    side (grid ≈ √parallelism keeps that a small constant multiplier).
+    """
+    spark = emb.sparkSession
+    if grid is None:
+        par = spark.sparkContext.defaultParallelism
+        grid = max(2, int(par ** 0.5))
+    cells = F.array(*[F.lit(i) for i in range(grid)])
+    q = (qdf.select(F.col(id_col).alias("__qid"),
+                    F.col(vec_col).cast("array<double>").alias("__qv"))
+         .withColumn("__qb", F.pmod(F.col("__qid"), F.lit(grid)))
+         .withColumn("__cb", F.explode(cells)))
+    c = (emb.select(F.col(id_col).alias("__cid"),
+                    F.col(vec_col).cast("array<double>").alias("__cv"))
+         .withColumn("__cb", F.pmod(F.col("__cid"), F.lit(grid)))
+         .withColumn("__qb", F.explode(cells)))
+    return q.groupby("__qb", "__cb").cogroup(c.groupby("__qb", "__cb"))
+
+
 def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
-                queries: DataFrame | None = None) -> DataFrame:
+                queries: DataFrame | None = None,
+                grid: int | None = None) -> DataFrame:
     """Top-k cosine neighbors for each query vector (exact).
 
     ``queries`` defaults to the corpus itself (self-join, excluding the
     identity pair). Returns (query_id, neighbor_id, rank) — rank 1 is the
     nearest. Ties break on neighbor id for determinism.
 
-    Execution: the corpus is collected into one L2-normalized float64
-    matrix, broadcast to executors, and each Arrow batch of queries is
-    scored with a BLAS matmul + argpartition inside ``mapInPandas`` —
-    ~100× the throughput of a pairwise-expression cross join. Driver/
-    executor memory bounds the corpus at roughly 10⁷ × 64 dims (5 GB);
-    beyond that, shard the corpus and merge per-shard top-k, or switch to
-    the ANN paths (``cosine_topk_lsh`` / ``ivf_topk``) which never
-    materialize a matrix.
+    Execution: block-grid cogroup (see ``_grid_cogroup``) — each grid
+    cell scores an Arrow batch of queries against one corpus block with
+    a BLAS matmul (~100× a pairwise-expression cross join) and keeps a
+    per-cell top-(k+margin); a window merge then ranks the per-cell
+    candidates globally. Nothing corpus-sized ever reaches the driver or
+    a broadcast, so the same plan runs at 100 TB by raising ``grid``.
     """
     import numpy as np
     import pandas as pd
 
     qdf = queries if queries is not None else emb
 
-    rows = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")
-                       .alias("v")).collect())
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    # Corpus sorted by id so argpartition tie-breaks resolve to the
-    # smallest neighbor id deterministically via stable lexsort below.
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qids = qpdf["__qid"].to_numpy()
+        cids = cpdf["__cid"].to_numpy()
+        qm = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        cm = np.array(list(cpdf["__cv"]), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T                            # (q-block, c-block)
+        # The global (sim desc, id) window does the exact ranking; the
+        # cell only must not drop a potential global top-k row. +1 slot
+        # absorbs the identity pair, a few more cover boundary float
+        # ties within the cell.
+        kk = min(k + 4, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        cand_ids = cids[part]                       # (q-block, kk)
+        cand_sims = np.take_along_axis(sims, part, axis=1)
+        keep = cand_ids != qids[:, None]            # drop identity pair
+        return pd.DataFrame({
+            "query_id": np.repeat(qids, keep.sum(axis=1)),
+            "neighbor_id": cand_ids[keep],
+            "sim": cand_sims[keep]})
 
-    def gen(batches):
-        cids, cmat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf["__qv"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ cmat.T                        # (batch, corpus)
-            qids = pdf["__qid"].to_numpy()
-            # k+1 slots absorb the identity pair; a safety margin keeps
-            # boundary ties from escaping the partition before the exact
-            # lexsort (sim desc, id asc) below decides them.
-            kk = min(k + 16, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            out_q, out_n, out_r = [], [], []
-            for row, qid in enumerate(qids):
-                cand = part[row]
-                cand = cand[np.lexsort((cids[cand], -sims[row, cand]))]
-                cand = cand[cids[cand] != qid][:k]
-                out_q.extend([qid] * len(cand))
-                out_n.extend(cids[cand])
-                out_r.extend(range(1, len(cand) + 1))
-            yield pd.DataFrame({"query_id": out_q,
-                                "neighbor_id": out_n,
-                                "rank": np.array(out_r, dtype=np.int32)})
-
-    src = qdf.select(F.col(id_col).alias("__qid"),
-                     F.col(vec_col).cast("array<double>").alias("__qv"))
-    return src.mapInPandas(
-        gen, schema="query_id long, neighbor_id long, rank int")
+    cand = _grid_cogroup(emb, qdf, id_col, vec_col, grid).applyInPandas(
+        cell, schema="query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               F.asc("neighbor_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
 
 
 def embedding_near_dup(emb: DataFrame, id_col: str, vec_col: str,
                        threshold: float = 0.95,
-                       dims: int | None = None) -> DataFrame:
+                       dims: int | None = None,
+                       grid: int | None = None) -> DataFrame:
     """Near-duplicate vector pairs by cosine ≥ threshold (id_a < id_b).
 
-    Brute-force O(N²) kernel — the correctness baseline; at corpus scale
-    wrap the same similarity expression inside ``cosine_topk_lsh``-style
-    hyperplane buckets so only bucket-local pairs are scored. Returns
-    (id_a, id_b, cos_sim). The dot product is an unrolled left-to-right
-    chain (see module docstring) so the float value is bit-deterministic.
+    Exact all-pairs kernel. Returns (id_a, id_b, cos_sim). The dot
+    product is an unrolled left-to-right chain (see module docstring) so
+    the float value is bit-deterministic.
+
+    Stage 1 — candidate generation: block-grid cogroup (see
+    ``_grid_cogroup``), one BLAS matmul per cell, keeping pairs within a
+    safety margin of the threshold; each unordered pair lands in exactly
+    one cell so no dedup pass is needed. Stage 2 — exact rescoring
+    JVM-side with the unrolled chain, so the emitted cos_sim is
+    bit-identical to the naive definition (numpy's SIMD summation order
+    only affects candidate *selection*, covered by the margin). Nothing
+    corpus-sized reaches the driver or a broadcast; the rescore joins
+    shuffle on the (tiny) candidate set and AQE broadcasts when small.
     """
     import numpy as np
     import pandas as pd
 
     if dims is None:
         dims = _dims(emb, vec_col)
-
-    # Stage 1 — candidate generation (BLAS): score each Arrow batch
-    # against the broadcast corpus matrix and keep pairs within a safety
-    # margin of the threshold. Stage 2 — exact rescoring JVM-side with
-    # the unrolled left-to-right chain, so the emitted cos_sim is
-    # bit-identical to the naive definition (numpy's SIMD summation
-    # order only affects candidate *selection*, covered by the margin).
-    rows = (emb.select(F.col(id_col), F.col(vec_col).cast("array<double>")
-                       .alias("v")).collect())
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     margin = 1e-9
 
-    def gen(batches):
-        cids, cmat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.array(list(pdf["__qv"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ cmat.T
-            qids = pdf["__qid"].to_numpy()
-            out_a, out_b = [], []
-            for row, qid in enumerate(qids):
-                hits = cids[(sims[row] >= threshold - margin)
-                            & (cids > qid)]
-                out_a.extend([qid] * len(hits))
-                out_b.extend(hits)
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        qids = qpdf["__qid"].to_numpy()
+        cids = cpdf["__cid"].to_numpy()
+        qm = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        cm = np.array(list(cpdf["__cv"]), dtype=np.float64)
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+        sims = qm @ cm.T
+        hit = (sims >= threshold - margin) & (cids[None, :] > qids[:, None])
+        rows, cols = np.nonzero(hit)
+        return pd.DataFrame({"id_a": qids[rows], "id_b": cids[cols]})
 
-    src = emb.select(F.col(id_col).alias("__qid"),
-                     F.col(vec_col).cast("array<double>").alias("__qv"))
-    cand = src.mapInPandas(gen, schema="id_a long, id_b long")
+    cand = _grid_cogroup(emb, emb, id_col, vec_col, grid).applyInPandas(
+        cell, schema="id_a long, id_b long")
 
     v = emb.select(F.col(id_col),
                    F.col(vec_col).cast("array<double>").alias("__v"))
@@ -170,14 +178,12 @@ def embedding_near_dup(emb: DataFrame, id_col: str, vec_col: str,
     sim = (unrolled_dot(F.col("__va"), F.col("__vb"), dims)
            / (F.col("__na") * F.col("__nb")))
     return (cand
-            .join(F.broadcast(vn.select(F.col(id_col).alias("id_a"),
-                                        F.col("__v").alias("__va"),
-                                        F.col("__n").alias("__na"))),
-                  on="id_a")
-            .join(F.broadcast(vn.select(F.col(id_col).alias("id_b"),
-                                        F.col("__v").alias("__vb"),
-                                        F.col("__n").alias("__nb"))),
-                  on="id_b")
+            .join(vn.select(F.col(id_col).alias("id_a"),
+                            F.col("__v").alias("__va"),
+                            F.col("__n").alias("__na")), on="id_a")
+            .join(vn.select(F.col(id_col).alias("id_b"),
+                            F.col("__v").alias("__vb"),
+                            F.col("__n").alias("__nb")), on="id_b")
             .withColumn("cos_sim", sim)
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
