@@ -474,7 +474,9 @@ FROM orders
 def q_media_dedupe_lookup(spark, sf_dir):
     """J7 media dedupe probe: attachment match by filename variants
     (base, base-1, base-2 before the extension) — the anti-join side of
-    the media stage (≙ WPMediaLoader.php:354-426)."""
+    the media stage (≙ WPMediaLoader.php:354-426). The reference probes
+    variants IN ORDER and returns the first hit, so ranking is by
+    (variant index, att_id), not a global min over all variants."""
     from wp_etl_migration_spark.sinks.wordpress import filename_variants
     from wp_etl_migration_spark.functions.text import to_slug
     p = _t(spark, sf_dir).part()
@@ -487,11 +489,14 @@ def q_media_dedupe_lookup(spark, sf_dir):
                              F.when(F.col("p_partkey") % 2 == 0,
                                     F.lit("-1")).otherwise(F.lit("")),
                              F.lit(".jpg")).alias("file")))
-    probes = incoming.withColumn(
-        "variant", F.explode(filename_variants(F.col("fname"))))
+    probes = incoming.select(
+        "p_partkey",
+        F.posexplode(filename_variants(F.col("fname")))
+        .alias("vidx", "variant"))
     hits = (probes.join(atts, probes.variant == atts.file)
             .groupBy("p_partkey")
-            .agg(F.min("att_id").alias("att_id")))
+            .agg(F.min(F.struct("vidx", "att_id")).alias("m"))
+            .select("p_partkey", F.col("m.att_id").alias("att_id")))
     return (incoming.join(hits, "p_partkey", "left")
             .select("p_partkey", "fname", "att_id"))
 
@@ -510,17 +515,20 @@ WITH slugged AS (
       AS file
   FROM slugged WHERE p_partkey % 7 = 0
 ), probes AS (
-  SELECT p_partkey, fname, unnest([
-    fname,
-    regexp_replace(fname, '\\.[^.]+$', '') || '-1'
-      || regexp_extract(fname, '(\\.[^.]+)$', 1),
-    regexp_replace(fname, '\\.[^.]+$', '') || '-2'
-      || regexp_extract(fname, '(\\.[^.]+)$', 1)]) AS variant
-  FROM incoming
-), hits AS (
-  SELECT p.p_partkey, min(a.att_id) AS att_id
+  SELECT p_partkey, 0 AS vidx, fname AS variant FROM incoming
+  UNION ALL
+  SELECT p_partkey, 1, regexp_replace(fname, '\\.[^.]+$', '') || '-1'
+    || regexp_extract(fname, '(\\.[^.]+)$', 1) FROM incoming
+  UNION ALL
+  SELECT p_partkey, 2, regexp_replace(fname, '\\.[^.]+$', '') || '-2'
+    || regexp_extract(fname, '(\\.[^.]+)$', 1) FROM incoming
+), ranked AS (
+  SELECT p.p_partkey, a.att_id,
+    row_number() OVER (PARTITION BY p.p_partkey
+                       ORDER BY p.vidx, a.att_id) AS rn
   FROM probes p JOIN atts a ON p.variant = a.file
-  GROUP BY 1
+), hits AS (
+  SELECT p_partkey, att_id FROM ranked WHERE rn = 1
 )
 SELECT i.p_partkey, i.fname, h.att_id
 FROM incoming i LEFT JOIN hits h ON i.p_partkey = h.p_partkey

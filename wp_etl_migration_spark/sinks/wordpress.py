@@ -89,6 +89,12 @@ def assign_new_ids(rows: DataFrame, id_col: str, start: int,
     ordered = (rows.repartitionByRange(*cols)
                .sortWithinPartitions(*cols)
                .withColumn("__pid", F.spark_partition_id()))
+    # Pin ONE materialization: the counts job below and the returned
+    # frame must read identical partitions — if the upstream plan is
+    # nondeterministic (uuid() columns, AQE re-planning, non-unique
+    # order keys) a re-execution could move rows across the sampled
+    # range boundaries and duplicate/skip IDs.
+    ordered = ordered.localCheckpoint(eager=True)
     counts = dict(ordered.groupBy("__pid").count()
                   .select("__pid", "count").collect())
     offsets, acc = {}, 0
@@ -104,6 +110,26 @@ def assign_new_ids(rows: DataFrame, id_col: str, start: int,
         id_col,
         (F.lit(start - 1) + off + F.row_number().over(w)).cast("long"))
         .drop("__pid"))
+
+
+def _one_row_per_key(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Collapse duplicate-key rows to ONE deterministic winner.
+
+    The reference's row-at-a-time loaders apply updates sequentially, so
+    a table ends with a single row per key no matter how many incoming
+    rows resolve to it (WPPostLoader/WPUserLoader update path); a plain
+    inner join would instead emit one updated row per duplicate. Spark
+    frames carry no input order, so the winner is picked by a
+    deterministic total order over the non-key columns (struct compare,
+    descending) — stable across retries and partitionings.
+    """
+    others = [c for c in df.columns if c not in key_cols]
+    if not others:
+        return df.dropDuplicates(list(key_cols))
+    w = (Window.partitionBy(*[_bt(c) for c in key_cols])
+         .orderBy(F.struct(*[_bt(c) for c in others]).desc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
 
 
 def post_upsert_stage(incoming_key: str = "incoming",
@@ -145,6 +171,7 @@ def post_upsert_stage(incoming_key: str = "incoming",
         post_cols = [c for c in enriched.columns if c.startswith("post.")]
         src = enriched.select(
             *[_bt(c).alias(c[len("post."):]) for c in post_cols])
+        src = _one_row_per_key(src, [id_col])
         upd = (update_cols if update_cols is not None
                else [c for c in src.columns
                      if c in posts.columns and c != id_col])
@@ -185,6 +212,10 @@ def meta_stage(incoming_key: str = "incoming",
                    .select("post_id", "meta_key", "meta_value")
         upds = long.where(F.col("mode") == "update") \
                    .select("post_id", "meta_key", "meta_value")
+        # ``update`` converges to ONE row per (post_id, meta_key) — the
+        # reference's update_post_meta overwrites in place, so N incoming
+        # duplicates end as a single row, not N appended rows.
+        upds = _one_row_per_key(upds, ["post_id", "meta_key"])
         survivors = meta.join(upds.select("post_id", "meta_key"),
                               on=["post_id", "meta_key"], how="left_anti")
         return {**state,
@@ -261,6 +292,7 @@ def user_upsert_stage(incoming_key: str = "incoming",
         user_cols = [c for c in enriched.columns if c.startswith("user.")]
         src = enriched.select(
             *[_bt(c).alias(c[len("user."):]) for c in user_cols])
+        src = _one_row_per_key(src, [id_col])
         # user_login is immutable on update (wp_update_user ignores it) —
         # it only applies to inserts.
         upd = [c for c in src.columns
@@ -424,15 +456,22 @@ def media_stage(incoming_key: str = "incoming",
         fname = F.regexp_extract(
             F.substring_index(_bt(url_col), "?", 1), r"([^/]+)$", 1)
         probe = incoming.withColumn("__fname", fname)
-        # Existing match: any filename variant equals an attachment file.
+        # Existing match: first filename variant (probe order: base,
+        # base-1, base-2 …) that equals an attachment file wins — the
+        # reference checks variants sequentially and returns the first
+        # hit (WPMediaLoader.php:354-380), so rank by variant index
+        # before attachment id, not a global min over all variants.
         cand = (probe.select("__fname")
                 .distinct()
-                .withColumn("__variant",
-                            F.explode(filename_variants(F.col("__fname")))))
+                .select("__fname",
+                        F.posexplode(filename_variants(F.col("__fname")))
+                        .alias("__vidx", "__variant")))
         hit = (cand.join(atts.select(F.col(file_col).alias("__variant"),
                                      F.col(att_id_col).alias("__att_id")),
                          on="__variant")
-               .groupBy("__fname").agg(F.min("__att_id").alias("__att_id")))
+               .groupBy("__fname")
+               .agg(F.min(F.struct("__vidx", "__att_id")).alias("__m"))
+               .select("__fname", F.col("__m.__att_id").alias("__att_id")))
         probe = probe.join(hit, on="__fname", how="left")
 
         max_id = atts.agg(F.max(att_id_col)).first()[0] or 0
