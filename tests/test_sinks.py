@@ -208,6 +208,66 @@ def test_media_stage_dedupe_and_substitution(spark):
     assert body["http://cdn/x/hero.jpg?v=2"] == "see 10"
 
 
+def test_sideload_media_download_skip_fail(spark, tmp_path):
+    """≙ WPMediaLoader.php:433-503: new media bytes are fetched with
+    retry; re-runs are idempotent (finished files skip); failures are
+    reported per-row, not raised."""
+    from wp_etl_migration_spark.sinks.media import sideload_media
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jpg").write_bytes(b"AAAA")
+    (src / "b.png").write_bytes(b"BB")
+    dest = str(tmp_path / "media")
+    new_media = spark.createDataFrame(
+        [(21, f"file://{src}/a.jpg"),
+         (22, f"file://{src}/b.png?v=3"),
+         (23, f"file://{src}/missing.gif")],
+        ["att_id", "url"])
+    out = sideload_media(new_media, dest, max_retries=2, backoff_s=0.01)
+    got = {r.att_id: r for r in out.collect()}
+    assert got[21].status == "downloaded" and got[21].bytes == 4
+    assert got[22].status == "downloaded" and got[22].file == "b.png"
+    assert got[23].status == "failed" and got[23].attempts == 2
+    assert "missing" in got[23].error or "Error" in got[23].error
+    assert open(got[21].path, "rb").read() == b"AAAA"
+    assert not os.path.exists(os.path.join(dest, "23-missing.gif"))
+    # Idempotent re-run: finished files are skipped, bytes unchanged.
+    again = {r.att_id: r for r in
+             sideload_media(new_media, dest, max_retries=1,
+                            backoff_s=0.01).collect()}
+    assert again[21].status == "skipped" and again[21].bytes == 4
+    assert again[22].status == "skipped"
+    assert again[23].status == "failed"
+
+
+def test_media_stage_downloads_only_new(spark, tmp_path):
+    """download_dir wiring: only anti-join survivors (genuinely new
+    media) reach the writer — existing attachments never refetch."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "hero.jpg").write_bytes(b"OLD")
+    (src / "new.gif").write_bytes(b"NEWBYTES")
+    dest = str(tmp_path / "media")
+    atts = spark.createDataFrame([(10, "hero.jpg")], ["ID", "file"])
+    incoming = spark.createDataFrame(
+        [(f"file://{src}/hero.jpg",), (f"file://{src}/new.gif",)],
+        ["media.featured.url"])
+    out = run_stages({"incoming": incoming, "attachments": atts},
+                     [media_stage(download_dir=dest)])
+    dls = out["media_downloads"].collect()
+    assert [(r.att_id, r.file, r.status, r.bytes) for r in dls] == [
+        (11, "new.gif", "downloaded", 8)]
+    assert open(dls[0].path, "rb").read() == b"NEWBYTES"
+
+
+def test_media_filename_fallback():
+    from wp_etl_migration_spark.sinks.media import media_filename
+    assert media_filename("http://cdn/x/My Pic (1).jpg?v=2") == "My-Pic-1-.jpg"
+    assert media_filename("http://cdn/a/b.png") == "b.png"
+    fb = media_filename("http://cdn/dir/")
+    assert fb.startswith("sideloaded-file-") and len(fb) > len("sideloaded-file-")
+
+
 # ------------------------------------------------- full WP_Post_All chain
 
 def test_wp_post_all_chain(spark):

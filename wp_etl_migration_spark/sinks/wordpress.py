@@ -441,14 +441,21 @@ def media_stage(incoming_key: str = "incoming",
                 url_col: str = "media.featured.url",
                 file_col: str = "file",
                 att_id_col: str = "ID",
-                subst_cols: Sequence[str] = ()) -> Stage:
+                subst_cols: Sequence[str] = (),
+                download_dir: str | None = None,
+                downloads_key: str = "media_downloads",
+                fetcher=None) -> Stage:
     """L10/L11/J7: dedupe against existing attachments by filename
-    variants, mint IDs for genuinely new media, enrich the stream with
-    ``media.featured.attachment_id``, then substitute ``%%…%%`` tokens.
+    variants, mint IDs for genuinely new media, download the new bytes,
+    enrich the stream with ``media.featured.attachment_id``, then
+    substitute ``%%…%%`` tokens.
 
-    The actual byte download is out of band (HTTP inside
-    ``foreachPartition`` in production; see SURVEY §7.4 risk 6) — this
-    stage is the dataflow: anti-join dedupe + ID feedback.
+    With ``download_dir`` set, genuinely-new media (the anti-join
+    survivors only — existing attachments never refetch, matching the
+    reference's probe-before-sideload order) are downloaded via
+    ``sinks.media.sideload_media`` (≙ WPMediaLoader.php:433-503:
+    ``download_url`` + ``media_handle_sideload``); the per-row status
+    frame lands in ``state[downloads_key]`` for quarantine/retry.
     """
 
     def stage(state: State) -> State:
@@ -505,8 +512,21 @@ def media_stage(incoming_key: str = "incoming",
         filled = new_atts.select(
             *[F.col(c) if c in new_atts.columns else F.lit(None).alias(c)
               for c in atts.columns])
-        return {**state,
-                incoming_key: enriched,
-                attachments_key: atts.unionByName(filled)}
+        out = {**state,
+               incoming_key: enriched,
+               attachments_key: atts.unionByName(filled)}
+        if download_dir is not None:
+            from wp_etl_migration_spark.sinks.media import sideload_media
+            # One URL per new filename (min = deterministic pick when
+            # several source URLs share a basename, like the reference's
+            # first-seen-wins upload).
+            urls = (incoming.select(
+                        fname.alias("__fname"), _bt(url_col).alias("__url"))
+                    .groupBy("__fname").agg(F.min("__url").alias("__url")))
+            out[downloads_key] = sideload_media(
+                news.join(urls, on="__fname"),
+                download_dir, url_col="__url", id_col="__new_id",
+                fetcher=fetcher)
+        return out
 
     return stage
