@@ -3,9 +3,11 @@
 Design: image/audio/video payloads travel as opaque ``binary`` columns
 with a typed metadata struct next to them. All *plumbing* — schema,
 partitioning, Arrow batch shapes, mapInPandas signatures — is real and
-tested; the actual media decode is stubbed (codec libraries are not in
-this environment) behind ``decode_media``, which raises
-``NotImplementedError`` unless a decoder callable is injected.
+tested. ``decode_media`` ships with a dependency-free default decoder
+that struct-parses BMP (width/height/bpp) and WAV (channels/rate/
+samples/duration) headers; richer codecs (PIL/ffmpeg/torchaudio, not in
+this environment) slot in through the same ``decoder(bytes) -> dict``
+injection point without touching the Spark plumbing.
 
 Scale notes:
 - payloads stay columnar (parquet binary) end-to-end; nothing is ever
@@ -25,6 +27,7 @@ moves bytes via HTTP but never processes them).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -84,27 +87,140 @@ def extract_features(df: DataFrame, id_col: str = "doc_id",
     return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+#: Unified decode output: image fields null for audio rows and vice
+#: versa (the reader prunes what it doesn't select).
+DECODED_SCHEMA = StructType([
+    StructField("format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("channels", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("bits_per_sample", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", LongType()),
+])
+
+
+def encode_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal BITMAPINFOHEADER BMP with zeroed pixel rows (4-byte
+    row padding per the format)."""
+    row = (width * (bpp // 8) + 3) // 4 * 4
+    img = row * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                       0, img, 2835, 2835, 0, 0)
+    return header + info + b"\x00" * img
+
+
+def decode_bmp(data: bytes) -> dict:
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp, = struct.unpack_from("<H", data, 28)
+    # negative height = top-down row order; dimensions are magnitude
+    return {"format": "bmp", "width": width, "height": abs(height),
+            "bits_per_sample": bpp}
+
+
+def encode_wav(channels: int, sample_rate: int, n_samples: int,
+               bits: int = 16) -> bytes:
+    """Minimal PCM RIFF/WAVE with a zeroed data chunk."""
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    return (b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(data: bytes) -> dict:
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", data, pos)
+        elif cid == b"data":
+            data_size = size
+        pos += size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, rate, bits = fmt[1], fmt[2], fmt[5]
+    block = max(1, channels * bits // 8)
+    n = data_size // block
+    return {"format": "wav", "channels": channels, "sample_rate": rate,
+            "bits_per_sample": bits, "n_samples": n,
+            "duration_ms": n * 1000 // rate if rate else None}
+
+
+def default_decoder(data: bytes) -> dict:
+    """Magic-byte dispatch over the built-in header parsers; unknown or
+    corrupt payloads degrade to ``format='unknown'`` (quarantine row)
+    instead of failing the task."""
+    try:
+        if data[:2] == b"BM":
+            return decode_bmp(data)
+        if data[:4] == b"RIFF":
+            return decode_wav(data)
+    except (ValueError, struct.error):
+        pass
+    return {"format": "unknown"}
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload",
                  decoder: Callable[[bytes], dict] | None = None,
-                 schema: StructType | None = None) -> DataFrame:
-    """Decode binary payloads with an injected decoder (STUB).
+                 schema: StructType | None = None,
+                 id_col: str | None = None) -> DataFrame:
+    """Decode binary payloads executor-side (Arrow-batched).
 
-    The real decode (PIL/ffmpeg/torchaudio) is not available in this
-    environment; callers must inject ``decoder(payload_bytes) -> dict``
-    matching ``schema``. Without one this raises — by design, per the
-    multimodal scope: plumbing is real, codec work is stubbed.
+    Defaults to the dependency-free header decoder (BMP/WAV →
+    DECODED_SCHEMA). Inject ``decoder(payload_bytes) -> dict`` +
+    ``schema`` for richer codecs; ``id_col`` is carried through so the
+    result joins back without re-reading payload bytes.
     """
-    if decoder is None or schema is None:
-        raise NotImplementedError(
-            "media decoding requires an injected decoder + schema "
-            "(codec libraries are not available in this environment)")
-
+    decoder = decoder or default_decoder
+    schema = schema or DECODED_SCHEMA
     fields = [f.name for f in schema.fields]
+    out_schema = schema
+    if id_col is not None:
+        out_schema = StructType(
+            [df.schema[id_col]] + list(schema.fields))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [decoder(bytes(p)) for p in pdf[payload_col]]
-            yield pd.DataFrame({f: [r.get(f) for r in rows]
-                                for f in fields})
+            out = {f: [r.get(f) for r in rows] for f in fields}
+            if id_col is not None:
+                out = {id_col: pdf[id_col], **out}
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(gen, schema=schema)
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-row media payloads for round-trip checks: even
+    ids get a BMP (width = id%64+1, height = (id//2)%64+1), odd ids a
+    16-bit PCM WAV (channels = 1+(id//2)%2, rate = 8000*(1+id%4),
+    samples = 100+id%50). The decode of these payloads is analytically
+    known, which is what makes ``decode_media`` oracle-checkable."""
+    schema = StructType([df.schema[id_col],
+                         StructField("payload", BinaryType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(encode_bmp(i % 64 + 1,
+                                               (i // 2) % 64 + 1))
+                else:
+                    payloads.append(encode_wav(1 + (i // 2) % 2,
+                                               8000 * (1 + i % 4),
+                                               100 + i % 50))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)

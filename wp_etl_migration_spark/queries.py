@@ -41,7 +41,7 @@ from wp_etl_migration_spark.operators.similarity import (
 from wp_etl_migration_spark.operators.simhash import (
     HEX, simhash_signatures, simhash_near_dup)
 from wp_etl_migration_spark.operators.multimodal import (
-    attach_binary, extract_features)
+    attach_binary, decode_media, extract_features, synthesize_media)
 from wp_etl_migration_spark.operators import textstats as ts
 
 
@@ -1361,6 +1361,38 @@ FROM documents
 """
 
 
+def q_media_decode(spark, sf_dir):
+    """Real (dependency-free) media decode round-trip: deterministic
+    BMP/WAV payloads built per document id, then header-parsed back by
+    ``decode_media``'s default decoder. The oracle states the
+    analytically-known encode parameters, so any drift in either the
+    encoder or the decoder breaks parity."""
+    d = _t(spark, sf_dir).documents()
+    payloads = synthesize_media(d.select("doc_id"))
+    return decode_media(payloads, id_col="doc_id")
+
+
+ORACLE_MEDIA_DECODE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+  CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 64 + 1 AS BIGINT) END
+    AS width,
+  CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id // 2) % 64 + 1 AS BIGINT) END
+    AS height,
+  CASE WHEN doc_id % 2 = 1 THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT) END
+    AS channels,
+  CASE WHEN doc_id % 2 = 1 THEN CAST(8000 * (1 + doc_id % 4) AS BIGINT) END
+    AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS BIGINT)
+    AS bits_per_sample,
+  CASE WHEN doc_id % 2 = 1 THEN CAST(100 + doc_id % 50 AS BIGINT) END
+    AS n_samples,
+  CASE WHEN doc_id % 2 = 1 THEN CAST((100 + doc_id % 50) * 1000
+    // (8000 * (1 + doc_id % 4)) AS BIGINT) END AS duration_ms
+FROM documents
+"""
+
+
 def q_bpe_token_stats(spark, sf_dir):
     """BPE-ish regex pre-tokenizer count vs whitespace word count."""
     d = _t(spark, sf_dir).documents()
@@ -1783,7 +1815,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
                                ORACLE_EMB_LSH_NEAR_DUP),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
-    "cube_agg": (q_cube_agg, ORACLE_CUBE),
+    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
     "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
@@ -1814,6 +1846,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
 EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                 str | None]] = {
     "slugify": (q_slugify, ORACLE_SLUG),
+    # cube_agg's grouping-set family stays driver-gated via
+    # rollup_status + grouping_sets; media_decode took its slot.
+    "cube_agg": (q_cube_agg, ORACLE_CUBE),
     "split_trim": (q_split_trim, ORACLE_SPLIT),
     "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
