@@ -17,8 +17,25 @@ explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+def _checkpoint_with_probe(df: DataFrame) -> tuple[DataFrame, int, int]:
+    """Materialize one round's link table AND read its convergence
+    metrics (unresolved count, total jump distance) from the same job:
+    the Observation node is measured while the eager localCheckpoint
+    scans the plan, so each round costs exactly one action instead of
+    checkpoint + a separate driver-side agg."""
+    obs = Observation()
+    out = (df.observe(
+        obs,
+        F.count(F.when(~F.col("__done"), 1)).alias("n"),
+        F.coalesce(F.sum(F.when(~F.col("__done"), F.col("__dist"))),
+                   F.lit(0)).alias("s"))
+        .localCheckpoint(eager=True))
+    m = obs.get
+    return out, m["n"], m["s"]
 
 
 def resolve_paths(df: DataFrame, id_col: str, parent_col: str,
@@ -34,18 +51,15 @@ def resolve_paths(df: DataFrame, id_col: str, parent_col: str,
                       F.col(parent_col).alias("__parent"))
     # Link state: __anc is an ancestor exactly __dist edges up; __done
     # once __anc is a root (then __dist is the node's depth).
-    state = nodes.select(
+    state, n, s = _checkpoint_with_probe(nodes.select(
         "__id",
         F.coalesce("__parent", "__id").alias("__anc"),
         F.when(F.col("__parent").isNull(), 0).otherwise(1).alias("__dist"),
         F.col("__parent").isNull().alias("__done"),
-    ).localCheckpoint(eager=True)
+    ))
 
     prev = (-1, -1)
     for _ in range(max_rounds):
-        n, s = (state.where(~F.col("__done"))
-                .agg(F.count("*"), F.coalesce(F.sum("__dist"), F.lit(0)))
-                .first())
         if n == 0 or (n, s) == prev:
             # Fully resolved, or only dangling chains remain (count and
             # total distance both frozen — cyclic rows keep growing
@@ -53,20 +67,20 @@ def resolve_paths(df: DataFrame, id_col: str, parent_col: str,
             break
         prev = (n, s)
         a, b = state.alias("a"), state.alias("b")
-        state = (a.join(b, F.col("a.__anc") == F.col("b.__id"), "left")
-                 .select(
-                     F.col("a.__id").alias("__id"),
-                     F.when(F.col("a.__done") | F.col("b.__id").isNull(),
-                            F.col("a.__anc"))
-                     .otherwise(F.col("b.__anc")).alias("__anc"),
-                     F.when(F.col("a.__done") | F.col("b.__id").isNull(),
-                            F.col("a.__dist"))
-                     .otherwise(F.col("a.__dist") + F.col("b.__dist"))
-                     .alias("__dist"),
-                     (F.col("a.__done")
-                      | F.coalesce(F.col("b.__done"), F.lit(False)))
-                     .alias("__done"))
-                 .localCheckpoint(eager=True))
+        state, n, s = _checkpoint_with_probe(
+            a.join(b, F.col("a.__anc") == F.col("b.__id"), "left")
+            .select(
+                F.col("a.__id").alias("__id"),
+                F.when(F.col("a.__done") | F.col("b.__id").isNull(),
+                       F.col("a.__anc"))
+                .otherwise(F.col("b.__anc")).alias("__anc"),
+                F.when(F.col("a.__done") | F.col("b.__id").isNull(),
+                       F.col("a.__dist"))
+                .otherwise(F.col("a.__dist") + F.col("b.__dist"))
+                .alias("__dist"),
+                (F.col("a.__done")
+                 | F.coalesce(F.col("b.__done"), F.lit(False)))
+                .alias("__done")))
 
     return state.select(
         F.col("__id").alias(id_col),
