@@ -78,13 +78,31 @@ def main() -> int:
         timings[name] = round(time.monotonic() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
-    }))
+    }
+
+    # Per-query regression report vs the committed quiet-machine baseline
+    # (min of two runs; see BASELINE.md). Ratios only apply at the
+    # baseline's own scale factor.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_queries.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if os.path.normpath(sf_dir) == os.path.normpath(base["sf"]):
+            out["vs_baseline"] = round(total / base["total"], 3)
+            out["regressions"] = {
+                name: round(t / base["queries"][name], 2)
+                for name, t in timings.items()
+                if name in base["queries"]
+                and t > 2.0 * base["queries"][name]}
+
+    print(json.dumps(out))
     return 0
 
 
