@@ -131,25 +131,52 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                       "jaccard")
 
 
+#: Universal-hash family constants: h_s(w) = (A[s]·w + B[s]) mod P over
+#: a 32-bit word of the shingle's md5. P is the first prime above 2^32;
+#: A[s] < 2^28 keeps every product below 2^60 — exact in BIGINT on any
+#: engine (DuckDB raises on 64-bit overflow rather than wrapping, so the
+#: bound is what makes the oracle portable).
+MINHASH_P = 4294967311
+MINHASH_A = [3, 1299721, 15485863, 32452843, 49979687, 67867967,
+             86028121, 104395301, 122949823, 141650939, 160481183,
+             179424673, 198491317, 217645177, 236887691, 256203161]
+MINHASH_B = [7, 104729, 1299709, 2750159, 4256233, 5800079, 7368787,
+             8960453, 10570841, 12195257, 13834103, 15485863, 17144377,
+             18815231, 20495843, 22182343]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 16,
                        _shingles: DataFrame | None = None) -> DataFrame:
     """MinHash signature rows: (id, seed ∈ [0,num_hashes), minhash).
 
-    minhash(seed) = min over shingles of md5(shingle ∥ '#' ∥ seed) — an
-    engine-portable hash family (per-seed suffix ≙ independent hash
-    functions). Long format keeps the plan columnar and lets the band
-    grouping be a plain aggregation.
+    ONE md5 per shingle, split into four independent 32-bit words; hash
+    ``s`` is the universal family (A[s]·w(s mod 4) + B[s]) mod P over
+    the matching word. Compared with hashing the shingle ``num_hashes``
+    times, the per-row cost drops from 16 string digests to 1 digest +
+    16 integer mul-adds — at corpus scale the md5 CPU dominates the
+    signature pass, so this is the difference between one pass and
+    effectively sixteen. Long output keeps the plan columnar and lets
+    the band grouping be a plain aggregation.
     """
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes bounded at {len(MINHASH_A)}")
     sh = _shingles if _shingles is not None \
         else shingles(df, id_col, text_col, n)
+    # Explicit projections (digest, then words) so the md5 and the hex
+    # parses are computed once per row, not re-derived per aggregate.
+    dg = sh.select(F.col(id_col), F.md5("shingle").alias("__dg"))
+    words = dg.select(
+        F.col(id_col),
+        *[F.conv(F.substring("__dg", 1 + 8 * i, 8), 16, 10).cast("long")
+          .alias(f"__w{i}") for i in range(4)])
     # One wide aggregation (num_hashes MIN columns, map-side partial) then
     # stack to long — shuffles one row per doc instead of exploding
     # num_hashes× rows through the groupBy.
-    aggs = [F.min(F.md5(F.concat_ws("#", F.col("shingle"),
-                                    F.lit(str(s))))).alias(f"__m{s}")
-            for s in range(num_hashes)]
-    wide = sh.groupBy(id_col).agg(*aggs)
+    aggs = [F.min((F.lit(MINHASH_A[s]) * F.col(f"__w{s % 4}")
+                   + F.lit(MINHASH_B[s])) % F.lit(MINHASH_P))
+            .alias(f"__m{s}") for s in range(num_hashes)]
+    wide = words.groupBy(id_col).agg(*aggs)
     pairs = ", ".join(f"{s}, __m{s}" for s in range(num_hashes))
     return wide.select(
         F.col(id_col),

@@ -34,7 +34,8 @@ from wp_etl_migration_spark.operators.merge import (
     merge_upsert, cascaded_lookup)
 from wp_etl_migration_spark.operators.hierarchy import resolve_paths
 from wp_etl_migration_spark.operators.dedup import (
-    exact_dedup, ngram_jaccard_pairs, minhash_signatures, minhash_lsh_pairs)
+    MINHASH_A, MINHASH_B, MINHASH_P, exact_dedup, ngram_jaccard_pairs,
+    minhash_signatures, minhash_lsh_pairs)
 from wp_etl_migration_spark.operators.similarity import (
     cosine_topk, cosine_topk_lsh, embedding_near_dup,
     embedding_near_dup_lsh, ivf_topk)
@@ -835,6 +836,27 @@ toks AS (
 )"""
 
 
+#: DuckDB mirror of operators.dedup.minhash_signatures' universal-hash
+#: family: one md5 per shingle split into four 32-bit words, then
+#: h_s = (A[s]·w[s mod 4] + B[s]) mod P (1-based list indexing in SQL).
+_A_SQL = "[" + ", ".join(map(str, MINHASH_A)) + "]"
+_B_SQL = "[" + ", ".join(map(str, MINHASH_B)) + "]"
+_DUCK_MINHASH_SIG = f"""mw AS (
+  SELECT doc_id,
+    [('0x' || substr(md5(shingle), 1, 8))::BIGINT,
+     ('0x' || substr(md5(shingle), 9, 8))::BIGINT,
+     ('0x' || substr(md5(shingle), 17, 8))::BIGINT,
+     ('0x' || substr(md5(shingle), 25, 8))::BIGINT] AS w
+  FROM sh
+), sig AS (
+  SELECT doc_id, seed,
+    min(({_A_SQL}[seed + 1] * w[(seed % 4) + 1]
+         + {_B_SQL}[seed + 1]) % {MINHASH_P}) AS minhash
+  FROM mw, UNNEST(range(0, 16)) AS s(seed)
+  GROUP BY doc_id, seed
+)"""
+
+
 #: Hot-shingle document-frequency cap for the Jaccard headline.  Shingles
 #: shared by more docs than this (stop phrases) are dropped before the
 #: inverted-index self-join — without it a handful of hot shingles makes
@@ -873,7 +895,8 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """MinHash signatures (16 portable md5-family hashes per doc)."""
+    """MinHash signatures: 16 universal-family hashes per doc from ONE
+    md5 per shingle (operators/dedup.py minhash_signatures)."""
     d = _t(spark, sf_dir).documents()
     sig = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=16)
     return sig.select("doc_id", F.col("seed").cast("int").alias("seed"),
@@ -881,11 +904,9 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 ORACLE_MINHASH = f"""
-WITH {_DUCK_SHINGLES}
-SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-       min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
-FROM sh, UNNEST(range(0, 16)) AS s(seed)
-GROUP BY doc_id, seed
+WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH_SIG}
+SELECT doc_id, CAST(seed AS INTEGER) AS seed, minhash
+FROM sig
 """
 
 
@@ -1065,14 +1086,10 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 
 
 ORACLE_LSH_DEDUP = f"""
-WITH {_DUCK_SHINGLES}, sig AS (
-  SELECT doc_id, seed,
-         min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
-  FROM sh, UNNEST(range(0, 16)) AS s(seed)
-  GROUP BY doc_id, seed
-), bands AS (
+WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH_SIG}, bands AS (
   SELECT doc_id, seed // 2 AS band,
-         md5(string_agg(minhash, '|' ORDER BY minhash)) AS band_hash
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash))
+           AS band_hash
   FROM sig GROUP BY doc_id, band
 ), cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS agreeing_bands
