@@ -1,0 +1,70 @@
+"""Deterministic hash sampling (operators/sampling.py) and Gopher
+quality rules (operators/textstats.py gopher_rules)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.operators.sampling import (
+    hash_sample, stratified_hash_sample)
+from wp_etl_migration_spark.operators.textstats import gopher_rules
+
+
+def test_hash_sample_deterministic_and_proportional(spark):
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, "k", 0.3).collect())
+    b = sorted(r.k for r in hash_sample(df, "k", 0.3).collect())
+    assert a == b  # same run-to-run
+    assert 0.25 < len(a) / 4000 < 0.35  # ~fraction
+
+
+def test_hash_sample_nested_fractions(spark):
+    # A smaller fraction with the same salt is a subset of a larger one
+    # (threshold construction) — lets pipelines grow samples monotonically.
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    small = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    big = {r.k for r in hash_sample(df, "k", 0.4).collect()}
+    assert small <= big
+
+
+def test_hash_sample_salts_independent(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.5, salt="x").collect()}
+    b = {r.k for r in hash_sample(df, "k", 0.5, salt="y").collect()}
+    overlap = len(a & b) / 2000
+    assert 0.15 < overlap < 0.35  # ≈0.25 if independent, not 0.5
+
+
+def test_hash_sample_fraction_bounds(spark):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+    assert hash_sample(df, "k", 1.0).count() == 10
+    assert hash_sample(df, "k", 0.0).count() == 0
+
+
+def test_stratified_hash_sample(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "zh") for i in range(1000)],
+        ["k", "lang"])
+    out = stratified_hash_sample(df, "k", "lang",
+                                 {"en": 1.0}, default=0.0).collect()
+    assert all(r.lang == "en" for r in out) and len(out) == 500
+
+
+def test_gopher_rules_flags(spark):
+    good = ("the quick brown fox jumps over the lazy dog and that dog "
+            "can have quite a day with all of this running around town")
+    bullets = "- one\n- two\n- three"
+    symbols = "# " * 30
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, symbols)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in
+            df.select("doc_id",
+                      gopher_rules("text", min_words=10).alias("r"))
+            .select("doc_id", "r.*").collect()}
+    assert rows[1].passes
+    assert not rows[2].bullet_ratio_ok and not rows[2].passes
+    assert not rows[3].symbol_ratio_ok and not rows[3].passes

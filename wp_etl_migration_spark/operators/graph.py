@@ -1,0 +1,80 @@
+"""Connected components over near-duplicate pair graphs (LLM-pipeline
+extension — the step after pair generation in every dedup pipeline:
+pairs → clusters → one kept representative per cluster).
+
+Not present in the reference (it has no dedup surface). Spark-first
+design: alternating min-label propagation — each round every node
+adopts the smallest label in its closed neighborhood, implemented as
+one equi-join + one aggregation over the (undirected) edge list, with
+the label frame re-checkpointed per round. Converges in O(diameter)
+rounds; near-dup graphs are overwhelmingly tiny cliques/chains
+(diameter ≤ 3), so 2-4 rounds in practice. Convergence is observed
+with an Observation node during the checkpoint scan (one Spark action
+per round — same trick as operators/hierarchy.py).
+
+At 100 TB the state is one (node, label) row per node and each round
+shuffles on node id — linear, uniform keys, no skew beyond what the
+pair generator already bounded (hot-shingle caps / LSH bucket sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b",
+                         max_rounds: int = 20) -> DataFrame:
+    """Component label per node: (node, component) with component = the
+    minimum node id reachable through the pair graph.
+
+    ``pairs`` is an edge list (each row one undirected edge; direction
+    and duplicates don't matter). Nodes only appear if they occur in at
+    least one pair — callers wanting singletons join the result back to
+    the corpus with a coalesce to the node's own id.
+    """
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .unionByName(
+                 pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    labels = (edges.groupBy(F.col("u").alias("node"))
+              .agg(F.least(F.min("v"), F.first("u")).alias("label")))
+
+    for _ in range(max_rounds):
+        # Every node adopts min(own label, neighbors' labels): join the
+        # neighbor's current label across each edge, then min per node.
+        nbr = (edges.join(labels.withColumnRenamed("node", "v"), on="v")
+               .select(F.col("u").alias("node"),
+                       F.col("label").alias("nbr_label")))
+        obs = Observation()
+        merged = (labels.unionByName(
+                      nbr.withColumnRenamed("nbr_label", "label"))
+                  .groupBy("node").agg(F.min("label").alias("new_label")))
+        nxt = (labels.join(merged, on="node")
+               .observe(obs, F.count(F.when(
+                   F.col("new_label") < F.col("label"), 1)).alias("moved"))
+               .select("node", F.col("new_label").alias("label"))
+               .localCheckpoint(eager=True))
+        moved = obs.get["moved"]
+        labels = nxt
+        if moved == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
+                    src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """One kept row id per near-dup cluster plus every untouched doc:
+    the canonical keep-list a dedup pipeline feeds downstream. Keeps the
+    minimum id of each component and all ids that appear in no pair."""
+    comp = connected_components(pairs, src, dst)
+    keep_clustered = (comp.groupBy("component")
+                      .agg(F.min("node").alias(id_col))
+                      .select(id_col))
+    untouched = (df.select(id_col)
+                 .join(comp.select(F.col("node").alias(id_col)),
+                       on=id_col, how="left_anti"))
+    return keep_clustered.unionByName(untouched)

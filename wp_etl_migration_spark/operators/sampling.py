@@ -1,0 +1,56 @@
+"""Deterministic (hash-based) sampling for training-data pipelines
+(LLM-pipeline extension; no counterpart in the reference).
+
+``df.sample()``/``sampleBy()`` draw from Spark's per-partition RNG —
+re-running the job, changing the partitioning, or re-reading the input
+changes the sample. Data pipelines at corpus scale need samples that are
+*reproducible and content-addressed*: whether a row is kept depends only
+on its key, so retries, backfills, and incremental runs agree forever.
+The standard construction: map md5(salt ∥ key) to a uniform 32-bit
+integer and keep the row iff it falls below fraction·2³². Pure codegen
+Column expressions, no shuffle, engine-portable (the DuckDB oracle
+reproduces the exact same keep set via 0x-hex casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1 << 32
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Uniform 32-bit bucket of md5(salt ∥ key) — the sampling datum."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8),
+        16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows keyed on ``id_col``.
+
+    Same key + same salt → same decision on any engine, any run, any
+    partitioning. Different ``salt`` values draw independent samples
+    (e.g. train/validation splits that provably don't overlap: sample
+    the validation set from the complement).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(hash_bucket(id_col, salt) < int(fraction * _SCALE))
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
+                           fractions: dict[str, float],
+                           default: float = 0.0,
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    keep 100% of low-resource languages, 10% of English). Strata absent
+    from ``fractions`` fall back to ``default``."""
+    thresh = F.lit(int(default * _SCALE))
+    for k, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == k,
+                        F.lit(int(frac * _SCALE))).otherwise(thresh)
+    return df.where(hash_bucket(id_col, salt) < thresh)

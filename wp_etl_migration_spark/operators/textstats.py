@@ -97,6 +97,76 @@ def quality_score(col: Column | str,
     return (len_feat + word_feat + stop_feat) / F.lit(3.0)
 
 
+#: Stopword list for the Gopher "contains ≥2 distinct stopwords" rule
+#: (Rae et al. 2021, MassiveText filtering — public paper).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(col: Column | str,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_ratio: float = 0.8,
+                 min_stopword_hits: int = 2) -> Column:
+    """Gopher/MassiveText quality-filter rule set as ONE struct column:
+    per-rule booleans plus an overall ``passes`` flag.
+
+    Rules (Rae et al. 2021 §A1.1): word count bounds, mean word length
+    bounds, symbol-to-word ratio (# and …), bullet-line and
+    ellipsis-line fractions, fraction of words with an alphabetic
+    character, and ≥N distinct stopwords. All JVM-side Column
+    expressions — the two array filters are higher-order functions
+    (interpreted, like ``stopword_hits``), everything else whole-stage
+    codegen; one pass over the text, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(F.trim(c)).cast("long")
+    mean_len = (n_chars - (n_words - 1)).cast("double") \
+        / n_words.cast("double")
+    symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…")).cast("long")
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.regexp_count(
+        F.concat(F.lit("\n"), c), F.lit(r"\n\s*[-•*]")).cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))).cast("long")
+    alpha_words = F.size(F.filter(
+        toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_distinct(
+        F.filter(toks, lambda t: F.array_contains(sw, t)))).cast("long")
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_word_len_ok = (mean_len >= min_mean_word_len) \
+        & (mean_len <= max_mean_word_len)
+    symbol_ratio_ok = symbols.cast("double") / n_words.cast("double") \
+        <= max_symbol_ratio
+    bullet_ratio_ok = bullet_lines.cast("double") / n_lines.cast("double") \
+        <= max_bullet_ratio
+    ellipsis_ratio_ok = ellipsis_lines.cast("double") \
+        / n_lines.cast("double") <= max_ellipsis_ratio
+    alpha_ratio_ok = alpha_words.cast("double") / n_words.cast("double") \
+        >= min_alpha_ratio
+    stopword_ok = stop_hits >= min_stopword_hits
+    passes = (word_count_ok & mean_word_len_ok & symbol_ratio_ok
+              & bullet_ratio_ok & ellipsis_ratio_ok & alpha_ratio_ok
+              & stopword_ok)
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_ratio_ok.alias("bullet_ratio_ok"),
+        ellipsis_ratio_ok.alias("ellipsis_ratio_ok"),
+        alpha_ratio_ok.alias("alpha_ratio_ok"),
+        stopword_ok.alias("stopword_ok"),
+        passes.alias("passes"))
+
+
 def fingerprint(col: Column | str, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text, truncated to ``length`` hex chars."""

@@ -894,6 +894,128 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
 """
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText quality-filter rules (Rae et al. 2021 §A1.1)
+    as per-doc booleans + overall pass (operators/textstats.py;
+    min_words lowered to 10 for the short synthetic docs)."""
+    d = _t(spark, sf_dir).documents()
+    return (d.select("doc_id",
+                     ts.gopher_rules("text", min_words=10).alias("r"))
+            .select("doc_id", "r.*"))
+
+
+_GOPHER_SW_SQL = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+ORACLE_GOPHER = rf"""
+WITH g AS (
+  SELECT doc_id,
+    string_split_regex(lower(trim(text)), '\s+') AS toks,
+    string_split(text, chr(10)) AS lines,
+    CAST(length(trim(text)) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS symbols,
+    CAST(len(regexp_extract_all(chr(10) || text, '\n\s*[-•*]')) AS BIGINT)
+      AS bullet_lines
+  FROM documents
+), f AS (
+  SELECT doc_id, n_chars, symbols, bullet_lines,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines,
+      ln -> regexp_matches(trim(ln), '(\.\.\.|…)$'))) AS BIGINT)
+      AS ellipsis_lines,
+    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+      AS alpha_words,
+    CAST(len(list_distinct(list_filter(toks,
+      t -> list_contains({_GOPHER_SW_SQL}, t)))) AS BIGINT) AS stop_hits
+  FROM g
+)
+SELECT doc_id,
+  n_words >= 10 AND n_words <= 100000 AS word_count_ok,
+  CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+    AND CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)
+      <= 10.0 AS mean_word_len_ok,
+  CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+    AS symbol_ratio_ok,
+  CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+    AS bullet_ratio_ok,
+  CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3
+    AS ellipsis_ratio_ok,
+  CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+    AS alpha_ratio_ok,
+  stop_hits >= 2 AS stopword_ok,
+  (n_words >= 10 AND n_words <= 100000)
+    AND (CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(n_words AS DOUBLE)
+           BETWEEN 3.0 AND 10.0)
+    AND CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+    AND CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.9
+    AND CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) <= 0.3
+    AND CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8
+    AND stop_hits >= 2 AS passes
+FROM f
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling keyed on doc_id (language
+    rebalancing shape: keep all Spanish, half English, quarter rest).
+    Content-addressed keep decision — reproducible on any engine/run
+    (operators/sampling.py)."""
+    from wp_etl_migration_spark.operators.sampling import (
+        stratified_hash_sample)
+    d = _t(spark, sf_dir).documents()
+    return stratified_hash_sample(
+        d.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 0.5, "es": 1.0}, default=0.25, salt="bench")
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+  < CASE lang WHEN 'en' THEN 2147483648
+              WHEN 'es' THEN 4294967296
+              ELSE 1073741824 END
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup cluster resolution: exact-Jaccard near-dup pairs → connected
+    components (min-label propagation, operators/graph.py) → one
+    component label per clustered doc. The step between pair generation
+    and the keep-list in a dedup pipeline."""
+    from wp_etl_migration_spark.operators.graph import connected_components
+    d = _t(spark, sf_dir).documents()
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8,
+                                max_doc_freq=JACCARD_MAX_DOC_FREQ)
+    return connected_components(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_SHINGLES}, rare AS (
+  SELECT doc_id, shingle FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {JACCARD_MAX_DOC_FREQ}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM rare GROUP BY 1
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM rare a JOIN rare b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), j AS (
+  SELECT id_a, id_b FROM p
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM j
+  UNION
+  SELECT id_b, id_a FROM j
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+"""
+
+
 def q_minhash_signatures(spark, sf_dir):
     """MinHash signatures: 16 universal-family hashes per doc from ONE
     md5 per shingle (operators/dedup.py minhash_signatures)."""
@@ -1838,7 +1960,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "token_stats": (q_token_stats, ORACLE_TOKEN),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
     "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
     "json_extract": (q_json_extract, ORACLE_JSON),
@@ -1866,6 +1988,9 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # cube_agg's grouping-set family stays driver-gated via
     # rollup_status + grouping_sets; media_decode took its slot.
     "cube_agg": (q_cube_agg, ORACLE_CUBE),
+    # exact ANN family stays driver-gated via ivf_ann_topk/ann_lsh_topk/
+    # embedding_near_dup; dedup_clusters took this slot.
+    "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
     "split_trim": (q_split_trim, ORACLE_SPLIT),
     "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
@@ -1873,6 +1998,8 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "gopher_quality": (q_gopher_quality, ORACLE_GOPHER),
+    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
