@@ -2,8 +2,10 @@
 """End-to-end training-corpus curation pipeline, composed from the
 engine's operators — the kind of job this engine exists for at 100 TB:
 
-    documents ──ž quality gate ──ž language filter ──ž exact dedup
-              ──ž MinHash-LSH near-dup removal ──ž token accounting
+    documents ──ž Gopher + heuristic quality gates ──ž language filter
+              ──ž exact dedup ──ž MinHash-LSH near-dup pairs
+              ──ž connected-component keep-list ──ž stratified sampling
+              ──ž token accounting
     embeddings ─ž ANN top-k (IVF) for nearest-neighbor audit
 
 Run:  python examples/llm_corpus_pipeline.py [sf_dir] [out_dir]
@@ -23,6 +25,9 @@ from pyspark.sql import functions as F
 from wp_etl_migration_spark.operators import textstats as ts
 from wp_etl_migration_spark.operators.dedup import (
     exact_dedup, minhash_lsh_pairs)
+from wp_etl_migration_spark.operators.graph import dedup_keep_list
+from wp_etl_migration_spark.operators.sampling import (
+    stratified_hash_sample)
 from wp_etl_migration_spark.operators.similarity import ivf_topk
 from wp_etl_migration_spark.session import get_spark, tune
 from wp_etl_migration_spark.sources.tables import Tables
@@ -39,21 +44,35 @@ def build_corpus(spark: SparkSession, sf_dir: str,
     scored = d.select(
         "doc_id", "text", "source",
         ts.quality_score("text").alias("quality"),
+        # min_words/min_stopword_hits relaxed for the short synthetic
+        # docs; production uses the paper defaults (50 words, 2 hits).
+        ts.gopher_rules("text", min_words=10,
+                        min_stopword_hits=1).alias("gopher"),
         ts.lang_id("text").alias("lang_pred"),
         ts.token_count("text").alias("n_tokens"),
         ts.fingerprint("text").alias("fingerprint"))
-    gated = scored.filter((F.col("quality") >= min_quality) &
-                          F.col("lang_pred").isin(*langs))
+    gated = (scored.filter((F.col("quality") >= min_quality) &
+                           F.col("gopher.passes") &
+                           F.col("lang_pred").isin(*langs))
+             .drop("gopher"))
 
     # Exact dedup keeps the smallest doc_id per identical text.
     survivors = exact_dedup(gated, "doc_id", ["text"])
     gated = gated.join(survivors, "doc_id", "left_semi")
 
-    # Near-dup removal: keep the smaller id of every LSH-confirmed pair.
+    # Near-dup removal is TRANSITIVE: LSH-confirmed pairs → connected
+    # components → one kept doc per cluster (pair-based loser-dropping
+    # under-deletes on chains A-B, B-C where A and C never pair).
     pairs = minhash_lsh_pairs(gated, "doc_id", "text",
                               verify_threshold=jaccard)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return gated.join(losers, "doc_id", "left_anti")
+    keep = dedup_keep_list(gated, pairs, "doc_id")
+    deduped = gated.join(keep, "doc_id", "left_semi")
+
+    # Deterministic source rebalancing: content-addressed keep decision,
+    # so backfills and retries reproduce the identical sample.
+    return stratified_hash_sample(
+        deduped, "doc_id", "source",
+        {"src0": 0.5, "src1": 0.5}, default=1.0, salt="corpus-v1")
 
 
 def nearest_neighbor_audit(spark: SparkSession, sf_dir: str,
