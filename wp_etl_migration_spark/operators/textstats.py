@@ -7,7 +7,7 @@ expressions (codegen, no UDFs), so they run at scan speed over 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -165,6 +165,41 @@ def gopher_rules(col: Column | str,
         alpha_ratio_ok.alias("alpha_ratio_ok"),
         stopword_ok.alias("stopword_ok"),
         passes.alias("passes"))
+
+
+def repetition_stats(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Per-doc repetition features (the Gopher §A1.1 repetition
+    filters): duplicate-line fraction, duplicate-word fraction, and the
+    fraction of word bigrams taken by the single most frequent bigram.
+
+    Line/word fractions are pure Column expressions. The top-bigram
+    mode needs a count-per-gram, so bigrams explode through a
+    (id, gram) aggregation and re-aggregate per id — two shuffles, both
+    keyed on uniform ids, map-side combinable. Docs with fewer than two
+    words get NULL ``top_bigram_frac``.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        (F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double")
+         / F.size(lines).cast("double")).alias("dup_line_frac"),
+        (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks).cast("double")).alias("dup_word_frac"))
+
+    cnt = F.size("__toks") - 1
+    z = F.arrays_zip(F.slice("__toks", 1, cnt), F.slice("__toks", 2, cnt))
+    bigram = F.concat_ws(" ", F.col("__g")["0"], F.col("__g")["1"])
+    grams = (df.select(F.col(id_col), toks.alias("__toks"))
+             .where(F.size("__toks") >= 2)
+             .select(F.col(id_col), F.explode(z).alias("__g"))
+             .select(F.col(id_col), bigram.alias("__bigram")))
+    top = (grams.groupBy(id_col, "__bigram").count()
+           .groupBy(id_col)
+           .agg((F.max("count").cast("double")
+                 / F.sum("count").cast("double")).alias("top_bigram_frac")))
+    return base.join(top, on=id_col, how="left")
 
 
 def fingerprint(col: Column | str, length: int = 16) -> Column:

@@ -894,6 +894,102 @@ WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.8
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction round-trip: deterministic PII strings appended to
+    some docs, then counted and scrubbed (operators/pii.py). Counts are
+    taken in masking order so they always agree with the redaction."""
+    from wp_etl_migration_spark.operators.pii import pii_counts, scrub_pii
+    d = _t(spark, sf_dir).documents()
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" contact user@example.com or 192.168.1.99"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" ssn 123-45-6789 phone (555) 123-4567"))
+            .otherwise(F.lit(""))).alias("text"))
+    return (salted.select("doc_id",
+                          pii_counts("text").alias("p"),
+                          F.md5(scrub_pii("text")).alias("clean_md5"))
+            .select("doc_id", "p.*", "clean_md5"))
+
+
+ORACLE_PII = r"""
+WITH s AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+       THEN ' contact user@example.com or 192.168.1.99' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN ' ssn 123-45-6789 phone (555) 123-4567' ELSE '' END AS t
+  FROM documents
+), e AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      AS n_email,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t
+  FROM s
+), i AS (
+  SELECT doc_id, n_email,
+    CAST(len(regexp_extract_all(t,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+    regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<IP>', 'g') AS t
+  FROM e
+), n AS (
+  SELECT doc_id, n_email, n_ip,
+    CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT)
+      AS n_ssn,
+    regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t
+  FROM i
+)
+SELECT doc_id, n_email, n_ip, n_ssn,
+  CAST(len(regexp_extract_all(t,
+    '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(t, '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}',
+                     '<PHONE>', 'g')) AS clean_md5
+FROM n
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters: duplicate-line/word fractions plus the
+    top-bigram mass fraction (operators/textstats.repetition_stats)."""
+    d = _t(spark, sf_dir).documents()
+    return ts.repetition_stats(d, "doc_id", "text")
+
+
+ORACLE_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+        / CAST(len(lines) AS DOUBLE) AS dup_line_frac,
+    1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS dup_word_frac
+  FROM t
+), g AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+), gc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM g GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+    AS top_bigram_frac
+  FROM gc GROUP BY 1
+)
+SELECT b.doc_id, b.dup_line_frac, b.dup_word_frac, t2.top_bigram_frac
+FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/MassiveText quality-filter rules (Rae et al. 2021 §A1.1)
     as per-doc booleans + overall pass (operators/textstats.py;
@@ -2000,6 +2096,8 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "gopher_quality": (q_gopher_quality, ORACLE_GOPHER),
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
