@@ -22,6 +22,22 @@ def test_connected_components_long_chain(spark):
     assert {r.component for r in got} == {0} and len(got) == 10
 
 
+def test_contamination_broadcast_overlap(spark):
+    from wp_etl_migration_spark.operators.dedup import contamination
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over it"),
+         (2, "completely different words entirely here now")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(99, "the quick brown fox jumps again")], ["doc_id", "text"])
+    got = contamination(corpus, ev, "doc_id", "text", n=5).collect()
+    # only doc 1 shares a 5-gram ("the quick brown fox jumps")
+    assert [(r.doc_id, r.n_shared) for r in got] == [(1, 1)]
+    plan = contamination(corpus, ev, "doc_id", "text", n=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_dedup_keep_list(spark):
     df = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
     pairs = spark.createDataFrame([(1, 4), (4, 5)], ["id_a", "id_b"])

@@ -183,6 +183,25 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.expr(f"stack({num_hashes}, {pairs}) as (seed, minhash)"))
 
 
+def contamination(corpus: DataFrame, eval_df: DataFrame, id_col: str,
+                  text_col: str, n: int = 8) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing ≥1 word
+    ``n``-gram with the eval set, with the shared-shingle count.
+
+    Returns (id, n_shared). The eval side (benchmarks — tiny next to a
+    training corpus) is collapsed to distinct shingles and explicitly
+    ``broadcast()``: the 100 TB corpus-shingle stream joins map-side,
+    no shuffle of corpus data at all — the scan+shingle pass is the
+    entire cost. Callers anti-join the result against the corpus to
+    drop contaminated docs.
+    """
+    ev = (shingles(eval_df, id_col, text_col, n, parallelize=False)
+          .select("shingle").distinct())
+    co = shingles(corpus, id_col, text_col, n)
+    return (co.join(F.broadcast(ev), on="shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_shared")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 16,
                       rows_per_band: int = 2,

@@ -990,6 +990,36 @@ FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: docs sharing any 5-gram with the
+    deterministic eval subset (doc_id % 97 == 0). Eval shingles are
+    broadcast — the corpus side never shuffles (operators/dedup.py
+    contamination)."""
+    from wp_etl_migration_spark.operators.dedup import contamination
+    d = _t(spark, sf_dir).documents()
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    co = d.where(F.col("doc_id") % 97 != 0)
+    return contamination(co, ev, "doc_id", "text", n=5)
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), sh5 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
+  WHERE len(t) >= 5
+), ev AS (
+  SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 97 = 0
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh5 s JOIN ev USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY 1
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher/MassiveText quality-filter rules (Rae et al. 2021 §A1.1)
     as per-doc booleans + overall pass (operators/textstats.py;
@@ -2098,6 +2128,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "contamination": (q_contamination, ORACLE_CONTAMINATION),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
