@@ -20,10 +20,23 @@ from wp_etl_migration_spark.operators.melt import (  # noqa: F401
     melt_meta,
 )
 from wp_etl_migration_spark.operators.dedup import (  # noqa: F401
+    contamination,
     exact_dedup,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
+)
+from wp_etl_migration_spark.operators.graph import (  # noqa: F401
+    connected_components,
+    dedup_keep_list,
+)
+from wp_etl_migration_spark.operators.sampling import (  # noqa: F401
+    hash_sample,
+    stratified_hash_sample,
+)
+from wp_etl_migration_spark.operators.pii import (  # noqa: F401
+    pii_counts,
+    scrub_pii,
 )
 from wp_etl_migration_spark.operators.simhash import (  # noqa: F401
     simhash_signatures,
