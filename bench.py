@@ -53,6 +53,13 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "multimodal_features",
     "event_window_agg",
+    "media_decode",
+    "dedup_clusters",
+    "contamination",
+    "pii_scrub",
+    "gopher_quality",
+    "hash_sample",
+    "repetition_stats",
 ]
 
 
@@ -95,7 +102,14 @@ def main() -> int:
         with open(base_path) as fh:
             base = json.load(fh)
         if os.path.normpath(sf_dir) == os.path.normpath(base["sf"]):
-            out["vs_baseline"] = round(total / base["total"], 3)
+            # Compare over the intersection so newly-added headline
+            # queries don't inflate the ratio until they gain a
+            # committed baseline entry.
+            both = [n for n in timings if n in base["queries"]]
+            if both:
+                out["vs_baseline"] = round(
+                    sum(timings[n] for n in both)
+                    / sum(base["queries"][n] for n in both), 3)
             out["regressions"] = {
                 name: round(t / base["queries"][name], 2)
                 for name, t in timings.items()
