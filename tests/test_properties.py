@@ -77,6 +77,64 @@ def test_fingerprint_matches_duckdb(spark, vals):
     assert got == want
 
 
+@given(vals=st.lists(ASCII, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_scrub_pii_matches_duckdb(spark, vals):
+    from wp_etl_migration_spark.operators.pii import PII_PATTERNS, scrub_pii
+    duck = "s"
+    for _, pat, repl in PII_PATTERNS:
+        duck = f"regexp_replace({duck}, '{pat}', '{repl}', 'g')"
+    got, want = _both(spark, vals, scrub_pii, duck)
+    assert got == want
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Spark min-label propagation ≡ plain union-find on random graphs
+    (self-loops and duplicate edges included)."""
+    from wp_etl_migration_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    nodes = {n for e in edges for n in e}
+    want = {}
+    for n in sorted(nodes):
+        root = find(n)
+        want.setdefault(root, n)  # min node per component
+    expected = sorted((n, want[find(n)]) for n in nodes)
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = sorted(tuple(r) for r in connected_components(df).collect())
+    assert got == expected
+
+
+@given(frac=st.floats(0.0, 1.0), salt=st.text(
+    alphabet="abcxyz", max_size=5))
+@settings(**SETTINGS)
+def test_hash_sample_matches_duckdb(spark, frac, salt):
+    from wp_etl_migration_spark.operators.sampling import hash_sample
+    df = spark.range(200).withColumnRenamed("id", "s")
+    got = sorted(r.s for r in hash_sample(df, "s", frac, salt).collect())
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(
+        f"""SELECT r FROM range(200) t(r)
+            WHERE ('0x' || substr(md5('{salt}' || CAST(r AS VARCHAR)),
+                                  1, 8))::BIGINT < ?
+            ORDER BY r""", [int(frac * (1 << 32))]).fetchall()]
+    assert got == want
+
+
 NUMERIC_ISH = st.one_of(
     st.integers(-10**12, 10**12).map(str),
     st.from_regex(r"-?[0-9]{1,6}\.[0-9]{1,4}", fullmatch=True),
