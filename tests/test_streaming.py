@@ -98,6 +98,47 @@ def test_stream_dedup_matches_batch_distinct(spark, events_dir, tmp_path):
             .distinct().count())
 
 
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Stream-static contamination gate ≡ the batch twin windowed the
+    same way (eval shingles broadcast; stream side never shuffles raw
+    docs)."""
+    from wp_etl_migration_spark.operators.dedup import contamination
+    from wp_etl_migration_spark.streaming.dedup import stream_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "2024-01-01 00:10:00"),
+         (2, "alpha beta gamma delta epsilon eta", "2024-01-01 00:20:00"),
+         (3, "one two three four five six", "2024-01-01 01:10:00"),
+         (4, "alpha beta gamma delta epsilon zeta", "2024-01-01 01:30:00"),
+         # watermark flush: append mode only emits windows the final
+         # watermark has passed; this doc shares nothing with eval.
+         (5, "nothing shared here at all friend", "2024-01-02 00:00:00")],
+        ["doc_id", "text", "ts_s"]).withColumn(
+            "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    ev = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon theta")], ["doc_id", "text"])
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+
+    stream = (spark.readStream.schema(docs.schema).parquet(doc_dir))
+    got = stream_contamination(stream, ev, "doc_id", "text", n=5,
+                               window="1 hour")
+    run_to_memory(got, "contam")
+    streamed = sorted(
+        (r.window_start.isoformat(), r.doc_id, r.n_shared)
+        for r in spark.table("contam").collect())
+
+    batch = (contamination(docs, ev, "doc_id", "text", n=5)
+             .join(docs.select("doc_id",
+                               F.window("ts", "1 hour").alias("__w")),
+                   on="doc_id")
+             .select(F.col("__w.start").alias("window_start"),
+                     "doc_id", "n_shared"))
+    expected = sorted((r.window_start.isoformat(), r.doc_id, r.n_shared)
+                      for r in batch.collect())
+    assert streamed == expected and len(streamed) == 3  # docs 1,2,4
+
+
 def test_windowed_agg_to_parquet_sink_resumes(spark, events_dir, tmp_path):
     """Durable streaming sink: windowed agg → parquet with a checkpoint.
     A second run over unchanged input must be a no-op (exactly-once via

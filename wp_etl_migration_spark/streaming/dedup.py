@@ -34,3 +34,38 @@ def stream_dedup_content(events: DataFrame, content_cols: list[str],
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__digest"])
             .drop("__digest"))
+
+
+def stream_contamination(docs: DataFrame, eval_df: DataFrame,
+                         id_col: str, text_col: str,
+                         ts_col: str = "ts", n: int = 8,
+                         window: str = "1 hour",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming benchmark-contamination gate: incoming docs sharing ≥1
+    word ``n``-gram with the STATIC eval set, as watermarked windowed
+    counts (append-mode safe).
+
+    The eval side is a batch frame collapsed to distinct shingles and
+    broadcast — a stream-static join is stateless, so the only state is
+    the windowed aggregation bounded by the watermark. Returns
+    (window_start, id, n_shared); the batch twin is
+    ``operators.dedup.contamination``.
+    """
+    from wp_etl_migration_spark.operators.dedup import shingles
+    ev = (shingles(eval_df, id_col, text_col, n, parallelize=False)
+          .select("shingle").distinct())
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size("__toks") - (n - 1)
+    z = F.arrays_zip(*[F.slice("__toks", i + 1, cnt) for i in range(n)])
+    gram = F.concat_ws(" ", *[F.col("__z")[str(i)] for i in range(n)])
+    sh = (docs.select(F.col(id_col), F.col(ts_col), toks.alias("__toks"))
+          .where(F.size("__toks") >= n)
+          .select(F.col(id_col), F.col(ts_col), F.explode(z).alias("__z"))
+          .select(F.col(id_col), F.col(ts_col), gram.alias("shingle"))
+          .withWatermark(ts_col, watermark)
+          .dropDuplicatesWithinWatermark([id_col, "shingle"]))
+    return (sh.join(F.broadcast(ev), on="shingle")
+            .groupBy(F.window(ts_col, window).alias("__w"), F.col(id_col))
+            .agg(F.count("*").alias("n_shared"))
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col(id_col), "n_shared"))
