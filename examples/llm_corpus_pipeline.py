@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from wp_etl_migration_spark.operators import textstats as ts
 from wp_etl_migration_spark.operators.dedup import (
     exact_dedup, minhash_lsh_pairs)
+from wp_etl_migration_spark.operators.gates import apply_gates
 from wp_etl_migration_spark.operators.graph import dedup_keep_list
 from wp_etl_migration_spark.operators.sampling import (
     stratified_hash_sample)
@@ -36,9 +37,11 @@ from wp_etl_migration_spark.sources.tables import Tables
 def build_corpus(spark: SparkSession, sf_dir: str,
                  min_quality: float = 0.3,
                  langs: tuple[str, ...] = ("en",),
-                 jaccard: float = 0.7) -> DataFrame:
+                 jaccard: float = 0.7):
     """Curated corpus: quality-gated, language-filtered, exact- and
-    near-dup-free documents with token accounting columns."""
+    near-dup-free documents with token accounting columns. Returns
+    (corpus_df, gate_observation) — the observation resolves with
+    per-gate drop counts after the corpus is materialized."""
     d = Tables(spark, sf_dir).documents()
 
     scored = d.select(
@@ -51,10 +54,14 @@ def build_corpus(spark: SparkSession, sf_dir: str,
         ts.lang_id("text").alias("lang_pred"),
         ts.token_count("text").alias("n_tokens"),
         ts.fingerprint("text").alias("fingerprint"))
-    gated = (scored.filter((F.col("quality") >= min_quality) &
-                           F.col("gopher.passes") &
-                           F.col("lang_pred").isin(*langs))
-             .drop("gopher"))
+    # Observable gates: per-rule drop counts ride the same job that
+    # materializes the filtered frame (no extra count() passes).
+    gated, gate_obs = apply_gates(scored, {
+        "quality": F.col("quality") >= min_quality,
+        "gopher": F.col("gopher.passes"),
+        "lang": F.col("lang_pred").isin(*langs),
+    })
+    gated = gated.drop("gopher")
 
     # Exact dedup keeps the smallest doc_id per identical text.
     survivors = exact_dedup(gated, "doc_id", ["text"])
@@ -72,7 +79,8 @@ def build_corpus(spark: SparkSession, sf_dir: str,
     # so backfills and retries reproduce the identical sample.
     return stratified_hash_sample(
         deduped, "doc_id", "source",
-        {"src0": 0.5, "src1": 0.5}, default=1.0, salt="corpus-v1")
+        {"src0": 0.5, "src1": 0.5}, default=1.0,
+        salt="corpus-v1"), gate_obs
 
 
 def nearest_neighbor_audit(spark: SparkSession, sf_dir: str,
@@ -88,8 +96,11 @@ def main(argv: list[str]) -> int:
     out_dir = argv[1] if len(argv) > 1 else "/tmp/llm_corpus"
     spark = tune(get_spark("llm-corpus-pipeline"))
 
-    corpus = build_corpus(spark, sf_dir)
+    corpus, gate_obs = build_corpus(spark, sf_dir)
     corpus.write.mode("overwrite").parquet(f"{out_dir}/corpus")
+    print("gate drops:", {k: v for k, v in gate_obs.get.items()
+                          if k.startswith("dropped_") or k in
+                          ("total", "kept")})
 
     stats = corpus.agg(
         F.count("*").alias("docs"),

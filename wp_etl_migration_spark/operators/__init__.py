@@ -26,6 +26,9 @@ from wp_etl_migration_spark.operators.dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_pairs,
 )
+from wp_etl_migration_spark.operators.gates import (  # noqa: F401
+    apply_gates,
+)
 from wp_etl_migration_spark.operators.graph import (  # noqa: F401
     connected_components,
     dedup_keep_list,
