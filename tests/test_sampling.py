@@ -54,6 +54,25 @@ def test_stratified_hash_sample(spark):
     assert all(r.lang == "en" for r in out) and len(out) == 500
 
 
+def test_pack_sequences_layout(spark):
+    from wp_etl_migration_spark.operators.packing import pack_sequences
+    df = spark.createDataFrame(
+        [(1, 6), (2, 3), (3, 5), (4, 10)], ["doc_id", "n"])
+    got = {r.doc_id: (r.bin_id, r.bin_offset) for r in
+           pack_sequences(df, "doc_id", "n", seq_len=8).collect()}
+    # cumsum-before: 0, 6, 9, 14 with seq_len 8:
+    # doc1 starts bin0@0; doc2 bin0@6 (spans); doc3 bin1@1; doc4 bin1@6.
+    assert got == {1: (0, 0), 2: (0, 6), 3: (1, 1), 4: (1, 6)}
+
+
+def test_pack_sequences_bad_seq_len(spark):
+    from wp_etl_migration_spark.operators.packing import pack_sequences
+    df = spark.createDataFrame([(1, 2)], ["doc_id", "n"])
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pack_sequences(df, "doc_id", "n", seq_len=0)
+
+
 def test_gopher_rules_flags(spark):
     good = ("the quick brown fox jumps over the lazy dog and that dog "
             "can have quite a day with all of this running around town")

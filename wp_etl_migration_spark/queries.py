@@ -990,6 +990,36 @@ FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy contiguous sequence packing into 512-token bins, ordered
+    by doc_id — distributed prefix sum via range partitions + partition
+    offsets (operators/packing.py)."""
+    from wp_etl_migration_spark.operators.packing import pack_sequences
+    d = _t(spark, sf_dir).documents()
+    with_tokens = d.select(
+        "doc_id", ts.token_count("text").alias("n_tokens"))
+    return pack_sequences(with_tokens, "doc_id", "n_tokens", seq_len=512)
+
+
+ORACLE_PACK = r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS before
+  FROM t
+)
+SELECT doc_id, CAST(before // 512 AS BIGINT) AS bin_id,
+       CAST(before % 512 AS BIGINT) AS bin_offset, n_tokens
+FROM c
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination sweep: docs sharing any 5-gram with the
     deterministic eval subset (doc_id % 97 == 0). Eval shingles are
@@ -2129,6 +2159,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
