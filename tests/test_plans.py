@@ -118,6 +118,46 @@ def test_runner_end_to_end(spark, project, tmp_path):
     assert sorted(ledger.columns) == ["source_id", "uid"]
 
 
+CURATION = """
+name: curation
+migration:
+  - name: corpus
+    extract:
+      adapter: csv
+      source: "{src}"
+      prefix: ""
+    transform:
+      - scrub_pii: {{column: text}}
+      - lang_id: {{column: text}}
+      - exact_dedup: {{key: id, columns: [text]}}
+      - gopher_gate: {{column: text, min_words: 3, min_stopword_hits: 1}}
+      - hash_sample: {{key: id, fraction: 1.0, salt: v1}}
+    load:
+      - adapter: json
+        destination: "{out}/corpus.json"
+"""
+
+
+def test_runner_llm_transforms(spark, tmp_path):
+    """The curation operators are YAML-drivable like any reference-style
+    transform step."""
+    src = tmp_path / "docs.csv"
+    src.write_text(
+        "id,text\n"
+        "1,the cat and the hat went to town\n"
+        "2,the cat and the hat went to town\n"       # exact dup of 1
+        "3,mail me at bob@example.com and the rest of this\n"
+        "4,x\n")                                      # fails min_words
+    cfg = tmp_path / "curation.yaml"
+    cfg.write_text(CURATION.format(src=src, out=tmp_path))
+    Runner(spark, str(cfg), output_dir=str(tmp_path)).run()
+    out = spark.read.json(str(tmp_path / "corpus.json"))
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}  # dup 2 dropped, 4 gated
+    assert "<EMAIL>" in rows[3]["text"]
+    assert rows[1]["lang_pred"] == "en"
+
+
 def test_runner_dry_run_no_outputs(spark, project):
     root, cfg = project
     runner = Runner(spark, str(cfg), output_dir=str(root))

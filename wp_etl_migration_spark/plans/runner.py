@@ -139,6 +139,46 @@ def _t_drop(df, args):
     return df.drop(*cols)
 
 
+# ----------------------------------- LLM-pipeline transforms (YAML-usable)
+
+@register_transform("scrub_pii")
+def _t_scrub_pii(df, args):
+    from wp_etl_migration_spark.operators.pii import scrub_pii
+    return df.withColumn(args.get("into", args["column"]),
+                         scrub_pii(_c(args["column"])))
+
+
+@register_transform("gopher_gate")
+def _t_gopher_gate(df, args):
+    from wp_etl_migration_spark.operators.textstats import gopher_rules
+    knobs = {k: args[k] for k in (
+        "min_words", "max_words", "min_mean_word_len", "max_mean_word_len",
+        "max_symbol_ratio", "max_bullet_ratio", "max_ellipsis_ratio",
+        "min_alpha_ratio", "min_stopword_hits") if k in args}
+    return df.where(gopher_rules(_c(args["column"]), **knobs)["passes"])
+
+
+@register_transform("lang_id")
+def _t_lang_id(df, args):
+    from wp_etl_migration_spark.operators.textstats import lang_id
+    return df.withColumn(args.get("into", "lang_pred"),
+                         lang_id(_c(args["column"])))
+
+
+@register_transform("hash_sample")
+def _t_hash_sample(df, args):
+    from wp_etl_migration_spark.operators.sampling import hash_sample
+    return hash_sample(df, args["key"], float(args["fraction"]),
+                       args.get("salt", ""))
+
+
+@register_transform("exact_dedup")
+def _t_exact_dedup(df, args):
+    from wp_etl_migration_spark.operators.dedup import exact_dedup
+    keep = exact_dedup(df, args["key"], args["columns"])
+    return df.join(keep, args["key"], "left_semi")
+
+
 # --------------------------------------------------------- built-in loaders
 
 @register_loader("json")
