@@ -338,3 +338,38 @@ def cosine_topk_lsh(emb: DataFrame, id_col: str, vec_col: str,
     bucketed = v.withColumn(
         "__bucket", hyperplane_bucket(F.col("__v"), planes, dims))
     return _grouped_topk(bucketed, "__bucket", k)
+
+
+def cluster_centroids(emb: DataFrame, comp: DataFrame, id_col: str,
+                      vec_col: str, comp_col: str = "component"
+                      ) -> DataFrame:
+    """Mean embedding per cluster: (component, centroid array<double>).
+
+    The representative-vector step after dedup clustering
+    (operators/graph.connected_components): downstream keeps one
+    centroid per near-dup cluster instead of every member. Execution is
+    posexplode → per-(component, position) mean → array reassembly:
+    two shuffles on uniform keys, map-side combinable, no vector ever
+    leaves the executors. Sums are routed through DECIMAL so the mean
+    is identical under any partitioning / aggregation order (the same
+    determinism contract as the engine's other float aggregates).
+    Scale 9: comfortably inside double precision for unit-scale floats,
+    where every engine's double→decimal conversion rounds identically —
+    at scale 15 the conversion sits at the precision edge and engines
+    disagree by 1 ulp.
+    """
+    joined = (emb.select(F.col(id_col), F.col(vec_col).alias("__v"))
+              .join(comp.select(F.col("node").alias(id_col),
+                                F.col(comp_col)), on=id_col))
+    exploded = joined.select(
+        F.col(comp_col),
+        F.posexplode(F.col("__v").cast("array<double>"))
+        .alias("__pos", "__val"))
+    means = (exploded.groupBy(comp_col, "__pos")
+             .agg((F.sum(F.col("__val").cast("decimal(25,9)"))
+                   .cast("double") / F.count("*")).alias("__mean")))
+    return (means.groupBy(comp_col)
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__mean")))
+                 .alias("__pm"))
+            .select(F.col(comp_col),
+                    F.col("__pm.__mean").alias("centroid")))

@@ -990,6 +990,38 @@ FROM base b LEFT JOIN top t2 ON b.doc_id = t2.doc_id
 """
 
 
+def q_cluster_centroids(spark, sf_dir):
+    """Representative vector per cluster: DECIMAL-routed elementwise
+    mean embeddings (operators/similarity.cluster_centroids), exploded
+    to (component, pos, val) for the oracle. Clusters come from the
+    label column (the graph path is driver-gated via dedup_clusters)."""
+    from pyspark.sql import Window
+    from wp_etl_migration_spark.operators.similarity import (
+        cluster_centroids)
+    e = _t(spark, sf_dir).embeddings()
+    comp = e.select(
+        F.col("vec_id").alias("node"),
+        F.min("vec_id").over(Window.partitionBy("label"))
+        .alias("component"))
+    cent = cluster_centroids(e, comp, "vec_id", "embedding")
+    return cent.select("component",
+                       F.posexplode("centroid").alias("pos", "val"))
+
+
+ORACLE_CENTROIDS = """
+WITH comp AS (
+  SELECT vec_id, embedding,
+         min(vec_id) OVER (PARTITION BY label) AS component
+  FROM embeddings
+)
+SELECT component, CAST(i - 1 AS INTEGER) AS pos,
+  CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
+       AS DOUBLE) / count(*) AS val
+FROM comp, UNNEST(range(1, 65)) AS r(i)
+GROUP BY component, i
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy contiguous sequence packing into 512-token bins, ordered
     by doc_id — distributed prefix sum via range partitions + partition
@@ -2160,6 +2192,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
+    "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
