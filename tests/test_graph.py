@@ -22,6 +22,15 @@ def test_connected_components_long_chain(spark):
     assert {r.component for r in got} == {0} and len(got) == 10
 
 
+def test_empty_pairs_keep_everything(spark):
+    # The no-near-dups case: components empty, keep-list = whole corpus.
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
+    df = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    assert sorted(r.doc_id for r in
+                  dedup_keep_list(df, empty, "doc_id").collect()) == [1, 2]
+
+
 def test_contamination_broadcast_overlap(spark):
     from wp_etl_migration_spark.operators.dedup import contamination
     corpus = spark.createDataFrame(
