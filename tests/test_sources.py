@@ -73,3 +73,25 @@ def test_limit_pushdown_plan(spark, tmp_path):
     plan = df.limit(7)._jdf.queryExecution().executedPlan().toString()
     assert "Limit" in plan or "CollectLimit" in plan
     assert len(df.limit(7).collect()) == 7
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n'
+                 'this is not json\n'
+                 '{"id": 2, "name": "b"}\n')
+    clean, corrupt = fsrc.from_json_with_quarantine(
+        spark, str(p), "id BIGINT, name STRING")
+    assert sorted((r.id, r.name) for r in clean.collect()) == \
+        [(1, "a"), (2, "b")]
+    assert [r.raw for r in corrupt.collect()] == ["this is not json"]
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,a\nnot-a-number,b\n2,c\n")
+    clean, corrupt = fsrc.from_csv_with_quarantine(
+        spark, str(p), "id BIGINT, name STRING")
+    assert sorted((r.id, r.name) for r in clean.collect()) == \
+        [(1, "a"), (2, "c")]
+    assert [r.raw for r in corrupt.collect()] == ["not-a-number,b"]

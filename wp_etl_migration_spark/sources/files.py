@@ -9,24 +9,30 @@ Extract AdapterFactory.php:63-169, collapses to this).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def from_csv(spark: SparkSession, path: str, header: bool = True,
-             infer_schema: bool = True, **options) -> DataFrame:
+             infer_schema: bool = True, schema: str | None = None,
+             **options) -> DataFrame:
     """CSV scan ≙ ``from_csv(path)`` (adapter: csv)."""
     reader = (spark.read
               .option("header", str(header).lower())
               .option("inferSchema", str(infer_schema).lower()))
+    if schema is not None:
+        reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.csv(path)
 
 
 def from_json(spark: SparkSession, path: str, multi_line: bool = False,
-              **options) -> DataFrame:
+              schema: str | None = None, **options) -> DataFrame:
     """JSON scan ≙ ``from_json(path)`` (adapter: json). JSONL by default;
     ``multi_line=True`` for a top-level array document."""
     reader = spark.read.option("multiLine", str(multi_line).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.json(path)
@@ -48,3 +54,48 @@ def from_xml(spark: SparkSession, path: str, row_tag: str,
 def from_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan — the engine's canonical columnar input."""
     return spark.read.parquet(path)
+
+
+CORRUPT_COL = "__corrupt_record"
+
+
+def from_json_with_quarantine(spark: SparkSession, path: str,
+                              schema: str,
+                              multi_line: bool = False,
+                              **options) -> tuple[DataFrame, DataFrame]:
+    """JSON scan with parse-level error isolation: returns
+    ``(clean, corrupt)``.
+
+    PERMISSIVE mode parks unparseable lines in a corrupt-record column
+    instead of failing the job (the scan-time complement of
+    ``operators.quarantine``'s rule-level split — ≙ the reference's
+    per-row try/catch, SynchronousPipelineLoader.php:42-48, applied at
+    parse time). A schema is required: inference would silently widen
+    types around bad rows instead of flagging them. ``corrupt`` holds
+    one row per bad line with the raw text for replay.
+    """
+    df = (from_json(spark, path, multi_line=multi_line,
+                    schema=f"{schema}, {CORRUPT_COL} STRING",
+                    mode="PERMISSIVE",
+                    columnNameOfCorruptRecord=CORRUPT_COL, **options)
+          .cache())
+    bad = F.col(CORRUPT_COL).isNotNull()
+    clean = df.where(~bad).drop(CORRUPT_COL)
+    corrupt = df.where(bad).select(F.col(CORRUPT_COL).alias("raw"))
+    return clean, corrupt
+
+
+def from_csv_with_quarantine(spark: SparkSession, path: str,
+                             schema: str, header: bool = True,
+                             **options) -> tuple[DataFrame, DataFrame]:
+    """CSV scan with parse-level error isolation — see
+    ``from_json_with_quarantine``."""
+    df = (from_csv(spark, path, header=header, infer_schema=False,
+                   schema=f"{schema}, {CORRUPT_COL} STRING",
+                   mode="PERMISSIVE",
+                   columnNameOfCorruptRecord=CORRUPT_COL, **options)
+          .cache())
+    bad = F.col(CORRUPT_COL).isNotNull()
+    clean = df.where(~bad).drop(CORRUPT_COL)
+    corrupt = df.where(bad).select(F.col(CORRUPT_COL).alias("raw"))
+    return clean, corrupt
