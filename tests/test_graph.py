@@ -54,3 +54,47 @@ def test_dedup_keep_list(spark):
                   dedup_keep_list(df, pairs, "doc_id").collect())
     # cluster {1,4,5} keeps 1; 0/2/3 untouched.
     assert keep == [0, 1, 2, 3]
+
+
+def test_lsh_band_params():
+    from wp_etl_migration_spark.operators.dedup import lsh_band_params
+    b, r = lsh_band_params(0.7, 16)
+    assert b * r == 16
+    # midpoint (1/b)^(1/r) closest to 0.7 among divisors of 16
+    import itertools
+    cands = [(abs((1 / (16 // rr)) ** (1 / rr) - 0.7), 16 // rr, rr)
+             for rr in (1, 2, 4, 8, 16)]
+    assert (b, r) == min(cands)[1:]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        lsh_band_params(1.5, 16)
+
+
+def test_multi_table_lsh_recall_improves(spark):
+    """Union of independent hyperplane tables recovers neighbors a
+    single table's bucketing splits apart; results approach exact."""
+    import random
+    from wp_etl_migration_spark.operators.similarity import (
+        cosine_topk, cosine_topk_lsh, cosine_topk_multi_lsh)
+    rng = random.Random(7)
+    dims = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dims)])
+            for i in range(120)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[[rng.gauss(0, 1) for _ in range(dims)] for _ in range(3)]
+              for _ in range(3)]                      # 3 tables, 3 bits
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, "vec_id", "embedding", k=3).collect()}
+
+    def recall(pairs):
+        return len(pairs & exact) / len(exact)
+
+    one = {(r.query_id, r.neighbor_id)
+           for r in cosine_topk_lsh(emb, "vec_id", "embedding",
+                                    planes[0], k=3).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk_multi_lsh(emb, "vec_id", "embedding",
+                                            planes, k=3).collect()}
+    assert recall(multi) >= recall(one)
+    assert recall(multi) > 0.5

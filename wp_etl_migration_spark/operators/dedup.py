@@ -233,3 +233,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                                 threshold=verify_threshold, _shingles=sh)
     return cand.join(exact, on=["id_a", "id_b"], how="inner") \
                .select("id_a", "id_b", "agreeing_bands", "jaccard")
+
+
+def lsh_band_params(threshold: float, num_hashes: int) -> tuple[int, int]:
+    """Pick (bands, rows_per_band) whose S-curve midpoint (1/b)^(1/r)
+    sits closest to the target Jaccard threshold — the standard MinHash
+    banding rule. Driver-side arithmetic; use to size
+    ``minhash_lsh_pairs`` instead of hand-tuning."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        midpoint = (1.0 / b) ** (1.0 / r)
+        err = abs(midpoint - threshold)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

@@ -373,3 +373,64 @@ def cluster_centroids(emb: DataFrame, comp: DataFrame, id_col: str,
                  .alias("__pm"))
             .select(F.col(comp_col),
                     F.col("__pm.__mean").alias("centroid")))
+
+
+def _grouped_pairs(grouped: DataFrame, group_col: str,
+                   k: int) -> DataFrame:
+    """Bucket-local candidates WITH similarities: (query_id,
+    neighbor_id, sim) for the top k+16 neighbors inside each bucket —
+    the mergeable form multi-table LSH unions before the global rank."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        mat = np.array(list(pdf["__v"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        np.fill_diagonal(sims, -np.inf)
+        kk = min(k + 16, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for row in range(len(ids)):
+            cand = part[row][np.isfinite(sims[row, part[row]])]
+            out_q.extend([ids[row]] * len(cand))
+            out_n.extend(ids[cand])
+            out_s.extend(sims[row, cand])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                             "sim": np.array(out_s, dtype=np.float64)})
+
+    return grouped.groupBy(group_col).applyInPandas(
+        fn, schema="query_id long, neighbor_id long, sim double")
+
+
+def cosine_topk_multi_lsh(emb: DataFrame, id_col: str, vec_col: str,
+                          plane_sets: list[list[list[float]]],
+                          k: int = 5,
+                          dims: int | None = None) -> DataFrame:
+    """Multi-table hyperplane LSH: union the candidates of several
+    independent plane sets, dedupe pairs, rank globally.
+
+    The standard recall lever — a pair missed by one table's bucketing
+    is found by another; recall approaches exact top-k as tables are
+    added while per-table work stays Σ bucket². One shuffle per table
+    plus the final per-query rank (partitioned by query id, k small).
+    """
+    from pyspark.sql import Window
+    if dims is None:
+        dims = _dims(emb, vec_col)
+    v = emb.select(F.col(id_col).alias("__id"),
+                   F.col(vec_col).cast("array<double>").alias("__v"))
+    cands = None
+    for planes in plane_sets:
+        b = v.withColumn("__bucket",
+                         hyperplane_bucket(F.col("__v"), planes, dims))
+        c = _grouped_pairs(b, "__bucket", k)
+        cands = c if cands is None else cands.unionByName(c)
+    deduped = (cands.groupBy("query_id", "neighbor_id")
+               .agg(F.max("sim").alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               "neighbor_id")
+    return (deduped.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
