@@ -115,7 +115,8 @@ def test_connected_components_matches_union_find(spark, edges):
     expected = sorted((n, want[find(n)]) for n in nodes)
 
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = sorted(tuple(r) for r in connected_components(df).collect())
+    got = sorted(tuple(r) for r in
+                 connected_components(df, max_rounds=40).collect())
     assert got == expected
 
 

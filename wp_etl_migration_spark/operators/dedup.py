@@ -28,27 +28,49 @@ everywhere, which the DuckDB oracle parity relies on.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def spread_thin_input(df: DataFrame) -> DataFrame:
+def spread_thin_input(df: DataFrame,
+                      max_bytes: int = 4 << 30) -> DataFrame:
     """Repartition when the scan would yield fewer tasks than cores.
 
     Uses ``inputFiles()`` (catalog metadata — does NOT trigger the
     RDD/plan conversion that ``df.rdd.getNumPartitions()`` forces) as the
     task-count proxy: the testdata parquet is single-row-group, so each
     file scans as ONE task and interpreted per-row work (shingling,
-    SimHash) serializes on one core unless spread first. The repartition
-    is a bytes-tiny narrow shuffle relative to the work it parallelizes.
-    Frames with no file lineage (in-memory relations) are left alone —
-    Spark already parallelizes those to ``defaultParallelism``.
+    SimHash) serializes on one core unless spread first.
+
+    File count only proxies task count for SMALL files — a few large
+    multi-row-group files already scan as many tasks, and repartitioning
+    them is a full shuffle of the corpus, not the bytes-tiny spread this
+    is meant to be. So the spread additionally requires every input file
+    to be a locally-statable file whose combined size is under
+    ``max_bytes``; object-store paths and big inputs pass through
+    untouched (their row-group splits parallelize natively). Frames with
+    no file lineage (in-memory relations) are also left alone.
     """
+    import urllib.parse
+
     sc = df.sparkSession.sparkContext
-    n_files = len(df.inputFiles())
-    if 0 < n_files < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    files = df.inputFiles()
+    if not (0 < len(files) < sc.defaultParallelism):
+        return df
+    total = 0
+    for f in files:
+        parsed = urllib.parse.urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return df
+        try:
+            total += os.stat(parsed.path or f).st_size
+        except OSError:
+            return df
+        if total > max_bytes:
+            return df
+    return df.repartition(sc.defaultParallelism)
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str],
@@ -63,8 +85,10 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str],
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str,
-             n: int = 3, parallelize: bool = True) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+             n: int = 3, parallelize: bool = True,
+             carry_cols: tuple[str, ...] = (),
+             distinct: bool = True) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, *carry, shingle).
 
     Pure generator expressions — tokenize, slide an n-window, explode —
     no Python. The window is built from per-index ``element_at`` concats
@@ -73,11 +97,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
     when the input has fewer partitions than cores (single-row-group
     parquet) ``parallelize`` spreads the documents first — a ~bytes-tiny
     narrow shuffle that buys full-core shingling.
+
+    ``carry_cols`` ride along unchanged (e.g. an event-time column for
+    the streaming twin); ``distinct=False`` skips the dedup shuffle for
+    callers with their own bounded-state dedup
+    (``dropDuplicatesWithinWatermark``).
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if parallelize:
         df = spread_thin_input(df)
-    with_toks = df.select(F.col(id_col), toks.alias("__toks")) \
+    carried = [F.col(c) for c in carry_cols]
+    with_toks = df.select(F.col(id_col), *carried, toks.alias("__toks")) \
                   .where(F.size("__toks") >= n)
     # Sliding window as arrays_zip of n shifted slices — unlike
     # transform()/aggregate() (CodegenFallback, interpreted), zip +
@@ -87,9 +117,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str,
     cnt = F.size("__toks") - (n - 1)
     z = F.arrays_zip(*[F.slice("__toks", i + 1, cnt) for i in range(n)])
     shingle = F.concat_ws(" ", *[F.col("__z")[str(i)] for i in range(n)])
-    return (with_toks.select(F.col(id_col), F.explode(z).alias("__z"))
-            .select(F.col(id_col), shingle.alias("shingle"))
-            .distinct())
+    out = (with_toks
+           .select(F.col(id_col), *carried, F.explode(z).alias("__z"))
+           .select(F.col(id_col), *carried, shingle.alias("shingle")))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,

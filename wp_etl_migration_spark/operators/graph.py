@@ -43,6 +43,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     labels = (edges.groupBy(F.col("u").alias("node"))
               .agg(F.least(F.min("v"), F.first("u")).alias("label")))
 
+    moved = None
     for _ in range(max_rounds):
         # Every node adopts min(own label, neighbors' labels): join the
         # neighbor's current label across each edge, then min per node.
@@ -62,6 +63,13 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         labels = nxt
         if moved == 0:
             break
+    if moved:
+        # Returning partially-propagated labels would silently split
+        # true clusters — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds ({moved} labels still moving); the graph diameter "
+            "exceeds max_rounds — raise it")
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

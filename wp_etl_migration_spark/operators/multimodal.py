@@ -191,7 +191,11 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [decoder(bytes(p)) for p in pdf[payload_col]]
+            # NULL payloads never reach the decoder: they yield all-NULL
+            # feature rows (quarantine), the same degrade-don't-die
+            # contract as default_decoder's 'unknown'.
+            rows = [decoder(bytes(p)) if p is not None else {}
+                    for p in pdf[payload_col]]
             out = {f: [r.get(f) for r in rows] for f in fields}
             if id_col is not None:
                 out = {id_col: pdf[id_col], **out}

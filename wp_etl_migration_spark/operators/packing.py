@@ -40,8 +40,12 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     order = order_col or id_col
+    # NULL token counts (empty/unparsed docs) pack as zero-length — they
+    # get a position but consume no budget; a None would otherwise kill
+    # the prefix-sum arithmetic driver-side.
     ordered = (df.select(F.col(id_col),
-                         F.col(tokens_col).cast("long").alias("__n"),
+                         F.coalesce(F.col(tokens_col).cast("long"),
+                                    F.lit(0)).alias("__n"),
                          F.col(order).alias("__ord"))
                .repartitionByRange("__ord")
                .sortWithinPartitions("__ord")
@@ -62,8 +66,11 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
          .rowsBetween(Window.unboundedPreceding, -1))
     before = (F.coalesce(F.sum("__n").over(w), F.lit(0))
               + prefix[F.col("__pid")])
-    return (ordered.select(
-        F.col(id_col),
-        (before / seq_len).cast("long").alias("bin_id"),
-        (before % seq_len).alias("bin_offset"),
-        F.col("__n").alias("n_tokens")))
+    # Integer `div`, not float `/`: past 2^53 cumulative tokens a double
+    # division rounds and assigns wrong bins.
+    return (ordered.withColumn("__before", before)
+            .select(
+                F.col(id_col),
+                F.expr(f"__before div {seq_len}").alias("bin_id"),
+                (F.col("__before") % seq_len).alias("bin_offset"),
+                F.col("__n").alias("n_tokens")))

@@ -104,11 +104,16 @@ def cosine_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
         cm /= np.linalg.norm(cm, axis=1, keepdims=True)
         sims = qm @ cm.T                            # (q-block, c-block)
         # The global (sim desc, id) window does the exact ranking; the
-        # cell only must not drop a potential global top-k row. +1 slot
-        # absorbs the identity pair, a few more cover boundary float
-        # ties within the cell.
-        kk = min(k + 4, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # cell must keep everything that could make the global top-k
+        # UNDER THE SAME ORDER. argpartition on sims alone can drop a
+        # tied candidate whose smaller id should win the tiebreak, so
+        # select with the full (sim desc, id asc) lexsort — the cell's
+        # first k+1 under that order is exactly what the window can ever
+        # use from this cell (+1 absorbs the identity pair).
+        order = np.lexsort(
+            (np.broadcast_to(cids, sims.shape), -sims), axis=1)
+        kk = min(k + 1, sims.shape[1])
+        part = order[:, :kk]
         cand_ids = cids[part]                       # (q-block, kk)
         cand_sims = np.take_along_axis(sims, part, axis=1)
         keep = cand_ids != qids[:, None]            # drop identity pair
@@ -206,12 +211,14 @@ def _grouped_topk(grouped: DataFrame, group_col: str, k: int) -> DataFrame:
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
         np.fill_diagonal(sims, -np.inf)
-        kk = min(k + 16, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # Full (sim desc, id asc) lexsort selection — argpartition on
+        # sims alone can drop a tied candidate whose smaller id should
+        # win the row_number tiebreak.
+        order = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=1)
         out_q, out_n, out_r = [], [], []
         for row in range(len(ids)):
-            cand = part[row]
-            cand = cand[np.lexsort((ids[cand], -sims[row, cand]))]
+            cand = order[row]
             cand = cand[np.isfinite(sims[row, cand])][:k]
             out_q.extend([ids[row]] * len(cand))
             out_n.extend(ids[cand])
@@ -389,11 +396,14 @@ def _grouped_pairs(grouped: DataFrame, group_col: str,
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
         np.fill_diagonal(sims, -np.inf)
+        # Same tie-safe (sim desc, id asc) selection as _grouped_topk.
+        order = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=1)
         kk = min(k + 16, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         out_q, out_n, out_s = [], [], []
         for row in range(len(ids)):
-            cand = part[row][np.isfinite(sims[row, part[row]])]
+            cand = order[row][:kk]
+            cand = cand[np.isfinite(sims[row, cand])]
             out_q.extend([ids[row]] * len(cand))
             out_n.extend(ids[cand])
             out_s.extend(sims[row, cand])
@@ -417,6 +427,8 @@ def cosine_topk_multi_lsh(emb: DataFrame, id_col: str, vec_col: str,
     plus the final per-query rank (partitioned by query id, k small).
     """
     from pyspark.sql import Window
+    if not plane_sets:
+        raise ValueError("at least one plane set required")
     if dims is None:
         dims = _dims(emb, vec_col)
     v = emb.select(F.col(id_col).alias("__id"),

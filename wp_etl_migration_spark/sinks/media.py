@@ -128,12 +128,14 @@ def sideload_media(new_media: DataFrame,
                 err = None
                 for attempt in range(1, retries + 1):
                     row["attempts"] = attempt
+                    tmp = None
                     try:
                         data = fetch(url, timeout)
                         tmp = f"{target}.part-{uuid.uuid4().hex}"
                         with open(tmp, "wb") as fh:
                             fh.write(data)
                         os.replace(tmp, target)  # atomic publish
+                        tmp = None               # published — nothing to reap
                         row["status"] = "downloaded"
                         row["bytes"] = len(data)
                         err = None
@@ -142,6 +144,15 @@ def sideload_media(new_media: DataFrame,
                         err = f"{type(exc).__name__}: {exc}"
                         if attempt < retries:
                             time.sleep(backoff * (2 ** (attempt - 1)))
+                    finally:
+                        # A failed write/rename must not strand its
+                        # .part file — retries mint fresh uuids and the
+                        # garbage would accumulate unbounded.
+                        if tmp is not None:
+                            try:
+                                os.unlink(tmp)
+                            except OSError:
+                                pass
                 if err is not None:
                     row["status"] = "failed"
                     row["error"] = err

@@ -73,15 +73,22 @@ def from_json_with_quarantine(spark: SparkSession, path: str,
     parse time). A schema is required: inference would silently widen
     types around bad rows instead of flagging them. ``corrupt`` holds
     one row per bad line with the raw text for replay.
+
+    The two frames deliberately share a plan, not a cache: consuming
+    both re-parses the input (two scans). Pinning a corpus-scale scan
+    in executor storage for the session lifetime is the worse trade —
+    parsing is deterministic, so the split is consistent either way.
+    ``corrupt`` keeps the parsed columns alongside ``raw`` (they also
+    satisfy Spark's rule that a raw-scan query may not reference ONLY
+    the corrupt-record column).
     """
-    df = (from_json(spark, path, multi_line=multi_line,
-                    schema=f"{schema}, {CORRUPT_COL} STRING",
-                    mode="PERMISSIVE",
-                    columnNameOfCorruptRecord=CORRUPT_COL, **options)
-          .cache())
+    df = from_json(spark, path, multi_line=multi_line,
+                   schema=f"{schema}, {CORRUPT_COL} STRING",
+                   mode="PERMISSIVE",
+                   columnNameOfCorruptRecord=CORRUPT_COL, **options)
     bad = F.col(CORRUPT_COL).isNotNull()
     clean = df.where(~bad).drop(CORRUPT_COL)
-    corrupt = df.where(bad).select(F.col(CORRUPT_COL).alias("raw"))
+    corrupt = df.where(bad).withColumnRenamed(CORRUPT_COL, "raw")
     return clean, corrupt
 
 
@@ -89,13 +96,12 @@ def from_csv_with_quarantine(spark: SparkSession, path: str,
                              schema: str, header: bool = True,
                              **options) -> tuple[DataFrame, DataFrame]:
     """CSV scan with parse-level error isolation — see
-    ``from_json_with_quarantine``."""
-    df = (from_csv(spark, path, header=header, infer_schema=False,
-                   schema=f"{schema}, {CORRUPT_COL} STRING",
-                   mode="PERMISSIVE",
-                   columnNameOfCorruptRecord=CORRUPT_COL, **options)
-          .cache())
+    ``from_json_with_quarantine`` (including the two-scan note)."""
+    df = from_csv(spark, path, header=header, infer_schema=False,
+                  schema=f"{schema}, {CORRUPT_COL} STRING",
+                  mode="PERMISSIVE",
+                  columnNameOfCorruptRecord=CORRUPT_COL, **options)
     bad = F.col(CORRUPT_COL).isNotNull()
     clean = df.where(~bad).drop(CORRUPT_COL)
-    corrupt = df.where(bad).select(F.col(CORRUPT_COL).alias("raw"))
+    corrupt = df.where(bad).withColumnRenamed(CORRUPT_COL, "raw")
     return clean, corrupt

@@ -54,14 +54,11 @@ def stream_contamination(docs: DataFrame, eval_df: DataFrame,
     from wp_etl_migration_spark.operators.dedup import shingles
     ev = (shingles(eval_df, id_col, text_col, n, parallelize=False)
           .select("shingle").distinct())
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    cnt = F.size("__toks") - (n - 1)
-    z = F.arrays_zip(*[F.slice("__toks", i + 1, cnt) for i in range(n)])
-    gram = F.concat_ws(" ", *[F.col("__z")[str(i)] for i in range(n)])
-    sh = (docs.select(F.col(id_col), F.col(ts_col), toks.alias("__toks"))
-          .where(F.size("__toks") >= n)
-          .select(F.col(id_col), F.col(ts_col), F.explode(z).alias("__z"))
-          .select(F.col(id_col), F.col(ts_col), gram.alias("shingle"))
+    # Same shingle construction as the batch twin (one definition —
+    # operators.dedup.shingles); distinctness is the stream's own
+    # watermark-bounded dedup instead of a DISTINCT shuffle.
+    sh = (shingles(docs, id_col, text_col, n, parallelize=False,
+                   carry_cols=(ts_col,), distinct=False)
           .withWatermark(ts_col, watermark)
           .dropDuplicatesWithinWatermark([id_col, "shingle"]))
     return (sh.join(F.broadcast(ev), on="shingle")
