@@ -306,3 +306,24 @@ def test_wp_post_all_chain(spark):
     assert (8, "img_note", "img=4") in meta
     assert rows(out["term_relationships"],
                 "post_id", "taxonomy", "term") == [(8, "category", "news")]
+
+
+def test_term_upsert_duplicate_new_slug_mints_once(spark):
+    """Two incoming rows with the same NEW slug+taxonomy share ONE
+    minted term (the reference's sequential probe creates then finds);
+    the terms table gains a single row."""
+    terms = spark.createDataFrame(
+        [(1, "old", "Old", "category", None)],
+        "term_id long, slug string, name string, taxonomy string, "
+        "parent string")
+    incoming = spark.createDataFrame(
+        [("fresh", "Fresh", "category"), ("fresh", "Fresh", "category")],
+        "`term.slug` string, `term.name` string, `term.taxonomy` string") \
+        .withColumn("term.term_id", F.lit(None).cast("long")) \
+        .withColumn("term.parent_slug", F.lit(None).cast("string"))
+    out = run_stages({"incoming": incoming, "terms": terms},
+                     [term_upsert_stage()])
+    ids = [r["term.term_id"] for r in out["incoming"].collect()]
+    assert len(ids) == 2 and len(set(ids)) == 1  # both rows, one term
+    fresh = out["terms"].where(F.col("slug") == "fresh").collect()
+    assert len(fresh) == 1 and fresh[0].term_id == ids[0]

@@ -374,17 +374,29 @@ def term_upsert_stage(incoming_key: str = "incoming",
                             tax_col)
 
         start = max_id + 1 + placeholders.count()
-        inserts = assign_new_ids(probe.where(F.col("__matched").isNull()),
-                                 "__matched", start, ["__tax", "__slug"])
+        # One new term per distinct (taxonomy, slug), shared by every
+        # incoming row of that key — the reference's sequential probe
+        # creates the term once and finds it for later rows
+        # (WPTermsLoader.php:118-145); assigning per ROW would mint
+        # duplicate-slug terms.
+        unmatched = probe.where(F.col("__matched").isNull())
+        new_ids = assign_new_ids(
+            unmatched.select("__tax", "__slug").distinct(),
+            "__matched", start, ["__tax", "__slug"])
+        inserts = unmatched.drop("__matched").join(
+            new_ids, on=["__tax", "__slug"])
         enriched = (probe.where(F.col("__matched").isNotNull())
-                    .unionByName(inserts)
+                    .unionByName(inserts.select(
+                        *[_bt(c) for c in probe.columns]))
                     .withColumn(f"term.{id_col}", F.col("__matched")))
 
-        src = enriched.select(
-            F.col(f"`term.{id_col}`").alias(id_col),
-            F.col("__slug").alias(slug_col),
-            F.col("__name").alias(name_col),
-            F.col("__tax").alias(tax_col))
+        src = _one_row_per_key(
+            enriched.select(
+                F.col(f"`term.{id_col}`").alias(id_col),
+                F.col("__slug").alias(slug_col),
+                F.col("__name").alias(name_col),
+                F.col("__tax").alias(tax_col)),
+            [id_col])
         matched = (terms2.alias("t").join(src.alias("s"), on=id_col)
                    .select(F.col(id_col),
                            *[F.coalesce(F.col("s." + c),
