@@ -327,3 +327,25 @@ def test_term_upsert_duplicate_new_slug_mints_once(spark):
     assert len(ids) == 2 and len(set(ids)) == 1  # both rows, one term
     fresh = out["terms"].where(F.col("slug") == "fresh").collect()
     assert len(fresh) == 1 and fresh[0].term_id == ids[0]
+
+
+def test_post_upsert_duplicate_new_name_mints_once(spark):
+    """Two incoming rows with the same NEW (name, type) share one minted
+    post; rows with NULL name mint per-row (never probe-findable)."""
+    posts = spark.createDataFrame(
+        [(1, "alpha", "post", "A")],
+        ["ID", "post_name", "post_type", "post_title"])
+    incoming = spark.createDataFrame(
+        [(None, "dup", "post", "first"),
+         (None, "dup", "post", "second"),
+         (None, None, "post", "anon1"),
+         (None, None, "post", "anon2")],
+        "`post.ID` long, `post.post_name` string, "
+        "`post.post_type` string, `post.post_title` string")
+    out = run_stages({"incoming": incoming, "posts": posts},
+                     [post_upsert_stage()])
+    ids = {r["post.post_title"]: r["post.ID"]
+           for r in out["incoming"].collect()}
+    assert ids["first"] == ids["second"]          # shared minted post
+    assert ids["anon1"] != ids["anon2"]           # null name: per-row
+    assert out["posts"].where(F.col("post_name") == "dup").count() == 1

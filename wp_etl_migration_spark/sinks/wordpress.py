@@ -33,6 +33,8 @@ Stage inventory (→ reference):
 
 from __future__ import annotations
 
+import functools
+import operator
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -112,6 +114,27 @@ def assign_new_ids(rows: DataFrame, id_col: str, start: int,
         .drop("__pid"))
 
 
+def _assign_ids_per_key(rows: DataFrame, out_col: str, start: int,
+                        key_cols: Sequence[str]) -> DataFrame:
+    """Fresh ids for unmatched rows, ONE per distinct key tuple.
+
+    The reference's sequential loaders create a row for the first
+    occurrence of a key and then *find* it for later occurrences
+    (probe-before-insert), so N same-key rows share one created entity.
+    Rows with any NULL key column can never be found by the probe and
+    mint per-row, like repeated ``wp_insert_post`` calls without a name.
+    """
+    key_ok = functools.reduce(
+        operator.and_, [F.col(c).isNotNull() for c in key_cols])
+    named, anon = rows.where(key_ok), rows.where(~key_ok)
+    keys = named.select(*key_cols).distinct()
+    key_ids = assign_new_ids(keys, out_col, start, key_cols)
+    n_named = key_ids.count()
+    return (named.drop(out_col).join(key_ids, on=list(key_cols))
+            .unionByName(assign_new_ids(anon, out_col, start + n_named,
+                                        key_cols)))
+
+
 def _one_row_per_key(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """Collapse duplicate-key rows to ONE deterministic winner.
 
@@ -160,9 +183,9 @@ def post_upsert_stage(incoming_key: str = "incoming",
             out_col="__matched")
 
         max_id = posts.agg(F.max(id_col)).first()[0] or 0
-        inserts = probe.where(F.col("__matched").isNull())
-        inserts = assign_new_ids(inserts, "__matched", max_id + 1,
-                                 ["__name", "__type"])
+        inserts = _assign_ids_per_key(
+            probe.where(F.col("__matched").isNull()),
+            "__matched", max_id + 1, ["__name", "__type"])
         enriched = (probe.where(F.col("__matched").isNotNull())
                     .unionByName(inserts)
                     .withColumn(f"post.{id_col}", F.col("__matched"))
@@ -282,8 +305,9 @@ def user_upsert_stage(incoming_key: str = "incoming",
                          F.col(login_col).alias("__login")),
             "__uid", [["__email"], ["__login"]], out_col="__matched")
         max_id = users.agg(F.max(id_col)).first()[0] or 0
-        inserts = assign_new_ids(probe.where(F.col("__matched").isNull()),
-                                 "__matched", max_id + 1, ["__login"])
+        inserts = _assign_ids_per_key(
+            probe.where(F.col("__matched").isNull()),
+            "__matched", max_id + 1, ["__login"])
         enriched = (probe.where(F.col("__matched").isNotNull())
                     .unionByName(inserts)
                     .withColumn(f"user.{id_col}", F.col("__matched"))
@@ -379,12 +403,9 @@ def term_upsert_stage(incoming_key: str = "incoming",
         # creates the term once and finds it for later rows
         # (WPTermsLoader.php:118-145); assigning per ROW would mint
         # duplicate-slug terms.
-        unmatched = probe.where(F.col("__matched").isNull())
-        new_ids = assign_new_ids(
-            unmatched.select("__tax", "__slug").distinct(),
+        inserts = _assign_ids_per_key(
+            probe.where(F.col("__matched").isNull()),
             "__matched", start, ["__tax", "__slug"])
-        inserts = unmatched.drop("__matched").join(
-            new_ids, on=["__tax", "__slug"])
         enriched = (probe.where(F.col("__matched").isNotNull())
                     .unionByName(inserts.select(
                         *[_bt(c) for c in probe.columns]))
