@@ -76,12 +76,19 @@ def main() -> int:
     warm.mapInPandas(lambda it: it, schema=warm.schema) \
         .write.format("noop").mode("overwrite").save()
 
+    # Per-query isolation: one broken query must never erase the whole
+    # round's perf signal — record its error and keep going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn, _ = ALL_QUERIES[name]
         start = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate any query crash
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.monotonic() - start, 3)
 
     total = round(sum(timings.values()), 3)
@@ -92,6 +99,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf_dir,
     }
+    if errors:
+        out["errors"] = errors
 
     # Per-query regression report vs the committed quiet-machine baseline
     # (min of two runs; see BASELINE.md). Ratios only apply at the

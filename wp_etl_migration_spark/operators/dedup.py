@@ -236,15 +236,27 @@ def contamination(corpus: DataFrame, eval_df: DataFrame, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 16,
                       rows_per_band: int = 2,
-                      verify_threshold: float | None = None) -> DataFrame:
+                      verify_threshold: float | None = None,
+                      max_doc_freq: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Bands of ``rows_per_band`` signature rows are hashed to buckets; docs
     sharing any band bucket become candidates (id_a < id_b, with the count
     of agreeing bands). With ``verify_threshold`` the candidates are
-    verified with exact shingle Jaccard and filtered.
+    verified with exact shingle Jaccard and filtered — CANDIDATE-ONLY:
+    per-doc sorted shingle arrays are joined onto the candidate pairs and
+    |∩| computed with ``array_intersect``, so verify work is
+    O(candidates × shingles-per-doc), never the inverted-index self-join
+    LSH exists to avoid. ``max_doc_freq`` drops hot (stop-phrase)
+    shingles before both the signature and the verify passes, same
+    semantics as in ``ngram_jaccard_pairs``.
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        rare = (sh.groupBy("shingle").count()
+                .where(F.col("count") <= max_doc_freq).select("shingle"))
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.cache()
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
                              _shingles=sh)
     band = (F.col("seed") / F.lit(rows_per_band)).cast("int")
@@ -260,10 +272,32 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .agg(F.count("*").alias("agreeing_bands")))
     if verify_threshold is None:
         return cand
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n,
-                                threshold=verify_threshold, _shingles=sh)
-    return cand.join(exact, on=["id_a", "id_b"], how="inner") \
-               .select("id_a", "id_b", "agreeing_bands", "jaccard")
+    # Candidate-only exact verify. Semi-join the per-doc shingle sets down
+    # to docs that appear in ANY candidate pair first: candidates are
+    # sparse, so the two array-carrying joins below shuffle candidate-doc
+    # arrays only, not the corpus (AQE broadcasts the id list when small).
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .unionByName(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sets = (sh.join(cand_ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("shingle")).alias("__set"),
+                 F.count("*").alias("__n")))
+    sa = sets.select(F.col(id_col).alias("id_a"),
+                     F.col("__set").alias("__set_a"),
+                     F.col("__n").alias("total_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"),
+                     F.col("__set").alias("__set_b"),
+                     F.col("__n").alias("total_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("common",
+                        F.size(F.array_intersect("__set_a", "__set_b")))
+            .withColumn("jaccard",
+                        F.col("common").cast("double") /
+                        (F.col("total_a") + F.col("total_b")
+                         - F.col("common")).cast("double"))
+            .where(F.col("jaccard") >= verify_threshold)
+            .select("id_a", "id_b", "agreeing_bands", "jaccard"))
 
 
 def lsh_band_params(threshold: float, num_hashes: int) -> tuple[int, int]:

@@ -231,27 +231,33 @@ def _grouped_topk(grouped: DataFrame, group_col: str, k: int) -> DataFrame:
 
 
 def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
-             centroid_stride: int = 100) -> DataFrame:
+             num_centroids: int = 4096) -> DataFrame:
     """IVF-style ANN: coarse-quantize to centroids, search within cells.
 
-    Deterministic toy quantizer: every ``centroid_stride``-th vector (by
-    id) is a centroid — production would run k-means, but the *query
-    shape* is identical: (1) assign each vector to its nearest centroid
-    (argmax cosine, centroid-id tiebreak) via a broadcast join against
-    the small centroid set; (2) top-k search only among vectors sharing
-    a cell (nprobe=1 ⇒ recall < 1, the standard IVF tradeoff — raise
-    nprobe by assigning each query to its p nearest cells).
+    Deterministic quantizer: a FIXED-SIZE hash sample of the corpus is
+    the centroid set — the ``num_centroids`` vectors whose md5(id) sorts
+    first (id tiebreak), picked with a top-K sort (TakeOrderedAndProject:
+    each partition ships at most K rows to the driver). Centroid count —
+    and hence the driver collect and the broadcast — is independent of N,
+    so the operator scales to any corpus; production would swap in
+    k-means, but the *query shape* is identical: (1) assign each vector
+    to its nearest centroid (argmax cosine, centroid-id tiebreak) via a
+    broadcast join against the small centroid set; (2) top-k search only
+    among vectors sharing a cell (nprobe=1 ⇒ recall < 1, the standard
+    IVF tradeoff — raise nprobe by assigning each query to its p nearest
+    cells).
 
-    Scale: the N×C assignment is broadcast (C ≪ N); the search join
-    shuffles on cell id — cells are ~N/C vectors so the quadratic term
-    is (N/C)² per cell, not N².
+    Scale: the N×C assignment is broadcast (C ≪ N, C fixed); the search
+    join shuffles on cell id — cells are ~N/C vectors so the quadratic
+    term is (N/C)² per cell, not N².
     """
     import numpy as np
     import pandas as pd
 
-    crows = (emb.where(F.col(id_col) % centroid_stride == 0)
-             .select(F.col(id_col),
-                     F.col(vec_col).cast("array<double>").alias("v"))
+    crows = (emb.select(F.col(id_col),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+             .limit(num_centroids)
              .collect())
     cids = np.array([r[id_col] for r in crows], dtype=np.int64)
     cmat = np.array([r["v"] for r in crows], dtype=np.float64)

@@ -841,13 +841,15 @@ toks AS (
 #: h_s = (A[s]·w[s mod 4] + B[s]) mod P (1-based list indexing in SQL).
 _A_SQL = "[" + ", ".join(map(str, MINHASH_A)) + "]"
 _B_SQL = "[" + ", ".join(map(str, MINHASH_B)) + "]"
-_DUCK_MINHASH_SIG = f"""mw AS (
+def _duck_minhash_sig(src: str = "sh") -> str:
+    """MinHash signature CTEs reading (doc_id, shingle) from ``src``."""
+    return f"""mw AS (
   SELECT doc_id,
     [('0x' || substr(md5(shingle), 1, 8))::BIGINT,
      ('0x' || substr(md5(shingle), 9, 8))::BIGINT,
      ('0x' || substr(md5(shingle), 17, 8))::BIGINT,
      ('0x' || substr(md5(shingle), 25, 8))::BIGINT] AS w
-  FROM sh
+  FROM {src}
 ), sig AS (
   SELECT doc_id, seed,
     min(({_A_SQL}[seed + 1] * w[(seed % 4) + 1]
@@ -1214,7 +1216,7 @@ def q_minhash_signatures(spark, sf_dir):
 
 
 ORACLE_MINHASH = f"""
-WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH_SIG}
+WITH {_DUCK_SHINGLES}, {_duck_minhash_sig()}
 SELECT doc_id, CAST(seed AS INTEGER) AS seed, minhash
 FROM sig
 """
@@ -1387,16 +1389,25 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 
 
 def q_minhash_lsh_dedup(spark, sf_dir):
-    """Banded MinHash LSH near-dup pipeline: 16 hashes, bands of 2 →
-    candidate pairs by band-bucket equi-join → exact-Jaccard verify ≥ 0.7.
-    The 100 TB dedup path: linear signature pass + candidate-only verify."""
+    """Banded MinHash LSH near-dup pipeline: hot-shingle DF cap → 16
+    hashes, bands of 2 → candidate pairs by band-bucket equi-join →
+    CANDIDATE-ONLY exact-Jaccard verify ≥ 0.7 (array_intersect over
+    per-doc shingle sets — operators/dedup.py:minhash_lsh_pairs). The
+    100 TB dedup path: linear signature pass + candidate-bounded verify,
+    no inverted-index self-join anywhere in the plan."""
     d = _t(spark, sf_dir).documents()
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_hashes=16,
-                             rows_per_band=2, verify_threshold=0.7)
+                             rows_per_band=2, verify_threshold=0.7,
+                             max_doc_freq=JACCARD_MAX_DOC_FREQ)
 
 
+# The oracle verifies candidates the same capped-shingle way; DuckDB at
+# sf0.01 can afford per-candidate list_intersect directly.
 ORACLE_LSH_DEDUP = f"""
-WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH_SIG}, bands AS (
+WITH {_DUCK_SHINGLES}, shc AS (
+  SELECT doc_id, shingle FROM sh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {JACCARD_MAX_DOC_FREQ}
+), {_duck_minhash_sig("shc")}, bands AS (
   SELECT doc_id, seed // 2 AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash))
            AS band_hash
@@ -1405,22 +1416,18 @@ WITH {_DUCK_SHINGLES}, {_DUCK_MINHASH_SIG}, bands AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS agreeing_bands
   FROM bands a JOIN bands b USING (band, band_hash)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-), sizes AS (
-  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-  FROM sh a JOIN sh b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-), jac AS (
-  SELECT id_a, id_b,
-    CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
-  FROM pairs
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
+), sets AS (
+  SELECT doc_id, list(shingle) AS s, count(*) AS n FROM shc GROUP BY 1
 )
-SELECT c.id_a, c.id_b, c.agreeing_bands, j.jaccard
-FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
-WHERE j.jaccard >= 0.7
+SELECT id_a, id_b, agreeing_bands,
+  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+    / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+    AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+    / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.7
 """
 
 
@@ -1511,14 +1518,21 @@ SELECT id_a, id_b, cos_sim FROM (
 """
 
 
+#: Fixed centroid count for the IVF headline — independent of corpus
+#: size (the driver collect and broadcast are bounded by this, never N).
+IVF_NUM_CENTROIDS = 64
+
+
 def q_ivf_ann_topk(spark, sf_dir):
-    """IVF ANN: coarse-quantize to every-100th-id centroids (broadcast
-    N×C assignment), then top-5 within the cell (nprobe=1)."""
+    """IVF ANN: coarse-quantize to a fixed-size hash-sampled centroid set
+    (md5-of-id top-K; broadcast N×C assignment), then top-5 within the
+    cell (nprobe=1)."""
     e = _t(spark, sf_dir).embeddings()
-    return ivf_topk(e, "vec_id", "embedding", k=5, centroid_stride=100)
+    return ivf_topk(e, "vec_id", "embedding", k=5,
+                    num_centroids=IVF_NUM_CENTROIDS)
 
 
-ORACLE_IVF = """
+ORACLE_IVF = f"""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ), n AS (
@@ -1526,7 +1540,8 @@ WITH v AS (
     sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nm
   FROM v
 ), c AS (
-  SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n WHERE vec_id % 100 = 0
+  SELECT vec_id AS cid, e AS ce, nm AS cnm FROM n
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_NUM_CENTROIDS}
 ), assign AS (
   SELECT vec_id, e, nm, cid,
     row_number() OVER (PARTITION BY vec_id ORDER BY

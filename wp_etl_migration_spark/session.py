@@ -20,6 +20,10 @@ ENGINE_CONF = {
     # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable; read
     # as long and convert with integer division (sources.tables).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Untagged parquet timestamp[us] must read as TIMESTAMP (UTC session
+    # tz), not TIMESTAMP_NTZ — unix_micros() and the DuckDB oracle both
+    # assume instant semantics.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -35,6 +39,7 @@ ENGINE_CONF = {
 _RUNTIME_KEYS = (
     "spark.sql.session.timeZone",
     "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
     "spark.sql.adaptive.enabled",
     "spark.sql.adaptive.coalescePartitions.enabled",
     "spark.sql.adaptive.skewJoin.enabled",

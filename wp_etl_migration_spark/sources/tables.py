@@ -21,15 +21,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table from ``sf_dir``.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long we
-    convert via exact integer division (``div 1000`` — double division
-    would lose microseconds at 1e18 ns magnitudes).
+    ``events.ts`` has shipped in two parquet encodings; normalize both:
+
+    * TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` it
+      surfaces as a long we convert via exact integer division
+      (``div 1000`` — double division would lose microseconds at 1e18 ns
+      magnitudes).
+    * ``timestamp[us]`` with no timezone: Spark 4 infers TIMESTAMP_NTZ,
+      which ``F.unix_micros`` & friends reject. The session timezone is
+      pinned UTC (session.tune), so casting to TIMESTAMP is lossless and
+      agrees with the DuckDB oracle.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    dtypes = dict(df.dtypes)
+    if name == "events" and dtypes.get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtypes.get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
