@@ -8,7 +8,8 @@ from pyspark.sql import functions as F
 
 from wp_etl_migration_spark.functions.dates import local_to_gmt
 from wp_etl_migration_spark.functions.text import (
-    sanitize_email, split_trim, strip_all_tags, utf8_scrub)
+    esc_url_raw, kses_post, kses_post_str, sanitize_email, split_trim,
+    strip_all_tags, utf8_scrub)
 from wp_etl_migration_spark.operators.dedup import exact_dedup
 from wp_etl_migration_spark.operators.melt import melt
 
@@ -62,3 +63,33 @@ def test_exact_dedup_keep_max(spark):
     kept = sorted(r["id"] for r in
                   exact_dedup(df, "id", ["text"], keep="max").collect())
     assert kept == [3, 5]
+
+
+def test_kses_post_allowlist():
+    # Allowed tag kept, disallowed attr (event handler) dropped.
+    assert kses_post_str('<p onclick="x" class="c">hi</p>') == \
+        '<p class="c">hi</p>'
+    # Disallowed tag loses markup, keeps inner text (wp_kses quirk).
+    assert kses_post_str('<script>alert(1)</script>ok') == 'alert(1)ok'
+    # javascript: URL attr dropped; safe URL kept.
+    assert kses_post_str('<a href="javascript:x()">a</a>'
+                         '<a href="https://e.com/">b</a>') == \
+        '<a>a</a><a href="https://e.com/">b</a>'
+    # Comments dropped; void elements self-close; entities verbatim.
+    assert kses_post_str('x<!-- c --><br>&amp; y') == 'x<br />&amp; y'
+    assert kses_post_str(None) is None
+
+
+def test_kses_post_column(spark):
+    out = one(spark, '<em onmouseover="h()">t</em><iframe src="x"/>',
+              kses_post)
+    assert out == '<em>t</em>'
+
+
+def test_esc_url_raw(spark):
+    assert one(spark, " https://e.com/a?b=1 ", esc_url_raw) == \
+        "https://e.com/a?b=1"
+    assert one(spark, "javascript:alert(1)", esc_url_raw) is None
+    assert one(spark, "/rel/path x<>", esc_url_raw) == "/rel/pathx"
+    assert one(spark, "MAILTO:a@b.co", esc_url_raw) == "MAILTO:a@b.co"
+    assert one(spark, "   ", esc_url_raw) is None

@@ -167,3 +167,26 @@ def test_hll_sketch_partials_merge_to_global(spark):
                    .alias("n")).first()["n"])
     exact = d.select("text").distinct().count()
     assert merged == exact  # sparse-mode HLL is exact at this scale
+
+
+def test_janitor_snapshot_restore_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "posts")
+    load_table(spark, SF_SMALL, "orders").write.parquet(path)
+    total = spark.read.parquet(path).count()
+
+    snap = janitor.snapshot_dataset(path, tag="t1")
+    assert janitor.list_snapshots(path) == [snap]
+
+    # Destructive rewrite: drop every 'F' row.
+    df = spark.read.parquet(path)
+    janitor.rewrite_dataset(
+        spark, path, janitor.delete_where(
+            df, F.col("o_orderstatus") == "F"))
+    assert spark.read.parquet(path).count() < total
+
+    janitor.restore_dataset(path, snap)
+    back = spark.read.parquet(path)
+    assert back.count() == total
+    assert back.where(F.col("o_orderstatus") == "F").count() > 0
+    # Snapshot survives by default for repeated rollback.
+    assert janitor.list_snapshots(path) == [snap]

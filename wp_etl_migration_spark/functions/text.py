@@ -17,6 +17,8 @@ path):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -93,6 +95,154 @@ def absint(col: Column | str) -> Column:
     """WP ``absint``: absolute integer value (non-numeric → 0)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.abs(F.coalesce(c.try_cast("long"), F.lit(0)))
+
+
+#: ``wp_kses_post`` allow-list (subset of WP's ``$allowedposttags`` —
+#: the tags/attrs the reference's post/user sanitize path keeps,
+#: ≙ WPPostsLoader.php:180-182 / WPUserLoader.php:191,233).
+KSES_POST_TAGS: dict[str, frozenset] = {
+    "a": frozenset({"href", "rel", "target", "name"}),
+    "abbr": frozenset(), "acronym": frozenset(), "b": frozenset(),
+    "big": frozenset(), "blockquote": frozenset({"cite"}),
+    "br": frozenset(), "caption": frozenset(), "cite": frozenset(),
+    "code": frozenset(), "dd": frozenset(),
+    "del": frozenset({"datetime"}), "div": frozenset({"align"}),
+    "dl": frozenset(), "dt": frozenset(), "em": frozenset(),
+    "figcaption": frozenset(), "figure": frozenset(),
+    "h1": frozenset({"align"}), "h2": frozenset({"align"}),
+    "h3": frozenset({"align"}), "h4": frozenset({"align"}),
+    "h5": frozenset({"align"}), "h6": frozenset({"align"}),
+    "hr": frozenset(), "i": frozenset(),
+    "img": frozenset({"src", "alt", "width", "height", "srcset",
+                      "sizes", "loading"}),
+    "ins": frozenset({"datetime", "cite"}), "li": frozenset({"value"}),
+    "ol": frozenset({"start", "type", "reversed"}),
+    "p": frozenset({"align"}), "pre": frozenset(),
+    "q": frozenset({"cite"}), "s": frozenset(), "small": frozenset(),
+    "span": frozenset({"align"}), "strike": frozenset(),
+    "strong": frozenset(), "sub": frozenset(), "sup": frozenset(),
+    "table": frozenset({"align", "border", "cellpadding", "cellspacing",
+                        "width"}),
+    "tbody": frozenset(),
+    "td": frozenset({"colspan", "rowspan", "align", "width"}),
+    "tfoot": frozenset(),
+    "th": frozenset({"colspan", "rowspan", "align", "width", "scope"}),
+    "thead": frozenset(), "tr": frozenset({"align"}), "u": frozenset(),
+    "ul": frozenset({"type"}),
+}
+_KSES_GLOBAL_ATTRS = frozenset({"class", "id", "title", "dir", "lang"})
+_KSES_URL_ATTRS = frozenset({"href", "src", "cite"})
+_KSES_VOID = frozenset({"br", "hr", "img"})
+#: Schemes ``esc_url_raw`` / kses URL attrs accept (WP
+#: ``wp_allowed_protocols`` subset; relative URLs always pass).
+OK_URL_SCHEMES = frozenset({"http", "https", "ftp", "ftps", "mailto",
+                            "tel", "news", "irc"})
+
+
+def _url_scheme_ok(url: str) -> bool:
+    import re as _re
+
+    m = _re.match(r"^\s*([a-zA-Z][a-zA-Z0-9+.\-]*):", url)
+    return m is None or m.group(1).lower() in OK_URL_SCHEMES
+
+
+class _Kses:
+    """Streaming re-serializer behind :func:`kses_post_str`.
+
+    Disallowed tags lose their MARKUP but keep their inner text — the
+    wp_kses quirk (``<script>x</script>`` → ``x``), unlike
+    :func:`strip_all_tags` which drops script/style bodies. Comments are
+    dropped; attrs not on the tag's allow-list (event handlers included)
+    are removed; URL-bearing attrs must pass the scheme check.
+    """
+
+    def __init__(self) -> None:
+        from html.parser import HTMLParser
+
+        out: list[str] = []
+        self.out = out
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                _Kses.emit_tag(out, tag, attrs, self_closing=False)
+
+            def handle_startendtag(self, tag, attrs):
+                _Kses.emit_tag(out, tag, attrs, self_closing=True)
+
+            def handle_endtag(self, tag):
+                if tag in KSES_POST_TAGS and tag not in _KSES_VOID:
+                    out.append(f"</{tag}>")
+
+            def handle_data(self, data):
+                out.append(data)
+
+            def handle_entityref(self, name):
+                out.append(f"&{name};")
+
+            def handle_charref(self, name):
+                out.append(f"&#{name};")
+
+        self.parser = P(convert_charrefs=False)
+
+    @staticmethod
+    def emit_tag(out: list[str], tag: str, attrs, self_closing: bool):
+        allowed = KSES_POST_TAGS.get(tag)
+        if allowed is None:
+            return
+        kept = []
+        for k, v in attrs:
+            if k not in allowed and k not in _KSES_GLOBAL_ATTRS:
+                continue
+            if v is not None and k in _KSES_URL_ATTRS \
+                    and not _url_scheme_ok(v):
+                continue
+            if v is None:
+                kept.append(k)
+            else:
+                esc = v.replace("&", "&amp;").replace('"', "&quot;")
+                kept.append(f'{k}="{esc}"')
+        attr_s = (" " + " ".join(kept)) if kept else ""
+        close = " /" if (self_closing or tag in _KSES_VOID) else ""
+        out.append(f"<{tag}{attr_s}{close}>")
+
+
+def kses_post_str(html: str | None) -> str | None:
+    """``wp_kses_post``-equivalent allow-list sanitize (pure Python)."""
+    if html is None:
+        return None
+    k = _Kses()
+    k.parser.feed(html)
+    k.parser.close()
+    return "".join(k.out)
+
+
+def kses_post(col: Column | str) -> Column:
+    """Column form of :func:`kses_post_str` (Arrow-batched pandas UDF —
+    an HTML parse can't be a codegen expression; batching amortizes the
+    interpreter like the html_to_blocks converter)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def conv(s: pd.Series) -> pd.Series:
+        return s.map(kses_post_str, na_action="ignore")
+
+    return conv(F.col(col) if isinstance(col, str) else col)
+
+
+def esc_url_raw(col: Column | str) -> Column:
+    """WP ``esc_url_raw`` (≙ WPUserLoader.php:166): strip characters not
+    legal in a URL, then require a relative URL or an allow-listed
+    scheme — rejected URLs become NULL (the engine's idiom for "WP
+    returns ''"; composes with required-field backfill). Pure Column
+    expressions, JVM-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(
+        F.trim(c), r"[^a-zA-Z0-9\-._~:/?#\[\]@!$&'()*+,;=%]", "")
+    scheme_re = "^(?i)(" + "|".join(sorted(OK_URL_SCHEMES)) + "):"
+    has_scheme = cleaned.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+    ok = (~has_scheme & (F.length(cleaned) > 0)) | cleaned.rlike(scheme_re)
+    return F.when(ok, cleaned).otherwise(F.lit(None))
 
 
 def utf8_scrub(col: Column | str) -> Column:

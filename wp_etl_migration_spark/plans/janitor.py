@@ -15,6 +15,8 @@ trail of what a job loaded — the safer rollback key).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,3 +57,52 @@ def rewrite_dataset(spark: SparkSession, path: str, survivors: DataFrame,
     survivors.write.mode("overwrite").format(fmt).save(staging)
     spark.read.format(fmt).load(staging) \
         .write.mode("overwrite").format(fmt).save(path)
+
+
+def snapshot_dataset(path: str, tag: str = "pre_migration") -> str:
+    """Snapshot a file dataset before a destructive operation.
+
+    ≙ ProcessCommand.php:345-362 — the reference wraps a migration in a
+    ``wp db export`` backup and re-imports it on failure. On an immutable
+    file warehouse the equivalent is a directory copy taken BEFORE the
+    overwrite; returns the snapshot path for :func:`restore_dataset`.
+    Existing snapshots with the same tag are replaced (one backup per
+    operation, like the reference's single export file).
+
+    Local-filesystem copy; on an object store the same contract is a
+    server-side prefix copy — the call site doesn't change.
+    """
+    import shutil
+
+    snap = f"{path.rstrip('/')}.__snapshot__-{tag}"
+    if os.path.exists(snap):
+        shutil.rmtree(snap)
+    shutil.copytree(path, snap)
+    return snap
+
+
+def restore_dataset(path: str, snapshot: str,
+                    keep_snapshot: bool = True) -> None:
+    """Roll the dataset back to a snapshot (≙ the reference's failure-path
+    ``db import``). The copy lands in a staging dir first so a crash
+    mid-restore never leaves ``path`` half-written, then swaps."""
+    import shutil
+
+    if not os.path.isdir(snapshot):
+        raise FileNotFoundError(f"no snapshot at {snapshot}")
+    staging = path.rstrip("/") + ".__restore_staging__"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    shutil.copytree(snapshot, staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)
+    if not keep_snapshot:
+        shutil.rmtree(snapshot)
+
+
+def list_snapshots(path: str) -> list[str]:
+    """Snapshot paths taken for ``path``, sorted by tag."""
+    import glob
+
+    return sorted(glob.glob(f"{path.rstrip('/')}.__snapshot__-*"))

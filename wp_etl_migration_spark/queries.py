@@ -595,16 +595,41 @@ FROM raw
 
 def q_sanitize_chain(spark, sf_dir):
     """F16 sanitize family: strip tags, %XX octets, whitespace collapse;
-    absint (≙ WPPostsLoader.php:163-246 sanitize_text_field / absint)."""
+    absint (≙ WPPostsLoader.php:163-246 sanitize_text_field / absint);
+    wp_kses_post allow-list HTML (≙ WPPostsLoader.php:180-182 — keeps
+    safe tags/attrs, drops script markup and event handlers, rejects
+    javascript: URLs); esc_url_raw (≙ WPUserLoader.php:166).
+
+    The kses/url inputs are built deterministically from part columns so
+    the DuckDB oracle can mirror the EXPECTED output by string
+    construction — the oracle is the spec of the allow-list behavior,
+    not a second HTML parser.
+    """
     from wp_etl_migration_spark.functions.text import (
-        absint, sanitize_text_field)
+        absint, esc_url_raw, kses_post, sanitize_text_field)
     p = _t(spark, sf_dir).part()
     messy = F.concat(F.lit("<b>"), F.col("p_name"),
                      F.lit("</b> %4A\tend  here"))
+    kses_in = F.concat(
+        F.lit('<p class="lead" onclick="steal()">'), F.col("p_name"),
+        F.lit('</p><script>evil()</script>'
+              '<a href="javascript:x()" title="t">l1</a>'
+              '<a href="https://example.com/a?b=1" onmouseover="h()">l2</a>'
+              '<img src="https://img.example/x.png" alt="a" data-x="1" />'
+              '<marquee>old</marquee><em>ok</em>'))
+    key_s = F.col("p_partkey").cast("string")
+    url_in = (F.when(F.col("p_partkey") % 3 == 0,
+                     F.concat(F.lit("https://example.com/x?id="), key_s))
+              .when(F.col("p_partkey") % 3 == 1,
+                    F.concat(F.lit("javascript:alert("), key_s, F.lit(")")))
+              .otherwise(F.concat(F.lit("  /rel/path "), key_s,
+                                  F.lit("<> "))))
     return p.select(
         "p_partkey",
         sanitize_text_field(messy).alias("clean"),
-        absint(F.col("p_partkey") - 1000).alias("abs_id"))
+        absint(F.col("p_partkey") - 1000).alias("abs_id"),
+        kses_post(kses_in).alias("kses_clean"),
+        esc_url_raw(url_in).alias("url_clean"))
 
 
 ORACLE_SANITIZE = r"""
@@ -617,7 +642,15 @@ SELECT p_partkey,
         '%[a-fA-F0-9]{2}', '', 'g'),
       '[\x00-\x1F\x7F]', '', 'g'),
     '[ \t]+', ' ', 'g')) AS clean,
-  abs(p_partkey - 1000) AS abs_id
+  abs(p_partkey - 1000) AS abs_id,
+  '<p class="lead">' || p_name || '</p>evil()<a title="t">l1</a>'
+    || '<a href="https://example.com/a?b=1">l2</a>'
+    || '<img src="https://img.example/x.png" alt="a" />old<em>ok</em>'
+    AS kses_clean,
+  CASE WHEN p_partkey % 3 = 0
+         THEN 'https://example.com/x?id=' || CAST(p_partkey AS VARCHAR)
+       WHEN p_partkey % 3 = 1 THEN NULL
+       ELSE '/rel/path' || CAST(p_partkey AS VARCHAR) END AS url_clean
 FROM part
 """
 

@@ -291,12 +291,27 @@ def user_upsert_stage(incoming_key: str = "incoming",
                       users_key: str = "users",
                       id_col: str = "ID",
                       email_col: str = "user_email",
-                      login_col: str = "user_login") -> Stage:
+                      login_col: str = "user_login",
+                      sanitize: bool = True) -> Stage:
     """L9/J6: two-pass existence probe (email, then login), update/insert
-    split, stream mutation with ``user.ID``."""
+    split, stream mutation with ``user.ID``.
+
+    ``sanitize`` mirrors the reference's field scrub before the write
+    (≙ WPUserLoader.php:166 esc_url_raw on user_url; :191,233 wp_kses on
+    the description): applied to the incoming frame so both the probe
+    and the written rows see clean values.
+    """
+    from wp_etl_migration_spark.functions.text import esc_url_raw, kses_post
 
     def stage(state: State) -> State:
         incoming, users = state[incoming_key], state[users_key]
+        if sanitize:
+            if "user.user_url" in incoming.columns:
+                incoming = incoming.withColumn(
+                    "user.user_url", esc_url_raw(_bt("user.user_url")))
+            if "user.description" in incoming.columns:
+                incoming = incoming.withColumn(
+                    "user.description", kses_post(_bt("user.description")))
         probe = cascaded_lookup(
             incoming.withColumn("__email", _bt(f"user.{email_col}"))
                     .withColumn("__login", _bt(f"user.{login_col}")),
