@@ -98,3 +98,35 @@ def test_multi_table_lsh_recall_improves(spark):
                                             planes, k=3).collect()}
     assert recall(multi) >= recall(one)
     assert recall(multi) > 0.5
+
+
+def test_kmeans_centroids_converge_and_drive_ivf(spark):
+    """Lloyd fit: clusters tighten around two separated blobs, and the
+    fitted centroids slot into ivf_topk as the cell quantizer."""
+    import random
+    from wp_etl_migration_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids)
+    rng = random.Random(11)
+    dims = 4
+    rows = [(i, [rng.gauss(5 if i % 2 else -5, 0.5) for _ in range(dims)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=2, iters=3)
+    got = {r.cluster_id: (r.centroid, r.n_members) for r in cents.collect()}
+    assert len(got) == 2
+    assert sum(n for _, n in got.values()) == 80
+    # The two centroids land near the opposite blob means (±5 per dim).
+    signs = sorted(1 if c[0] > 0 else -1 for c, _ in got.values())
+    assert signs == [-1, 1]
+    for c, n in got.values():
+        assert n == 40
+        assert all(abs(abs(x) - 5) < 1.0 for x in c)
+
+    ann = ivf_topk(emb, "vec_id", "embedding", k=3, centroids=cents)
+    per_q = {}
+    for r in ann.collect():
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        # neighbors come from the same blob (cells align with blobs)
+        assert r.query_id % 2 == r.neighbor_id % 2
+    assert len(per_q) == 80 and all(len(v) == 3 for v in per_q.values())

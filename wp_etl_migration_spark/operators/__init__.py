@@ -50,6 +50,7 @@ from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
     cosine_topk_lsh,
     embedding_near_dup,
     ivf_topk,
+    kmeans_centroids,
 )
 from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401
     attach_binary,

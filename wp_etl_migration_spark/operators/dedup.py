@@ -276,13 +276,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # to docs that appear in ANY candidate pair first: candidates are
     # sparse, so the two array-carrying joins below shuffle candidate-doc
     # arrays only, not the corpus (AQE broadcasts the id list when small).
+    # cand/sets are referenced 3×/2× below — cache them (both are
+    # candidate-bounded) so the band self-join runs once, not per branch.
+    cand = cand.cache()
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
     sets = (sh.join(cand_ids, id_col, "left_semi")
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_list("shingle")).alias("__set"),
-                 F.count("*").alias("__n")))
+                 F.count("*").alias("__n"))
+            .cache())
     sa = sets.select(F.col(id_col).alias("id_a"),
                      F.col("__set").alias("__set_a"),
                      F.col("__n").alias("total_a"))

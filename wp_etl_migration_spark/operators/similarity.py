@@ -231,7 +231,8 @@ def _grouped_topk(grouped: DataFrame, group_col: str, k: int) -> DataFrame:
 
 
 def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
-             num_centroids: int = 4096) -> DataFrame:
+             num_centroids: int = 4096,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style ANN: coarse-quantize to centroids, search within cells.
 
     Deterministic quantizer: a FIXED-SIZE hash sample of the corpus is
@@ -250,15 +251,24 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
     Scale: the N×C assignment is broadcast (C ≪ N, C fixed); the search
     join shuffles on cell id — cells are ~N/C vectors so the quadratic
     term is (N/C)² per cell, not N².
+
+    Pass ``centroids`` — a (cluster_id, centroid) frame, e.g. from
+    :func:`kmeans_centroids` — to replace the hash-sample quantizer with
+    fitted cells (same fixed-size collect, k rows).
     """
     import numpy as np
     import pandas as pd
 
-    crows = (emb.select(F.col(id_col),
-                        F.col(vec_col).cast("array<double>").alias("v"))
-             .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-             .limit(num_centroids)
-             .collect())
+    if centroids is not None:
+        crows = [{id_col: r["cluster_id"], "v": r["centroid"]}
+                 for r in centroids.collect()]
+    else:
+        crows = (emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(num_centroids)
+            .collect())
     cids = np.array([r[id_col] for r in crows], dtype=np.int64)
     cmat = np.array([r["v"] for r in crows], dtype=np.float64)
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
@@ -286,6 +296,99 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
     assigned = src.mapInPandas(
         assign, schema="__id long, __v array<double>, __cell long")
     return _grouped_topk(assigned, "__cell", k)
+
+
+def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
+                     k: int = 64, iters: int = 2,
+                     dims: int | None = None) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    production centroid provider for :func:`ivf_topk`.
+
+    Init is the same deterministic md5(id) hash-sample as ``ivf_topk``
+    (the first ``k`` vectors in md5 order), so the whole fit is seedless
+    and reproducible. Each iteration: (1) broadcast the k×d centroid
+    matrix; (2) assign every vector to its nearest centroid by spherical
+    similarity dot(v,c)/|c| — the |v| term is a per-row positive scale
+    that cannot change the argmax, so it is omitted; ties take the
+    smallest cluster id; (3) recompute per-dimension means with DECIMAL
+    sums (posexplode → one map-side-combinable agg), the same
+    order-independence contract as :func:`cluster_centroids`. Empty
+    clusters keep their previous centroid.
+
+    Numeric determinism: similarity accumulates dimension-by-dimension
+    (left-to-right, never BLAS) and means route through decimal(25,9),
+    so the fit is bit-identical across partitionings AND engines — the
+    DuckDB oracle unrolls the same iterations in SQL.
+
+    Scale: driver/broadcast traffic is k×d doubles + k×d decimal sums
+    per iteration — independent of corpus size; the per-iteration corpus
+    work is one mapInPandas pass + one shuffle on (cluster, dim).
+
+    Returns (cluster_id int, centroid array<double>, n_members long),
+    n_members from the final assignment (0 for empty clusters).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dims is None:
+        dims = _dims(emb, vec_col)
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    seeds = (src.orderBy(F.md5(F.col("__id").cast("string")),
+                         F.col("__id"))
+             .limit(k).collect())
+    cmat = np.array([r["__v"] for r in seeds], dtype=np.float64)
+    n_clusters = len(cmat)
+    counts = [0] * n_clusters
+
+    for _ in range(iters):
+        b = spark.sparkContext.broadcast(cmat)
+
+        def assign(batches):
+            cm = b.value
+            nrm = np.zeros(len(cm))
+            for i in range(dims):            # dim-ordered, matches SQL
+                nrm += cm[:, i] * cm[:, i]
+            nrm = np.sqrt(nrm)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.array(list(pdf["__v"]), dtype=np.float64)
+                sims = np.zeros((len(q), len(cm)))
+                for i in range(dims):        # left-to-right fold
+                    sims += q[:, i:i + 1] * cm[None, :, i]
+                sims /= nrm[None, :]
+                # argmax takes the FIRST max → smallest cluster id wins
+                # ties, mirroring ORDER BY sim DESC, cid.
+                yield pd.DataFrame({
+                    "__v": pdf["__v"],
+                    "__cell": np.argmax(sims, axis=1).astype(np.int32)})
+
+        assigned = src.mapInPandas(
+            assign, schema="__v array<double>, __cell int")
+        stats = (assigned
+                 .select("__cell", F.posexplode("__v")
+                         .alias("__pos", "__val"))
+                 .groupBy("__cell", "__pos")
+                 .agg(F.sum(F.col("__val").cast("decimal(25,9)"))
+                      .alias("__s"),
+                      F.count("*").alias("__n"))
+                 .collect())                 # k×d rows — fixed size
+        new = cmat.copy()
+        counts = [0] * n_clusters
+        for r in stats:
+            # CAST(sum AS DOUBLE)/n in both engines: correctly-rounded
+            # decimal→double, then one double division.
+            new[r["__cell"], r["__pos"]] = float(r["__s"]) / r["__n"]
+            counts[r["__cell"]] = r["__n"]
+        cmat = new
+        b.unpersist()
+
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in cmat[cid]], counts[cid])
+         for cid in range(n_clusters)],
+        schema="cluster_id int, centroid array<double>, n_members long")
 
 
 def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,

@@ -1599,6 +1599,60 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
 """
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed Lloyd's k-means fit (8 clusters, 2 iterations,
+    deterministic md5 hash-sample init) — the production centroid
+    provider for the IVF path (operators/similarity.kmeans_centroids).
+    Oracle unrolls both iterations in SQL with the same decimal-sum
+    means and smallest-id tiebreaks."""
+    from wp_etl_migration_spark.operators.similarity import (
+        kmeans_centroids)
+    e = _t(spark, sf_dir).embeddings()
+    return kmeans_centroids(e, "vec_id", "embedding", k=8, iters=2)
+
+
+def _kmeans_iter_sql(prev: str, a: str, m: str, nxt: str) -> str:
+    """One unrolled Lloyd iteration: assign to argmax dot/|c| (cid
+    tiebreak) → per-dim decimal means → empty cells keep prev centroid."""
+    return f"""{a} AS (
+  SELECT vec_id, e, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY
+      list_sum(list_transform(range(1, 65), i -> e[i] * ce[i]))
+        / sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))
+        DESC, cid) AS rn
+  FROM v, {prev}
+), {m} AS (
+  SELECT cid, i,
+    CAST(sum(CAST(e[i] AS DECIMAL(25,9))) AS DOUBLE) / count(*) AS mu,
+    count(*) AS n
+  FROM (SELECT e, cid FROM {a} WHERE rn = 1), UNNEST(range(1, 65)) AS r(i)
+  GROUP BY cid, i
+), {nxt} AS (
+  SELECT p.cid,
+    coalesce(g.ce, p.ce) AS ce,
+    coalesce(g.n, 0) AS n
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(mu ORDER BY i) AS ce, min(n) AS n
+    FROM {m} GROUP BY cid) g USING (cid)
+)"""
+
+
+ORACLE_KMEANS = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid,
+         e AS ce, 0 AS n
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), {_kmeans_iter_sql('c0', 'a1', 'm1', 'c1')},
+{_kmeans_iter_sql('c1', 'a2', 'm2', 'c2')}
+SELECT CAST(cid AS INTEGER) AS cluster_id, ce AS centroid,
+       CAST(n AS BIGINT) AS n_members
+FROM c2
+"""
+
+
 #: Fixed, seeded hyperplanes for the LSH ANN query — generated by a pure
 #: formula so Spark and the oracle embed bit-identical double literals.
 ANN_PLANES = [[__import__("math").sin(0.1 + p * 7.3 + i * 0.61)
@@ -2241,6 +2295,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
+    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
