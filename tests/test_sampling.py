@@ -87,3 +87,27 @@ def test_gopher_rules_flags(spark):
     assert rows[1].passes
     assert not rows[2].bullet_ratio_ok and not rows[2].passes
     assert not rows[3].symbol_ratio_ok and not rows[3].passes
+
+
+def test_weighted_hash_sample_monotone_and_clamped(spark):
+    from wp_etl_migration_spark.operators.sampling import (
+        weighted_hash_sample)
+    from pyspark.sql import functions as F
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    def kept(w):
+        return weighted_hash_sample(
+            df.withColumn("w", F.lit(w)), "doc_id", "w").count()
+    # weight 0 keeps nothing, 1 keeps everything, mid is monotone.
+    assert kept(0.0) == 0
+    assert kept(1.0) == 4000
+    lo, hi = kept(0.2), kept(0.8)
+    assert 0 < lo < hi < 4000
+    # out-of-range weights clamp, not explode
+    assert kept(7.5) == 4000 and kept(-3.0) == 0
+    # determinism: same inputs → identical keep set
+    a = {r.doc_id for r in weighted_hash_sample(
+        df.withColumn("w", F.lit(0.5)), "doc_id", "w").collect()}
+    b = {r.doc_id for r in weighted_hash_sample(
+        df.repartition(7).withColumn("w", F.lit(0.5)), "doc_id",
+        "w").collect()}
+    assert a == b

@@ -190,3 +190,18 @@ def test_janitor_snapshot_restore_roundtrip(spark, tmp_path):
     assert back.where(F.col("o_orderstatus") == "F").count() > 0
     # Snapshot survives by default for repeated rollback.
     assert janitor.list_snapshots(path) == [snap]
+
+
+def test_lsh_verify_is_candidate_only(spark):
+    """Plan-shape guard: the LSH verify path must never regress to the
+    full shingle-inverted-index self-join (its only shingle joins are
+    the semi-join doc-frequency cap / candidate pruning)."""
+    from wp_etl_migration_spark.operators.dedup import minhash_lsh_pairs
+    d = load_table(spark, SF_SMALL, "documents")
+    df = minhash_lsh_pairs(d, "doc_id", "text", verify_threshold=0.7,
+                           max_doc_freq=100)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "array_intersect" in plan
+    for line in plan.splitlines():
+        if "Join Inner" in line:
+            assert "shingle" not in line, line

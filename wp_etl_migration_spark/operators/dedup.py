@@ -133,9 +133,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     Jaccard is an exact integer-ratio (|∩| / (|A|+|B|−|∩|)) so the value
     is bit-deterministic. ``_shingles`` lets callers that already built
     the shingle frame (LSH verify) reuse it instead of recomputing.
+
+    The shingle STRING never leaves the shingling stage: every shuffle
+    (distinct, doc-frequency cap, inverted-index self-join) keys on
+    ``xxhash64(shingle)`` — an 8-byte long instead of a ~25-byte string,
+    which roughly halves shuffle volume and makes the join comparisons
+    integer-speed. Output values are unchanged (the hash is only ever a
+    join/group key; a 64-bit collision across a corpus is ~n²/2⁶⁴ — at
+    a trillion shingles still ≪ 1 — and would only merge two shingles,
+    nudging one pair's count, not corrupting the structure).
     """
-    sh = _shingles if _shingles is not None \
-        else shingles(df, id_col, text_col, n)
+    if _shingles is not None:
+        sh = _shingles.select(F.col(id_col),
+                              F.xxhash64("shingle").alias("shingle"))
+    else:
+        sh = (shingles(df, id_col, text_col, n, distinct=False)
+              .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+              .distinct())
     if max_doc_freq is not None:
         rare = (sh.groupBy("shingle").count()
                 .where(F.col("count") <= max_doc_freq).select("shingle"))
@@ -282,9 +296,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
+    # Shingles ride into the verify join as xxhash64 longs, not strings
+    # (same key-compression rationale as in ngram_jaccard_pairs).
     sets = (sh.join(cand_ids, id_col, "left_semi")
             .groupBy(id_col)
-            .agg(F.sort_array(F.collect_list("shingle")).alias("__set"),
+            .agg(F.sort_array(F.collect_list(F.xxhash64("shingle")))
+                 .alias("__set"),
                  F.count("*").alias("__n"))
             .cache())
     sa = sets.select(F.col(id_col).alias("id_a"),

@@ -42,6 +42,22 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float,
     return df.where(hash_bucket(id_col, salt) < int(fraction * _SCALE))
 
 
+def weighted_hash_sample(df: DataFrame, id_col: str,
+                         weight: Column | str,
+                         salt: str = "") -> DataFrame:
+    """Per-row keep probability = clamp(weight, 0, 1) — quality-weighted
+    downsampling (keep documents proportional to a quality score, the
+    importance-resampling step of a curation pipeline). Same
+    content-addressed determinism contract as :func:`hash_sample`:
+    the decision depends only on (key, salt, weight), so retries and
+    re-partitions agree forever. Pure codegen expressions, no shuffle.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(
+        hash_bucket(id_col, salt).cast("double") < p * float(_SCALE))
+
+
 def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
                            fractions: dict[str, float],
                            default: float = 0.0,

@@ -1199,6 +1199,30 @@ WHERE ('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling: keep probability rises
+    with document length (min(1, n_tokens/128)) — the importance-
+    resampling step of a curation pipeline
+    (operators/sampling.weighted_hash_sample)."""
+    from wp_etl_migration_spark.operators.sampling import (
+        weighted_hash_sample)
+    d = _t(spark, sf_dir).documents()
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = toks.cast("double") / F.lit(128.0)
+    return (weighted_hash_sample(d.select("doc_id", "text"), "doc_id",
+                                 w, salt="wq")
+            .select("doc_id"))
+
+
+ORACLE_WEIGHTED_SAMPLE = r"""
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5('wq' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT AS DOUBLE)
+  < least(greatest(CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS DOUBLE) / 128.0, 0.0), 1.0) * 4294967296.0
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup cluster resolution: exact-Jaccard near-dup pairs → connected
     components (min-label propagation, operators/graph.py) → one
@@ -2296,6 +2320,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
     "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
