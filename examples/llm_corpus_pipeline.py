@@ -5,8 +5,8 @@ engine's operators — the kind of job this engine exists for at 100 TB:
     documents ──ž Gopher + heuristic quality gates ──ž language filter
               ──ž exact dedup ──ž MinHash-LSH near-dup pairs
               ──ž connected-component keep-list ──ž stratified sampling
-              ──ž token accounting
-    embeddings ─ž ANN top-k (IVF) for nearest-neighbor audit
+              ──ž quality-weighted downsampling ──ž token accounting
+    embeddings ─ž SemDeDup keep-list ─ž k-means-fitted IVF ANN audit
 
 Run:  python examples/llm_corpus_pipeline.py [sf_dir] [out_dir]
 
@@ -28,8 +28,9 @@ from wp_etl_migration_spark.operators.dedup import (
 from wp_etl_migration_spark.operators.gates import apply_gates
 from wp_etl_migration_spark.operators.graph import dedup_keep_list
 from wp_etl_migration_spark.operators.sampling import (
-    stratified_hash_sample)
-from wp_etl_migration_spark.operators.similarity import ivf_topk
+    stratified_hash_sample, weighted_hash_sample)
+from wp_etl_migration_spark.operators.similarity import (
+    ivf_topk, kmeans_centroids, semantic_dedup)
 from wp_etl_migration_spark.session import get_spark, tune
 from wp_etl_migration_spark.sources.tables import Tables
 
@@ -77,18 +78,31 @@ def build_corpus(spark: SparkSession, sf_dir: str,
 
     # Deterministic source rebalancing: content-addressed keep decision,
     # so backfills and retries reproduce the identical sample.
-    return stratified_hash_sample(
+    balanced = stratified_hash_sample(
         deduped, "doc_id", "source",
         {"src0": 0.5, "src1": 0.5}, default=1.0,
-        salt="corpus-v1"), gate_obs
+        salt="corpus-v1")
+
+    # Importance resampling: longer/better documents keep a higher
+    # probability (clamped to 1); same content-addressed determinism.
+    return weighted_hash_sample(
+        balanced, "doc_id",
+        F.col("quality") + F.least(F.col("n_tokens") / F.lit(256.0),
+                                   F.lit(0.5)),
+        salt="corpus-v1-w"), gate_obs
 
 
 def nearest_neighbor_audit(spark: SparkSession, sf_dir: str,
                            k: int = 5) -> DataFrame:
-    """IVF ANN top-k over the embeddings table — the audit view used to
-    spot-check that near-dups really left the corpus."""
+    """Embedding-side audit: SemDeDup keep-list prunes semantic
+    duplicates, then a k-means-fitted IVF ANN spot-checks that the
+    survivors' neighbors are genuinely distinct."""
     e = Tables(spark, sf_dir).embeddings()
-    return ivf_topk(e, "vec_id", "embedding", k=k)
+    keep = semantic_dedup(e, "vec_id", "embedding", k=8, iters=2,
+                          threshold=0.95)
+    pruned = e.join(keep, "vec_id", "left_semi")
+    cents = kmeans_centroids(pruned, "vec_id", "embedding", k=8, iters=2)
+    return ivf_topk(pruned, "vec_id", "embedding", k=k, centroids=cents)
 
 
 def main(argv: list[str]) -> int:

@@ -130,3 +130,29 @@ def test_kmeans_centroids_converge_and_drive_ivf(spark):
         # neighbors come from the same blob (cells align with blobs)
         assert r.query_id % 2 == r.neighbor_id % 2
     assert len(per_q) == 80 and all(len(v) == 3 for v in per_q.values())
+
+
+def test_semantic_dedup_drops_within_blob_duplicates(spark):
+    """Two tight blobs of 6 near-identical vectors each + 4 isolated
+    vectors: each blob collapses to its min id, isolates survive."""
+    import random
+    from wp_etl_migration_spark.operators.similarity import semantic_dedup
+    rng = random.Random(3)
+    rows = []
+    for i in range(6):                        # blob A: ids 0..5
+        rows.append((i, [1.0 + rng.gauss(0, 0.01) for _ in range(4)]))
+    for i in range(6, 12):                    # blob B: ids 6..11
+        rows.append((i, [(-1.0 if d % 2 else 1.0) + rng.gauss(0, 0.01)
+                         for d in range(4)]))
+    for j, i in enumerate(range(12, 16)):     # isolates: orthogonal-ish
+        v = [0.0] * 4
+        v[j] = 10.0 * (1 if j % 2 else -1)
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    keep = sorted(r.vec_id for r in
+                  semantic_dedup(emb, "vec_id", "embedding", k=4,
+                                 iters=2, threshold=0.99).collect())
+    assert 0 in keep and 6 in keep            # blob representatives
+    assert all(i in keep for i in range(12, 16))
+    assert not any(i in keep for i in range(1, 6))
+    assert not any(i in keep for i in range(7, 12))

@@ -154,3 +154,49 @@ def test_preserve_numeric_type_matches_duckdb(spark, vals):
               THEN CAST(CAST(s AS DOUBLE) AS VARCHAR)
             ELSE s END""")
     assert got == want
+
+
+_HTML_BITS = st.lists(st.sampled_from([
+    "<p>", "</p>", '<p class="c">', "<script>", "</script>",
+    '<a href="javascript:x()">', '<a href="https://e.com/">', "</a>",
+    '<em onclick="h()">', "</em>", "<img src='x'>", "<iframe>",
+    "</iframe>", "text ", "&amp;", "<b", ">", '"', "<!-- c -->",
+]), min_size=0, max_size=12).map("".join)
+
+
+@given(html=_HTML_BITS)
+@settings(**SETTINGS)
+def test_kses_post_never_emits_disallowed(html):
+    """Safety invariants on arbitrary tag soup: output contains no
+    disallowed tag, no event-handler attribute, no javascript: URL in
+    an attribute, no comments — and is idempotent."""
+    import re
+    from wp_etl_migration_spark.functions.text import kses_post_str
+    out = kses_post_str(html)
+    for bad in ("<script", "<iframe", "onclick", "onmouseover", "<!--"):
+        assert bad not in out
+    assert not re.search(r'href="javascript:', out)
+    assert kses_post_str(out) == out
+
+
+@given(url=st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=30))
+@settings(**SETTINGS)
+def test_esc_url_raw_invariants(spark, url):
+    """NULL or clean: survivors contain only URL-legal characters and
+    never carry a disallowed scheme; the function is idempotent."""
+    import re
+    from wp_etl_migration_spark.functions.text import esc_url_raw
+    df = spark.createDataFrame([(url,)], "s string")
+    out = df.select(esc_url_raw(F.col("s")).alias("o")).first()["o"]
+    if out is None:
+        return
+    assert re.fullmatch(r"[a-zA-Z0-9\-._~:/?#\[\]@!$&'()*+,;=%]+", out)
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", out)
+    if m:
+        assert m.group(1).lower() in {"http", "https", "ftp", "ftps",
+                                      "mailto", "tel", "news", "irc"}
+    again = df.sparkSession.createDataFrame([(out,)], "s string") \
+        .select(esc_url_raw(F.col("s")).alias("o")).first()["o"]
+    assert again == out

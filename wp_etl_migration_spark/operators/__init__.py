@@ -51,6 +51,7 @@ from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
     embedding_near_dup,
     ivf_topk,
     kmeans_centroids,
+    semantic_dedup,
 )
 from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401
     attach_binary,

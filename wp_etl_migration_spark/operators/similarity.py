@@ -298,6 +298,43 @@ def ivf_topk(emb: DataFrame, id_col: str, vec_col: str, k: int = 5,
     return _grouped_topk(assigned, "__cell", k)
 
 
+def _det_assign_cells(src: DataFrame, cmat, dims: int) -> DataFrame:
+    """Deterministic nearest-centroid assignment: (__id, __v, __cell).
+
+    Similarity is dot(v,c)/|c| accumulated DIMENSION-BY-DIMENSION (a
+    left-to-right fold, never BLAS) so the float result — and therefore
+    any tie — is bit-identical to the SQL oracle's ``list_sum`` fold;
+    argmax takes the first max, so the smallest cluster index wins ties
+    (mirroring ORDER BY sim DESC, cid). The |v| term is a per-row
+    positive scale and is omitted. ``cmat`` rows are cluster 0..k-1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = src.sparkSession.sparkContext.broadcast(np.asarray(cmat))
+
+    def assign(batches):
+        cm = b.value
+        nrm = np.zeros(len(cm))
+        for i in range(dims):                # dim-ordered, matches SQL
+            nrm += cm[:, i] * cm[:, i]
+        nrm = np.sqrt(nrm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["__v"]), dtype=np.float64)
+            sims = np.zeros((len(q), len(cm)))
+            for i in range(dims):            # left-to-right fold
+                sims += q[:, i:i + 1] * cm[None, :, i]
+            sims /= nrm[None, :]
+            yield pd.DataFrame({
+                "__id": pdf["__id"], "__v": pdf["__v"],
+                "__cell": np.argmax(sims, axis=1).astype(np.int32)})
+
+    return src.mapInPandas(
+        assign, schema="__id long, __v array<double>, __cell int")
+
+
 def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
                      k: int = 64, iters: int = 2,
                      dims: int | None = None) -> DataFrame:
@@ -343,30 +380,7 @@ def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
     counts = [0] * n_clusters
 
     for _ in range(iters):
-        b = spark.sparkContext.broadcast(cmat)
-
-        def assign(batches):
-            cm = b.value
-            nrm = np.zeros(len(cm))
-            for i in range(dims):            # dim-ordered, matches SQL
-                nrm += cm[:, i] * cm[:, i]
-            nrm = np.sqrt(nrm)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                q = np.array(list(pdf["__v"]), dtype=np.float64)
-                sims = np.zeros((len(q), len(cm)))
-                for i in range(dims):        # left-to-right fold
-                    sims += q[:, i:i + 1] * cm[None, :, i]
-                sims /= nrm[None, :]
-                # argmax takes the FIRST max → smallest cluster id wins
-                # ties, mirroring ORDER BY sim DESC, cid.
-                yield pd.DataFrame({
-                    "__v": pdf["__v"],
-                    "__cell": np.argmax(sims, axis=1).astype(np.int32)})
-
-        assigned = src.mapInPandas(
-            assign, schema="__v array<double>, __cell int")
+        assigned = _det_assign_cells(src, cmat, dims)
         stats = (assigned
                  .select("__cell", F.posexplode("__v")
                          .alias("__pos", "__val"))
@@ -383,12 +397,57 @@ def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
             new[r["__cell"], r["__pos"]] = float(r["__s"]) / r["__n"]
             counts[r["__cell"]] = r["__n"]
         cmat = new
-        b.unpersist()
 
     return spark.createDataFrame(
         [(cid, [float(x) for x in cmat[cid]], counts[cid])
          for cid in range(n_clusters)],
         schema="cluster_id int, centroid array<double>, n_members long")
+
+
+def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
+                   k: int = 64, iters: int = 2, threshold: float = 0.35,
+                   dims: int | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication: keep-list of ids after
+    dropping embedding near-duplicates within k-means cells.
+
+    Composition of the engine's own primitives (the SemDeDup recipe,
+    Abbas et al. 2023, public): :func:`kmeans_centroids` fit →
+    deterministic cell assignment (:func:`_det_assign_cells`) →
+    cell-local exact cosine pairs ≥ ``threshold`` (one equi-join on the
+    cell id — per-cell quadratic, never corpus-quadratic; the clustering
+    is what makes semantic dedup tractable at 100 TB) → connected
+    components → keep the min id per component plus every untouched id.
+
+    Returns a one-column keep-list (``id_col``); anti-join the corpus
+    against its complement to drop the duplicates.
+    """
+    from wp_etl_migration_spark.operators.graph import dedup_keep_list
+
+    if dims is None:
+        dims = _dims(emb, vec_col)
+    cents = kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters,
+                             dims=dims)
+    cmat = [r["centroid"]
+            for r in sorted(cents.collect(),
+                            key=lambda r: r["cluster_id"])]
+    src = emb.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    assigned = _det_assign_cells(src, cmat, dims)
+    norm = F.sqrt(unrolled_dot(F.col("__v"), F.col("__v"), dims))
+    withn = assigned.withColumn("__n", norm)
+    a = withn.select(F.col("__id").alias("id_a"),
+                     F.col("__v").alias("__va"),
+                     F.col("__n").alias("__na"), "__cell")
+    b = withn.select(F.col("__id").alias("id_b"),
+                     F.col("__v").alias("__vb"),
+                     F.col("__n").alias("__nb"), "__cell")
+    sim = (unrolled_dot(F.col("__va"), F.col("__vb"), dims)
+           / (F.col("__na") * F.col("__nb")))
+    pairs = (a.join(b, on="__cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where(sim >= threshold)
+             .select("id_a", "id_b"))
+    return dedup_keep_list(emb.select(id_col), pairs, id_col)
 
 
 def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,

@@ -1677,6 +1677,59 @@ FROM c2
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup keep-list: k-means cells (8
+    clusters, 2 iterations) → cell-local cosine near-dup pairs ≥ 0.35 →
+    connected components → min-id representative per cluster
+    (operators/similarity.semantic_dedup). The oracle replays the
+    entire pipeline — unrolled Lloyd fit, assignment, pair join, and a
+    recursive-CTE component closure — in SQL."""
+    from wp_etl_migration_spark.operators.similarity import semantic_dedup
+    e = _t(spark, sf_dir).embeddings()
+    return semantic_dedup(e, "vec_id", "embedding", k=8, iters=2,
+                          threshold=0.35)
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS cid,
+         e AS ce, 0 AS n
+  FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+), {_kmeans_iter_sql('c0', 'a1', 'm1', 'c1')},
+{_kmeans_iter_sql('c1', 'a2', 'm2', 'c2')}, a3 AS (
+  SELECT vec_id, e, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY
+      list_sum(list_transform(range(1, 65), i -> e[i] * ce[i]))
+        / sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))
+        DESC, cid) AS rn
+  FROM v, c2
+), cell AS (
+  SELECT vec_id, e, cid,
+    sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nm
+  FROM a3 WHERE rn = 1
+), prs AS (
+  SELECT a.vec_id AS u, b.vec_id AS w
+  FROM cell a JOIN cell b USING (cid)
+  WHERE a.vec_id < b.vec_id
+    AND list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+          / (a.nm * b.nm) >= 0.35
+), edges AS (
+  SELECT u, w FROM prs UNION SELECT w, u FROM prs
+), reach AS (
+  SELECT u, w FROM edges
+  UNION
+  SELECT r.u, e2.w FROM reach r JOIN edges e2 ON r.w = e2.u
+), comp AS (
+  SELECT u AS node, least(u, min(w)) AS component FROM reach GROUP BY u
+)
+SELECT vec_id FROM v
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
 #: Fixed, seeded hyperplanes for the LSH ANN query — generated by a pure
 #: formula so Spark and the oracle embed bit-identical double literals.
 ANN_PLANES = [[__import__("math").sin(0.1 + p * 7.3 + i * 0.61)
@@ -2321,6 +2374,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
     "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
