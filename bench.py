@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "gopher_quality",
     "hash_sample",
     "repetition_stats",
+    "kmeans_centroids",
+    "weighted_sample",
+    # semantic_dedup is parity-checked + unit-tested but not benched:
+    # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
+    # component loop on a ~1k-edge graph, which measures the scheduler,
+    # not the plans (kmeans_centroids and dedup_clusters cover its two
+    # heavy constituents here).
 ]
 
 

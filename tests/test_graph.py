@@ -156,3 +156,14 @@ def test_semantic_dedup_drops_within_blob_duplicates(spark):
     assert all(i in keep for i in range(12, 16))
     assert not any(i in keep for i in range(1, 6))
     assert not any(i in keep for i in range(7, 12))
+
+
+def test_connected_components_pointer_jump_long_path(spark):
+    """A 1000-node path (diameter 999) must converge well inside the
+    default 20 rounds — pointer jumping makes rounds O(log diameter);
+    plain propagation would need ~999."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], ["id_a", "id_b"])
+    got = connected_components(pairs).collect()
+    assert len(got) == 1000
+    assert {r.component for r in got} == {0}

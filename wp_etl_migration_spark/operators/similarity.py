@@ -418,6 +418,10 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     is what makes semantic dedup tractable at 100 TB) → connected
     components → keep the min id per component plus every untouched id.
 
+    Size ``k`` proportionally to the corpus so cells stay roughly
+    constant (cells are ~N/k vectors; per-cell work is (N/k)²·d). The
+    fit cost is linear in N per iteration regardless of k.
+
     Returns a one-column keep-list (``id_col``); anti-join the corpus
     against its complement to drop the duplicates.
     """
@@ -434,7 +438,11 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
                      F.col(vec_col).cast("array<double>").alias("__v"))
     assigned = _det_assign_cells(src, cmat, dims)
     norm = F.sqrt(unrolled_dot(F.col("__v"), F.col("__v"), dims))
-    withn = assigned.withColumn("__n", norm)
+    # Materialize once: the pair self-join traverses this frame twice,
+    # and without the checkpoint each traversal re-runs the Python
+    # assignment pass over the corpus.
+    withn = (assigned.withColumn("__n", norm)
+             .localCheckpoint(eager=True))
     a = withn.select(F.col("__id").alias("id_a"),
                      F.col("__v").alias("__va"),
                      F.col("__n").alias("__na"), "__cell")
