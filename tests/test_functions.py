@@ -77,6 +77,10 @@ def test_kses_post_allowlist():
         '<a>a</a><a href="https://e.com/">b</a>'
     # Comments dropped; void elements self-close; entities verbatim.
     assert kses_post_str('x<!-- c --><br>&amp; y') == 'x<br />&amp; y'
+    # Rawtext (CDATA) content cannot re-form markup: data-position '<'
+    # escapes to &lt; (hypothesis-found regression).
+    assert kses_post_str('<script><script></script>') == '&lt;script>'
+    assert kses_post_str('a < b') == 'a &lt; b'
     assert kses_post_str(None) is None
 
 

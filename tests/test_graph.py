@@ -167,3 +167,46 @@ def test_connected_components_pointer_jump_long_path(spark):
     got = connected_components(pairs).collect()
     assert len(got) == 1000
     assert {r.component for r in got} == {0}
+
+
+def test_incremental_lsh_excludes_corpus_pairs(spark):
+    """New x corpus and new x new (once) surface; corpus x corpus never
+    — that work happened when the corpus index was built."""
+    from wp_etl_migration_spark.operators.dedup import (
+        incremental_lsh_pairs, lsh_bands)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (10, text), (11, text), (20, "x y z")],
+        ["doc_id", "text"])
+    corpus = docs.where("doc_id < 10")
+    new = docs.where("doc_id >= 10")
+    idx = lsh_bands(corpus, "doc_id", "text")
+    got = {(r.id_new, r.id_other, r.other_is_new)
+           for r in incremental_lsh_pairs(new, idx, "doc_id",
+                                          "text").collect()}
+    # identical docs 1,2,10,11 all collide; 20 does not.
+    assert (10, 1, False) in got and (11, 2, False) in got
+    assert (10, 11, True) in got and (11, 10, True) not in got
+    assert not any(a in (1, 2) for a, _, _ in got)
+    assert not any(20 in (a, b) for a, b, _ in got)
+
+
+def test_lsh_band_index_roundtrips_through_parquet(spark, tmp_path):
+    """The corpus band index is a plain storable table: persisting it
+    and rereading changes nothing about incremental candidates."""
+    from wp_etl_migration_spark.operators.dedup import (
+        incremental_lsh_pairs, lsh_bands)
+    text = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c d e f g h")], ["doc_id", "text"])
+    new = spark.createDataFrame([(30, text)], ["doc_id", "text"])
+    idx = lsh_bands(docs, "doc_id", "text")
+    path = str(tmp_path / "band_index")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+    live = {(r.id_new, r.id_other) for r in
+            incremental_lsh_pairs(new, idx, "doc_id", "text").collect()}
+    replay = {(r.id_new, r.id_other) for r in
+              incremental_lsh_pairs(new, stored, "doc_id",
+                                    "text").collect()}
+    assert live == replay == {(30, 1)}

@@ -205,3 +205,37 @@ def test_lsh_verify_is_candidate_only(spark):
     for line in plan.splitlines():
         if "Join Inner" in line:
             assert "shingle" not in line, line
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """Plan guards for the scan family: predicates reach the parquet
+    scan (PushedFilters) and only referenced columns are read
+    (ReadSchema column pruning)."""
+    from wp_etl_migration_spark.queries import q_scan_filter_sort_limit
+    df = q_scan_filter_sort_limit(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan, plan
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].split("]")[0]
+    # pruning: the 9-column orders table scans only the 4 used columns
+    assert "o_comment" not in scan[0] and "o_clerk" not in scan[0]
+
+
+def test_profile_table_and_key_skew(spark):
+    from wp_etl_migration_spark.operators.profile import (
+        key_skew_profile, profile_table)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None)],
+        ["id", "k"])
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["id"].n_rows == 5 and prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 5
+    assert prof["id"].min_str == "1" and prof["id"].max_str == "5"
+    assert prof["k"].n_nulls == 1 and prof["k"].n_distinct == 2
+
+    skew = key_skew_profile(df.where("k is not null"), "k", top_k=1) \
+        .first()
+    assert skew.key == "a" and skew.n == 3
+    assert abs(skew.share - 0.75) < 1e-12
+    assert abs(skew.skew_factor - 1.5) < 1e-12   # 3 / mean(3,1)

@@ -154,6 +154,13 @@ class _Kses:
     :func:`strip_all_tags` which drops script/style bodies. Comments are
     dropped; attrs not on the tag's allow-list (event handlers included)
     are removed; URL-bearing attrs must pass the scheme check.
+
+    Text data has ``<`` escaped to ``&lt;``: rawtext elements (script/
+    style) switch HTMLParser into CDATA mode where their CONTENT arrives
+    as data, so without the escape ``<script><script></script>`` would
+    re-emit working markup (found by the property suite). Escaping in
+    data position is idempotent — a second pass sees ``&lt;`` as an
+    entity ref and passes it through.
     """
 
     def __init__(self) -> None:
@@ -174,7 +181,7 @@ class _Kses:
                     out.append(f"</{tag}>")
 
             def handle_data(self, data):
-                out.append(data)
+                out.append(data.replace("<", "&lt;"))
 
             def handle_entityref(self, name):
                 out.append(f"&{name};")

@@ -22,6 +22,8 @@ from wp_etl_migration_spark.operators.melt import (  # noqa: F401
 from wp_etl_migration_spark.operators.dedup import (  # noqa: F401
     contamination,
     exact_dedup,
+    incremental_lsh_pairs,
+    lsh_bands,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -36,6 +38,11 @@ from wp_etl_migration_spark.operators.graph import (  # noqa: F401
 from wp_etl_migration_spark.operators.sampling import (  # noqa: F401
     hash_sample,
     stratified_hash_sample,
+    weighted_hash_sample,
+)
+from wp_etl_migration_spark.operators.profile import (  # noqa: F401
+    key_skew_profile,
+    profile_table,
 )
 from wp_etl_migration_spark.operators.pii import (  # noqa: F401
     pii_counts,

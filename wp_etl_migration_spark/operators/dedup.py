@@ -247,6 +247,61 @@ def contamination(corpus: DataFrame, eval_df: DataFrame, id_col: str,
             .groupBy(id_col).agg(F.count("*").alias("n_shared")))
 
 
+def lsh_bands(df: DataFrame, id_col: str, text_col: str,
+              n: int = 3, num_hashes: int = 16, rows_per_band: int = 2,
+              _shingles: DataFrame | None = None) -> DataFrame:
+    """Storable LSH band index: (id, band, band_hash).
+
+    The persistable half of banded MinHash — write it once per corpus
+    snapshot and incremental batches join against it without touching
+    historical text (see :func:`incremental_lsh_pairs`). Deterministic:
+    band_hash is md5 over the sorted in-band minhashes.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
+                             _shingles=_shingles)
+    band = (F.col("seed") / F.lit(rows_per_band)).cast("int")
+    return (sig.withColumn("band", band)
+            .groupBy(id_col, "band")
+            .agg(F.md5(F.concat_ws("|", F.sort_array(
+                F.collect_list("minhash")))).alias("band_hash")))
+
+
+def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
+                          id_col: str, text_col: str,
+                          n: int = 3, num_hashes: int = 16,
+                          rows_per_band: int = 2) -> DataFrame:
+    """Near-dup candidates of an INCREMENTAL batch against a stored
+    corpus band index plus itself — the production shape of continuous
+    dedup: each new crawl shingles only its own documents, the
+    historical corpus contributes nothing but its (id, band, band_hash)
+    index rows (``corpus_bands``, from :func:`lsh_bands`).
+
+    Returns (id_new, id_other, other_is_new, agreeing_bands): one row
+    per candidate pair with ``id_new`` from the new batch; new×new
+    pairs appear once (id_new < id_other). Corpus×corpus pairs never —
+    that work was already done when the corpus was indexed.
+
+    Scale: one band-key shuffle of new-batch bands + the (pruned) index;
+    no text, signatures, or shingles recomputed for the corpus.
+    """
+    new_bands = lsh_bands(new_df, id_col, text_col, n, num_hashes,
+                          rows_per_band)
+    tagged = (new_bands.withColumn("__new", F.lit(True))
+              .unionByName(
+                  corpus_bands.select(F.col(id_col), "band", "band_hash")
+                  .withColumn("__new", F.lit(False))))
+    a, b = new_bands.alias("a"), tagged.alias("b")
+    keep = (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")) & (
+        ~F.col("b.__new") |
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    return (a.join(b, on=["band", "band_hash"])
+            .where(keep)
+            .groupBy(F.col(f"a.{id_col}").alias("id_new"),
+                     F.col(f"b.{id_col}").alias("id_other"),
+                     F.col("b.__new").alias("other_is_new"))
+            .agg(F.count("*").alias("agreeing_bands")))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3, num_hashes: int = 16,
                       rows_per_band: int = 2,
@@ -271,13 +326,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                 .where(F.col("count") <= max_doc_freq).select("shingle"))
         sh = sh.join(rare, "shingle", "left_semi")
     sh = sh.cache()
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes,
-                             _shingles=sh)
-    band = (F.col("seed") / F.lit(rows_per_band)).cast("int")
-    bands = (sig.withColumn("band", band)
-             .groupBy(id_col, "band")
-             .agg(F.md5(F.concat_ws("|", F.sort_array(
-                 F.collect_list("minhash")))).alias("band_hash")))
+    bands = lsh_bands(df, id_col, text_col, n, num_hashes,
+                      rows_per_band, _shingles=sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, on=["band", "band_hash"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

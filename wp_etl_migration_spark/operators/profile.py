@@ -1,0 +1,71 @@
+"""Dataset profiling diagnostics (beyond reference — the operational
+companions to the analyze family, SURVEY §2.6/A1).
+
+``profile_table``  — per-column completeness/cardinality/range summary
+in ONE aggregation pass over the table (no per-column jobs): the scan
+cost is paid once regardless of column count.
+
+``key_skew_profile`` — hot-key diagnostic for shuffle planning: top-k
+keys by frequency with their share of rows and skew factor (count over
+mean count per key). This is the measurement step behind choosing the
+``operators/skew`` levers (salting / AQE skew join): a key with skew
+factor ≫ cores is the one that strands a 1000-executor stage on one
+task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame,
+                  cols: list[str] | None = None) -> DataFrame:
+    """One row per column: (col_name, n_rows, n_nulls, n_distinct,
+    min_str, max_str). Min/max/distinct compare the column's native
+    type, then render as strings so heterogeneous columns stack into
+    one frame. Exact distincts (count(DISTINCT) expand) — swap in
+    ``approx_count_distinct`` at 100 TB where ±2% is acceptable; exact
+    is kept here for engine-portable results.
+    """
+    cols = cols or df.columns
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .alias(f"__null{i}"),
+            F.countDistinct(F.col(c)).alias(f"__dist{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __null{i}, __dist{i}, __min{i}, __max{i}"
+        for i, c in enumerate(cols))
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {stacked}) as "
+               "(col_name, n_nulls, n_distinct, min_str, max_str)"),
+        F.col("__n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
+             "min_str", "max_str")
+
+
+def key_skew_profile(df: DataFrame, key_col: str,
+                     top_k: int = 10) -> DataFrame:
+    """Top-``top_k`` keys by row count: (key, n, share, skew_factor),
+    skew_factor = key count over the mean count across all keys. One
+    groupBy shuffle + a single-row aggregate joined back (broadcast).
+    Ties rank by key value for determinism.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")) \
+               .agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.avg("n").alias("__mean"))
+    ranked = (counts.crossJoin(F.broadcast(totals))
+              .withColumn("share", F.col("n") / F.col("__total"))
+              .withColumn("skew_factor", F.col("n") / F.col("__mean"))
+              .withColumn("__rk", F.row_number().over(
+                  Window.orderBy(F.col("n").desc(), F.col("key"))))
+              .where(F.col("__rk") <= top_k))
+    return ranked.select("key", "n", "share", "skew_factor")

@@ -1199,6 +1199,84 @@ WHERE ('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def q_incremental_lsh(spark, sf_dir):
+    """Incremental dedup: documents with doc_id % 10 == 0 play the new
+    crawl batch, the rest the already-indexed corpus. Only the batch is
+    shingled/signed; the corpus contributes its stored (id, band,
+    band_hash) index (operators/dedup.lsh_bands /
+    incremental_lsh_pairs)."""
+    from wp_etl_migration_spark.operators.dedup import (
+        incremental_lsh_pairs, lsh_bands)
+    d = _t(spark, sf_dir).documents()
+    new = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    idx = lsh_bands(corpus, "doc_id", "text", n=3, num_hashes=16,
+                    rows_per_band=2)
+    return incremental_lsh_pairs(new, idx, "doc_id", "text", n=3,
+                                 num_hashes=16, rows_per_band=2)
+
+
+ORACLE_INCREMENTAL_LSH = f"""
+WITH {_DUCK_SHINGLES}, {_duck_minhash_sig()}, bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash))
+           AS band_hash
+  FROM sig GROUP BY doc_id, band
+)
+SELECT a.doc_id AS id_new, b.doc_id AS id_other,
+       b.doc_id % 10 = 0 AS other_is_new,
+       count(*) AS agreeing_bands
+FROM bands a JOIN bands b USING (band, band_hash)
+WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+  AND (b.doc_id % 10 <> 0 OR a.doc_id < b.doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+_PROFILE_COLS = ("o_orderkey", "o_orderstatus", "o_orderdate",
+                 "o_orderpriority")
+
+
+def q_table_profile(spark, sf_dir):
+    """One-pass per-column profile of orders: rows, nulls, exact
+    distincts, min/max rendered as strings
+    (operators/profile.profile_table)."""
+    from wp_etl_migration_spark.operators.profile import profile_table
+    o = _t(spark, sf_dir).orders()
+    return profile_table(o, list(_PROFILE_COLS))
+
+
+ORACLE_TABLE_PROFILE = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+  CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_str,
+  CAST(max({c}) AS VARCHAR) AS max_str
+FROM orders""" for c in _PROFILE_COLS)
+
+
+def q_key_skew(spark, sf_dir):
+    """Hot-key shuffle diagnostic: top keys of orders.o_orderpriority by
+    count with share and skew factor
+    (operators/profile.key_skew_profile)."""
+    from wp_etl_migration_spark.operators.profile import key_skew_profile
+    o = _t(spark, sf_dir).orders()
+    return key_skew_profile(o, "o_orderpriority", top_k=5)
+
+
+ORACLE_KEY_SKEW = """
+WITH counts AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS key, count(*) AS n
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total, avg(n) AS mean FROM counts
+)
+SELECT key, n, n / total AS share, n / mean AS skew_factor
+FROM counts, t
+QUALIFY row_number() OVER (ORDER BY n DESC, key) <= 5
+"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted deterministic sampling: keep probability rises
     with document length (min(1, n_tokens/128)) — the importance-
@@ -2375,6 +2453,9 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
+    "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
+    "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
     "lang_id": (q_lang_id, ORACLE_LANG),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
