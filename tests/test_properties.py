@@ -167,15 +167,19 @@ _HTML_BITS = st.lists(st.sampled_from([
 @given(html=_HTML_BITS)
 @settings(**SETTINGS)
 def test_kses_post_never_emits_disallowed(html):
-    """Safety invariants on arbitrary tag soup: output contains no
-    disallowed tag, no event-handler attribute, no javascript: URL in
-    an attribute, no comments — and is idempotent."""
+    """Safety invariants on arbitrary tag soup: no REAL disallowed
+    markup survives — a literal ``<`` opening a disallowed tag, an
+    event-handler attribute inside an emitted (allowed) tag, a
+    javascript: URL attribute inside a tag, or a comment — and the
+    sanitize is idempotent. (Escaped ``&lt;…`` text may spell anything;
+    it is inert.)"""
     import re
     from wp_etl_migration_spark.functions.text import kses_post_str
     out = kses_post_str(html)
-    for bad in ("<script", "<iframe", "onclick", "onmouseover", "<!--"):
-        assert bad not in out
-    assert not re.search(r'href="javascript:', out)
+    assert not re.search(r"(?i)<\s*(script|iframe|svg|style)", out)
+    assert not re.search(r'(?i)<(p|a|em|b|img)\b[^>]*\bon\w+\s*=', out)
+    assert not re.search(r'(?i)<\w[^>]*\bhref="javascript:', out)
+    assert "<!--" not in out
     assert kses_post_str(out) == out
 
 
