@@ -60,3 +60,61 @@ def test_extract_features_plumbing(spark):
     feats = extract_features(
         attach_binary(df, "doc_id", "text"), "doc_id", "payload").collect()
     assert feats[0].n_bytes == 5 and len(feats[0].digest) == 32
+
+
+def _bmp_2x2() -> bytes:
+    """2x2 24bpp BMP with distinct pixels. Bottom-up file order:
+    row0 = visual bottom (BL=red, BR=green), row1 = top (TL=blue,
+    TR=white). Rows pad to 8 bytes."""
+    from wp_etl_migration_spark.operators.multimodal import encode_bmp
+    header = encode_bmp(2, 2)[:54]
+    row0 = bytes([0, 0, 255, 0, 255, 0, 0, 0])       # BGR red, green
+    row1 = bytes([255, 0, 0, 255, 255, 255, 0, 0])   # blue, white
+    return header + row0 + row1
+
+
+def test_resize_bmp_nearest_neighbor():
+    from wp_etl_migration_spark.operators.multimodal import (
+        decode_bmp, resize_bmp)
+    small = resize_bmp(_bmp_2x2(), 1, 1)
+    meta = decode_bmp(small)
+    assert (meta["width"], meta["height"]) == (1, 1)
+    # nearest with floor mapping picks source (0,0) = file row0 col0 = red
+    assert small[54:57] == bytes([0, 0, 255])
+    big = resize_bmp(_bmp_2x2(), 4, 4)
+    meta = decode_bmp(big)
+    assert (meta["width"], meta["height"]) == (4, 4)
+    # each source pixel becomes a 2x2 block; file row0 starts with 2 reds
+    assert big[54:60] == bytes([0, 0, 255, 0, 0, 255])
+
+
+def test_resize_media_passthrough_and_resize(spark):
+    from wp_etl_migration_spark.operators.multimodal import (
+        decode_media, resize_media)
+    rows = [(1, _bmp_2x2()), (2, b"not an image"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r.payload
+           for r in resize_media(df, 4, 4).collect()}
+    dec = {r.doc_id: (r.width, r.height)
+           for r in decode_media(
+               spark.createDataFrame([(1, bytes(out[1]))],
+                                     "doc_id long, payload binary"),
+               id_col="doc_id").collect()}
+    assert dec[1] == (4, 4)
+    assert bytes(out[2]) == b"not an image"     # degrade, don't die
+    assert out[3] is None
+
+
+def test_frameseq_sample_frames(spark):
+    from wp_etl_migration_spark.operators.multimodal import (
+        decode_bmp, decode_frameseq, encode_bmp, encode_frameseq,
+        sample_frames)
+    frames = [encode_bmp(w, 2) for w in (1, 2, 3, 4, 5)]
+    assert decode_frameseq(encode_frameseq(frames)) == frames
+    df = spark.createDataFrame(
+        [(7, encode_frameseq(frames)), (8, b"junk"), (9, None)],
+        "doc_id long, payload binary")
+    got = sorted((r.doc_id, r.frame_idx, decode_bmp(bytes(r.frame))["width"])
+                 for r in sample_frames(df, every_k=2).collect())
+    # every 2nd frame of doc 7 (idx 0,2,4 -> widths 1,3,5); junk/null drop
+    assert got == [(7, 0, 1), (7, 2, 3), (7, 4, 5)]

@@ -64,6 +64,8 @@ from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401
     attach_binary,
     extract_features,
     decode_media,
+    resize_media,
+    sample_frames,
 )
 from wp_etl_migration_spark.operators.merge import (  # noqa: F401
     merge_upsert,

@@ -204,6 +204,126 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def resize_bmp(data: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of a 24bpp bottom-up BMP — a REAL
+    pixel-data transform (numpy gather over padded rows), dependency-
+    free. Richer codecs swap in via ``resize_media``'s injection point.
+    """
+    import numpy as np
+
+    meta = decode_bmp(data)
+    if meta["bits_per_sample"] != 24:
+        raise ValueError("resize_bmp handles 24bpp payloads")
+    w, h = meta["width"], meta["height"]
+    off, = struct.unpack_from("<I", data, 10)
+    row = (w * 3 + 3) // 4 * 4
+    px = np.frombuffer(data, dtype=np.uint8,
+                       count=row * h, offset=off).reshape(h, row)
+    xs = (np.arange(new_w) * w) // new_w
+    ys = (np.arange(new_h) * h) // new_h
+    # Per new column: the 3 bytes at source offset xs[x]*3 (+0,+1,+2).
+    out = px[ys][:, np.repeat(xs * 3, 3) + np.tile([0, 1, 2], new_w)]
+    pad = (-(new_w * 3)) % 4
+    if pad:
+        out = np.concatenate(
+            [out, np.zeros((new_h, pad), dtype=np.uint8)], axis=1)
+    return encode_bmp(new_w, new_h)[:54] + out.tobytes()
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 payload_col: str = "payload",
+                 id_col: str = "doc_id",
+                 resizer: Callable[[bytes, int, int], bytes] | None = None
+                 ) -> DataFrame:
+    """Executor-side payload resize (Arrow-batched): (id, payload) with
+    every decodable image payload resampled to width×height; payloads
+    the resizer rejects pass through unchanged (degrade-don't-die, same
+    contract as ``default_decoder``)."""
+    resizer = resizer or resize_bmp
+    schema = StructType([df.schema[id_col],
+                         StructField("payload", BinaryType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(resizer(bytes(p), width, height))
+                except (ValueError, struct.error):
+                    out.append(bytes(p))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": out})
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+#: Frame-sequence container magic (the engine's deterministic stand-in
+#: for a video file): b"FS" + u32 frame count, then per frame
+#: u32 byte length + payload.
+_FRAMESEQ_MAGIC = b"FS"
+
+
+def encode_frameseq(frames: list[bytes]) -> bytes:
+    """Pack frames into the length-prefixed FRSEQ container."""
+    out = [_FRAMESEQ_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_frameseq(data: bytes) -> list[bytes]:
+    """Unpack a FRSEQ container into its frame payloads."""
+    if data[:2] != _FRAMESEQ_MAGIC:
+        raise ValueError("not a FRSEQ payload")
+    n, = struct.unpack_from("<I", data, 2)
+    frames, pos = [], 6
+    for _ in range(n):
+        ln, = struct.unpack_from("<I", data, pos)
+        pos += 4
+        frames.append(data[pos:pos + ln])
+        pos += ln
+    return frames
+
+
+def sample_frames(df: DataFrame, every_k: int = 2,
+                  payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling over video-like payloads: explode every ``k``-th
+    frame of each FRSEQ container to (id, frame_idx, frame) rows —
+    the fan-out shape a real video pipeline needs (one input row →
+    many frame rows, still one Arrow pass, no shuffle). Undecodable
+    payloads contribute no rows (quarantine by omission)."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    schema = StructType([df.schema[id_col],
+                         StructField("frame_idx", LongType()),
+                         StructField("frame", BinaryType())])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                try:
+                    fs = decode_frameseq(bytes(p))
+                except (ValueError, struct.error):
+                    continue
+                for j in range(0, len(fs), every_k):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(fs[j])
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+
+
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic per-row media payloads for round-trip checks: even
     ids get a BMP (width = id%64+1, height = (id//2)%64+1), odd ids a
