@@ -21,8 +21,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wp_etl_migration_spark.operators.prefix import select_prefix
-
 UID_COL = "etl.uid"
 
 
