@@ -234,6 +234,14 @@ def test_profile_table_and_key_skew(spark):
     assert prof["id"].min_str == "1" and prof["id"].max_str == "5"
     assert prof["k"].n_nulls == 1 and prof["k"].n_distinct == 2
 
+    # approx path: same shape, no EXPAND in the plan (the scale mode)
+    approx = {r.col_name: r.n_distinct
+              for r in profile_table(df, exact_distinct=False).collect()}
+    assert set(approx) == {"id", "k"} and approx["id"] > 0
+    plan = profile_table(df, exact_distinct=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
     skew = key_skew_profile(df.where("k is not null"), "k", top_k=1) \
         .first()
     assert skew.key == "a" and skew.n == 3

@@ -20,21 +20,29 @@ from pyspark.sql import functions as F
 
 
 def profile_table(df: DataFrame,
-                  cols: list[str] | None = None) -> DataFrame:
+                  cols: list[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
     """One row per column: (col_name, n_rows, n_nulls, n_distinct,
     min_str, max_str). Min/max/distinct compare the column's native
     type, then render as strings so heterogeneous columns stack into
-    one frame. Exact distincts (count(DISTINCT) expand) — swap in
-    ``approx_count_distinct`` at 100 TB where ±2% is acceptable; exact
-    is kept here for engine-portable results.
+    one frame.
+
+    ``exact_distinct=True`` uses ``count(DISTINCT)`` — engine-portable
+    (what the DuckDB oracle checks) but Spark plans multi-column
+    distincts via EXPAND, multiplying aggregation input by the column
+    count. At 100 TB pass ``exact_distinct=False``: HLL-sketched
+    ``approx_count_distinct`` (±2.3% default rsd) keeps the profile a
+    single narrow pass with no expand.
     """
     cols = cols or df.columns
+    dist = (F.countDistinct if exact_distinct
+            else (lambda c: F.approx_count_distinct(c)))
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .alias(f"__null{i}"),
-            F.countDistinct(F.col(c)).alias(f"__dist{i}"),
+            dist(F.col(c)).alias(f"__dist{i}"),
             F.min(F.col(c)).cast("string").alias(f"__min{i}"),
             F.max(F.col(c)).cast("string").alias(f"__max{i}"),
         ]
