@@ -112,3 +112,28 @@ def test_range_join_boundary_semantics(spark):
     closed = range_join(points, intervals, on=["k"], point_ts="pts",
                         start="s", end="e", open_start=False)
     assert sorted(r.pid for r in closed.collect()) == [1, 2]
+
+
+def test_asof_join_nearest(spark):
+    """nearest = closer of backward/forward; backward wins exact ties;
+    tolerance bounds each candidate before the choice."""
+    from pyspark.sql import functions as F
+    from wp_etl_migration_spark.operators.temporal import asof_join
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", "early"),
+         ("k", "2024-01-01 10:10:00", "late")],
+        ["k", "ts", "tag"]).withColumn("ts", F.col("ts").cast("timestamp"))
+    mk = lambda t: spark.createDataFrame([("k", t)], ["k", "ts"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    def near(t, **kw):
+        return asof_join(mk(t), right, ["k"], direction="nearest",
+                         **kw).first()["tag"]
+    assert near("2024-01-01 10:03:00") == "early"     # 3min vs 7min
+    assert near("2024-01-01 10:08:00") == "late"      # 8min vs 2min
+    assert near("2024-01-01 10:05:00") == "early"     # exact tie: backward
+    assert near("2024-01-01 09:00:00") == "early"     # only forward exists
+    assert near("2024-01-01 11:00:00") == "late"      # only backward exists
+    assert near("2024-01-01 10:08:00",
+                tolerance=F.expr("INTERVAL 1 MINUTE")) is None
+    assert near("2024-01-01 10:09:30",
+                tolerance=F.expr("INTERVAL 1 MINUTE")) == "late"

@@ -59,9 +59,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     — the greatest payload struct wins — by ordering ties on the payload
     inside the window, so no dedup pre-aggregation (and no second
     shuffle) is needed: the whole join is ONE exchange on the keys.
+
+    ``direction="nearest"`` attaches whichever of the backward/forward
+    candidates is closer in time (backward wins exact-distance ties,
+    matching pandas ``merge_asof``). Implementation is two window sorts
+    over the SAME key exchange — Catalyst reuses the shuffle, so the
+    plan stays one exchange.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest: {direction}")
     payload = list(payload) or [
         c for c in right.columns if c not in on and c != right_ts]
 
@@ -80,24 +87,53 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     merged = l.unionByName(r, allowMissingColumns=True)
 
     from pyspark.sql import Window
-    ts_ord = F.col(_TS).asc() if direction == "backward" else \
-        F.col(_TS).desc()
-    # Ties: right (0) before left (1) so equal timestamps match, and
-    # payload ascending so the greatest duplicate is the running last.
-    w = (Window.partitionBy(*on)
-         .orderBy(ts_ord, F.col(_SIDE).asc(), F.col(_PAY).asc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    matched = (merged
-               .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
-               .filter(F.col(_SIDE) == 1))
 
-    if tolerance is not None:
+    def running_last(ts_ord):
+        # Ties: right (0) before left (1) so equal timestamps match, and
+        # payload ascending so the greatest duplicate is the running last.
+        w = (Window.partitionBy(*on)
+             .orderBy(ts_ord, F.col(_SIDE).asc(), F.col(_PAY).asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return F.last(_PAY, ignorenulls=True).over(w)
+
+    def bounded(pay_col):
+        if tolerance is None:
+            return pay_col
         gap = F.abs(F.unix_micros(F.col(_TS)) -
-                    F.unix_micros(F.col(f"{_PAY}.__rts")))
+                    F.unix_micros(pay_col.getField("__rts")))
         bound = F.unix_micros(
             F.lit("1970-01-01 00:00:00").cast("timestamp") + tolerance)
+        return F.when(gap <= bound, pay_col)
+
+    if direction in ("backward", "forward"):
+        ts_ord = F.col(_TS).asc() if direction == "backward" else \
+            F.col(_TS).desc()
+        matched = (merged
+                   .withColumn(_PAY, running_last(ts_ord))
+                   .filter(F.col(_SIDE) == 1)
+                   .withColumn(_PAY, bounded(F.col(_PAY))))
+    else:
+        # nearest: both directional candidates from the SAME key
+        # exchange (two window sorts, one shuffle); per row keep the
+        # closer candidate, backward winning exact-distance ties —
+        # pandas merge_asof semantics. Tolerance bounds each candidate
+        # BEFORE the choice, also matching pandas.
+        matched = (merged
+                   .withColumn("__pb", running_last(F.col(_TS).asc()))
+                   .withColumn("__pf", running_last(F.col(_TS).desc()))
+                   .filter(F.col(_SIDE) == 1)
+                   .withColumn("__pb", bounded(F.col("__pb")))
+                   .withColumn("__pf", bounded(F.col("__pf"))))
+        gap_b = F.unix_micros(F.col(_TS)) - \
+            F.unix_micros(F.col("__pb.__rts"))
+        gap_f = F.unix_micros(F.col("__pf.__rts")) - \
+            F.unix_micros(F.col(_TS))
         matched = matched.withColumn(
-            _PAY, F.when(gap <= bound, F.col(_PAY)))
+            _PAY,
+            F.when(F.col("__pf").isNull(), F.col("__pb"))
+            .when(F.col("__pb").isNull(), F.col("__pf"))
+            .when(gap_b <= gap_f, F.col("__pb"))
+            .otherwise(F.col("__pf")))
 
     return matched.select(
         *left.columns,
