@@ -247,3 +247,17 @@ def test_profile_table_and_key_skew(spark):
     assert skew.key == "a" and skew.n == 3
     assert abs(skew.share - 0.75) < 1e-12
     assert abs(skew.skew_factor - 1.5) < 1e-12   # 3 / mean(3,1)
+
+
+def test_compact_dataset(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    load_table(spark, SF_SMALL, "orders").repartition(40) \
+        .write.parquet(path)
+    import glob
+    before_files = [f for f in glob.glob(path + "/*.parquet")]
+    assert len(before_files) == 40
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n = janitor.compact_dataset(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before

@@ -101,6 +101,33 @@ def restore_dataset(path: str, snapshot: str,
         shutil.rmtree(snapshot)
 
 
+def compact_dataset(spark: SparkSession, path: str,
+                    fmt: str = "parquet",
+                    target_file_bytes: int = 128 << 20) -> int:
+    """Rewrite a fragmented dataset into ~``target_file_bytes`` files.
+
+    The operational companion to incremental loads: many small appends
+    leave a dataset with thousands of tiny files, and at 100 TB the
+    per-file open cost dominates scans. Sizes the rewrite from the
+    current on-disk bytes (local stat walk here; an object store lists
+    the same numbers), then routes through the staging-swap rewrite so
+    a crash never half-destroys the dataset. Returns the new file
+    count.
+    """
+    import glob
+
+    total = sum(os.path.getsize(f)
+                for f in glob.glob(os.path.join(path, "**"),
+                                   recursive=True)
+                if os.path.isfile(f))
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.format(fmt).load(path).repartition(n)
+    rewrite_dataset(spark, path, df, fmt)
+    return len([f for f in glob.glob(os.path.join(path, "*"))
+                if os.path.isfile(f) and not f.endswith(".crc")
+                and "_SUCCESS" not in f])
+
+
 def list_snapshots(path: str) -> list[str]:
     """Snapshot paths taken for ``path``, sorted by tag."""
     import glob
