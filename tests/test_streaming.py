@@ -211,3 +211,38 @@ def test_interval_join_rejects_column_collision(spark, events_dir):
     with pytest.raises(ValueError, match="collision"):
         interval_join(df, df, on=["user_id"], left_ts="ts",
                       right_ts="ts")
+
+
+def test_stream_curation_gates_and_sampling(spark, tmp_path):
+    """The stateless curation operators (quality/textstats Column exprs,
+    deterministic hash + weighted sampling) compose unchanged on a
+    stream — same code path, zero state — and the streamed keep set is
+    exactly the batch keep set."""
+    from wp_etl_migration_spark.operators import textstats as ts
+    from wp_etl_migration_spark.operators.sampling import (
+        hash_sample, weighted_hash_sample)
+    from wp_etl_migration_spark.streaming.windows import run_to_memory
+
+    docs = spark.createDataFrame(
+        [(i, ("many words here to pass the gate easily "
+              * (1 + i % 5)).strip()) for i in range(200)],
+        ["doc_id", "text"])
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+
+    def curate(df):
+        scored = df.select(
+            "doc_id", ts.token_count("text").alias("n_tokens"))
+        gated = scored.where(F.col("n_tokens") >= 16)
+        sampled = hash_sample(gated, "doc_id", 0.7, salt="s1")
+        return weighted_hash_sample(
+            sampled, "doc_id",
+            F.least(F.col("n_tokens") / F.lit(32.0), F.lit(1.0)),
+            salt="s2")
+
+    batch_keep = sorted(r.doc_id for r in curate(docs).collect())
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    run_to_memory(curate(stream), "curated")
+    stream_keep = sorted(r.doc_id for r in
+                         spark.table("curated").collect())
+    assert stream_keep == batch_keep and len(batch_keep) > 0
