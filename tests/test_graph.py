@@ -189,6 +189,11 @@ def test_incremental_lsh_excludes_corpus_pairs(spark):
     assert (10, 11, True) in got and (11, 10, True) not in got
     assert not any(a in (1, 2) for a, _, _ in got)
     assert not any(20 in (a, b) for a, b, _ in got)
+    # hot-bucket cap: docs 1,2 share every bucket, so max_bucket=1
+    # drops those index buckets -> no new x corpus candidates survive.
+    capped = {(r.id_new, r.id_other) for r in incremental_lsh_pairs(
+        new, idx, "doc_id", "text", max_bucket=1).collect()}
+    assert capped == {(10, 11)}
 
 
 def test_lsh_band_index_roundtrips_through_parquet(spark, tmp_path):

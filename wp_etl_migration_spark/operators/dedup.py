@@ -269,7 +269,8 @@ def lsh_bands(df: DataFrame, id_col: str, text_col: str,
 def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
                           id_col: str, text_col: str,
                           n: int = 3, num_hashes: int = 16,
-                          rows_per_band: int = 2) -> DataFrame:
+                          rows_per_band: int = 2,
+                          max_bucket: int | None = None) -> DataFrame:
     """Near-dup candidates of an INCREMENTAL batch against a stored
     corpus band index plus itself — the production shape of continuous
     dedup: each new crawl shingles only its own documents, the
@@ -283,9 +284,21 @@ def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
 
     Scale: one band-key shuffle of new-batch bands + the (pruned) index;
     no text, signatures, or shingles recomputed for the corpus.
+    ``max_bucket`` drops band buckets holding more than that many index
+    rows — boilerplate documents (empty pages, templates) all hash to
+    the same buckets, and an uncapped hot bucket fans every new doc out
+    against the whole pile (the same hazard class as hot shingles; the
+    cap costs one count over the index, which at worst misses dups of
+    boilerplate that exact-dedup catches anyway).
     """
     new_bands = lsh_bands(new_df, id_col, text_col, n, num_hashes,
                           rows_per_band)
+    if max_bucket is not None:
+        cool = (corpus_bands.groupBy("band", "band_hash").count()
+                .where(F.col("count") <= max_bucket)
+                .select("band", "band_hash"))
+        corpus_bands = corpus_bands.join(cool, ["band", "band_hash"],
+                                         "left_semi")
     tagged = (new_bands.withColumn("__new", F.lit(True))
               .unionByName(
                   corpus_bands.select(F.col(id_col), "band", "band_hash")
