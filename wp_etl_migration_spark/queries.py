@@ -2087,6 +2087,66 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def q_asof_nearest(spark, sf_dir):
+    """As-of join, nearest direction: attribute each purchase to the
+    same user's CLOSEST click on either side (backward wins exact
+    ties). One key exchange, two window sorts
+    (operators/temporal.asof_join direction='nearest'). The oracle
+    builds nearest from two DuckDB ASOF joins — forward expressed as
+    backward over negated epoch micros — and the same closer-wins CASE.
+    Right side is pre-deduped per (user, ts) so tie resolution is
+    engine-independent."""
+    from wp_etl_migration_spark.operators.temporal import asof_join
+    e = _t(spark, sf_dir).events()
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"))
+              .withColumn("click_ts", F.col("ts")))
+    out = asof_join(purchases, clicks, on=["user_id"],
+                    payload=["click_id", "click_ts"],
+                    direction="nearest")
+    return out.select(
+        "event_id", "user_id", "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"))
+
+
+ORACLE_ASOF_NEAREST = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), b AS (
+  SELECT p.event_id, c.click_id AS b_id, c.ts AS b_ts
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+), f AS (
+  SELECT pn.event_id, cn.click_id AS f_id, cn.ts AS f_ts
+  FROM (SELECT event_id, user_id, -epoch_us(ts) AS nts FROM p) pn
+  ASOF LEFT JOIN (SELECT user_id, ts, click_id, -epoch_us(ts) AS nts
+                  FROM c) cn
+    ON pn.user_id = cn.user_id AND pn.nts >= cn.nts
+), chosen AS (
+  SELECT p.event_id, p.user_id, p.ts,
+    CASE WHEN b_ts IS NULL THEN f_id
+         WHEN f_ts IS NULL THEN b_id
+         WHEN epoch_us(p.ts) - epoch_us(b_ts)
+              <= epoch_us(f_ts) - epoch_us(p.ts) THEN b_id
+         ELSE f_id END AS click_id,
+    CASE WHEN b_ts IS NULL THEN f_ts
+         WHEN f_ts IS NULL THEN b_ts
+         WHEN epoch_us(p.ts) - epoch_us(b_ts)
+              <= epoch_us(f_ts) - epoch_us(p.ts) THEN b_ts
+         ELSE f_ts END AS chosen_ts
+  FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+)
+SELECT event_id, user_id, click_id,
+       epoch_us(ts) - epoch_us(chosen_ts) AS gap_us
+FROM chosen
+"""
+
+
 def q_range_join(spark, sf_dir):
     """Point-in-interval join (operators/temporal.range_join): count
     error events in the hour before each purchase.  Bucketed band join —
@@ -2454,6 +2514,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
+    "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
     "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
     "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
     "lang_id": (q_lang_id, ORACLE_LANG),
