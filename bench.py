@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "repetition_stats",
     "kmeans_centroids",
     "weighted_sample",
+    "incremental_lsh",
+    "asof_nearest",
+    "table_profile",
+    "key_skew",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,
