@@ -111,3 +111,26 @@ def test_weighted_hash_sample_monotone_and_clamped(spark):
         df.repartition(7).withColumn("w", F.lit(0.5)), "doc_id",
         "w").collect()}
     assert a == b
+
+
+def test_shared_gram_stats_tags_duplicated_passages(spark):
+    from wp_etl_migration_spark.operators.textstats import (
+        shared_gram_stats)
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique tail one"),
+         (2, shared + " different ending words here"),
+         (3, "totally fresh content with no overlap at all ok")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           shared_gram_stats(docs, "doc_id", "text", k=8).collect()}
+    # docs 1 and 2 share exactly the leading 8-gram; doc 3 shares none
+    assert got[1].n_dup_grams == 1 and got[2].n_dup_grams == 1
+    assert got[3].n_dup_grams == 0 and got[3].dup_fraction == 0.0
+    assert 0 < got[1].dup_fraction < 1
+    # identical docs: every gram start duplicated -> fraction 1.0
+    twins = spark.createDataFrame(
+        [(1, shared + " x y z"), (2, shared + " x y z")],
+        ["doc_id", "text"])
+    out = shared_gram_stats(twins, "doc_id", "text", k=8).collect()
+    assert all(r.dup_fraction == 1.0 for r in out)

@@ -208,3 +208,55 @@ def fingerprint(col: Column | str, length: int = 16) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.substring(F.md5(normalized), 1, length)
+
+
+def shared_gram_stats(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 8,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Duplicate-passage tagging: per document, what fraction of its
+    word ``k``-gram starts also occur in at least one OTHER document —
+    the dup-tagging quality signal of exact-substring dedup pipelines
+    (Lee et al. 2022 "Deduplicating Training Data", Dolma's dedup
+    tagger; both public). Unlike pair-producing dedup this emits one
+    row per document, so it composes as a quality gate:
+    ``dup_fraction >= 0.5`` is "mostly boilerplate".
+
+    Returns (id, n_grams, n_dup_grams, dup_fraction).
+
+    Execution: the shingle generator (codegen zip+explode) feeds one
+    distinct-docs-per-gram aggregation; grams seen in ≥2 docs join back
+    (semi-join) against per-doc gram starts. Two shuffles on uniform
+    gram hashes; gram strings travel as xxhash64 longs. ``max_doc_freq``
+    drops stop-phrase grams (above the cap they're noise, not signal —
+    and unbounded they make the doc-frequency key hot).
+    """
+    sh = (shingles_with_count(df, id_col, text_col, k))
+    grams = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__g"))
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"))
+    df_counts = (grams.distinct()
+                 .groupBy("__g")
+                 .agg(F.count("*").alias("__df")))
+    shared = df_counts.where(F.col("__df") >= 2)
+    if max_doc_freq is not None:
+        shared = shared.where(F.col("__df") <= max_doc_freq)
+    dup = (grams.join(shared.select("__g"), "__g", "left_semi")
+           .groupBy(id_col).agg(F.count("*").alias("n_dup_grams")))
+    return (per_doc.join(dup, id_col, "left")
+            .select(F.col(id_col),
+                    F.col("n_grams"),
+                    F.coalesce("n_dup_grams", F.lit(0))
+                    .alias("n_dup_grams"),
+                    (F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+                     / F.col("n_grams").cast("double"))
+                    .alias("dup_fraction")))
+
+
+def shingles_with_count(df: DataFrame, id_col: str, text_col: str,
+                        n: int) -> DataFrame:
+    """Non-distinct word n-gram starts per document (every position
+    counts once): (id, shingle). The positional twin of
+    ``operators.dedup.shingles(distinct=False)`` — reused here so the
+    gram definition stays identical across the dedup family."""
+    from wp_etl_migration_spark.operators.dedup import shingles
+    return shingles(df, id_col, text_col, n, distinct=False)

@@ -1277,6 +1277,43 @@ QUALIFY row_number() OVER (ORDER BY n DESC, key) <= 5
 """
 
 
+def q_shared_gram_stats(spark, sf_dir):
+    """Duplicate-passage tagging: per doc, the fraction of word 8-gram
+    starts shared with at least one other document (hot grams capped at
+    df 100) — the dup-tagging quality signal
+    (operators/textstats.shared_gram_stats)."""
+    from wp_etl_migration_spark.operators.textstats import (
+        shared_gram_stats)
+    d = _t(spark, sf_dir).documents()
+    return shared_gram_stats(d, "doc_id", "text", k=8, max_doc_freq=100)
+
+
+ORACLE_SHARED_GRAMS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)
+  WHERE len(t) >= 8
+), perdoc AS (
+  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1
+), dfreq AS (
+  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1
+), shared AS (
+  SELECT gram FROM dfreq WHERE df >= 2 AND df <= 100
+), dup AS (
+  SELECT doc_id, count(*) AS n_dup FROM g JOIN shared USING (gram)
+  GROUP BY 1
+)
+SELECT p.doc_id, p.n_grams,
+       coalesce(d.n_dup, 0) AS n_dup_grams,
+       CAST(coalesce(d.n_dup, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+         AS dup_fraction
+FROM perdoc p LEFT JOIN dup d USING (doc_id)
+"""
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted deterministic sampling: keep probability rises
     with document length (min(1, n_tokens/128)) — the importance-
@@ -2515,6 +2552,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
     "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
+    "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
     "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
     "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
     "lang_id": (q_lang_id, ORACLE_LANG),
