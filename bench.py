@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "asof_nearest",
     "table_profile",
     "key_skew",
+    "shared_gram_stats",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,
