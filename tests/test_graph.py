@@ -215,3 +215,17 @@ def test_lsh_band_index_roundtrips_through_parquet(spark, tmp_path):
               incremental_lsh_pairs(new, stored, "doc_id",
                                     "text").collect()}
     assert live == replay == {(30, 1)}
+
+
+def test_dedup_keep_list_quality_representative(spark):
+    """order_col keeps the best-scoring member per cluster (id breaks
+    ties) instead of the min id; untouched docs always survive."""
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (4, 0.8), (5, 0.8), (7, 0.1)],
+        ["doc_id", "quality"])
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], ["id_a", "id_b"])
+    keep = sorted(r.doc_id for r in
+                  dedup_keep_list(df, pairs, "doc_id",
+                                  order_col="quality").collect())
+    # cluster {1,4,5}: 4 and 5 tie at 0.8 -> larger id 5 wins; 2,7 untouched
+    assert keep == [2, 5, 7]

@@ -88,14 +88,31 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
 
 def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
-                    src: str = "id_a", dst: str = "id_b") -> DataFrame:
+                    src: str = "id_a", dst: str = "id_b",
+                    order_col: str | None = None) -> DataFrame:
     """One kept row id per near-dup cluster plus every untouched doc:
-    the canonical keep-list a dedup pipeline feeds downstream. Keeps the
-    minimum id of each component and all ids that appear in no pair."""
+    the canonical keep-list a dedup pipeline feeds downstream.
+
+    Default keeps the minimum id of each component. With ``order_col``
+    (a column of ``df``, e.g. a quality score) the HIGHEST-ranked
+    member wins instead — "keep the best duplicate, not the first" —
+    with id as the deterministic tiebreak. Same plan shape either way:
+    one aggregation per component (argmax via struct max — no window).
+    """
     comp = connected_components(pairs, src, dst)
-    keep_clustered = (comp.groupBy("component")
-                      .agg(F.min("node").alias(id_col))
-                      .select(id_col))
+    if order_col is None:
+        keep_clustered = (comp.groupBy("component")
+                          .agg(F.min("node").alias(id_col))
+                          .select(id_col))
+    else:
+        ranked = comp.join(
+            df.select(F.col(id_col).alias("node"), F.col(order_col)),
+            on="node")
+        keep_clustered = (ranked.groupBy("component")
+                          .agg(F.max(F.struct(F.col(order_col),
+                                              F.col("node")))
+                               .alias("__best"))
+                          .select(F.col("__best.node").alias(id_col)))
     untouched = (df.select(id_col)
                  .join(comp.select(F.col("node").alias(id_col)),
                        on=id_col, how="left_anti"))
