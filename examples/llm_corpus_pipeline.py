@@ -70,10 +70,11 @@ def build_corpus(spark: SparkSession, sf_dir: str,
 
     # Near-dup removal is TRANSITIVE: LSH-confirmed pairs → connected
     # components → one kept doc per cluster (pair-based loser-dropping
-    # under-deletes on chains A-B, B-C where A and C never pair).
+    # under-deletes on chains A-B, B-C where A and C never pair). The
+    # survivor is the highest-QUALITY member, not the smallest id.
     pairs = minhash_lsh_pairs(gated, "doc_id", "text",
                               verify_threshold=jaccard)
-    keep = dedup_keep_list(gated, pairs, "doc_id")
+    keep = dedup_keep_list(gated, pairs, "doc_id", order_col="quality")
     deduped = gated.join(keep, "doc_id", "left_semi")
 
     # Deterministic source rebalancing: content-addressed keep decision,
