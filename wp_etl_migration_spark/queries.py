@@ -331,6 +331,34 @@ FROM orders
 """
 
 
+def q_rolling_window(spark, sf_dir):
+    """Time-RANGE window frame: per user, trailing-30-minute event count
+    and value sum at each event — the moving-aggregate family row
+    windows can't express (frame bounds are seconds, not row counts).
+    Spark rangeBetween on epoch MICROseconds ≡ DuckDB RANGE BETWEEN
+    INTERVAL PRECEDING (the testdata timestamps carry sub-second
+    precision, so the frame unit must be exact micros, not truncated
+    seconds)."""
+    e = _t(spark, sf_dir).events()
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-1_800_000_000, 0))
+    return (e.select("event_id", "user_id", "ts",
+                     F.count("*").over(w).alias("n_30m"),
+                     F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+                     .cast("string").alias("sum_30m"))
+            .select("event_id", "user_id", "n_30m", "sum_30m"))
+
+
+ORACLE_ROLLING = """
+SELECT event_id, user_id,
+  count(*) OVER w AS n_30m,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS sum_30m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+"""
+
+
 # ----------------------------------------------------------- melt / upsert
 
 def q_meta_melt(spark, sf_dir):
@@ -2553,6 +2581,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
     "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
     "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
+    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
     "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
     "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
     "lang_id": (q_lang_id, ORACLE_LANG),
