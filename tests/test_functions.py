@@ -84,6 +84,22 @@ def test_kses_post_allowlist():
     assert kses_post_str(None) is None
 
 
+def test_kses_post_scheme_whitespace_bypass():
+    # Embedded tab/newline (literal or entity-encoded) in the scheme must
+    # not defeat the allow-list: browsers strip ASCII tab/newline when
+    # parsing URLs (wp_kses_bad_protocol strips [\x00-\x20] first).
+    assert kses_post_str('<a href="jav\tascript:alert(1)">a</a>') == \
+        '<a>a</a>'
+    assert kses_post_str('<a href="jav&#x09;ascript:alert(1)">a</a>') == \
+        '<a>a</a>'
+    assert kses_post_str('<a href="java\nscript:x()">a</a>') == '<a>a</a>'
+    assert kses_post_str('<a href=" javascript:x()">a</a>') == '<a>a</a>'
+    assert kses_post_str('<img src="jav&#x0A;ascript:y()">') == '<img />'
+    # Leading whitespace on a GOOD scheme still passes.
+    assert kses_post_str('<a href=" https://e.com/">a</a>') == \
+        '<a href=" https://e.com/">a</a>'
+
+
 def test_kses_post_column(spark):
     out = one(spark, '<em onmouseover="h()">t</em><iframe src="x"/>',
               kses_post)
@@ -94,6 +110,10 @@ def test_esc_url_raw(spark):
     assert one(spark, " https://e.com/a?b=1 ", esc_url_raw) == \
         "https://e.com/a?b=1"
     assert one(spark, "javascript:alert(1)", esc_url_raw) is None
-    assert one(spark, "/rel/path x<>", esc_url_raw) == "/rel/pathx"
+    # Interior spaces percent-encode (WP semantics), not delete — deletion
+    # would glue tokens together ('/rel/path 42' must NOT become
+    # '/rel/path42').
+    assert one(spark, "/rel/path x<>", esc_url_raw) == "/rel/path%20x"
+    assert one(spark, "/rel/path 42", esc_url_raw) == "/rel/path%2042"
     assert one(spark, "MAILTO:a@b.co", esc_url_raw) == "MAILTO:a@b.co"
     assert one(spark, "   ", esc_url_raw) is None

@@ -161,6 +161,12 @@ _HTML_BITS = st.lists(st.sampled_from([
     '<a href="javascript:x()">', '<a href="https://e.com/">', "</a>",
     '<em onclick="h()">', "</em>", "<img src='x'>", "<iframe>",
     "</iframe>", "text ", "&amp;", "<b", ">", '"', "<!-- c -->",
+    # Scheme-bypass vectors: browsers strip ASCII tab/newline when
+    # parsing URLs, and HTMLParser decodes entity refs in attr values —
+    # wp_kses_bad_protocol strips [\x00-\x20] before the scheme check.
+    '<a href="jav\tascript:alert(1)">', '<a href="jav&#x09;ascript:x()">',
+    '<a href="java\nscript:x()">', '<a href=" javascript:x()">',
+    '<img src="jav&#x0A;ascript:y()">',
 ]), min_size=0, max_size=12).map("".join)
 
 
@@ -179,6 +185,12 @@ def test_kses_post_never_emits_disallowed(html):
     assert not re.search(r"(?i)<\s*(script|iframe|svg|style)", out)
     assert not re.search(r'(?i)<(p|a|em|b|img)\b[^>]*\bon\w+\s*=', out)
     assert not re.search(r'(?i)<\w[^>]*\bhref="javascript:', out)
+    # A javascript: URL must not survive even with embedded whitespace
+    # the browser would strip (literal or entity-decoded controls).
+    ctrl_stripped = re.sub(r"[\x00-\x20]", "", out)
+    assert not re.search(
+        r'(?i)<\w[^>]*\b(href|src|cite)="(javascript|vbscript|data):',
+        ctrl_stripped)
     assert "<!--" not in out
     assert kses_post_str(out) == out
 

@@ -140,9 +140,18 @@ OK_URL_SCHEMES = frozenset({"http", "https", "ftp", "ftps", "mailto",
 
 
 def _url_scheme_ok(url: str) -> bool:
+    """Scheme allow-list check with WP ``wp_kses_bad_protocol`` semantics.
+
+    Control/whitespace chars ``[\\x00-\\x20]`` are stripped from the WHOLE
+    value before the scheme match: browsers drop ASCII tab/newline when
+    parsing URLs, so ``jav\\tascript:`` (or the entity-encoded
+    ``jav&#x09;ascript:`` — HTMLParser decodes charrefs in attribute
+    values) must be judged as ``javascript:``, not as scheme-less.
+    """
     import re as _re
 
-    m = _re.match(r"^\s*([a-zA-Z][a-zA-Z0-9+.\-]*):", url)
+    stripped = _re.sub(r"[\x00-\x20]", "", url)
+    m = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*):", stripped)
     return m is None or m.group(1).lower() in OK_URL_SCHEMES
 
 
@@ -244,8 +253,11 @@ def esc_url_raw(col: Column | str) -> Column:
     expressions, JVM-side.
     """
     c = F.col(col) if isinstance(col, str) else col
+    # WP percent-encodes interior spaces as %20 (it does not delete them,
+    # which would glue adjacent tokens together: '/a b' → '/a%20b').
+    spaced = F.regexp_replace(F.trim(c), " ", "%20")
     cleaned = F.regexp_replace(
-        F.trim(c), r"[^a-zA-Z0-9\-._~:/?#\[\]@!$&'()*+,;=%]", "")
+        spaced, r"[^a-zA-Z0-9\-._~:/?#\[\]@!$&'()*+,;=%]", "")
     scheme_re = "^(?i)(" + "|".join(sorted(OK_URL_SCHEMES)) + "):"
     has_scheme = cleaned.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
     ok = (~has_scheme & (F.length(cleaned) > 0)) | cleaned.rlike(scheme_re)

@@ -678,7 +678,7 @@ SELECT p_partkey,
   CASE WHEN p_partkey % 3 = 0
          THEN 'https://example.com/x?id=' || CAST(p_partkey AS VARCHAR)
        WHEN p_partkey % 3 = 1 THEN NULL
-       ELSE '/rel/path' || CAST(p_partkey AS VARCHAR) END AS url_clean
+       ELSE '/rel/path%20' || CAST(p_partkey AS VARCHAR) END AS url_clean
 FROM part
 """
 
