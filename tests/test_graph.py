@@ -229,3 +229,49 @@ def test_dedup_keep_list_quality_representative(spark):
                                   order_col="quality").collect())
     # cluster {1,4,5}: 4 and 5 tie at 0.8 -> larger id 5 wins; 2,7 untouched
     assert keep == [2, 5, 7]
+
+
+def _unset_checkpoint_dir(sc):
+    # Spark has no public unset; clear the Scala field so later tests
+    # keep using localCheckpoint on the shared session.
+    opt_none = sc._jvm.scala.Option.apply(None)
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(opt_none)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir registered, the iterative operators switch
+    to fault-tolerant reliable checkpoints — identical results, and the
+    checkpoint files are really written to the registered dir."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (5, 5)], ["id_a", "id_b"])
+    base = sorted(tuple(r) for r in connected_components(pairs).collect())
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        rel = sorted(tuple(r)
+                     for r in connected_components(pairs).collect())
+        assert rel == base
+        written = [os.path.join(dp, f)
+                   for dp, _, fs in os.walk(ckpt) for f in fs]
+        assert written, "reliable checkpoint wrote no files"
+    finally:
+        _unset_checkpoint_dir(sc)
+    assert sc.getCheckpointDir() is None
+
+
+def test_pin_reliable_requires_dir(spark):
+    import pytest as _pytest
+
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
+    df = spark.range(3)
+    assert spark.sparkContext.getCheckpointDir() is None
+    with _pytest.raises(ValueError, match="setCheckpointDir"):
+        pin(df, reliable=True)
+    # Forcing local always works.
+    assert pin(df, reliable=False).count() == 3

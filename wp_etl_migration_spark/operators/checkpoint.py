@@ -1,0 +1,49 @@
+"""Lineage pinning for iterative operators.
+
+Iterative algorithms (connected components, pointer-doubling hierarchy
+resolution, id minting, SemDeDup's double-traversal) must cut lineage
+each round or the plan grows without bound. Two mechanisms:
+
+- ``localCheckpoint`` — stores blocks on executors. Fast (no
+  distributed-FS write) but NOT fault-tolerant: lose an executor and
+  the job dies instead of recomputing. Right for local[] runs and
+  short-lived jobs.
+- reliable ``checkpoint`` — writes to the directory registered with
+  ``spark.sparkContext.setCheckpointDir(...)`` (HDFS/S3 on a cluster).
+  Survives executor loss/preemption; the right choice for 100 TB runs
+  on preemptible fleets.
+
+:func:`pin` picks automatically: if the session has a checkpoint dir
+set, every iterative operator in the engine uses reliable checkpoints —
+one session-level switch, no per-operator parameter threading. The
+``SPARK_GRAFT_CHECKPOINT_DIR`` env var (read by ``session.get_spark``)
+sets it at session build.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def pin(df: DataFrame, eager: bool = True,
+        reliable: bool | None = None) -> DataFrame:
+    """Materialize ``df`` and cut its lineage.
+
+    ``reliable=None`` (default) auto-selects: reliable ``checkpoint()``
+    when the SparkContext has a checkpoint dir registered, else
+    ``localCheckpoint()``. Pass ``True``/``False`` to force (forcing
+    ``True`` without a checkpoint dir raises, as Spark itself would —
+    loudly, at pin time, not mid-job).
+    """
+    sc = df.sparkSession.sparkContext
+    has_dir = sc.getCheckpointDir() is not None
+    if reliable is None:
+        reliable = has_dir
+    if reliable:
+        if not has_dir:
+            raise ValueError(
+                "reliable=True requires "
+                "spark.sparkContext.setCheckpointDir(...) (or the "
+                "SPARK_GRAFT_CHECKPOINT_DIR env var) to be set")
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

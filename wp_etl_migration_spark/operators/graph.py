@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from wp_etl_migration_spark.operators.checkpoint import pin
+
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
                          dst: str = "id_b",
@@ -38,11 +40,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     least one pair — callers wanting singletons join the result back to
     the corpus with a coalesce to the node's own id.
     """
-    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .unionByName(
-                 pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-             .distinct()
-             .localCheckpoint(eager=True))
+    edges = pin(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct())
 
     labels = (edges.groupBy(F.col("u").alias("node"))
               .agg(F.least(F.min("v"), F.first("u")).alias("label")))
@@ -68,11 +70,11 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                   .select("node",
                           F.coalesce("__l2", "label").alias("new_label")))
         obs = Observation()
-        nxt = (labels.join(jumped, on="node")
-               .observe(obs, F.count(F.when(
-                   F.col("new_label") < F.col("label"), 1)).alias("moved"))
-               .select("node", F.col("new_label").alias("label"))
-               .localCheckpoint(eager=True))
+        nxt = pin(
+            labels.join(jumped, on="node")
+            .observe(obs, F.count(F.when(
+                F.col("new_label") < F.col("label"), 1)).alias("moved"))
+            .select("node", F.col("new_label").alias("label")))
         moved = obs.get["moved"]
         labels = nxt
         if moved == 0:

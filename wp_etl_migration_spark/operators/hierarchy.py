@@ -20,20 +20,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+from wp_etl_migration_spark.operators.checkpoint import pin
+
 
 def _checkpoint_with_probe(df: DataFrame) -> tuple[DataFrame, int, int]:
     """Materialize one round's link table AND read its convergence
     metrics (unresolved count, total jump distance) from the same job:
-    the Observation node is measured while the eager localCheckpoint
-    scans the plan, so each round costs exactly one action instead of
+    the Observation node is measured while the eager checkpoint scan
+    runs, so each round costs exactly one action instead of
     checkpoint + a separate driver-side agg."""
     obs = Observation()
-    out = (df.observe(
+    out = pin(df.observe(
         obs,
         F.count(F.when(~F.col("__done"), 1)).alias("n"),
         F.coalesce(F.sum(F.when(~F.col("__done"), F.col("__dist"))),
-                   F.lit(0)).alias("s"))
-        .localCheckpoint(eager=True))
+                   F.lit(0)).alias("s")))
     m = obs.get
     return out, m["n"], m["s"]
 

@@ -43,14 +43,15 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     # NULL token counts (empty/unparsed docs) pack as zero-length — they
     # get a position but consume no budget; a None would otherwise kill
     # the prefix-sum arithmetic driver-side.
-    ordered = (df.select(F.col(id_col),
-                         F.coalesce(F.col(tokens_col).cast("long"),
-                                    F.lit(0)).alias("__n"),
-                         F.col(order).alias("__ord"))
-               .repartitionByRange("__ord")
-               .sortWithinPartitions("__ord")
-               .withColumn("__pid", F.spark_partition_id())
-               .localCheckpoint(eager=True))
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
+    ordered = pin(df.select(F.col(id_col),
+                            F.coalesce(F.col(tokens_col).cast("long"),
+                                       F.lit(0)).alias("__n"),
+                            F.col(order).alias("__ord"))
+                  .repartitionByRange("__ord")
+                  .sortWithinPartitions("__ord")
+                  .withColumn("__pid", F.spark_partition_id()))
 
     part_totals = dict(ordered.groupBy("__pid")
                        .agg(F.sum("__n").alias("s"))

@@ -441,8 +441,9 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     # Materialize once: the pair self-join traverses this frame twice,
     # and without the checkpoint each traversal re-runs the Python
     # assignment pass over the corpus.
-    withn = (assigned.withColumn("__n", norm)
-             .localCheckpoint(eager=True))
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
+    withn = pin(assigned.withColumn("__n", norm))
     a = withn.select(F.col("__id").alias("id_a"),
                      F.col("__v").alias("__va"),
                      F.col("__n").alias("__na"), "__cell")

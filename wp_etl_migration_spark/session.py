@@ -59,7 +59,15 @@ def get_spark(app_name: str = "wp-etl-migration-spark",
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in {**ENGINE_CONF, **extra_conf}.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Opt-in reliable checkpointing for iterative operators: with a
+    # checkpoint dir registered (HDFS/S3 path on a cluster), every
+    # operators.checkpoint.pin() call switches from executor-local
+    # blocks to fault-tolerant checkpoints (see operators/checkpoint.py).
+    ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark
 
 
 def tune(spark: SparkSession) -> SparkSession:

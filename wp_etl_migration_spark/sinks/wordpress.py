@@ -55,16 +55,19 @@ def run_stages(state: State, stages: Sequence[Stage],
                barrier: bool = True) -> State:
     """Compose loader stages sequentially (≙ L13).
 
-    With ``barrier`` each stage's outputs are locally checkpointed so
+    With ``barrier`` each stage's outputs are checkpointed so
     downstream stages (and the caller) observe ONE materialization of
     nondeterministic results (generated IDs) — the Spark translation of
-    the reference's in-place row mutation. At cluster scale swap
-    localCheckpoint for reliable checkpoint / intermediate tables.
+    the reference's in-place row mutation. ``operators.checkpoint.pin``
+    upgrades to reliable (fault-tolerant) checkpoints when the session
+    has a checkpoint dir registered.
     """
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
     for stage in stages:
         out = stage(state)
         if barrier:
-            out = {k: (df.localCheckpoint(eager=False)
+            out = {k: (pin(df, eager=False)
                        if df is not state.get(k) else df)
                    for k, df in out.items()}
         state = out
@@ -96,7 +99,9 @@ def assign_new_ids(rows: DataFrame, id_col: str, start: int,
     # nondeterministic (uuid() columns, AQE re-planning, non-unique
     # order keys) a re-execution could move rows across the sampled
     # range boundaries and duplicate/skip IDs.
-    ordered = ordered.localCheckpoint(eager=True)
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
+    ordered = pin(ordered)
     counts = dict(ordered.groupBy("__pid").count()
                   .select("__pid", "count").collect())
     offsets, acc = {}, 0
