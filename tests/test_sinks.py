@@ -40,6 +40,20 @@ def test_write_json_single_pretty(spark, tmp_path):
     assert data == [{"id": 1, "name": "a"}]
 
 
+def test_write_json_single_file_guard(spark, tmp_path):
+    """single_file collects to the driver: over-limit frames must raise
+    BEFORE collecting everything; under-limit frames round-trip."""
+    import pytest
+
+    df = spark.range(10).withColumnRenamed("id", "n")
+    path = str(tmp_path / "guard.json")
+    with pytest.raises(ValueError, match="max_rows"):
+        fsink.write_json(df, path, single_file=True, max_rows=5)
+    assert not (tmp_path / "guard.json").exists()
+    fsink.write_json(df, path, single_file=True, max_rows=10)
+    assert sorted(r["n"] for r in json.load(open(path))) == list(range(10))
+
+
 def test_destination_naming(tmp_path):
     fixed = fsink.destination(str(tmp_path), "posts", "json", overwrite=True)
     assert fixed.endswith("posts.json")

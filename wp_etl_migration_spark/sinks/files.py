@@ -36,16 +36,27 @@ def _apply_prefix(df: DataFrame, prefix: str | None) -> DataFrame:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite",
                prefix: str | None = None, single_file: bool = False,
-               pretty: bool = False) -> None:
+               pretty: bool = False, max_rows: int = 100_000) -> None:
     """JSON sink ≙ L1. Distributed JSONL by default.
 
     ``single_file + pretty`` reproduces the reference's
     ``JSON_PRETTY_PRINT`` document (AdapterFactory.php:102-107) by
-    collecting through ``toJSON`` — only for small results.
+    collecting through ``toJSON``. That is driver-side by nature, so it
+    is guarded: more than ``max_rows`` rows raises instead of OOMing the
+    driver (the guard collects at most ``max_rows + 1`` rows — no extra
+    count job). Raise ``max_rows`` explicitly if you really mean it;
+    for big outputs use the default distributed writer.
     """
     df = _apply_prefix(df, prefix)
     if single_file:
-        rows = [json.loads(s) for s in df.toJSON().collect()]
+        strs = df.limit(max_rows + 1).toJSON().collect()
+        if len(strs) > max_rows:
+            raise ValueError(
+                f"write_json(single_file=True) collects to the driver "
+                f"and the frame exceeds max_rows={max_rows}; use the "
+                f"distributed writer (single_file=False) or raise "
+                f"max_rows explicitly")
+        rows = [json.loads(s) for s in strs]
         with open(path, "w", encoding="utf-8") as f:
             json.dump(rows, f, indent=2 if pretty else None,
                       ensure_ascii=False)
