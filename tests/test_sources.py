@@ -30,6 +30,50 @@ def test_xml_rowtag_scan(spark, tmp_path):
     assert rows == {"g1": ("First post", 1), "g2": ("Second post", 2)}
 
 
+RSS_WITH_DECOY = """\
+<rss version="2.0">
+  <channel>
+    <title>Feed</title>
+    <item><title>Real one</title><guid>g1</guid><pos>1</pos></item>
+    <extras>
+      <item><title>Decoy depth-4</title><guid>bad1</guid><pos>9</pos></item>
+    </extras>
+    <item><title>Real two</title><guid>g2</guid><pos>2</pos></item>
+  </channel>
+  <sidebar>
+    <item><title>Decoy sidebar</title><guid>bad2</guid><pos>8</pos></item>
+  </sidebar>
+</rss>
+"""
+
+
+def test_xml_node_path_anchoring(spark, tmp_path):
+    """node_path selects only rss/channel/item — decoy <item> tags at
+    other depths (rss/channel/extras/item, rss/sidebar/item) are
+    excluded, unlike the bare rowTag scan which matches any depth."""
+    p = tmp_path / "decoy.xml"
+    p.write_text(RSS_WITH_DECOY)
+    anchored = fsrc.from_xml(spark, str(p),
+                             node_path="rss/channel/item")
+    assert sorted(r["guid"] for r in anchored.collect()) == ["g1", "g2"]
+    # Bare rowTag really does match every depth (the behavior node_path
+    # exists to fix) — guards against this test passing vacuously.
+    loose = fsrc.from_xml(spark, str(p), row_tag="item")
+    assert loose.count() == 4
+
+
+def test_xml_node_path_single_segment_and_missing_arg(spark, tmp_path):
+    import pytest
+
+    p = tmp_path / "feed2.xml"
+    p.write_text(RSS)
+    # Single-segment node_path degrades to a rowTag scan.
+    df = fsrc.from_xml(spark, str(p), node_path="item")
+    assert df.count() == 2
+    with pytest.raises(ValueError, match="row_tag or node_path"):
+        fsrc.from_xml(spark, str(p))
+
+
 def test_json_jsonl_and_array(spark, tmp_path):
     jl = tmp_path / "rows.jsonl"
     jl.write_text('{"id": 1, "t": "a"}\n{"id": 2, "t": "b"}\n')

@@ -242,8 +242,12 @@ class Runner:
         elif adapter == "json":
             df = fsrc.from_json(self.spark, src, **opts)
         elif adapter == "xml":
-            df = fsrc.from_xml(self.spark, src, opts.pop("rowTag", "item"),
-                               **opts)
+            # args.xmlNodePath ≙ AdapterFactory.php:152-169 — full-path
+            # anchored selection; bare rowTag matches at any depth.
+            node_path = opts.pop("xmlNodePath", None)
+            row_tag = opts.pop("rowTag", None if node_path else "item")
+            df = fsrc.from_xml(self.spark, src, row_tag,
+                               node_path=node_path, **opts)
         elif adapter == "parquet":
             df = fsrc.from_parquet(self.spark, src)
         elif adapter == "memory":

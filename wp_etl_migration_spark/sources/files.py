@@ -38,13 +38,38 @@ def from_json(spark: SparkSession, path: str, multi_line: bool = False,
     return reader.json(path)
 
 
-def from_xml(spark: SparkSession, path: str, row_tag: str,
-             **options) -> DataFrame:
-    """XML scan ≙ ``from_xml(path)->withXMLNodePath('rss/channel/item')``.
+def from_xml(spark: SparkSession, path: str, row_tag: str | None = None,
+             node_path: str | None = None, **options) -> DataFrame:
+    """XML scan ≙ ``from_xml(path)->withXMLNodePath('rss/channel/item')``
+    (AdapterFactory.php:152-169).
 
-    Spark 4 ships the XML source natively; ``row_tag`` is the repeating
-    node (the last path segment of the reference's node path).
+    Spark 4 ships the XML source natively. With ``row_tag`` alone the
+    repeating node matches at ANY depth (Spark's rowTag semantics) —
+    fine for well-formed feeds, wrong when a decoy tag with the same
+    name exists at another depth. ``node_path`` anchors the full path
+    like the reference: the document is read with the path's ROOT as
+    the row tag, then each remaining segment is navigated explicitly
+    (struct field access, arrays exploded), so only nodes at exactly
+    that path are selected. Anchoring costs nothing at scale — it is
+    pure Column navigation on the parsed tree, no extra scan.
     """
+    if node_path:
+        segs = [s for s in node_path.strip("/").split("/") if s]
+        if len(segs) > 1:
+            from pyspark.sql.types import ArrayType
+
+            doc = from_xml(spark, path, row_tag=segs[0], **options)
+            cur = doc.select(F.col(segs[1]).alias("__n"))
+            for seg in segs[2:]:
+                if isinstance(cur.schema["__n"].dataType, ArrayType):
+                    cur = cur.select(F.explode("__n").alias("__n"))
+                cur = cur.select(F.col("__n").getField(seg).alias("__n"))
+            if isinstance(cur.schema["__n"].dataType, ArrayType):
+                cur = cur.select(F.explode("__n").alias("__n"))
+            return cur.where(F.col("__n").isNotNull()).select("__n.*")
+        row_tag = segs[0]
+    if row_tag is None:
+        raise ValueError("from_xml requires row_tag or node_path")
     reader = spark.read.option("rowTag", row_tag)
     for k, v in options.items():
         reader = reader.option(k, v)
