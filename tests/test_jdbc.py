@@ -1,0 +1,122 @@
+"""JDBC source wiring (sources/jdbc.py) against Spark's bundled
+embedded Derby — a real JDBC relation in-process, so pushdown and
+partitioned reads are exercised end-to-end without an external DB."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.sources.jdbc import from_jdbc, wp_jdbc_tables
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    """Create a tiny WP-shaped Derby database through the driver JVM."""
+    db = str(tmp_path_factory.mktemp("derby") / "wpdb")
+    url = f"jdbc:derby:{db};create=true"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE wp_posts (ID INT PRIMARY KEY,"
+        " post_title VARCHAR(200), post_status VARCHAR(20))")
+    st.executeUpdate(
+        "CREATE TABLE wp_users (ID INT PRIMARY KEY,"
+        " user_login VARCHAR(60))")
+    for i in range(1, 101):
+        status = "publish" if i % 3 else "draft"
+        st.executeUpdate(
+            f"INSERT INTO wp_posts VALUES ({i}, 'post {i}', '{status}')")
+    st.executeUpdate("INSERT INTO wp_users VALUES (1, 'admin')")
+    st.close()
+    conn.close()
+    return url
+
+
+def test_jdbc_scan_roundtrip(spark, derby_url):
+    df = from_jdbc(spark, derby_url, "wp_posts", driver=DRIVER)
+    assert df.count() == 100
+    assert [c.upper() for c in df.columns] == \
+        ["ID", "POST_TITLE", "POST_STATUS"]
+
+
+def test_jdbc_filter_pushdown(spark, derby_url):
+    """Predicates must reach the remote SQL (PushedFilters in the scan),
+    not run as a post-scan Spark filter over the full table."""
+    df = (from_jdbc(spark, derby_url, "wp_posts", driver=DRIVER)
+          .where(F.col("POST_STATUS") == "publish")
+          .select("ID"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "POST_STATUS" in plan
+    # Column pruning also reaches the scan: only ID+filter col read.
+    assert "POST_TITLE" not in plan
+    assert df.count() == 67
+
+
+def test_jdbc_partitioned_read_with_probed_bounds(spark, derby_url):
+    """partition_column without bounds probes min/max with one aggregate
+    round-trip and issues N parallel range queries."""
+    df = from_jdbc(spark, derby_url, "wp_posts", driver=DRIVER,
+                   partition_column="ID", num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    # All rows exactly once — range partitioning must not drop/dup edges.
+    assert df.agg(F.sum("ID")).first()[0] == 100 * 101 // 2
+
+
+def test_jdbc_empty_table_bounds(spark, derby_url):
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE wp_empty (ID INT PRIMARY KEY)")
+    st.close()
+    conn.close()
+    df = from_jdbc(spark, derby_url, "wp_empty", driver=DRIVER,
+                   partition_column="ID", num_partitions=4)
+    assert df.count() == 0
+
+
+def test_wp_jdbc_tables_facade(spark, derby_url):
+    t = wp_jdbc_tables(spark, derby_url, driver=DRIVER,
+                       partition_column=True, num_partitions=2,
+                       tables=("posts", "users"))
+    assert set(t) == {"posts", "users"}
+    assert t["posts"].rdd.getNumPartitions() == 2
+    assert t["users"].first()["USER_LOGIN"] == "admin"
+
+
+JDBC_MIGRATION = """
+name: livedb
+migration:
+  - name: posts
+    extract:
+      adapter: jdbc
+      source: wp_posts
+      prefix: "legacy."
+      options:
+        url: "{url}"
+        driver: "org.apache.derby.jdbc.EmbeddedDriver"
+    transform:
+      - with_column: {{name: post.post_title, expr: "`legacy.post_title`"}}
+    load:
+      - adapter: json
+        destination: "{out}/posts.json"
+        prefix: "post."
+"""
+
+
+def test_runner_jdbc_extract_adapter(spark, derby_url, tmp_path):
+    """The YAML extract adapter reads a live database end-to-end."""
+    from wp_etl_migration_spark.plans.runner import Runner
+
+    cfg = tmp_path / "migration.yaml"
+    cfg.write_text(JDBC_MIGRATION.format(url=derby_url, out=tmp_path))
+    Runner(spark, str(cfg), output_dir=str(tmp_path)).run()
+    out = spark.read.json(str(tmp_path / "posts.json"))
+    assert out.count() == 100
+    assert out.columns == ["post_title"]

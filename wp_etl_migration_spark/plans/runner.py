@@ -250,6 +250,13 @@ class Runner:
                                node_path=node_path, **opts)
         elif adapter == "parquet":
             df = fsrc.from_parquet(self.spark, src)
+        elif adapter == "jdbc":
+            # Live-database extract (≙ the reference's $wpdb reads):
+            # source = table name, options carry url/driver/credentials
+            # and the parallel-read knobs (partition_column, bounds).
+            from wp_etl_migration_spark.sources.jdbc import from_jdbc
+
+            df = from_jdbc(self.spark, opts.pop("url"), src, **opts)
         elif adapter == "memory":
             df = self.spark.createDataFrame(ex["rows"],
                                             schema=ex.get("schema"))

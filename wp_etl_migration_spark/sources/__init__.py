@@ -10,6 +10,10 @@ from wp_etl_migration_spark.sources.tables import (  # noqa: F401
     Tables,
     load_table,
 )
+from wp_etl_migration_spark.sources.jdbc import (  # noqa: F401
+    from_jdbc,
+    wp_jdbc_tables,
+)
 from wp_etl_migration_spark.sources.memory import from_rows  # noqa: F401
 from wp_etl_migration_spark.sources.rss import (  # noqa: F401
     from_rss,
