@@ -2495,8 +2495,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "scan_filter_sort_limit": (q_scan_filter_sort_limit, ORACLE_SCAN),
     "union_merge": (q_union_merge, ORACLE_UNION),
-    "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
-    "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "prefix_pipeline": (q_prefix_pipeline, ORACLE_PREFIX),
     "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
     "author_embed": (q_author_embed, ORACLE_AUTHOR),
@@ -2523,7 +2521,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
                                ORACLE_EMB_LSH_NEAR_DUP),
-    "set_ops": (q_set_ops, ORACLE_SET_OPS),
     "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
     "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
@@ -2533,16 +2530,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
     "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
-    "json_extract": (q_json_extract, ORACLE_JSON),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
     "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
-    "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
     "asof_join": (q_asof_join, ORACLE_ASOF),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
     "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
     "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
     "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
+    # Rotated IN from EXTRA_REGISTRY in r4 (driver-oracle coverage
+    # rotation — every family gets an independent driver-verified
+    # pass over time):
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
 }
 
 
@@ -2573,19 +2576,23 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
-    "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
-    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
-    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
     "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
     "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
-    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
     "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
     "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
     "lang_id": (q_lang_id, ORACLE_LANG),
-    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    # Rotated OUT of the driver registry in r4 (long-green; their
+    # families keep driver rows: sanitize_chain covers the text
+    # family, union_merge set ops, date_validate dates). Still
+    # strict-parity-checked here every round:
+    "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
+    "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
+    "set_ops": (q_set_ops, ORACLE_SET_OPS),
+    "json_extract": (q_json_extract, ORACLE_JSON),
+    "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
 }
 
 
