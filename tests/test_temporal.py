@@ -137,3 +137,108 @@ def test_asof_join_nearest(spark):
                 tolerance=F.expr("INTERVAL 1 MINUTE")) is None
     assert near("2024-01-01 10:09:30",
                 tolerance=F.expr("INTERVAL 1 MINUTE")) == "late"
+
+
+# ------------------------------------------------- property-based edges
+# Hypothesis vs pandas merge_asof / brute force: exact-tie nearest
+# choice, duplicate (key, ts) right rows, intervals spanning many
+# buckets, zero-width intervals.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP_SETTINGS = dict(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_T0 = dt.datetime(2024, 1, 1)
+
+# Small offset range on purpose: exact left==right timestamp ties and
+# duplicate (key, ts) right rows must occur often.
+_OFF = st.integers(0, 40)
+_KEY = st.sampled_from(["a", "b"])
+
+
+def _sec(s):
+    return _T0 + dt.timedelta(seconds=int(s))
+
+
+@given(
+    left=st.lists(st.tuples(_KEY, _OFF), min_size=1, max_size=10),
+    right=st.lists(st.tuples(_KEY, _OFF, st.integers(0, 4)),
+                   min_size=0, max_size=10),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(**PROP_SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, left, right, direction):
+    """All three directions vs pandas merge_asof, including exact ties
+    (nearest: backward wins equal distances) and duplicate (key, ts)
+    right rows (greatest payload wins — mirrored by sorting the pandas
+    right frame so the last duplicate is the greatest)."""
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(i, k, _sec(s)) for i, (k, s) in enumerate(left)],
+        "id long, k string, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, _sec(s), v) for (k, s, v) in right],
+        "k string, ts timestamp, v int")
+    got = {r.id: r.v for r in
+           asof_join(ldf, rdf, on=["k"], payload=["v"],
+                     direction=direction).collect()}
+
+    # Spark got the RAW duplicates (exercising the greatest-payload tie
+    # rule); pandas gets a max-deduped right frame — semantically
+    # identical under that rule, and unambiguous for merge_asof (whose
+    # own duplicate pick varies by direction).
+    best: dict = {}
+    for k, s, v in right:
+        best[(k, s)] = max(best.get((k, s), v), v)
+    if not best:
+        assert got == {i: None for i in range(len(left))}
+        return
+    lp = (pd.DataFrame([(i, k, _sec(s)) for i, (k, s) in enumerate(left)],
+                       columns=["id", "k", "ts"])
+          .sort_values(["ts", "id"]).reset_index(drop=True))
+    rp = (pd.DataFrame([(k, _sec(s), v) for (k, s), v in best.items()],
+                       columns=["k", "ts", "v"])
+          .sort_values(["ts", "v"]).reset_index(drop=True))
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction=direction)
+    want = {int(r.id): (None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()}
+    assert got == want
+
+
+@given(
+    points=st.lists(st.tuples(_KEY, _OFF), min_size=0, max_size=10),
+    # end >= start by construction; length 0 (zero-width) through 40s —
+    # with 1-second buckets an interval spans up to 41 buckets.
+    intervals=st.lists(st.tuples(_KEY, _OFF, st.integers(0, 40)),
+                       min_size=0, max_size=8),
+    open_start=st.booleans(),
+)
+@settings(**PROP_SETTINGS)
+def test_range_join_matches_brute_force(spark, points, intervals,
+                                        open_start):
+    """Bucketed band join vs brute-force predicate evaluation:
+    multi-bucket spans, zero-width intervals, boundary inclusivity."""
+    pdf = spark.createDataFrame(
+        [(i, k, _sec(s)) for i, (k, s) in enumerate(points)],
+        "pid long, k string, ts timestamp")
+    idf = spark.createDataFrame(
+        [(j, k, _sec(s), _sec(s + ln))
+         for j, (k, s, ln) in enumerate(intervals)],
+        "iid long, k string, lo timestamp, hi timestamp")
+    got = {(r.iid, r.pid) for r in
+           range_join(pdf, idf, on=["k"], point_ts="ts",
+                      start="lo", end="hi", bucket_width="1 second",
+                      open_start=open_start).collect()}
+    want = set()
+    for j, (ik, s, ln) in enumerate(intervals):
+        for i, (pk, ps) in enumerate(points):
+            if pk != ik:
+                continue
+            lo_ok = (ps > s) if open_start else (ps >= s)
+            if lo_ok and ps <= s + ln:
+                want.add((j, i))
+    assert got == want
