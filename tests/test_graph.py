@@ -189,11 +189,35 @@ def test_incremental_lsh_excludes_corpus_pairs(spark):
     assert (10, 11, True) in got and (11, 10, True) not in got
     assert not any(a in (1, 2) for a, _, _ in got)
     assert not any(20 in (a, b) for a, b, _ in got)
-    # hot-bucket cap: docs 1,2 share every bucket, so max_bucket=1
-    # drops those index buckets -> no new x corpus candidates survive.
+    # hot-bucket cap counts the UNION of index + new bands: docs
+    # 1,2,10,11 share every bucket (count 4), so max_bucket=3 drops
+    # those buckets entirely while max_bucket=4 keeps all pairs.
     capped = {(r.id_new, r.id_other) for r in incremental_lsh_pairs(
-        new, idx, "doc_id", "text", max_bucket=1).collect()}
-    assert capped == {(10, 11)}
+        new, idx, "doc_id", "text", max_bucket=3).collect()}
+    assert capped == set()
+    uncapped = {(r.id_new, r.id_other) for r in incremental_lsh_pairs(
+        new, idx, "doc_id", "text", max_bucket=4).collect()}
+    assert (10, 11) in uncapped and (10, 1) in uncapped
+
+
+def test_incremental_lsh_caps_new_batch_hot_bucket(spark):
+    """A hot bucket formed WITHIN the new batch (boilerplate crawl) is
+    bounded by max_bucket too — new x new fan-out can't go quadratic
+    just because the corpus index side is cool (ADVICE r3)."""
+    from wp_etl_migration_spark.operators.dedup import (
+        incremental_lsh_pairs, lsh_bands)
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    corpus = spark.createDataFrame(
+        [(1, "unrelated corpus doc entirely different words here")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(i, boiler) for i in range(10, 16)], ["doc_id", "text"])
+    idx = lsh_bands(corpus, "doc_id", "text")
+    uncapped = incremental_lsh_pairs(new, idx, "doc_id", "text").count()
+    assert uncapped == 15  # C(6,2) new x new pairs
+    capped = incremental_lsh_pairs(new, idx, "doc_id", "text",
+                                   max_bucket=5).count()
+    assert capped == 0
 
 
 def test_lsh_band_index_roundtrips_through_parquet(spark, tmp_path):

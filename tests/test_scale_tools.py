@@ -242,6 +242,12 @@ def test_profile_table_and_key_skew(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
 
+    # column names containing quotes/backslashes survive the stack()
+    # literal (ADVICE r3: raw interpolation broke on a single quote)
+    odd = df.withColumnRenamed("k", "it's \\odd")
+    odd_prof = {r.col_name: r for r in profile_table(odd).collect()}
+    assert odd_prof["it's \\odd"].n_nulls == 1
+
     skew = key_skew_profile(df.where("k is not null"), "k", top_k=1) \
         .first()
     assert skew.key == "a" and skew.n == 3

@@ -284,25 +284,30 @@ def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
 
     Scale: one band-key shuffle of new-batch bands + the (pruned) index;
     no text, signatures, or shingles recomputed for the corpus.
-    ``max_bucket`` drops band buckets holding more than that many index
-    rows — boilerplate documents (empty pages, templates) all hash to
-    the same buckets, and an uncapped hot bucket fans every new doc out
-    against the whole pile (the same hazard class as hot shingles; the
-    cap costs one count over the index, which at worst misses dups of
-    boilerplate that exact-dedup catches anyway).
+    ``max_bucket`` drops band buckets holding more than that many rows
+    across the UNION of index and new-batch bands — boilerplate
+    documents (empty pages, templates) all hash to the same buckets,
+    and an uncapped hot bucket fans every new doc out against the
+    whole pile. Counting the union (not just the corpus index) also
+    bounds a hot bucket formed *within* the new batch itself, e.g. a
+    crawl full of identical boilerplate, which would otherwise fan out
+    new×new pairs quadratically. The cap costs one count over the
+    union; at worst it misses dups of boilerplate that exact-dedup
+    catches anyway.
     """
     new_bands = lsh_bands(new_df, id_col, text_col, n, num_hashes,
                           rows_per_band)
-    if max_bucket is not None:
-        cool = (corpus_bands.groupBy("band", "band_hash").count()
-                .where(F.col("count") <= max_bucket)
-                .select("band", "band_hash"))
-        corpus_bands = corpus_bands.join(cool, ["band", "band_hash"],
-                                         "left_semi")
     tagged = (new_bands.withColumn("__new", F.lit(True))
               .unionByName(
                   corpus_bands.select(F.col(id_col), "band", "band_hash")
                   .withColumn("__new", F.lit(False))))
+    if max_bucket is not None:
+        cool = (tagged.groupBy("band", "band_hash").count()
+                .where(F.col("count") <= max_bucket)
+                .select("band", "band_hash"))
+        new_bands = new_bands.join(cool, ["band", "band_hash"],
+                                   "left_semi")
+        tagged = tagged.join(cool, ["band", "band_hash"], "left_semi")
     a, b = new_bands.alias("a"), tagged.alias("b")
     keep = (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")) & (
         ~F.col("b.__new") |

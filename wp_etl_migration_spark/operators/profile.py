@@ -47,8 +47,13 @@ def profile_table(df: DataFrame,
             F.max(F.col(c)).cast("string").alias(f"__max{i}"),
         ]
     wide = df.agg(*aggs)
+    # Column names land in the stack() expr as SQL string literals —
+    # backslash-escape so quotes in a name can't break (or inject into)
+    # the parsed expression.
+    def _lit(c: str) -> str:
+        return c.replace("\\", "\\\\").replace("'", "\\'")
     stacked = ", ".join(
-        f"'{c}', __null{i}, __dist{i}, __min{i}, __max{i}"
+        f"'{_lit(c)}', __null{i}, __dist{i}, __min{i}, __max{i}"
         for i, c in enumerate(cols))
     return wide.select(
         F.expr(f"stack({len(cols)}, {stacked}) as "
