@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "table_profile",
     "key_skew",
     "shared_gram_stats",
+    "bigram_lm_score",
+    "cross_corpus_dedup",
+    "global_shuffle_shards",
+    "vocab_topk",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,

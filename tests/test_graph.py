@@ -299,3 +299,31 @@ def test_pin_reliable_requires_dir(spark):
         pin(df, reliable=True)
     # Forcing local always works.
     assert pin(df, reliable=False).count() == 3
+
+
+def test_cross_corpus_exact_dedup(spark):
+    """New-batch rows already present (by content) in the corpus are
+    dropped; within-batch dupes keep the min id; digest rides along."""
+    from wp_etl_migration_spark.operators.dedup import (
+        cross_corpus_exact_dedup)
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "seen before"),          # exists in corpus -> dropped
+         (11, "brand new"), (12, "brand new"),  # in-batch dup -> keep 11
+         (13, "unique text")], ["doc_id", "text"])
+    got = cross_corpus_exact_dedup(new, corpus, "doc_id", ["text"]) \
+        .collect()
+    assert {r.doc_id for r in got} == {11, 13}
+    row = {r.doc_id: r for r in got}
+    assert row[11].text == "brand new" and row[11]["__digest"]
+    # survivors' digests can serve as the next corpus index increment:
+    # feeding them back drops the same content again
+    inc = spark.createDataFrame(
+        [(20, "brand new"), (21, "another")], ["doc_id", "text"])
+    merged_corpus = corpus.unionByName(
+        spark.createDataFrame([(11, "brand new"), (13, "unique text")],
+                              ["doc_id", "text"]))
+    got2 = cross_corpus_exact_dedup(inc, merged_corpus, "doc_id",
+                                    ["text"]).collect()
+    assert {r.doc_id for r in got2} == {21}

@@ -1,0 +1,64 @@
+"""Bigram language-model quality scoring (operators/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
+
+
+def test_bigram_counts_and_conditionals(spark):
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], ["doc_id", "text"])
+    lm = {(r.w1, r.w2): (r.n, r.n_w1)
+          for r in bigram_counts(ref, "text").collect()}
+    # "the cat" twice; left-context total for "the" is 2
+    assert lm[("the", "cat")] == (2, 2)
+    # "cat sat"/"cat ran" once each; context total for "cat" is 2
+    assert lm[("cat", "sat")] == (1, 2) and lm[("cat", "ran")] == (1, 2)
+
+
+def test_bigram_counts_min_count_keeps_calibration(spark):
+    ref = spark.createDataFrame(
+        [(1, "a b a b a c")], ["doc_id", "text"])
+    pruned = {(r.w1, r.w2): (r.n, r.n_w1)
+              for r in bigram_counts(ref, "text", min_count=2).collect()}
+    # "a c" (n=1) pruned, but "a b"'s context total still counts it
+    assert ("a", "c") not in pruned
+    assert pruned[("a", "b")] == (2, 3)
+
+
+def test_lm_score_hit_rate_and_logprob(spark):
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], ["doc_id", "text"])
+    lm = bigram_counts(ref, "text")
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"),        # all 2 bigrams known
+         (11, "the dog sat"),        # only... "the dog"/"dog sat" unknown
+         (12, "zq")],                # < 2 tokens: no row at all
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in lm_score(docs, lm, "doc_id",
+                                         "text").collect()}
+    assert set(got) == {10, 11}
+    assert got[10].n_bigrams == 2 and got[10].n_hits == 2
+    assert got[10].hit_rate == 1.0
+    # P(cat|the)=1, P(sat|cat)=1/2 -> mean logprob = ln(0.5)/2
+    assert abs(got[10].avg_logprob - math.log(0.5) / 2) < 1e-12
+    assert got[11].n_hits == 0 and got[11].hit_rate == 0.0
+    assert got[11].avg_logprob is None
+
+
+def test_lm_score_in_corpus_self_scoring(spark):
+    """CCNet shape: score a crawl against an LM built from a trusted
+    subset — fluent docs (in-domain bigrams) outrank keyboard mash."""
+    trusted = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog")
+         for i in range(5)], ["doc_id", "text"])
+    crawl = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"),
+         (101, "zxcv qwer asdf zxcv poiu")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           lm_score(crawl, bigram_counts(trusted, "text"), "doc_id",
+                    "text").collect()}
+    assert got[100].hit_rate > got[101].hit_rate
+    assert got[101].n_hits == 0

@@ -134,3 +134,48 @@ def test_shared_gram_stats_tags_duplicated_passages(spark):
         ["doc_id", "text"])
     out = shared_gram_stats(twins, "doc_id", "text", k=8).collect()
     assert all(r.dup_fraction == 1.0 for r in out)
+
+
+def test_global_shuffle_deterministic_permutation(spark):
+    from wp_etl_migration_spark.operators.sampling import global_shuffle
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = global_shuffle(df, "k", 8, salt="s").collect()
+    b = global_shuffle(df, "k", 8, salt="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    # every row placed exactly once; positions dense 1..len within shard
+    shards = {}
+    for r in a:
+        shards.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in shards.values()) == 1000
+    assert set(shards) <= set(range(8))
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # roughly balanced (uniform hash): no shard over 2x the mean
+    assert max(len(v) for v in shards.values()) < 2 * (1000 / 8)
+    # a different salt draws a different permutation
+    c = global_shuffle(df, "k", 8, salt="t").collect()
+    assert {(r.k, r.shard, r.pos) for r in c} != {
+        (r.k, r.shard, r.pos) for r in a}
+    # repartitioning the input must not change the assignment
+    d = global_shuffle(df.repartition(13), "k", 8, salt="s").collect()
+    assert sorted(map(tuple, d)) == sorted(map(tuple, a))
+
+
+def test_global_shuffle_bad_shards(spark):
+    from wp_etl_migration_spark.operators.sampling import global_shuffle
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError):
+        global_shuffle(df, "k", 0)
+
+
+def test_vocab_build_rank_and_coverage(spark):
+    from wp_etl_migration_spark.operators.textstats import vocab_build
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], ["doc_id", "text"])
+    # counts: a=4, b=3, c=1, d=1 (total 9); ties rank alphabetically
+    got = {r.rank: r for r in vocab_build(df, "text", top_k=3).collect()}
+    assert [got[i].token for i in (1, 2, 3)] == ["a", "b", "c"]
+    assert got[1].n == 4 and got[2].n == 3 and got[3].n == 1
+    assert got[1].cum_share == 4 / 9
+    assert got[2].cum_share == 7 / 9
+    assert got[3].cum_share == 8 / 9

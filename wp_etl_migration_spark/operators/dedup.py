@@ -84,6 +84,35 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str],
             .select(id_col))
 
 
+def cross_corpus_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                             id_col: str,
+                             content_cols: list[str]) -> DataFrame:
+    """Rows of ``new_df`` whose content does not already exist in
+    ``corpus_df`` — the cross-snapshot half of exact dedup (drop from a
+    new crawl everything an earlier dump already contributed), with
+    within-batch dedup applied too (min id per digest survives).
+
+    Returns the surviving ``new_df`` rows with a ``__digest`` column
+    (so the caller can append them to a stored digest index without
+    rehashing).
+
+    Scale: content never shuffles — both sides reduce to 128-bit md5
+    digests first (map-side projection), then one digest-keyed
+    anti-join + one digest groupBy, both uniform-keyed. The corpus side
+    only ever materializes (digest) rows, so a stored digest index
+    (parquet of one column) substitutes for re-reading corpus text.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                         for c in content_cols]))
+    corpus_digests = corpus_df.select(digest.alias("__digest")).distinct()
+    new_digested = new_df.withColumn("__digest", digest)
+    survivors = (new_digested
+                 .join(corpus_digests, "__digest", "left_anti")
+                 .groupBy("__digest").agg(F.min(id_col).alias(id_col)))
+    return (new_digested
+            .join(survivors, ["__digest", id_col], "left_semi"))
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str,
              n: int = 3, parallelize: bool = True,
              carry_cols: tuple[str, ...] = (),

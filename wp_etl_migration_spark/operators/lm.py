@@ -1,0 +1,100 @@
+"""N-gram language-model quality scoring (LLM-pipeline extension; no
+counterpart in the reference).
+
+The CCNet recipe (Wenzek et al. 2020, public) scores crawl documents
+with a language model trained on a trusted corpus and keeps the
+low-perplexity tail — the single most used quality signal in public
+pretraining pipelines (CCNet, RedPajama, FineWeb all apply a variant).
+Real deployments use KenLM; this module implements the same shape
+engine-natively: a bigram LM built with two aggregations, scored with
+one join — all built-in Column expressions, no UDFs.
+
+Scale design: the LM build is two groupBy shuffles over (w1, w2) /
+(w1,) keys — uniform token distribution aside from stopword heads,
+which map-side partial aggregation absorbs (counts combine before the
+shuffle; the hot key arrives pre-reduced, one row per map task). The
+scoring join keys on the same uniform bigram; a pruned LM
+(``min_count``) is usually broadcast-sized even when the training
+corpus is not (vocabulary grows ~O(corpus^0.5), Heaps' law), and AQE
+picks the broadcast automatically.
+
+Determinism note: ``hit_rate`` / ``oov_rate`` are single divisions of
+exact BIGINT aggregates — bit-identical on any engine (the oracle
+contract). ``avg_logprob`` is a sum of per-row ``ln`` results, whose
+last-ulp rounding and summation order are engine-specific; it's the
+operationally useful perplexity signal but is NOT oracle-hashable, so
+parity queries project the integer/raio columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bigrams(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
+    """Explode word bigrams: (*keep_cols, w1, w2). Same codegen-friendly
+    slice+zip generator as operators.dedup.shingles (no UDF)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size("__toks") - 1
+    z = F.arrays_zip(F.slice("__toks", 1, cnt), F.slice("__toks", 2, cnt))
+    return (df.select(*[F.col(c) for c in keep_cols],
+                      toks.alias("__toks"))
+            .where(F.size("__toks") >= 2)
+            .select(*[F.col(c) for c in keep_cols],
+                    F.explode(z).alias("__g"))
+            .select(*[F.col(c) for c in keep_cols],
+                    F.col("__g")["0"].alias("w1"),
+                    F.col("__g")["1"].alias("w2")))
+
+
+def bigram_counts(df: DataFrame, text_col: str,
+                  min_count: int = 1) -> DataFrame:
+    """Train the bigram LM: (w1, w2, n, n_w1) — bigram count and
+    left-context total, the two numbers P(w2|w1) = n/n_w1 needs.
+
+    ``min_count`` prunes rare bigrams AFTER the context totals are
+    taken, so probabilities stay calibrated against the full corpus
+    while the shipped table shrinks to broadcast size. One wide
+    groupBy + one narrow re-aggregation; both map-side combinable.
+    """
+    bg = _bigrams(df, text_col)
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    out = counts.join(totals, "w1")
+    if min_count > 1:
+        out = out.where(F.col("n") >= min_count)
+    return out.select("w1", "w2",
+                      F.col("n").cast("long").alias("n"),
+                      F.col("n_w1").cast("long").alias("n_w1"))
+
+
+def lm_score(df: DataFrame, lm: DataFrame, id_col: str,
+             text_col: str) -> DataFrame:
+    """Score documents against a bigram LM (from :func:`bigram_counts`).
+
+    Returns one row per document:
+    - ``n_bigrams``  — bigram positions in the doc (BIGINT)
+    - ``n_hits``     — positions whose bigram exists in the LM (BIGINT)
+    - ``hit_rate``   — n_hits / n_bigrams (single exact division)
+    - ``avg_logprob``— mean ln P(w2|w1) over hit positions (NULL when
+      no position hits); the perplexity-filter signal. Engine-float —
+      see module docstring.
+
+    Execution: explode doc bigrams, LEFT join the LM on (w1, w2) —
+    every position keeps a row so misses count — then one per-doc
+    aggregation. Bigram keys are uniform; the LM side is the small one
+    (broadcast under AQE when pruned).
+    """
+    bg = _bigrams(df, text_col, id_col)
+    scored = bg.join(lm, ["w1", "w2"], "left")
+    logp = F.log(F.col("n").cast("double") / F.col("n_w1").cast("double"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.count("n").cast("long").alias("n_hits"),
+                 F.avg(logp).alias("avg_logprob"))
+            .select(F.col(id_col),
+                    "n_bigrams", "n_hits",
+                    (F.col("n_hits").cast("double")
+                     / F.col("n_bigrams").cast("double")).alias("hit_rate"),
+                    "avg_logprob"))

@@ -58,6 +58,35 @@ def weighted_hash_sample(df: DataFrame, id_col: str,
         hash_bucket(id_col, salt).cast("double") < p * float(_SCALE))
 
 
+def global_shuffle(df: DataFrame, id_col: str, n_shards: int,
+                   salt: str = "") -> DataFrame:
+    """Deterministic global shuffle for training-order assignment:
+    every row gets a ``shard`` ∈ [0, n_shards) and a dense ``pos``
+    within its shard, both content-addressed — the same (key, salt)
+    lands in the same place on any engine, any run, any input
+    partitioning. This is the "globally shuffle the corpus before
+    tokenizer sharding" step of a pretraining pipeline, without a
+    global sort: hashes are uniform, so per-shard ordering by hash IS
+    a uniform random permutation (ties broken by key for exactness).
+
+    Scale: one shuffle keyed on ``shard`` (uniform by construction —
+    no skew possible) + a per-shard sort; no global ordering, no
+    single-reducer stage. Each shard sorts independently, so shard
+    count chooses the sort granularity: pick n_shards ≈ desired output
+    files and the write after this is one sorted file per shard.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    bucket = hash_bucket(id_col, salt)
+    from pyspark.sql import Window
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (df.withColumn("__h", bucket)
+            .withColumn("shard", F.pmod("__h", F.lit(n_shards))
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__h"))
+
+
 def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
                            fractions: dict[str, float],
                            default: float = 0.0,

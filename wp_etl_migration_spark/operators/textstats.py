@@ -7,7 +7,7 @@ expressions (codegen, no UDFs), so they run at scan speed over 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -200,6 +200,41 @@ def repetition_stats(df: DataFrame, id_col: str,
            .agg((F.max("count").cast("double")
                  / F.sum("count").cast("double")).alias("top_bigram_frac")))
     return base.join(top, on=id_col, how="left")
+
+
+def vocab_build(df: DataFrame, text_col: str,
+                top_k: int = 1000) -> DataFrame:
+    """Top-``top_k`` token vocabulary with corpus coverage — the
+    tokenizer-training precursor (word-level frequency table a BPE/
+    unigram trainer starts from) and a corpus drift diagnostic.
+
+    Returns (token, n, rank, cum_share): rank by (count desc, token)
+    for determinism; ``cum_share`` = running count total / corpus
+    token total, i.e. what fraction of all token positions the top-r
+    vocabulary covers.
+
+    Scale: tokenize+explode feeds one (token)-keyed count — hot tokens
+    ("the") pre-reduce map-side. Rank, running total, and corpus total
+    all come from ONE sorted window over the *vocabulary*, not the
+    corpus: Heaps-law sublinear (~10⁸ rows even at 100 TB), one modest
+    single-pass sort, no join anywhere in the plan.
+    """
+    toks = tokens(text_col)
+    counts = (df.select(F.explode(toks).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    cum = F.sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    total = F.sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing)).cast("long")
+    return (counts
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .withColumn("cum_share",
+                        cum.cast("double") / total.cast("double"))
+            .where(F.col("rank") <= top_k)
+            .select("token", F.col("n").cast("long").alias("n"),
+                    "rank", "cum_share"))
 
 
 def fingerprint(col: Column | str, length: int = 16) -> Column:

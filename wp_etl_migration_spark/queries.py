@@ -2487,6 +2487,129 @@ SELECT * FROM (
 """
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality filter: train a bigram LM on the trusted
+    slice (doc_id % 5 != 0), score the held-out slice. Projects the
+    exact-integer columns (hit_rate is one division of BIGINTs) — the
+    engine-float avg_logprob column is covered by tests/test_lm.py
+    (operators/lm.py)."""
+    from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
+    d = _t(spark, sf_dir).documents()
+    lm = bigram_counts(d.where(F.col("doc_id") % 5 != 0), "text")
+    return lm_score(d.where(F.col("doc_id") % 5 == 0), lm,
+                    "doc_id", "text") \
+        .select("doc_id", "n_bigrams", "n_hits", "hit_rate")
+
+
+_DUCK_BIGRAMS = r"""
+btoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM btoks, UNNEST(range(1, len(t))) AS r(i)
+  WHERE len(t) >= 2
+)"""
+
+ORACLE_BIGRAM_LM = f"""
+WITH {_DUCK_BIGRAMS}, lm AS (
+  SELECT w1, w2, count(*) AS n FROM bg
+  WHERE doc_id % 5 != 0 GROUP BY 1, 2
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(lm.n) AS BIGINT) AS n_hits,
+       CAST(count(lm.n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS hit_rate
+FROM bg LEFT JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+WHERE bg.doc_id % 5 = 0
+GROUP BY bg.doc_id
+"""
+
+
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Cross-snapshot exact dedup: the doc_id % 7 == 0 slice plays the
+    new crawl, the rest the already-ingested corpus; survivors are new
+    docs whose text no corpus doc (nor an earlier new doc) already has
+    (operators/dedup.py cross_corpus_exact_dedup)."""
+    from wp_etl_migration_spark.operators.dedup import (
+        cross_corpus_exact_dedup)
+    d = _t(spark, sf_dir).documents()
+    new = d.where(F.col("doc_id") % 7 == 0)
+    corpus = d.where(F.col("doc_id") % 7 != 0)
+    return (cross_corpus_exact_dedup(new, corpus, "doc_id", ["text"])
+            .select("doc_id",
+                    F.col("__digest").alias("content_digest")))
+
+
+ORACLE_CROSS_CORPUS = """
+WITH dg AS (
+  SELECT doc_id, md5(CAST(text AS VARCHAR)) AS content_digest
+  FROM documents
+), nw AS (SELECT * FROM dg WHERE doc_id % 7 = 0)
+SELECT min(doc_id) AS doc_id, content_digest
+FROM nw
+WHERE NOT EXISTS (SELECT 1 FROM dg c
+                  WHERE c.doc_id % 7 != 0
+                    AND c.content_digest = nw.content_digest)
+GROUP BY content_digest
+"""
+
+
+def q_global_shuffle_shards(spark, sf_dir):
+    """Deterministic pre-training shuffle: shard + in-shard position per
+    document, content-addressed on doc_id (operators/sampling.py
+    global_shuffle) — one uniform-keyed shuffle, no global sort."""
+    from wp_etl_migration_spark.operators.sampling import global_shuffle
+    d = _t(spark, sf_dir).documents()
+    return global_shuffle(d.select("doc_id", "lang"), "doc_id",
+                          n_shards=16, salt="bench")
+
+
+ORACLE_GLOBAL_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      AS hh
+  FROM documents
+)
+SELECT doc_id, lang, CAST(hh % 16 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id)
+       AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Top-200 token vocabulary with cumulative corpus coverage — the
+    tokenizer-training frequency table (operators/textstats.py
+    vocab_build). cum_share is a single division of exact BIGINTs."""
+    from wp_etl_migration_spark.operators.textstats import vocab_build
+    d = _t(spark, sf_dir).documents()
+    return vocab_build(d, "text", top_k=200)
+
+
+ORACLE_VOCAB = r"""
+WITH vt AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS n FROM vt GROUP BY 1
+), ranked AS (
+  SELECT token, CAST(n AS BIGINT) AS n,
+    CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+    CAST(sum(n) OVER (ORDER BY n DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum,
+    CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM counts
+)
+SELECT token, n, rank,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+FROM ranked WHERE rank <= 200
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2588,6 +2711,13 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # families keep driver rows: sanitize_chain covers the text
     # family, union_merge set ops, date_validate dates). Still
     # strict-parity-checked here every round:
+    # r4 additions — training-pipeline breadth (local parity; the
+    # driver registry is at its 50-row cap):
+    "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
+    "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
+    "global_shuffle_shards": (q_global_shuffle_shards,
+                              ORACLE_GLOBAL_SHUFFLE),
+    "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
