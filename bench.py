@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "cross_corpus_dedup",
     "global_shuffle_shards",
     "vocab_topk",
+    "line_dedup",
+    "quantize_embeddings",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,

@@ -327,3 +327,38 @@ def test_cross_corpus_exact_dedup(spark):
     got2 = cross_corpus_exact_dedup(inc, merged_corpus, "doc_id",
                                     ["text"]).collect()
     assert {r.doc_id for r in got2} == {21}
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    """Lines in >= max_line_df distinct docs vanish everywhere; order
+    and single-doc lines survive; fully-boilerplate docs keep ''."""
+    from wp_etl_migration_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(1, "unique alpha\nCOOKIE BANNER\nunique beta"),
+         (2, "COOKIE BANNER\nsomething else"),
+         (3, "COOKIE BANNER"),
+         (4, "all mine\nentirely original")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           line_dedup(df, "doc_id", "text", max_line_df=2).collect()}
+    assert got[1].text == "unique alpha\nunique beta"
+    assert got[1].n_lines == 3 and got[1].n_removed == 1
+    assert got[2].text == "something else"
+    assert got[3].text == "" and got[3].n_removed == 1
+    assert got[4].text == "all mine\nentirely original"
+    assert got[4].n_removed == 0
+
+
+def test_line_dedup_short_lines_ignored(spark):
+    """Blank/short separator lines are not counted as duplication
+    evidence and are kept verbatim (min_chars)."""
+    from wp_etl_migration_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(1, "a real line\n\nx"), (2, "other content\n\nx")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           line_dedup(df, "doc_id", "text", max_line_df=2,
+                      min_chars=2).collect()}
+    # '' and 'x' are under min_chars: kept, never counted as hot
+    assert got[1].text == "a real line\n\nx"
+    assert got[2].text == "other content\n\nx"

@@ -267,3 +267,26 @@ def test_compact_dataset(spark, tmp_path):
     assert n == 1
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert after == before
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    from wp_etl_migration_spark.operators.similarity import (
+        quantize_embeddings)
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]),
+         (2, [0.0, 0.0, 0.0, 0.0]),
+         (3, [-2.0, 2.0, 1.0, -1.0])],
+        ["vec_id", "embedding"])
+    got = {r.vec_id: r for r in
+           quantize_embeddings(df, "vec_id", "embedding").collect()}
+    # scale = max|v|/127; every lane reconstructs within scale/2
+    assert abs(got[1].scale - 1.0 / 127) < 1e-15
+    # floor(x+0.5): halves round toward +inf, so -63.5 -> -63
+    assert got[1].qvec == [127, -63, 32, 0]
+    assert got[1].max_abs_err <= got[1].scale / 2 + 1e-15
+    # all-zero vector: scale 0, zero qvec, zero error
+    assert got[2].scale == 0.0 and got[2].qvec == [0, 0, 0, 0]
+    assert got[2].max_abs_err == 0.0
+    assert got[3].qvec == [-127, 127, 64, -63]
+    for r in got.values():
+        assert all(-128 <= q <= 127 for q in r.qvec)

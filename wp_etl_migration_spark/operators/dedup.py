@@ -435,3 +435,64 @@ def lsh_band_params(threshold: float, num_hashes: int) -> tuple[int, int]:
         if best is None or err < best[0]:
             best = (err, b, r)
     return best[1], best[2]
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str,
+               max_line_df: int = 2, min_chars: int = 1,
+               delimiter: str = "\n") -> DataFrame:
+    """Corpus-level line deduplication — the C4/RefinedWeb boilerplate
+    pass (public: Raffel et al. 2020 §2.2 removes lines repeated across
+    documents; RefinedWeb/Dolma ship the same line-frequency filter):
+    a line occurring in ``max_line_df`` or more DISTINCT documents is
+    boilerplate (nav menus, cookie banners, license footers) and is
+    dropped from every document that contains it.
+
+    Returns (id, text, n_lines, n_removed) with ``text`` rebuilt from
+    the surviving lines in original order (docs whose lines are all
+    boilerplate keep an empty text rather than disappearing — the
+    caller decides whether empty docs survive). Lines shorter than
+    ``min_chars`` after trimming are ignored by the frequency count
+    AND kept verbatim (blank separators are not evidence of
+    duplication).
+
+    Scale: posexplode lines → one (line-hash)-keyed distinct-doc count
+    — uniform keys, map-side combinable; hot boilerplate lines arrive
+    pre-reduced. The hot set is typically tiny (it IS the boilerplate)
+    and joins back as a broadcast semi-join under AQE. Reassembly is
+    one (id)-keyed aggregation: sort_array over (pos, line) structs —
+    per-doc data, no global sort. Line text never shuffles twice: the
+    frequency pass keys on xxhash64(line).
+    """
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), delimiter))
+                       .alias("__pos", "__line")))
+    counted = lines.where(F.length(F.trim("__line")) >= min_chars) \
+        .select(F.col(id_col), F.xxhash64("__line").alias("__h"))
+    hot = (counted.distinct()
+           .groupBy("__h").agg(F.count("*").alias("__df"))
+           .where(F.col("__df") >= max_line_df)
+           .select("__h"))
+    kept = lines.join(
+        hot.hint("broadcast"),
+        (F.xxhash64(F.col("__line")) == F.col("__h"))
+        & (F.length(F.trim("__line")) >= min_chars),
+        "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("__pos"), F.col("__line"))))
+                   .alias("__ordered"),
+                   F.count("*").alias("__n_kept")))
+    n_lines_per_doc = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), delimiter)).cast("long")
+        .alias("n_lines"))
+    return (n_lines_per_doc.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(
+                        F.concat_ws(delimiter, F.transform(
+                            "__ordered", lambda s: s["__line"])),
+                        F.lit("")).alias("text"),
+                    F.col("n_lines"),
+                    (F.col("n_lines")
+                     - F.coalesce("__n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))

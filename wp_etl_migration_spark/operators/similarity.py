@@ -623,3 +623,49 @@ def cosine_topk_multi_lsh(emb: DataFrame, id_col: str, vec_col: str,
     return (deduped.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str, vec_col: str,
+                        bits: int = 8) -> DataFrame:
+    """Per-vector symmetric scalar quantization of an embedding column —
+    the storage/bandwidth lever for ANN at corpus scale (float32 → int8
+    is 4× less to scan, shuffle, and cache; rescoring dequantizes only
+    the candidate set).
+
+    Returns (id, qvec array<int>, scale, max_abs_err): ``qvec[i] =
+    floor(v[i]/scale + 0.5)`` with ``scale = max|v| / (2^(bits-1)-1)``;
+    ``max_abs_err`` is the per-vector worst reconstruction error
+    (``max|v - q·scale|`` ≤ scale/2 by construction — a self-auditing
+    bound). All-zero vectors get scale 0 and an all-zero qvec.
+
+    Map-only pass, no shuffle; transform()/aggregate() higher-order
+    functions are CodegenFallback but stay linear per element — fine
+    for a once-per-corpus compression pass (the hot N² kernels are the
+    unrolled codegen chains above, not this).
+
+    Determinism: float→double widening is exact; each lane is one
+    divide + floor (round-half-up, engine-portable — unlike round(),
+    whose half-even/half-up convention differs across engines).
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(qmax)
+    q = F.when(amax == 0.0,
+               F.transform(v, lambda x: F.lit(0))) \
+        .otherwise(F.transform(
+            v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")))
+    out = (emb.select(F.col(id_col), v.alias("__v"),
+                      scale.alias("scale"))
+           .withColumn("qvec", F.when(F.col("scale") == 0.0,
+                                      F.transform(F.col("__v"),
+                                                  lambda x: F.lit(0)))
+                       .otherwise(F.transform(
+                           F.col("__v"),
+                           lambda x: F.floor(x / F.col("scale")
+                                             + F.lit(0.5)).cast("int")))))
+    err = F.array_max(F.zip_with(
+        F.col("__v"), F.col("qvec"),
+        lambda a, b: F.abs(a - b.cast("double") * F.col("scale"))))
+    return out.select(F.col(id_col), "qvec", "scale",
+                      err.alias("max_abs_err"))

@@ -2610,6 +2610,76 @@ FROM ranked WHERE rank <= 200
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-level line dedup: segments occurring in ≥3
+    distinct documents are boilerplate and removed from every doc, text
+    rebuilt in original order (operators/dedup.py line_dedup). The
+    synthetic docs are single-line, so ' table ' plays the line
+    delimiter to exercise multi-segment splitting both engines."""
+    from wp_etl_migration_spark.operators.dedup import line_dedup
+    d = _t(spark, sf_dir).documents()
+    return line_dedup(d, "doc_id", "text", max_line_df=3,
+                      delimiter=" table ")
+
+
+ORACLE_LINE_DEDUP = """
+WITH seg AS (
+  SELECT doc_id, string_split(text, ' table ') AS ls FROM documents
+), ln AS (
+  SELECT doc_id, ls[i] AS line, i AS pos
+  FROM seg, UNNEST(range(1, len(ls) + 1)) AS r(i)
+), hot AS (
+  SELECT line FROM (
+    SELECT DISTINCT doc_id, line FROM ln WHERE len(trim(line)) >= 1)
+  GROUP BY line HAVING count(*) >= 3
+), kept AS (
+  SELECT doc_id, pos, line FROM ln
+  WHERE NOT (len(trim(line)) >= 1 AND line IN (SELECT line FROM hot))
+), rb AS (
+  SELECT doc_id, string_agg(line, ' table ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(rb.text, '') AS text,
+  CAST(len(string_split(d.text, ' table ')) AS BIGINT) AS n_lines,
+  CAST(len(string_split(d.text, ' table ')) - coalesce(rb.n_kept, 0)
+       AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
+"""
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 symmetric scalar quantization of the embedding column with
+    the per-vector reconstruction-error audit
+    (operators/similarity.py quantize_embeddings)."""
+    from wp_etl_migration_spark.operators.similarity import (
+        quantize_embeddings)
+    e = _t(spark, sf_dir).embeddings()
+    return quantize_embeddings(e, "vec_id", "embedding")
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, v, scale,
+    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+         ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+    END AS qvec
+  FROM s
+)
+SELECT vec_id, qvec, scale,
+  list_max(list_transform(list_zip(v, qvec),
+    z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale))) AS max_abs_err
+FROM q
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2718,6 +2788,8 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "global_shuffle_shards": (q_global_shuffle_shards,
                               ORACLE_GLOBAL_SHUFFLE),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
+    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+    "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
