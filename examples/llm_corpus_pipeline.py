@@ -2,11 +2,15 @@
 """End-to-end training-corpus curation pipeline, composed from the
 engine's operators — the kind of job this engine exists for at 100 TB:
 
-    documents ──ž Gopher + heuristic quality gates ──ž language filter
-              ──ž exact dedup ──ž MinHash-LSH near-dup pairs
-              ──ž connected-component keep-list ──ž stratified sampling
-              ──ž quality-weighted downsampling ──ž token accounting
+    documents ──ž boilerplate line dedup ──ž Gopher + heuristic quality
+              gates ──ž language filter ──ž exact dedup ──ž MinHash-LSH
+              near-dup pairs ──ž connected-component keep-list
+              ──ž bigram-LM fluency gate ──ž benchmark-contamination
+              gate ──ž stratified sampling ──ž quality-weighted
+              downsampling ──ž token accounting ──ž deterministic
+              global shuffle ──ž sequence packing
     embeddings ─ž SemDeDup keep-list ─ž k-means-fitted IVF ANN audit
+               ─ž int8 quantization (compact ANN index + error audit)
 
 Run:  python examples/llm_corpus_pipeline.py [sf_dir] [out_dir]
 
@@ -24,13 +28,15 @@ from pyspark.sql import functions as F
 
 from wp_etl_migration_spark.operators import textstats as ts
 from wp_etl_migration_spark.operators.dedup import (
-    exact_dedup, minhash_lsh_pairs)
+    contamination, exact_dedup, line_dedup, minhash_lsh_pairs)
 from wp_etl_migration_spark.operators.gates import apply_gates
 from wp_etl_migration_spark.operators.graph import dedup_keep_list
+from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
+from wp_etl_migration_spark.operators.packing import pack_sequences
 from wp_etl_migration_spark.operators.sampling import (
-    stratified_hash_sample, weighted_hash_sample)
+    global_shuffle, stratified_hash_sample, weighted_hash_sample)
 from wp_etl_migration_spark.operators.similarity import (
-    ivf_topk, kmeans_centroids, semantic_dedup)
+    ivf_topk, kmeans_centroids, quantize_embeddings, semantic_dedup)
 from wp_etl_migration_spark.session import get_spark, tune
 from wp_etl_migration_spark.sources.tables import Tables
 
@@ -43,7 +49,14 @@ def build_corpus(spark: SparkSession, sf_dir: str,
     near-dup-free documents with token accounting columns. Returns
     (corpus_df, gate_observation) — the observation resolves with
     per-gate drop counts after the corpus is materialized."""
-    d = Tables(spark, sf_dir).documents()
+    raw = Tables(spark, sf_dir).documents()
+
+    # Corpus-level boilerplate removal (C4-style): a segment repeated in
+    # ≥10 distinct docs is nav/footer noise, stripped everywhere. The
+    # synthetic docs are single-line, so ' table ' plays the delimiter.
+    d = (line_dedup(raw, "doc_id", "text", max_line_df=10,
+                    delimiter=" table ")
+         .join(raw.select("doc_id", "source"), "doc_id"))
 
     scored = d.select(
         "doc_id", "text", "source",
@@ -76,6 +89,24 @@ def build_corpus(spark: SparkSession, sf_dir: str,
                               verify_threshold=jaccard)
     keep = dedup_keep_list(gated, pairs, "doc_id", order_col="quality")
     deduped = gated.join(keep, "doc_id", "left_semi")
+
+    # Bigram-LM fluency gate (CCNet shape): the LM trains on the
+    # quality-gated survivors themselves; docs whose bigrams the LM has
+    # mostly never seen are off-distribution noise. hit_rate keeps the
+    # gate engine-deterministic (see operators/lm.py).
+    lm = bigram_counts(deduped, "text", min_count=2)
+    fluency = lm_score(deduped, lm, "doc_id", "text") \
+        .where(F.col("hit_rate") >= 0.2).select("doc_id")
+    deduped = deduped.join(fluency, "doc_id", "left_semi")
+
+    # Benchmark-contamination gate: docs sharing an 8-gram with the
+    # held-out eval slice (here: every 97th doc plays the benchmark)
+    # are dropped — the eval side broadcasts, the corpus never shuffles.
+    eval_df = Tables(spark, sf_dir).documents() \
+        .where(F.col("doc_id") % 97 == 0)
+    dirty = contamination(deduped, eval_df, "doc_id", "text", n=8) \
+        .select("doc_id")
+    deduped = deduped.join(dirty, "doc_id", "left_anti")
 
     # Deterministic source rebalancing: content-addressed keep decision,
     # so backfills and retries reproduce the identical sample.
@@ -124,9 +155,37 @@ def main(argv: list[str]) -> int:
     print(f"corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
           f"avg quality {stats['avg_quality']} -> {out_dir}/corpus")
 
+    # Training layout: content-addressed global shuffle (same rows land
+    # in the same shard/position on any rerun), then greedy sequence
+    # packing inside the shuffled order — write one dir per shard so a
+    # data loader streams shards independently.
+    curated = spark.read.parquet(f"{out_dir}/corpus")
+    shuffled = global_shuffle(curated, "doc_id", n_shards=4,
+                              salt="train-v1")
+    layout = pack_sequences(shuffled.withColumn(
+        "__order", F.col("shard") * F.lit(1 << 40) + F.col("pos")),
+        "doc_id", "n_tokens", seq_len=512, order_col="__order") \
+        .select("doc_id", "bin_id", "bin_offset")
+    packed = shuffled.join(layout, "doc_id")
+    packed.write.mode("overwrite").partitionBy("shard") \
+        .parquet(f"{out_dir}/shards")
+    n_bins = packed.agg(F.countDistinct("bin_id")).first()[0]
+    print(f"packed: {packed.count()} docs into {n_bins} bins of 512 "
+          f"tokens across 4 shards -> {out_dir}/shards")
+
     nn = nearest_neighbor_audit(spark, sf_dir)
     nn.write.mode("overwrite").parquet(f"{out_dir}/nn_audit")
     print(f"nn audit: {nn.count()} rows -> {out_dir}/nn_audit")
+
+    # Compact ANN index: int8 quantization, 4x less to scan at serve
+    # time; the error column is the self-audit that the compression is
+    # within the scale/2 bound.
+    q = quantize_embeddings(Tables(spark, sf_dir).embeddings(),
+                            "vec_id", "embedding")
+    q.write.mode("overwrite").parquet(f"{out_dir}/emb_int8")
+    worst = q.agg(F.max("max_abs_err")).first()[0]
+    print(f"quantized: {q.count()} vectors, worst reconstruction "
+          f"error {worst:.6f} -> {out_dir}/emb_int8")
     return 0
 
 

@@ -26,6 +26,7 @@ def test_llm_corpus_pipeline_example(tmp_path):
                str(tmp_path / "corpus"))
     assert "gate drops:" in out and "corpus:" in out
     assert "nn audit:" in out
+    assert "packed:" in out and "quantized:" in out
 
 
 def test_wp_migration_pipeline_example(tmp_path):
