@@ -179,3 +179,36 @@ def test_vocab_build_rank_and_coverage(spark):
     assert got[1].cum_share == 4 / 9
     assert got[2].cum_share == 7 / 9
     assert got[3].cum_share == 8 / 9
+
+
+def test_remove_shared_passages_cuts_duplicated_span(spark):
+    """A 4-gram copied between two docs is cut from both; the unique
+    remainder survives in order; untouched docs pass through."""
+    from wp_etl_migration_spark.operators.textstats import (
+        remove_shared_passages)
+    span = "copy this exact span"
+    df = spark.createDataFrame(
+        [(1, f"intro words here {span} outro one"),
+         (2, f"different opening {span} other ending"),
+         (3, "entirely original content nothing shared")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in remove_shared_passages(
+        df, "doc_id", "text", k=4).collect()}
+    assert got[1].text == "intro words here outro one"
+    assert got[1].n_tokens == 9 and got[1].n_removed_tokens == 4
+    assert got[2].text == "different opening other ending"
+    assert got[3].text == "entirely original content nothing shared"
+    assert got[3].n_removed_tokens == 0
+
+
+def test_remove_shared_passages_overlapping_grams_merge(spark):
+    """Overlapping shared grams cover a longer span exactly once; a doc
+    that is entirely duplicated keeps empty text."""
+    from wp_etl_migration_spark.operators.textstats import (
+        remove_shared_passages)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in remove_shared_passages(
+        df, "doc_id", "text", k=4).collect()}
+    assert got[1].text == "" and got[1].n_removed_tokens == 6
+    assert got[2].text == "" and got[2].n_removed_tokens == 6

@@ -287,6 +287,78 @@ def shared_gram_stats(df: DataFrame, id_col: str, text_col: str,
                     .alias("dup_fraction")))
 
 
+def remove_shared_passages(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8, min_doc_freq: int = 2) -> DataFrame:
+    """Exact-substring duplicate-span REMOVAL — the surgical half of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", ExactSubstr): any token covered by a word ``k``-gram that
+    occurs in ≥ ``min_doc_freq`` distinct documents is cut, and the
+    document is rebuilt from the surviving tokens in order. Unlike
+    document-level dedup this keeps the unique remainder of partially
+    copied documents; unlike :func:`shared_gram_stats` (the tagging
+    half) it edits the text.
+
+    Returns (id, text, n_tokens, n_removed_tokens). Token spelling is
+    normalized (lowercased, whitespace collapsed to single spaces) —
+    the same normalization every dedup operator here applies.
+
+    Scale: positional k-gram starts explode once; the shared-gram set
+    comes from one distinct + one count, both keyed on xxhash64(gram)
+    — uniform, map-side combinable. Coverage expansion is a bounded
+    ×k explode of only the SHARED gram starts (the duplicated tail,
+    not the corpus), and removal is a positional anti-join keyed on
+    (id, position) — uniform again. Rebuild is one per-doc
+    aggregation: sort_array over (pos, token) structs, per-doc data
+    only, no global sort. Nothing in the plan is quadratic: no
+    pair-join exists at all, so no doc-frequency cap is needed — a
+    gram shared by a million docs costs one semi-join hit per
+    occurrence, which is exactly the work its removal requires.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    cnt = F.size("__toks") - (k - 1)
+    z = F.arrays_zip(*[F.slice("__toks", i + 1, cnt) for i in range(k)])
+    gram = F.concat_ws(" ", *[F.col("__g")[str(i)] for i in range(k)])
+    grams = (base.where(F.size("__toks") >= k)
+             .select(F.col(id_col), F.posexplode(z).alias("__pos", "__g"))
+             .select(F.col(id_col), "__pos",
+                     F.xxhash64(gram).alias("__h")))
+    shared = (grams.select(F.col(id_col), "__h").distinct()
+              .groupBy("__h").agg(F.count("*").alias("__df"))
+              .where(F.col("__df") >= min_doc_freq)
+              .select("__h"))
+    covered = (grams.join(shared, "__h", "left_semi")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(
+                           F.col("__pos"),
+                           F.col("__pos") + F.lit(k - 1)))
+                       .alias("__cp"))
+               .distinct())
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("__tp", "__tok"))
+    kept = tok_rows.join(
+        covered,
+        (tok_rows[id_col] == covered[id_col])
+        & (F.col("__tp") == F.col("__cp")),
+        "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("__tp"), F.col("__tok"))))
+                   .alias("__ordered"),
+                   F.count("*").alias("__n_kept")))
+    per_doc = base.select(F.col(id_col),
+                          F.size("__toks").cast("long").alias("n_tokens"))
+    return (per_doc.join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(
+                        F.concat_ws(" ", F.transform(
+                            "__ordered", lambda s: s["__tok"])),
+                        F.lit("")).alias("text"),
+                    F.col("n_tokens"),
+                    (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed_tokens")))
+
+
 def shingles_with_count(df: DataFrame, id_col: str, text_col: str,
                         n: int) -> DataFrame:
     """Non-distinct word n-gram starts per document (every position

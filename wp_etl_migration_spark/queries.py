@@ -2680,6 +2680,52 @@ FROM q
 """
 
 
+def q_passage_removal(spark, sf_dir):
+    """ExactSubstr span removal (Lee et al. 2022): tokens covered by a
+    word 8-gram shared across ≥2 docs are cut, text rebuilt from the
+    unique remainder (operators/textstats.py remove_shared_passages)."""
+    from wp_etl_migration_spark.operators.textstats import (
+        remove_shared_passages)
+    d = _t(spark, sf_dir).documents()
+    return remove_shared_passages(d, "doc_id", "text", k=8)
+
+
+ORACLE_PASSAGE_REMOVAL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS gram
+  FROM t, UNNEST(range(1, len(t) - 6)) AS r(i)
+  WHERE len(t) >= 8
+), shared AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+  GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, pos + j AS cp
+  FROM g, UNNEST(range(0, 8)) AS r(j)
+  WHERE gram IN (SELECT gram FROM shared)
+), tok AS (
+  SELECT doc_id, i AS tp, t[i] AS tok
+  FROM t, UNNEST(range(1, len(t) + 1)) AS r(i)
+), kept AS (
+  SELECT tok.doc_id, tp, tok FROM tok
+  WHERE NOT EXISTS (SELECT 1 FROM cov
+                    WHERE cov.doc_id = tok.doc_id AND cov.cp = tok.tp)
+), rb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(rb.text, '') AS text,
+  CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) AS BIGINT)
+    AS n_tokens,
+  CAST(len(string_split_regex(lower(trim(d.text)), '\s+'))
+       - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2790,6 +2836,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
+    "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
