@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "quantize_embeddings",
     "passage_removal",
+    "fuzzy_match",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,

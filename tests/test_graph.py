@@ -362,3 +362,55 @@ def test_line_dedup_short_lines_ignored(spark):
     # '' and 'x' are under min_chars: kept, never counted as hot
     assert got[1].text == "a real line\n\nx"
     assert got[2].text == "other content\n\nx"
+
+
+def test_fuzzy_self_join_complete_for_distance_1(spark):
+    """Deletion-neighborhood candidates + levenshtein verify find
+    exactly the ED<=1 pairs: equality, insertion/deletion,
+    substitution — and nothing at distance 2."""
+    from wp_etl_migration_spark.operators.fuzzy import fuzzy_self_join
+    df = spark.createDataFrame(
+        [(1, "spark"), (2, "spork"),      # substitution
+         (3, "spark"),                    # exact duplicate of 1
+         (4, "sparks"), (5, "park"),      # insertion / deletion vs 1
+         (6, "ba"), (7, "ab"),            # ED 2 via swap: NOT a pair
+         (8, "zzz")],                     # isolated
+        ["id", "k"])
+    got = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_self_join(df, "id", "k").collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 0
+    assert got[(1, 4)] == 1 and got[(1, 5)] == 1
+    assert (6, 7) not in got
+    assert not any(8 in p for p in got)
+    # brute-force oracle over every pair
+    import itertools
+    rows = {r.id: r.k for r in df.collect()}
+    def ed(a, b):
+        import functools
+        @functools.lru_cache(None)
+        def d(i, j):
+            if not i: return j
+            if not j: return i
+            return min(d(i-1, j) + 1, d(i, j-1) + 1,
+                       d(i-1, j-1) + (a[i-1] != b[j-1]))
+        return d(len(a), len(b))
+    expect = {(i, j): ed(rows[i], rows[j])
+              for i, j in itertools.combinations(sorted(rows), 2)
+              if ed(rows[i], rows[j]) <= 1}
+    assert got == expect
+
+
+def test_fuzzy_self_join_max_bucket_and_radius_guard(spark):
+    from wp_etl_migration_spark.operators.fuzzy import fuzzy_self_join
+    import pytest as _pt
+    df = spark.createDataFrame(
+        [(i, "aa") for i in range(5)] + [(10, "unique-long-key"),
+                                         (11, "unique-long-kex")],
+        ["id", "k"])
+    with _pt.raises(ValueError):
+        fuzzy_self_join(df, "id", "k", max_distance=2)
+    # the 5 identical short keys make hot variant buckets; the cap
+    # drops them but keeps the long-key pair
+    capped = {(r.id_a, r.id_b) for r in fuzzy_self_join(
+        df, "id", "k", max_bucket=3).collect()}
+    assert capped == {(10, 11)}

@@ -216,3 +216,23 @@ def test_esc_url_raw_invariants(spark, url):
     again = df.sparkSession.createDataFrame([(out,)], "s string") \
         .select(esc_url_raw(F.col("s")).alias("o")).first()["o"]
     assert again == out
+
+
+@given(vec=st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False, width=32),
+    min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_quantize_embeddings_error_bound(spark, vec):
+    """For ANY float vector: int8 codes stay in [-127, 127] after
+    round-half-up of |v|max-scaled lanes, and every lane reconstructs
+    within scale/2 (the symmetric-quantization guarantee)."""
+    from wp_etl_migration_spark.operators.similarity import (
+        quantize_embeddings)
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    r = quantize_embeddings(df, "vec_id", "embedding").first()
+    assert len(r.qvec) == len(vec)
+    assert all(-128 <= q <= 127 for q in r.qvec)
+    assert r.max_abs_err <= r.scale / 2 + 1e-9 * max(1.0, r.scale)
+    if all(v == 0 for v in vec):
+        assert r.scale == 0.0 and r.max_abs_err == 0.0

@@ -2726,6 +2726,25 @@ FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
 """
 
 
+def q_fuzzy_match(spark, sf_dir):
+    """Edit-distance-1 key matching via FastSS deletion-neighborhood
+    indexing — equi-join candidates + levenshtein verify, never a
+    cross join (operators/fuzzy.py). Customer names differing in one
+    digit are the demo entity-resolution workload."""
+    from wp_etl_migration_spark.operators.fuzzy import fuzzy_self_join
+    c = _t(spark, sf_dir).customer().select("c_custkey", "c_name")
+    return fuzzy_self_join(c, "c_custkey", "c_name")
+
+
+ORACLE_FUZZY = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS key_a, b.c_name AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2837,6 +2856,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
+    "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
