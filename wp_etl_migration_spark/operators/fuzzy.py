@@ -48,18 +48,29 @@ def _variants(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
 
 def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
                     max_distance: int = 1,
-                    max_bucket: int | None = None) -> DataFrame:
+                    max_bucket: int | None = None,
+                    parallelize: bool = True) -> DataFrame:
     """All pairs (id_a < id_b) whose keys are within ``max_distance``
     (currently 1 — the deletion-neighborhood completeness bound) edit
     distance, with both keys and the exact distance.
 
-    Returns (id_a, id_b, key_a, key_b, distance).
+    Returns (id_a, id_b, key_a, key_b, distance). ``parallelize``
+    spreads a thin (fewer-tasks-than-cores) input before the variant
+    explode: the variant side is small enough that Catalyst broadcasts
+    it, so WITHOUT a spread the probe side — explode, hash, AND the
+    levenshtein verify — all run at the scan's task count (one task on
+    a single-row-group file; ~4.5× at sf0.1). See
+    :func:`operators.dedup.spread_thin_input`.
     """
     if max_distance != 1:
         raise ValueError(
             "deletion-neighborhood indexing is complete only for "
             "max_distance=1; chain joins or widen the neighborhood "
             "for larger radii")
+    if parallelize:
+        from wp_etl_migration_spark.operators.dedup import (
+            spread_thin_input)
+        df = spread_thin_input(df)
     v = _variants(df, id_col, key_col)
     if max_bucket is not None:
         cool = (v.groupBy("__v").count()
