@@ -2754,7 +2754,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "scan_filter_sort_limit": (q_scan_filter_sort_limit, ORACLE_SCAN),
     "union_merge": (q_union_merge, ORACLE_UNION),
     "prefix_pipeline": (q_prefix_pipeline, ORACLE_PREFIX),
-    "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
     "author_embed": (q_author_embed, ORACLE_AUTHOR),
     "meta_embed": (q_meta_embed, ORACLE_META_EMBED),
     "window_funcs": (q_window_funcs, ORACLE_WINDOW),
@@ -2762,13 +2761,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "upsert_merge": (q_upsert_merge, ORACLE_UPSERT),
     "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
     "hierarchy_resolve": (q_hierarchy_resolve, ORACLE_HIERARCHY),
-    "placeholder_subst": (q_placeholder_subst, ORACLE_PLACEHOLDER),
     "media_dedupe_lookup": (q_media_dedupe_lookup, ORACLE_MEDIA_DEDUPE),
-    "unpack_roundtrip": (q_unpack_roundtrip, ORACLE_UNPACK),
     "date_validate": (q_date_validate, ORACLE_DATE_VALIDATE),
     "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
-    "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
     "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
     "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
     "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
@@ -2777,8 +2773,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
     "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
-    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
-                               ORACLE_EMB_LSH_NEAR_DUP),
     "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
     "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
@@ -2804,6 +2798,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "rolling_window": (q_rolling_window, ORACLE_ROLLING),
+    # Second r4 rotation wave: the round's new training-pipeline
+    # families get driver-verified rows; displaced rows
+    # (snake_scrub_rename, placeholder_subst, unpack_roundtrip,
+    # rollup_status, embedding_near_dup_lsh) keep strict local parity
+    # in EXTRA_REGISTRY and their families stay driver-covered
+    # (prefix_pipeline, sanitize_chain, grouping_sets, ann_lsh_topk +
+    # embedding_near_dup).
+    "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
+    "global_shuffle_shards": (q_global_shuffle_shards,
+                              ORACLE_GLOBAL_SHUFFLE),
+    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+    "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
+    "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY),
 }
 
 
@@ -2816,6 +2823,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
 EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                 str | None]] = {
     "slugify": (q_slugify, ORACLE_SLUG),
+    # Rotated OUT of the driver registry in the second r4 wave
+    # (long-green; families stay driver-covered — see REGISTRY note):
+    "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
+    "placeholder_subst": (q_placeholder_subst, ORACLE_PLACEHOLDER),
+    "unpack_roundtrip": (q_unpack_roundtrip, ORACLE_UNPACK),
+    "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
+                               ORACLE_EMB_LSH_NEAR_DUP),
     # cube_agg's grouping-set family stays driver-gated via
     # rollup_status + grouping_sets; media_decode took its slot.
     "cube_agg": (q_cube_agg, ORACLE_CUBE),
@@ -2846,17 +2861,12 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # families keep driver rows: sanitize_chain covers the text
     # family, union_merge set ops, date_validate dates). Still
     # strict-parity-checked here every round:
-    # r4 additions — training-pipeline breadth (local parity; the
-    # driver registry is at its 50-row cap):
-    "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
+    # r4 additions — training-pipeline breadth (local parity;
+    # five of the round's additions were promoted to REGISTRY in the
+    # second rotation wave, the rest stay here):
     "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
-    "global_shuffle_shards": (q_global_shuffle_shards,
-                              ORACLE_GLOBAL_SHUFFLE),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
-    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
-    "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
-    "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
