@@ -236,3 +236,67 @@ def test_quantize_embeddings_error_bound(spark, vec):
     assert r.max_abs_err <= r.scale / 2 + 1e-9 * max(1.0, r.scale)
     if all(v == 0 for v in vec):
         assert r.scale == 0.0 and r.max_abs_err == 0.0
+
+
+WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+@given(docs=st.lists(st.lists(WORD, min_size=0, max_size=10),
+                     min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_line_dedup_matches_python_oracle(spark, docs):
+    """Random small corpora vs a literal Python re-implementation:
+    identical surviving text, counts, and ordering for every doc."""
+    from wp_etl_migration_spark.operators.dedup import line_dedup
+    rows = [(i, " | ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_lines, r.n_removed)
+           for r in line_dedup(df, "doc_id", "text", max_line_df=2,
+                               delimiter=" | ").collect()}
+
+    split = {i: t.split(" | ") for i, t in rows}
+    from collections import Counter
+    dfreq = Counter()
+    for i, lines in split.items():
+        for ln in set(l for l in lines if len(l.strip()) >= 1):
+            dfreq[ln] += 1
+    hot = {l for l, c in dfreq.items() if c >= 2}
+    for i, lines in split.items():
+        kept = [l for l in lines
+                if not (len(l.strip()) >= 1 and l in hot)]
+        assert got[i] == (" | ".join(kept), len(lines),
+                          len(lines) - len(kept)), (i, lines)
+
+
+@given(docs=st.lists(st.lists(WORD, min_size=0, max_size=12),
+                     min_size=1, max_size=5),
+       k=st.integers(min_value=2, max_value=4))
+@settings(**SETTINGS)
+def test_remove_shared_passages_matches_python_oracle(spark, docs, k):
+    """Random corpora vs literal Python: the exact same token positions
+    are cut for every document and k."""
+    from wp_etl_migration_spark.operators.textstats import (
+        remove_shared_passages)
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_tokens, r.n_removed_tokens)
+           for r in remove_shared_passages(df, "doc_id", "text",
+                                           k=k).collect()}
+
+    toks = {i: t.split(" ") if t else [""] for i, t in rows}
+    grams = {i: [tuple(ts[p:p + k]) for p in range(len(ts) - k + 1)]
+             for i, ts in toks.items()}
+    from collections import Counter
+    dfreq = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            dfreq[g] += 1
+    shared = {g for g, c in dfreq.items() if c >= 2}
+    for i, ts in toks.items():
+        covered = set()
+        for p, g in enumerate(grams[i]):
+            if g in shared:
+                covered.update(range(p, p + k))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        assert got[i] == (" ".join(kept), len(ts),
+                          len(ts) - len(kept)), (i, ts, k)

@@ -462,9 +462,16 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
     one (id)-keyed aggregation: sort_array over (pos, line) structs —
     per-doc data, no global sort. Line text never shuffles twice: the
     frequency pass keys on xxhash64(line).
+
+    ``delimiter`` is a LITERAL string (it is also the rejoin glue), so
+    it is \\Q…\\E-quoted before feeding Spark's regex-based ``split``
+    — a ``"."`` delimiter splits on dots, not on every character.
     """
+    # \E inside the delimiter would close the quote early; reopen
+    # around it.
+    pattern = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = (df.select(F.col(id_col),
-                       F.posexplode(F.split(F.col(text_col), delimiter))
+                       F.posexplode(F.split(F.col(text_col), pattern))
                        .alias("__pos", "__line")))
     counted = lines.where(F.length(F.trim("__line")) >= min_chars) \
         .select(F.col(id_col), F.xxhash64("__line").alias("__h"))
@@ -484,7 +491,7 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
                    F.count("*").alias("__n_kept")))
     n_lines_per_doc = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), delimiter)).cast("long")
+        F.size(F.split(F.col(text_col), pattern)).cast("long")
         .alias("n_lines"))
     return (n_lines_per_doc.join(rebuilt, id_col, "left")
             .select(F.col(id_col),
