@@ -62,3 +62,55 @@ def test_lm_score_in_corpus_self_scoring(spark):
                     "text").collect()}
     assert got[100].hit_rate > got[101].hit_rate
     assert got[101].n_hits == 0
+
+
+def test_ngram_counts_trigram_conditionals(spark):
+    from wp_etl_migration_spark.operators.lm import ngram_counts
+    ref = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b c")], ["doc_id", "text"])
+    lm = {(r.ctx, r.w): (r.n_gram, r.n_ctx)
+          for r in ngram_counts(ref, "text", n=3).collect()}
+    assert lm[("a b", "c")] == (2, 3)
+    assert lm[("a b", "d")] == (1, 3)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ngram_counts(ref, "text", n=1)
+
+
+def test_lm_score_ngram_matches_bigram_at_n2(spark):
+    """The generalized scorer at n=2 produces the same deterministic
+    columns as the dedicated bigram path on the same data."""
+    from wp_etl_migration_spark.operators.lm import (
+        bigram_counts, lm_score, lm_score_ngram, ngram_counts)
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(10, "the cat sat on a mat"), (11, "dog gone")],
+        ["doc_id", "text"])
+    via_bigram = {r.doc_id: (r.n_bigrams, r.n_hits, r.hit_rate)
+                  for r in lm_score(docs, bigram_counts(ref, "text"),
+                                    "doc_id", "text").collect()}
+    via_ngram = {r.doc_id: (r.n_ngrams, r.n_hits, r.hit_rate)
+                 for r in lm_score_ngram(docs, ngram_counts(ref, "text",
+                                                            n=2),
+                                         "doc_id", "text",
+                                         n=2).collect()}
+    assert via_bigram == via_ngram
+
+
+def test_lm_score_trigram_sharper_than_bigram(spark):
+    """Higher order = stricter context: a doc reusing words in a new
+    ORDER keeps bigram hits but loses trigram hits."""
+    from wp_etl_migration_spark.operators.lm import (
+        lm_score_ngram, ngram_counts)
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(10, "the quick brown fox"),          # verbatim prefix
+         (11, "brown the fox quick jumps")],   # shuffled words
+        ["doc_id", "text"])
+    tri = {r.doc_id: r.hit_rate for r in lm_score_ngram(
+        docs, ngram_counts(ref, "text", n=3), "doc_id", "text",
+        n=3).collect()}
+    assert tri[10] == 1.0 and tri[11] == 0.0

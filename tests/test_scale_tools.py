@@ -290,3 +290,32 @@ def test_quantize_embeddings_roundtrip_bound(spark):
     assert got[3].qvec == [-127, 127, 64, -63]
     for r in got.values():
         assert all(-128 <= q <= 127 for q in r.qvec)
+
+
+def test_quantized_ann_agrees_with_exact(spark):
+    """The int8 storage path composes with retrieval: dequantized
+    vectors (qvec * scale) feed ivf_topk and recover the exact top-k
+    neighbors on well-separated blobs — the compression is transparent
+    to ANN at blob-scale separation."""
+    import random
+    from pyspark.sql import functions as F
+    from wp_etl_migration_spark.operators.similarity import (
+        ivf_topk, quantize_embeddings)
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(3 if i % 2 else -3, 0.3) for _ in range(4)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    deq = (quantize_embeddings(emb, "vec_id", "embedding")
+           .select("vec_id",
+                   F.transform(
+                       "qvec",
+                       lambda q: q.cast("double") * F.col("scale"))
+                   .alias("embedding")))
+    exact = {(r.query_id, r.neighbor_id) for r in
+             ivf_topk(emb, "vec_id", "embedding", k=3,
+                      num_centroids=2).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in
+             ivf_topk(deq, "vec_id", "embedding", k=3,
+                      num_centroids=2).collect()}
+    agree = len(exact & quant) / len(exact)
+    assert agree >= 0.9, agree

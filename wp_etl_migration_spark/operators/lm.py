@@ -69,6 +69,72 @@ def bigram_counts(df: DataFrame, text_col: str,
                       F.col("n_w1").cast("long").alias("n_w1"))
 
 
+def _ngrams(df: DataFrame, text_col: str, n: int,
+            *keep_cols: str) -> DataFrame:
+    """Explode word n-grams as (ctx, w): ctx = the n−1 preceding tokens
+    space-joined, w = the predicted token. Same codegen slice+zip
+    generator as :func:`_bigrams` (which is the n=2 special case)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    cnt = F.size("__toks") - (n - 1)
+    z = F.arrays_zip(*[F.slice("__toks", i + 1, cnt) for i in range(n)])
+    ctx = F.concat_ws(" ", *[F.col("__g")[str(i)] for i in range(n - 1)])
+    return (df.select(*[F.col(c) for c in keep_cols],
+                      toks.alias("__toks"))
+            .where(F.size("__toks") >= n)
+            .select(*[F.col(c) for c in keep_cols],
+                    F.explode(z).alias("__g"))
+            .select(*[F.col(c) for c in keep_cols],
+                    ctx.alias("ctx"),
+                    F.col("__g")[str(n - 1)].alias("w")))
+
+
+def ngram_counts(df: DataFrame, text_col: str, n: int = 3,
+                 min_count: int = 1) -> DataFrame:
+    """Train an order-``n`` LM: (ctx, w, n_gram, n_ctx) — the CCNet
+    recipe uses 5-grams; :func:`bigram_counts` is the n=2 shape with
+    split context columns. Same two map-side-combinable aggregations
+    and post-total pruning as the bigram build; context strings are
+    (n−1)-token — larger shuffle keys, same uniform distribution.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2 (an order-1 LM has no context)")
+    g = _ngrams(df, text_col, n)
+    counts = g.groupBy("ctx", "w").agg(F.count("*").alias("n_gram"))
+    totals = counts.groupBy("ctx").agg(F.sum("n_gram").alias("n_ctx"))
+    out = counts.join(totals, "ctx")
+    if min_count > 1:
+        out = out.where(F.col("n_gram") >= min_count)
+    return out.select("ctx", "w",
+                      F.col("n_gram").cast("long").alias("n_gram"),
+                      F.col("n_ctx").cast("long").alias("n_ctx"))
+
+
+def lm_score_ngram(df: DataFrame, lm: DataFrame, id_col: str,
+                   text_col: str, n: int) -> DataFrame:
+    """Score documents against an order-``n`` LM (from
+    :func:`ngram_counts`): same output contract as :func:`lm_score`
+    — (id, n_ngrams, n_hits, hit_rate, avg_logprob) with the same
+    determinism split (exact-integer hit columns, engine-float
+    logprob). One left join on (ctx, w), one per-doc aggregation.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    g = _ngrams(df, text_col, n, id_col)
+    scored = g.join(lm, ["ctx", "w"], "left")
+    logp = F.log(F.col("n_gram").cast("double")
+                 / F.col("n_ctx").cast("double"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_ngrams"),
+                 F.count("n_gram").cast("long").alias("n_hits"),
+                 F.avg(logp).alias("avg_logprob"))
+            .select(F.col(id_col),
+                    "n_ngrams", "n_hits",
+                    (F.col("n_hits").cast("double")
+                     / F.col("n_ngrams").cast("double"))
+                    .alias("hit_rate"),
+                    "avg_logprob"))
+
+
 def lm_score(df: DataFrame, lm: DataFrame, id_col: str,
              text_col: str) -> DataFrame:
     """Score documents against a bigram LM (from :func:`bigram_counts`).

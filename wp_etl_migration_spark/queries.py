@@ -2745,6 +2745,42 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
 
 
+def q_trigram_lm_score(spark, sf_dir):
+    """Order-3 LM scoring (the generalized n-gram path; CCNet uses
+    order 5): train on the doc_id % 5 != 0 slice, score the held-out
+    slice (operators/lm.py ngram_counts / lm_score_ngram)."""
+    from wp_etl_migration_spark.operators.lm import (
+        lm_score_ngram, ngram_counts)
+    d = _t(spark, sf_dir).documents()
+    lm = ngram_counts(d.where(F.col("doc_id") % 5 != 0), "text", n=3)
+    return lm_score_ngram(d.where(F.col("doc_id") % 5 == 0), lm,
+                          "doc_id", "text", n=3) \
+        .select("doc_id", "n_ngrams", "n_hits", "hit_rate")
+
+
+ORACLE_TRIGRAM_LM = r"""
+WITH t3 AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS ctx, t[i + 2] AS w
+  FROM t3, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), lm AS (
+  SELECT ctx, w, count(*) AS n_gram FROM g
+  WHERE doc_id % 5 != 0 GROUP BY 1, 2
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(count(lm.n_gram) AS BIGINT) AS n_hits,
+       CAST(count(lm.n_gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS hit_rate
+FROM g LEFT JOIN lm ON g.ctx = lm.ctx AND g.w = lm.w
+WHERE g.doc_id % 5 = 0
+GROUP BY g.doc_id
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2865,6 +2901,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # five of the round's additions were promoted to REGISTRY in the
     # second rotation wave, the rest stay here):
     "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
+    "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
