@@ -246,3 +246,68 @@ def test_stream_curation_gates_and_sampling(spark, tmp_path):
     stream_keep = sorted(r.doc_id for r in
                          spark.table("curated").collect())
     assert stream_keep == batch_keep and len(batch_keep) > 0
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """Stateless quality gate on a stream keeps exactly the docs the
+    batch operators keep."""
+    from wp_etl_migration_spark.operators.textstats import (
+        gopher_rules, quality_score)
+    from wp_etl_migration_spark.streaming.quality import (
+        stream_quality_gate)
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog wakes up to chase the fox around the big yard "
+            "for a while before they both rest under a tree")
+    docs = spark.createDataFrame(
+        [(1, good), (2, "zz"), (3, "!!! ### ... " * 20)],
+        ["doc_id", "text"])
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    gated = stream_quality_gate(stream, "text", min_quality=0.3,
+                                min_words=10, min_stopword_hits=1)
+    assert gated.isStreaming
+    run_to_memory(gated, "qgate")
+    streamed = sorted(r.doc_id for r in spark.table("qgate").collect())
+
+    batch = (docs.withColumn("quality", quality_score("text"))
+             .withColumn("g", gopher_rules("text", min_words=10,
+                                           min_stopword_hits=1))
+             .where((F.col("quality") >= 0.3) & F.col("g.passes")))
+    expected = sorted(r.doc_id for r in batch.collect())
+    assert streamed == expected == [1]
+
+
+def test_stream_lm_score_matches_batch(spark, tmp_path):
+    """Stream-static LM scoring ≡ the batch lm_score integer columns,
+    windowed the same way."""
+    from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
+    from wp_etl_migration_spark.streaming.quality import stream_lm_score
+
+    trusted = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(3)],
+        ["doc_id", "text"])
+    lm = bigram_counts(trusted, "text")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "2024-01-01 00:10:00"),
+         (2, "weird zxcv input", "2024-01-01 00:20:00"),
+         # late sentinel so the watermark passes the first window
+         (3, "the mat", "2024-01-02 00:00:00")],
+        ["doc_id", "text", "ts_s"]).withColumn(
+            "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    run_to_memory(stream_lm_score(stream, lm, "doc_id", "text"),
+                  "lmscore")
+    streamed = sorted(
+        (r.doc_id, r.n_bigrams, r.n_hits, r.hit_rate)
+        for r in spark.table("lmscore").collect())
+
+    batch = lm_score(docs.where("doc_id < 3"), lm, "doc_id", "text")
+    expected = sorted((r.doc_id, r.n_bigrams, r.n_hits, r.hit_rate)
+                      for r in batch.collect())
+    assert streamed == expected
+    assert (1, 2, 2, 1.0) in streamed

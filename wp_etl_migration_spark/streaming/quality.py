@@ -1,0 +1,68 @@
+"""Streaming quality gates.
+
+The batch quality operators re-expressed over unbounded input. The
+heuristic/Gopher gates are pure Column expressions — STATELESS on a
+stream (each microbatch filters independently, no watermark needed).
+LM scoring is a stream-static join: the LM is a batch frame trained
+offline (``operators.lm``), the per-document aggregation is the only
+state and is watermark-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_quality_gate(docs: DataFrame, text_col: str,
+                        min_quality: float = 0.3,
+                        gopher: bool = True,
+                        **gopher_kwargs) -> DataFrame:
+    """Filter a document stream by the heuristic quality score and
+    (optionally) the Gopher rule set — the batch twins are
+    ``textstats.quality_score`` / ``textstats.gopher_rules``. Stateless:
+    pure codegen expressions, so the stream never shuffles and any
+    output mode works. Adds the ``quality`` column; drops the
+    intermediate rule struct.
+    """
+    from wp_etl_migration_spark.operators.textstats import (
+        gopher_rules, quality_score)
+    out = docs.withColumn("quality", quality_score(text_col))
+    keep = F.col("quality") >= min_quality
+    if gopher:
+        out = out.withColumn("__g", gopher_rules(text_col,
+                                                 **gopher_kwargs))
+        keep = keep & F.col("__g.passes")
+    return out.where(keep).drop("__g")
+
+
+def stream_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
+                    text_col: str, ts_col: str = "ts",
+                    window: str = "1 hour",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming bigram-LM scoring: incoming docs against a STATIC LM
+    (from ``operators.lm.bigram_counts``), as watermarked windowed
+    per-document aggregates (append-mode safe).
+
+    Returns (window_start, id, n_bigrams, n_hits, hit_rate). The
+    bigram generator is stateless; the stream-static left join adds no
+    state (the pruned LM broadcasts); the only state is the windowed
+    aggregation, bounded by the watermark. Batch twin:
+    ``operators.lm.lm_score`` (minus the engine-float avg_logprob —
+    windowed append mode recomputes nothing, so the deterministic
+    integer columns are the streaming contract).
+    """
+    from wp_etl_migration_spark.operators.lm import _bigrams
+    bg = _bigrams(docs, text_col, id_col, ts_col)
+    scored = bg.join(F.broadcast(lm), ["w1", "w2"], "left")
+    return (scored
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("__w"),
+                     F.col(id_col))
+            .agg(F.count("*").cast("long").alias("n_bigrams"),
+                 F.count("n").cast("long").alias("n_hits"))
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col(id_col), "n_bigrams", "n_hits",
+                    (F.col("n_hits").cast("double")
+                     / F.col("n_bigrams").cast("double"))
+                    .alias("hit_rate")))
