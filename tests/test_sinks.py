@@ -363,3 +363,40 @@ def test_post_upsert_duplicate_new_name_mints_once(spark):
     assert ids["first"] == ids["second"]          # shared minted post
     assert ids["anon1"] != ids["anon2"]           # null name: per-row
     assert out["posts"].where(F.col("post_name") == "dup").count() == 1
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    """Shard dirs + manifest: every row lands in exactly one shard, the
+    in-shard order equals the shuffle position order, counts add up,
+    and a re-run is byte-identical in membership and order."""
+    import json as _json
+    from wp_etl_migration_spark.sinks.training import write_training_shards
+    from pyspark.sql import functions as F
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"))
+    path = str(tmp_path / "shards")
+    man = write_training_shards(df, path, "doc_id", n_shards=4,
+                                salt="v1", tokens_col="n_tokens")
+    assert man["n_rows"] == 500 and len(man["shards"]) == 4
+    assert sum(s["rows"] for s in man["shards"].values()) == 500
+    assert sum(s["tokens"] for s in man["shards"].values()) == \
+        sum((i % 7) + 1 for i in range(500))
+    on_disk = _json.load(open(f"{path}/_manifest.json"))
+    assert on_disk["n_rows"] == 500
+
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+    # in-shard parquet order follows pos (sortWithinPartitions)
+    s0 = spark.read.parquet(f"{path}/shard=0").collect()
+    poss = [r.pos for r in s0]
+    assert poss == sorted(poss)
+
+    # determinism: re-export to a different dir, same membership+order
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(df, path2, "doc_id", n_shards=4, salt="v1",
+                          tokens_col="n_tokens")
+    a = sorted(map(tuple, spark.read.parquet(path).collect()))
+    b = sorted(map(tuple, spark.read.parquet(path2).collect()))
+    assert a == b

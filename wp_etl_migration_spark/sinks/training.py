@@ -1,0 +1,62 @@
+"""Training-data shard writer (LLM-pipeline extension; no counterpart
+in the reference, whose sinks target WordPress/files).
+
+``write_training_shards`` packages a curated corpus for a data loader:
+deterministic global shuffle (``operators.sampling.global_shuffle``) →
+one parquet directory per shard, each shard's rows sorted by shuffle
+position → a JSON manifest with per-shard row/token counts. Loaders
+stream shards independently; the content-addressed shuffle means a
+re-run over the same corpus produces byte-identical shard membership
+and order, so resumed/backfilled exports agree forever.
+
+Scale: one uniform-keyed shuffle (the shard hash) and a per-shard
+sort; ``partitionBy("shard")`` writes each shard's files under its own
+directory with no extra exchange (the frame is already partitioned by
+shard). The manifest aggregation is shard-count-sized.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.operators.sampling import global_shuffle
+
+
+def write_training_shards(df: DataFrame, path: str, id_col: str,
+                          n_shards: int, salt: str = "",
+                          tokens_col: str | None = None) -> dict:
+    """Write ``df`` as ``path/shard=N/*.parquet`` in deterministic
+    shuffled order plus a ``path/_manifest.json`` (underscore-prefixed
+    so dataset readers skip it, like ``_SUCCESS``); returns the
+    manifest dict: {n_shards, n_rows, shards: {N: {rows, tokens?}}}.
+
+    ``tokens_col`` (e.g. the corpus pipeline's ``n_tokens``) adds
+    per-shard token totals to the manifest — what a sampler needs to
+    weight shards.
+    """
+    shuffled = global_shuffle(df, id_col, n_shards, salt=salt)
+    (shuffled
+     .repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "pos")
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+    aggs = [F.count("*").alias("rows")]
+    if tokens_col is not None:
+        aggs.append(F.sum(tokens_col).cast("long").alias("tokens"))
+    per_shard = (shuffled.groupBy("shard").agg(*aggs)
+                 .orderBy("shard").collect())
+    manifest = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "n_rows": sum(r["rows"] for r in per_shard),
+        "shards": {int(r["shard"]): {k: r[k] for k in r.asDict()
+                                     if k != "shard"}
+                   for r in per_shard},
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
