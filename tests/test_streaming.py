@@ -311,3 +311,48 @@ def test_stream_lm_score_matches_batch(spark, tmp_path):
                       for r in batch.collect())
     assert streamed == expected
     assert (1, 2, 2, 1.0) in streamed
+
+
+def test_incremental_dedup_stream_two_batches(spark, tmp_path):
+    """Continuous dedup via foreachBatch: batch 2 docs duplicating
+    batch 1 content (exactly or near) are dropped against the stores
+    batch 1 built; genuinely new docs survive and extend the stores."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "store")
+    dedup = IncrementalDedup(spark, store, "doc_id", "text")
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base),            # in-batch exact dup -> keep 1
+         (3, other)], ["doc_id", "text"])
+    b1.coalesce(1).write.parquet(str(in_dir / "batch1"))
+    q = dedup.run_stream(
+        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
+    q.awaitTermination()
+    survivors1 = sorted(r.doc_id for r in
+                        spark.read.parquet(f"{store}/corpus").collect())
+    assert survivors1 == [1, 3]
+
+    b2 = spark.createDataFrame(
+        [(10, base),                       # exact dup of stored 1
+         (11, base + " extra"),            # near-dup of stored 1 (LSH)
+         (12, "completely different words nothing shared here at all "
+              "with anything stored"),
+         # new x new near-dup pair WITHIN the batch: keep the min id
+         (14, "red orange yellow green blue indigo violet pink brown"),
+         (15, "red orange yellow green blue indigo violet pink gray")],
+        ["doc_id", "text"])
+    b2.coalesce(1).write.parquet(str(in_dir / "batch2"))
+    q = dedup.run_stream(
+        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
+    q.awaitTermination()
+    survivors = sorted(r.doc_id for r in
+                       spark.read.parquet(f"{store}/corpus").collect())
+    assert survivors == [1, 3, 12, 14]
+    # digest/band stores grew in lockstep with the corpus
+    assert spark.read.parquet(f"{store}/digests").count() == 4
+    assert spark.read.parquet(f"{store}/bands").count() > 0

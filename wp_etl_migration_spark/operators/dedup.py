@@ -86,7 +86,9 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str],
 
 def cross_corpus_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
                              id_col: str,
-                             content_cols: list[str]) -> DataFrame:
+                             content_cols: list[str],
+                             corpus_digest_col: str | None = None
+                             ) -> DataFrame:
     """Rows of ``new_df`` whose content does not already exist in
     ``corpus_df`` — the cross-snapshot half of exact dedup (drop from a
     new crawl everything an earlier dump already contributed), with
@@ -100,11 +102,16 @@ def cross_corpus_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
     digests first (map-side projection), then one digest-keyed
     anti-join + one digest groupBy, both uniform-keyed. The corpus side
     only ever materializes (digest) rows, so a stored digest index
-    (parquet of one column) substitutes for re-reading corpus text.
+    (parquet of one column) substitutes for re-reading corpus text:
+    pass it as ``corpus_df`` with ``corpus_digest_col`` naming the
+    already-computed digest column.
     """
     digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
                                          for c in content_cols]))
-    corpus_digests = corpus_df.select(digest.alias("__digest")).distinct()
+    corpus_digests = (
+        corpus_df.select(F.col(corpus_digest_col).alias("__digest"))
+        if corpus_digest_col is not None
+        else corpus_df.select(digest.alias("__digest"))).distinct()
     new_digested = new_df.withColumn("__digest", digest)
     survivors = (new_digested
                  .join(corpus_digests, "__digest", "left_anti")

@@ -1,0 +1,118 @@
+"""Continuous corpus dedup — the production loop that keeps a growing
+corpus duplicate-free as crawl batches stream in.
+
+Each microbatch runs the two incremental batch operators against
+on-disk stores and then extends those stores with its survivors:
+
+1. exact pass — ``operators.dedup.cross_corpus_exact_dedup`` against
+   the stored one-column DIGEST index (content never re-read);
+2. near-dup pass — ``operators.dedup.incremental_lsh_pairs`` against
+   the stored (id, band, band_hash) BAND index (corpus text never
+   re-shingled); batch docs colliding with the corpus (or an
+   earlier-id batch doc) are dropped;
+3. survivors append to the corpus store, and their digests/bands
+   append to the indexes — the next batch dedups against them.
+
+``foreachBatch`` is the right tool: the per-batch work is plain batch
+DataFrame code (same operators, same tests), the streaming engine
+supplies exactly-once batch replay via the checkpoint, and the only
+unbounded state lives in the appendable parquet stores, not in
+executor memory. Idempotency note: foreachBatch is at-least-once on
+retry *within* a failed batch; the digest index makes the exact pass
+naturally idempotent (replayed docs dedup against their own appended
+digests), which is the standard pattern for append sinks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IncrementalDedup:
+    """Stateful wrapper owning the three stores under ``store_dir``:
+    ``corpus/`` (surviving docs), ``digests/`` (one md5 column),
+    ``bands/`` (id, band, band_hash)."""
+
+    def __init__(self, spark: SparkSession, store_dir: str,
+                 id_col: str, text_col: str,
+                 n: int = 3, num_hashes: int = 16,
+                 rows_per_band: int = 2,
+                 max_bucket: int | None = None):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.id_col, self.text_col = id_col, text_col
+        self.n, self.num_hashes = n, num_hashes
+        self.rows_per_band = rows_per_band
+        self.max_bucket = max_bucket
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.store_dir, name)
+
+    def _load(self, name: str, schema: str) -> DataFrame:
+        path = self._path(name)
+        if os.path.isdir(path):
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """The foreachBatch body: dedup ``batch`` against the stores,
+        append survivors. Safe to call directly for batch backfills."""
+        from wp_etl_migration_spark.operators.dedup import (
+            cross_corpus_exact_dedup, incremental_lsh_pairs, lsh_bands)
+        id_c, text_c = self.id_col, self.text_col
+
+        digests = self._load("digests", "digest string")
+        # Exact pass against the stored digest index (empty store ⇒
+        # pure in-batch dedup); content of the historical corpus is
+        # never re-read.
+        exact = cross_corpus_exact_dedup(batch, digests, id_c,
+                                         [text_c],
+                                         corpus_digest_col="digest")
+
+        # Near-dup pass against the band index; colliding batch docs
+        # (vs corpus, or vs a smaller-id batch doc) drop.
+        bands_schema = f"{id_c} long, band int, band_hash string"
+        band_index = self._load("bands", bands_schema)
+        pairs = incremental_lsh_pairs(
+            exact, band_index, id_c, text_c, self.n, self.num_hashes,
+            self.rows_per_band, max_bucket=self.max_bucket)
+        from wp_etl_migration_spark.operators.checkpoint import pin
+        # Drop convention keeps the smallest id: a batch doc colliding
+        # with the corpus always drops (it IS id_new), but a new x new
+        # pair arrives as (id_new < id_other), so the LARGER id_other
+        # is the one to drop.
+        losers = (pairs.select(
+            F.when(F.col("other_is_new"), F.col("id_other"))
+            .otherwise(F.col("id_new")).alias(id_c)).distinct())
+        # Pin before the three appends: survivors is read 3x and its
+        # lineage includes the stores being appended to — without the
+        # pin the later writes could re-scan a store mid-mutation.
+        survivors = pin(exact.join(losers, id_c, "left_anti"))
+
+        # Extend the stores with the survivors.
+        survivors.drop("__digest").write.mode("append") \
+            .parquet(self._path("corpus"))
+        survivors.select(F.col("__digest").alias("digest")) \
+            .write.mode("append").parquet(self._path("digests"))
+        lsh_bands(survivors, id_c, text_c, self.n, self.num_hashes,
+                  self.rows_per_band) \
+            .select(F.col(id_c).cast("long"), F.col("band").cast("int"),
+                    "band_hash") \
+            .write.mode("append").parquet(self._path("bands"))
+
+    def run_stream(self, stream: DataFrame,
+                   checkpoint_dir: str | None = None,
+                   available_now: bool = True):
+        """Attach to a streaming frame via foreachBatch. Returns the
+        started query (caller awaits/stops)."""
+        writer = (stream.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation",
+                          checkpoint_dir
+                          or self._path("_checkpoint")))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
