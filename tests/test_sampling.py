@@ -212,3 +212,30 @@ def test_remove_shared_passages_overlapping_grams_merge(spark):
         df, "doc_id", "text", k=4).collect()}
     assert got[1].text == "" and got[1].n_removed_tokens == 6
     assert got[2].text == "" and got[2].n_removed_tokens == 6
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from wp_etl_migration_spark.operators.textstats import chunk_documents
+    import pytest as _pt
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short one"), (3, "")],
+                               ["doc_id", "text"])
+    got = {}
+    for r in chunk_documents(df, "doc_id", "text", chunk_tokens=8,
+                             overlap=4).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = (r.chunk_text,
+                                                    r.n_tokens)
+    # 10 tokens, window 8, step 4: starts at 1 and 5 only (a start at
+    # 9 would be fully covered by chunk 1)
+    assert got[1][0] == (" ".join(f"w{i}" for i in range(8)), 8)
+    assert got[1][1] == (" ".join(f"w{i}" for i in range(4, 10)), 6)
+    assert len(got[1]) == 2
+    # short and empty docs: exactly one chunk each
+    assert got[2] == {0: ("short one", 2)}
+    assert len(got[3]) == 1
+    # every token position covered, in order, when re-concatenated
+    # with overlap removed
+    c0, c1 = got[1][0][0].split(), got[1][1][0].split()
+    assert c0 + c1[4:] == text.split()
+    with _pt.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)

@@ -237,6 +237,45 @@ def vocab_build(df: DataFrame, text_col: str,
                     "rank", "cum_share"))
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 256,
+                    overlap: int = 0) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap — the embedding/RAG prep step (a corpus embeds per-chunk,
+    not per-document, once docs exceed the encoder context).
+
+    Returns (id, chunk_id, chunk_text, n_tokens): chunk ``i`` starts at
+    token ``i·(chunk_tokens−overlap)``; the start sequence stops at
+    ``max(size−overlap, 1)`` so a tail the previous chunk already fully
+    covers is not re-emitted, and every doc (even empty) yields ≥1
+    chunk. Token spelling is normalized (lowercase, single spaces) like
+    the rest of the text family.
+
+    Pure generator expressions (sequence → explode → slice →
+    concat_ws), whole-stage codegen, no shuffle — chunking runs at scan
+    speed and the output is ~(1 + overlap/chunk) × the corpus tokens.
+    """
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < "
+                         "chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks"),
+                     F.size(toks).alias("__n"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("__n") - overlap, F.lit(1)),
+        F.lit(step))
+    chunk = F.slice("__toks", F.col("__start"), chunk_tokens)
+    return (base
+            .select(F.col(id_col), "__toks",
+                    F.explode(starts).alias("__start"))
+            .select(F.col(id_col),
+                    ((F.col("__start") - 1) / step).cast("int")
+                    .alias("chunk_id"),
+                    F.concat_ws(" ", chunk).alias("chunk_text"),
+                    F.size(chunk).cast("long").alias("n_tokens")))
+
+
 def fingerprint(col: Column | str, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text, truncated to ``length`` hex chars."""

@@ -2781,6 +2781,29 @@ GROUP BY g.doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG/embedding chunking: 16-token windows with 4-token overlap
+    (operators/textstats.py chunk_documents) — codegen generator, no
+    shuffle."""
+    from wp_etl_migration_spark.operators.textstats import chunk_documents
+    d = _t(spark, sf_dir).documents()
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=16,
+                           overlap=4)
+
+
+ORACLE_CHUNKS = r"""
+WITH ct AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST((s - 1) // 12 AS INT) AS chunk_id,
+  array_to_string(t[s:s+15], ' ') AS chunk_text,
+  CAST(len(t[s:s+15]) AS BIGINT) AS n_tokens
+FROM ct, UNNEST(range(1, greatest(len(t) - 4, 1) + 1, 12)) AS r(s)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2902,6 +2925,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # second rotation wave, the rest stay here):
     "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
     "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
