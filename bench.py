@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "fuzzy_match",
     "trigram_lm_score",
     "chunk_documents",
+    "keywords",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,

@@ -239,3 +239,26 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert c0 + c1[4:] == text.split()
     with _pt.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_extract_keywords_rank_and_stopword_cut(spark):
+    from wp_etl_migration_spark.operators.textstats import extract_keywords
+    df = spark.createDataFrame(
+        [(1, "the the the spark spark shuffle"),
+         (2, "the the pandas pandas pandas arrow"),
+         (3, "the arrow arrow")],
+        ["doc_id", "text"])
+    got = {}
+    for r in extract_keywords(df, "doc_id", "text", top_k=2,
+                              max_doc_freq_share=0.9).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.token, r.tf, r.df))
+    for v in got.values():
+        v.sort()
+    # 'the' is in 3/3 docs > 0.9 share -> excluded everywhere
+    assert all(t != "the" for v in got.values() for _, t, _, _ in v)
+    # doc 1: spark tf=2 beats shuffle tf=1
+    assert got[1] == [(1, "spark", 2, 1), (2, "shuffle", 1, 1)]
+    # doc 2: pandas tf=3; arrow tf=1
+    assert got[2][0] == (1, "pandas", 3, 1)
+    # doc 3: arrow tf=2 (df=2)
+    assert got[3][0] == (1, "arrow", 2, 2)

@@ -276,6 +276,42 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     F.size(chunk).cast("long").alias("n_tokens")))
 
 
+def extract_keywords(df: DataFrame, id_col: str, text_col: str,
+                     top_k: int = 5,
+                     max_doc_freq_share: float = 0.5) -> DataFrame:
+    """Per-document keywords: the ``top_k`` terms ranked by term
+    frequency, rarity-broken — the TF-IDF shape with a deterministic,
+    engine-portable ordering (rank by tf DESC, document frequency ASC,
+    token ASC) instead of a float score whose ln() last-ulp could
+    reorder near-ties across engines. Terms appearing in more than
+    ``max_doc_freq_share`` of documents are stopwords-by-evidence and
+    excluded entirely.
+
+    Returns (id, token, tf, df, rank).
+
+    Scale: one (id, token) count (map-side combined), one (token)
+    document-frequency count joined back on the uniform token key, and
+    a per-document rank window (partitioned by id — no global sort).
+    The df side is vocabulary-sized; AQE broadcasts it when pruned.
+    """
+    toks = tokens(text_col)
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("token"))
+          .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    n_docs = df.count()
+    docfreq = (tf.groupBy("token")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df")
+                      <= int(max_doc_freq_share * n_docs)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token"))
+    return (tf.join(docfreq, "token")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= top_k)
+            .select(F.col(id_col), "token",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"), "rank"))
+
+
 def fingerprint(col: Column | str, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text, truncated to ``length`` hex chars."""

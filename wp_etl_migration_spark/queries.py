@@ -2804,6 +2804,39 @@ FROM ct, UNNEST(range(1, greatest(len(t) - 4, 1) + 1, 12)) AS r(s)
 """
 
 
+def q_keywords(spark, sf_dir):
+    """Per-doc keyword extraction: top-5 terms by (tf DESC, df ASC,
+    token) with evidence-based stopword exclusion
+    (operators/textstats.py extract_keywords)."""
+    from wp_etl_migration_spark.operators.textstats import extract_keywords
+    d = _t(spark, sf_dir).documents()
+    return extract_keywords(d, "doc_id", "text", top_k=5,
+                            max_doc_freq_share=0.5)
+
+
+ORACLE_KEYWORDS = r"""
+WITH kt AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+    AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM kt GROUP BY 1, 2
+), docfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) <= (SELECT CAST(floor(count(*) * 0.5) AS BIGINT)
+                      FROM documents)
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, token, tf, df,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, token) AS rank
+  FROM tf JOIN docfreq USING (token))
+WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2926,6 +2959,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
     "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
+    "keywords": (q_keywords, ORACLE_KEYWORDS),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
