@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "trigram_lm_score",
     "chunk_documents",
     "keywords",
+    "train_val_test",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,

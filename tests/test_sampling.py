@@ -262,3 +262,30 @@ def test_extract_keywords_rank_and_stopword_cut(spark):
     assert got[2][0] == (1, "pandas", 3, 1)
     # doc 3: arrow tf=2 (df=2)
     assert got[3][0] == (1, "arrow", 2, 2)
+
+
+def test_assign_splits_disjoint_exhaustive_deterministic(spark):
+    from wp_etl_migration_spark.operators.sampling import assign_splits
+    df = spark.range(3000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = assign_splits(df, "k", fr, salt="s").collect()
+    # exhaustive: every row assigned
+    assert len(a) == 3000 and all(r.split in fr for r in a)
+    # roughly proportional
+    from collections import Counter
+    c = Counter(r.split for r in a)
+    assert 0.75 < c["train"] / 3000 < 0.85
+    assert 0.06 < c["val"] / 3000 < 0.14
+    # deterministic + partition-invariant
+    b = assign_splits(df.repartition(17), "k", fr, salt="s").collect()
+    assert sorted((r.k, r.split) for r in a) == \
+        sorted((r.k, r.split) for r in b)
+    # a grown corpus never reassigns existing rows
+    grown = assign_splits(
+        spark.range(6000).withColumnRenamed("id", "k"), "k", fr,
+        salt="s").collect()
+    gmap = {r.k: r.split for r in grown}
+    assert all(gmap[r.k] == r.split for r in a)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        assign_splits(df, "k", {"train": 0.8, "val": 0.1})

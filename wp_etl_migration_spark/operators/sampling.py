@@ -58,6 +58,37 @@ def weighted_hash_sample(df: DataFrame, id_col: str,
         hash_bucket(id_col, salt).cast("double") < p * float(_SCALE))
 
 
+def assign_splits(df: DataFrame, id_col: str,
+                  fractions: dict[str, float],
+                  salt: str = "") -> DataFrame:
+    """Content-addressed train/val/test assignment: adds a ``split``
+    column. Splits are provably DISJOINT and EXHAUSTIVE — the hash
+    bucket is compared against consecutive ranges of one [0, 2³²)
+    line, so every row lands in exactly one split, the same one on
+    every engine/run/partitioning (retrain-safe: growing the corpus
+    never moves an existing row between splits).
+
+    ``fractions`` maps split name → share; shares must sum to 1
+    (±1e-9). Names are assigned range positions in sorted-name order
+    for determinism. Pure codegen expressions, no shuffle.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    edge = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        cond = bucket < int(edge * _SCALE)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
 def global_shuffle(df: DataFrame, id_col: str, n_shards: int,
                    salt: str = "") -> DataFrame:
     """Deterministic global shuffle for training-order assignment:

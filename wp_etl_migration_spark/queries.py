@@ -2837,6 +2837,30 @@ WHERE rank <= 5
 """
 
 
+def q_train_val_test(spark, sf_dir):
+    """Content-addressed train/val/test assignment (80/10/10, disjoint
+    + exhaustive by construction — operators/sampling.py
+    assign_splits)."""
+    from wp_etl_migration_spark.operators.sampling import assign_splits
+    d = _t(spark, sf_dir).documents()
+    return assign_splits(d.select("doc_id", "lang"), "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         salt="bench")
+
+
+#: sorted-name order: test [0, .1), train [.1, .9), val [.9, 1)
+ORACLE_SPLITS = """
+SELECT doc_id, lang,
+  CASE WHEN h < 429496729 THEN 'test'
+       WHEN h < 3865470566 THEN 'train'
+       ELSE 'val' END AS split
+FROM (SELECT doc_id, lang,
+        ('0x' || substr(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT AS h
+      FROM documents)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2960,6 +2984,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "keywords": (q_keywords, ORACLE_KEYWORDS),
+    "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
