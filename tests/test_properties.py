@@ -300,3 +300,35 @@ def test_remove_shared_passages_matches_python_oracle(spark, docs, k):
         kept = [t for p, t in enumerate(ts) if p not in covered]
         assert got[i] == (" ".join(kept), len(ts),
                           len(ts) - len(kept)), (i, ts, k)
+
+
+@given(keys=st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=5),
+    min_size=2, max_size=8, unique=True))
+@settings(**SETTINGS)
+def test_fuzzy_self_join_complete_vs_brute_force(spark, keys):
+    """FastSS completeness on arbitrary short keys: the deletion-
+    neighborhood join finds EXACTLY the levenshtein<=1 pairs a brute
+    force over all pairs finds — no false negatives, no extras."""
+    import itertools
+    from wp_etl_migration_spark.operators.fuzzy import fuzzy_self_join
+
+    def ed(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(keys)), ["id", "k"])
+    got = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_self_join(df, "id", "k").collect()}
+    want = {(i, j): ed(keys[i], keys[j])
+            for i, j in itertools.combinations(range(len(keys)), 2)
+            if ed(keys[i], keys[j]) <= 1}
+    assert got == want
