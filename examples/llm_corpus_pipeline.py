@@ -7,8 +7,9 @@ engine's operators — the kind of job this engine exists for at 100 TB:
               near-dup pairs ──ž connected-component keep-list
               ──ž bigram-LM fluency gate ──ž benchmark-contamination
               gate ──ž stratified sampling ──ž quality-weighted
-              downsampling ──ž token accounting ──ž deterministic
-              global shuffle ──ž sequence packing
+              downsampling ──ž token accounting ──ž train/val/test
+              splits ──ž shuffled training shards + manifest
+              ──ž per-shard sequence packing
     embeddings ─ž SemDeDup keep-list ─ž k-means-fitted IVF ANN audit
                ─ž int8 quantization (compact ANN index + error audit)
 
@@ -34,9 +35,10 @@ from wp_etl_migration_spark.operators.graph import dedup_keep_list
 from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
 from wp_etl_migration_spark.operators.packing import pack_sequences
 from wp_etl_migration_spark.operators.sampling import (
-    global_shuffle, stratified_hash_sample, weighted_hash_sample)
+    assign_splits, stratified_hash_sample, weighted_hash_sample)
 from wp_etl_migration_spark.operators.similarity import (
     ivf_topk, kmeans_centroids, quantize_embeddings, semantic_dedup)
+from wp_etl_migration_spark.sinks.training import write_training_shards
 from wp_etl_migration_spark.session import get_spark, tune
 from wp_etl_migration_spark.sources.tables import Tables
 
@@ -155,23 +157,29 @@ def main(argv: list[str]) -> int:
     print(f"corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
           f"avg quality {stats['avg_quality']} -> {out_dir}/corpus")
 
-    # Training layout: content-addressed global shuffle (same rows land
-    # in the same shard/position on any rerun), then greedy sequence
-    # packing inside the shuffled order — write one dir per shard so a
-    # data loader streams shards independently.
-    curated = spark.read.parquet(f"{out_dir}/corpus")
-    shuffled = global_shuffle(curated, "doc_id", n_shards=4,
-                              salt="train-v1")
-    layout = pack_sequences(shuffled.withColumn(
-        "__order", F.col("shard") * F.lit(1 << 40) + F.col("pos")),
-        "doc_id", "n_tokens", seq_len=512, order_col="__order") \
-        .select("doc_id", "bin_id", "bin_offset")
-    packed = shuffled.join(layout, "doc_id")
-    packed.write.mode("overwrite").partitionBy("shard") \
-        .parquet(f"{out_dir}/shards")
-    n_bins = packed.agg(F.countDistinct("bin_id")).first()[0]
-    print(f"packed: {packed.count()} docs into {n_bins} bins of 512 "
-          f"tokens across 4 shards -> {out_dir}/shards")
+    # Training layout: disjoint content-addressed train/val/test
+    # splits, then the train split written as shuffled shards with a
+    # token manifest (sinks/training.py), then greedy sequence packing
+    # per shard in shuffle order — the realistic loader shape: each
+    # shard streams and packs independently.
+    curated = assign_splits(spark.read.parquet(f"{out_dir}/corpus"),
+                            "doc_id",
+                            {"train": 0.8, "val": 0.1, "test": 0.1},
+                            salt="train-v1")
+    train = curated.where("split = 'train'").drop("split")
+    manifest = write_training_shards(train, f"{out_dir}/shards",
+                                     "doc_id", n_shards=4,
+                                     salt="train-v1",
+                                     tokens_col="n_tokens")
+    first = min(manifest["shards"])   # tiny sf can leave a shard empty
+    s0 = spark.read.parquet(f"{out_dir}/shards/shard={first}")
+    layout = pack_sequences(s0, "doc_id", "n_tokens", seq_len=512,
+                            order_col="pos")
+    n_bins = layout.agg(F.countDistinct("bin_id")).first()[0]
+    print(f"packed: {manifest['n_rows']} train docs "
+          f"({manifest['shards'][first]['tokens']} tokens in shard "
+          f"{first}, {n_bins} bins of 512) across "
+          f"{manifest['n_shards']} shards -> {out_dir}/shards")
 
     nn = nearest_neighbor_audit(spark, sf_dir)
     nn.write.mode("overwrite").parquet(f"{out_dir}/nn_audit")

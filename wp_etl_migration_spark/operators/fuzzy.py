@@ -54,7 +54,10 @@ def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
     (currently 1 — the deletion-neighborhood completeness bound) edit
     distance, with both keys and the exact distance.
 
-    Returns (id_a, id_b, key_a, key_b, distance). ``parallelize``
+    Returns (id_a, id_b, key_a, key_b, distance). Rows with NULL keys
+    are excluded (a NULL key has no edit distance to anything — the
+    variant generator drops them, matching SQL join semantics).
+    ``parallelize``
     spreads a thin (fewer-tasks-than-cores) input before the variant
     explode: the variant side is small enough that Catalyst broadcasts
     it, so WITHOUT a spread the probe side — explode, hash, AND the
