@@ -76,6 +76,10 @@ def main() -> int:
     corpus = spark.read.parquet(SCRATCH)
     n = corpus.count()
 
+    from wp_etl_migration_spark.operators.dedup import line_dedup
+    from wp_etl_migration_spark.operators.textstats import (
+        remove_shared_passages)
+
     timings = {}
     for name, fn in (
         ("ngram_jaccard_dedup",
@@ -86,6 +90,14 @@ def main() -> int:
          lambda d: minhash_lsh_pairs(
              d, "doc_id", "text", n=3, num_hashes=16, rows_per_band=2,
              verify_threshold=0.7, max_doc_freq=JACCARD_MAX_DOC_FREQ)),
+        # r4 text-rewrite ops: no pair join in either plan, so both
+        # should scale ~linearly with the corpus (vs the superlinear
+        # pair-generating family above).
+        ("passage_removal",
+         lambda d: remove_shared_passages(d, "doc_id", "text", k=8)),
+        ("line_dedup",
+         lambda d: line_dedup(d, "doc_id", "text", max_line_df=3,
+                              delimiter=" table ")),
     ):
         start = time.monotonic()
         fn(corpus).write.format("noop").mode("overwrite").save()

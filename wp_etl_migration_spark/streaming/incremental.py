@@ -52,10 +52,17 @@ class IncrementalDedup:
         return os.path.join(self.store_dir, name)
 
     def _load(self, name: str, schema: str) -> DataFrame:
+        """Read a store, or an empty frame before its first append.
+        Probed by attempting the read (not os.path) so the stores can
+        live on any Hadoop filesystem (HDFS/S3), not just local disk."""
+        from pyspark.errors import AnalysisException
         path = self._path(name)
-        if os.path.isdir(path):
-            return self.spark.read.schema(schema).parquet(path)
-        return self.spark.createDataFrame([], schema)
+        try:
+            df = self.spark.read.schema(schema).parquet(path)
+            df.schema  # force path resolution now, inside the try
+            return df
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """The foreachBatch body: dedup ``batch`` against the stores,
