@@ -332,3 +332,35 @@ def test_fuzzy_self_join_complete_vs_brute_force(spark, keys):
             for i, j in itertools.combinations(range(len(keys)), 2)
             if ed(keys[i], keys[j]) <= 1}
     assert got == want
+
+
+@given(docs=st.lists(st.lists(WORD, min_size=0, max_size=14),
+                     min_size=1, max_size=4),
+       chunk=st.integers(min_value=2, max_value=6),
+       overlap=st.integers(min_value=0, max_value=5))
+@settings(**SETTINGS)
+def test_chunk_documents_matches_python_oracle(spark, docs, chunk,
+                                               overlap):
+    """Random docs/window/overlap vs literal Python: identical chunk
+    boundaries, ids, and texts; invalid overlap rejected."""
+    import pytest as _pt
+    from wp_etl_migration_spark.operators.textstats import chunk_documents
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    if not 0 <= overlap < chunk:
+        with _pt.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", chunk, overlap)
+        return
+    got = {}
+    for r in chunk_documents(df, "doc_id", "text", chunk,
+                             overlap).collect():
+        got.setdefault(r.doc_id, {})[r.chunk_id] = (r.chunk_text,
+                                                    r.n_tokens)
+    step = chunk - overlap
+    for i, t in rows:
+        toks = t.split(" ") if t else [""]
+        starts = list(range(0, max(len(toks) - overlap, 1), step))
+        want = {ci: (" ".join(toks[s:s + chunk]),
+                     len(toks[s:s + chunk]))
+                for ci, s in enumerate(starts)}
+        assert got[i] == want, (i, toks, chunk, overlap)

@@ -388,6 +388,11 @@ def remove_shared_passages(df: DataFrame, id_col: str, text_col: str,
     pair-join exists at all, so no doc-frequency cap is needed — a
     gram shared by a million docs costs one semi-join hit per
     occurrence, which is exactly the work its removal requires.
+    Cost is linear in DUPLICATED volume (shared-gram occurrences × k).
+    The plan scans the text column four times (gram build ×2, token
+    explode, doc lengths); when the scan dominates — wide tables,
+    remote object store — ``df.persist()`` the (id, text) projection
+    before calling.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col), toks.alias("__toks"))
