@@ -289,3 +289,18 @@ def test_assign_splits_disjoint_exhaustive_deterministic(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         assign_splits(df, "k", {"train": 0.8, "val": 0.1})
+
+
+def test_null_key_behavior_pinned(spark):
+    """NULL keys: samplers drop, global_shuffle gives a NULL shard,
+    assign_splits falls to the last sorted-name split (documented in
+    the module docstring — this test pins it against drift)."""
+    from wp_etl_migration_spark.operators.sampling import (
+        assign_splits, global_shuffle, hash_sample)
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    assert [r.k for r in hash_sample(df, "k", 1.0).collect()] == [1]
+    sh = {r.k: r.shard for r in global_shuffle(df, "k", 4).collect()}
+    assert sh[1] is not None and sh[None] is None
+    sp = {r.k: r.split for r in assign_splits(
+        df, "k", {"train": 0.9, "val": 0.1}).collect()}
+    assert sp[None] == "val"  # last in sorted-name order

@@ -10,6 +10,13 @@ The standard construction: map md5(salt ∥ key) to a uniform 32-bit
 integer and keep the row iff it falls below fraction·2³². Pure codegen
 Column expressions, no shuffle, engine-portable (the DuckDB oracle
 reproduces the exact same keep set via 0x-hex casts).
+
+NULL keys: ``md5(salt ∥ NULL)`` is NULL, so a NULL bucket never
+compares under any threshold — NULL-keyed rows are DROPPED by every
+sampler here, get a NULL shard in :func:`global_shuffle`, and fall to
+the last (sorted-name) split in :func:`assign_splits`. Keys are row
+identities; a NULL one is upstream data breakage — filter or mint ids
+first (the behavior is pinned by tests so it can't drift silently).
 """
 
 from __future__ import annotations
