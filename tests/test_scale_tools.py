@@ -319,3 +319,23 @@ def test_quantized_ann_agrees_with_exact(spark):
                       num_centroids=2).collect()}
     agree = len(exact & quant) / len(exact)
     assert agree >= 0.9, agree
+
+
+def test_corpus_report_one_row_summary(spark):
+    from wp_etl_migration_spark.operators.profile import corpus_report
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"),
+         (2, "the quick brown fox", "en"),     # exact dup of 1
+         (3, "el rapido zorro marron", "es")],
+        ["doc_id", "text", "lang"])
+    r = corpus_report(df, "doc_id", "text", lang_col="lang").first()
+    assert r.n_docs == 3 and r.n_tokens == 12
+    assert abs(r.avg_tokens - 4.0) < 1e-12
+    assert r.approx_distinct_texts == 2     # HLL exact at this size
+    assert abs(r.dup_rate - 1 / 3) < 1e-9
+    assert dict(r.langs) == {"en": 2, "es": 1}
+    assert 0.0 <= r.avg_quality <= 1.0
+    # single-pass shape: without langs it is ONE aggregate, no join
+    plan = corpus_report(df, "doc_id", "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

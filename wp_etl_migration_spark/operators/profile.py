@@ -63,6 +63,52 @@ def profile_table(df: DataFrame,
              "min_str", "max_str")
 
 
+def corpus_report(df: DataFrame, id_col: str, text_col: str,
+                  lang_col: str | None = None) -> DataFrame:
+    """One-row corpus health summary — the LLM-side "analyze" pass
+    (the reference's analyze command reports row counts; a training
+    corpus needs the content-level equivalents):
+
+    - ``n_docs``, ``n_tokens``, ``avg_tokens``
+    - ``approx_distinct_texts`` (HLL over the normalized fingerprint)
+      and ``dup_rate`` = 1 − distinct/docs — the exact-dup estimate
+      without a dedup shuffle
+    - ``avg_quality`` (heuristic quality score)
+    - ``langs`` — map lang → doc count (when ``lang_col`` given)
+
+    ONE aggregation pass over the corpus (no per-metric jobs): the
+    scan is paid once, every metric is map-side combinable, and the
+    fingerprint distinct is an HLL sketch (±2.3%), not a shuffle.
+    Floats here are diagnostics, not oracle-hashable contracts.
+    """
+    from wp_etl_migration_spark.operators.textstats import (
+        fingerprint, quality_score, token_count)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
+        F.avg(token_count(text_col)).alias("avg_tokens"),
+        F.approx_count_distinct(fingerprint(text_col))
+        .alias("approx_distinct_texts"),
+        F.avg(quality_score(text_col)).alias("avg_quality"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.map_from_entries(F.collect_list(F.struct(
+            F.col("__lang"), F.col("__n")))).alias("langs"))
+        per_lang = (df.groupBy(F.col(lang_col).alias("__lang"))
+                    .agg(F.count("*").alias("__n")))
+        # the lang rollup is its own tiny agg joined in (langs are
+        # few); the heavy text metrics stay in the single main pass
+        main = df.agg(*aggs[:-1])
+        langs = per_lang.agg(aggs[-1])
+        out = main.crossJoin(langs)
+    else:
+        out = df.agg(*aggs)
+    return out.withColumn(
+        "dup_rate",
+        F.lit(1.0) - F.col("approx_distinct_texts").cast("double")
+        / F.col("n_docs").cast("double"))
+
+
 def key_skew_profile(df: DataFrame, key_col: str,
                      top_k: int = 10) -> DataFrame:
     """Top-``top_k`` keys by row count: (key, n, share, skew_factor),
