@@ -356,3 +356,26 @@ def test_incremental_dedup_stream_two_batches(spark, tmp_path):
     # digest/band stores grew in lockstep with the corpus
     assert spark.read.parquet(f"{store}/digests").count() == 4
     assert spark.read.parquet(f"{store}/bands").count() > 0
+
+
+def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once on retry: replaying the SAME batch
+    must add nothing — the digest index dedups replayed docs against
+    their own appended digests (the claim in streaming/incremental.py)."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "store")
+    dedup = IncrementalDedup(spark, store, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")], ["doc_id", "text"])
+    dedup.process_batch(batch, 0)
+    first = sorted(map(tuple, spark.read.parquet(
+        f"{store}/corpus").collect()))
+    dedup.process_batch(batch, 0)   # simulated retry of the same batch
+    second = sorted(map(tuple, spark.read.parquet(
+        f"{store}/corpus").collect()))
+    assert first == second
+    assert spark.read.parquet(f"{store}/digests").count() == 2
+    bands = spark.read.parquet(f"{store}/bands")
+    assert bands.select("doc_id").distinct().count() == 2

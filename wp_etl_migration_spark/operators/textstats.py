@@ -294,6 +294,8 @@ def extract_keywords(df: DataFrame, id_col: str, text_col: str,
     a per-document rank window (partitioned by id — no global sort).
     The df side is vocabulary-sized; AQE broadcasts it when pruned.
     """
+    if not 0.0 < max_doc_freq_share <= 1.0:
+        raise ValueError("max_doc_freq_share must be in (0, 1]")
     toks = tokens(text_col)
     tf = (df.select(F.col(id_col), F.explode(toks).alias("token"))
           .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
