@@ -414,3 +414,23 @@ def test_fuzzy_self_join_max_bucket_and_radius_guard(spark):
     capped = {(r.id_a, r.id_b) for r in fuzzy_self_join(
         df, "id", "k", max_bucket=3).collect()}
     assert capped == {(10, 11)}
+
+
+def test_dedup_documents_one_call_recipe(spark):
+    """exact + LSH + transitive keep-list composed: exact dups drop to
+    min id, near-dup chains collapse to one (quality-ranked) survivor,
+    unique docs pass through."""
+    from wp_etl_migration_spark.operators.dedup import dedup_documents
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base, 0.5), (2, base, 0.9),              # exact dups -> 1
+         (3, base + " lambda", 0.99),                 # near-dup of 1
+         (4, "one two three four five six seven eight nine ten", 0.1)],
+        ["doc_id", "text", "quality"])
+    got = sorted(r.doc_id for r in
+                 dedup_documents(df, "doc_id", "text").collect())
+    assert got == [1, 4]
+    # quality-ranked: the near-dup cluster keeps 3 (0.99) over 1 (0.5)
+    best = sorted(r.doc_id for r in dedup_documents(
+        df, "doc_id", "text", order_col="quality").collect())
+    assert best == [3, 4]

@@ -16,12 +16,13 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_SMALL
+from wp_etl_migration_spark.operators.plancheck import (
+    SCALE_KILLERS, audit_plan)
 from wp_etl_migration_spark.queries import EXTRA_REGISTRY, REGISTRY
 
 ALL_QUERIES = {**REGISTRY, **EXTRA_REGISTRY}
 
-FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin",
-             "BatchEvalPython")
+FORBIDDEN = SCALE_KILLERS
 
 #: Allowed exceptions, each with its justification.
 EXEMPT = {
@@ -35,9 +36,20 @@ EXEMPT = {
 def test_plan_free_of_scale_killers(spark, name):
     fn, _ = ALL_QUERIES[name]
     df = fn(spark, SF_SMALL)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    allowed = EXEMPT.get(name, ())
-    for bad in FORBIDDEN:
-        if bad in allowed:
-            continue
-        assert bad not in plan, f"{name}: {bad} in physical plan"
+    found = audit_plan(df, allow=EXEMPT.get(name, ()))
+    assert not found, f"{name}: {found} in physical plan"
+
+
+def test_assert_scalable_guard(spark):
+    """The library guard raises on a cross join and passes a keyed
+    join through unchanged."""
+    from wp_etl_migration_spark.operators.plancheck import (
+        assert_scalable)
+    a = spark.range(10).withColumnRenamed("id", "k")
+    b = spark.range(10).withColumnRenamed("id", "k")
+    good = assert_scalable(a.join(b, "k"))
+    assert good.count() == 10
+    # a small cross join plans as BroadcastNestedLoopJoin (build side
+    # fits the broadcast threshold) — either killer must raise
+    with pytest.raises(ValueError, match="scale-killers"):
+        assert_scalable(a.crossJoin(b.withColumnRenamed("k", "k2")))

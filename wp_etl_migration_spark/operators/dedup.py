@@ -425,6 +425,36 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
             .select("id_a", "id_b", "agreeing_bands", "jaccard"))
 
 
+def dedup_documents(df: DataFrame, id_col: str, text_col: str,
+                    n: int = 3, num_hashes: int = 16,
+                    rows_per_band: int = 2,
+                    verify_threshold: float = 0.7,
+                    max_doc_freq: int | None = 100,
+                    order_col: str | None = None) -> DataFrame:
+    """The standard document-dedup recipe as ONE call: exact dedup
+    (md5 digest, min id per identical text) → MinHash-LSH candidate
+    pairs with exact-Jaccard verify → connected-component keep-list
+    (transitive clusters, ``order_col`` picks the best-ranked member
+    per cluster instead of the min id) → the surviving rows of ``df``.
+
+    Composes :func:`exact_dedup`, :func:`minhash_lsh_pairs`, and
+    ``operators.graph.dedup_keep_list`` — use those directly when a
+    stage needs its own knobs or inspection; this wrapper is the
+    one-liner for "give me the deduplicated corpus". Every stage's
+    scale guard stays on (digest groupBy, hot-shingle cap,
+    candidate-only verify, pointer-jumped components).
+    """
+    from wp_etl_migration_spark.operators.graph import dedup_keep_list
+    survivors = exact_dedup(df, id_col, [text_col])
+    exact = df.join(survivors, id_col, "left_semi")
+    pairs = minhash_lsh_pairs(exact, id_col, text_col, n, num_hashes,
+                              rows_per_band,
+                              verify_threshold=verify_threshold,
+                              max_doc_freq=max_doc_freq)
+    keep = dedup_keep_list(exact, pairs, id_col, order_col=order_col)
+    return exact.join(keep, id_col, "left_semi")
+
+
 def lsh_band_params(threshold: float, num_hashes: int) -> tuple[int, int]:
     """Pick (bands, rows_per_band) whose S-curve midpoint (1/b)^(1/r)
     sits closest to the target Jaccard threshold — the standard MinHash
