@@ -434,3 +434,23 @@ def test_dedup_documents_one_call_recipe(spark):
     best = sorted(r.doc_id for r in dedup_documents(
         df, "doc_id", "text", order_col="quality").collect())
     assert best == [3, 4]
+
+
+def test_fuzzy_join_two_tables(spark):
+    """Entity resolution across two tables: ED<=1 matches only, NULLs
+    excluded, same-name id columns rejected."""
+    from wp_etl_migration_spark.operators.fuzzy import fuzzy_join
+    import pytest as _pt
+    crawl = spark.createDataFrame(
+        [(1, "jsmith"), (2, "jsmithh"), (3, "unrelated"), (4, None)],
+        ["crawl_id", "author"])
+    users = spark.createDataFrame(
+        [(100, "jsmith"), (101, "bdoe")], ["user_id", "name"])
+    got = {(r.crawl_id, r.user_id): r.distance for r in fuzzy_join(
+        crawl, users, "crawl_id", "author", "user_id",
+        "name").collect()}
+    assert got == {(1, 100): 0, (2, 100): 1}
+    with _pt.raises(ValueError, match="must differ"):
+        fuzzy_join(crawl.withColumnRenamed("crawl_id", "id"),
+                   users.withColumnRenamed("user_id", "id"),
+                   "id", "author", "id", "name")

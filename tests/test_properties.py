@@ -364,3 +364,28 @@ def test_chunk_documents_matches_python_oracle(spark, docs, chunk,
                      len(toks[s:s + chunk]))
                 for ci, s in enumerate(starts)}
         assert got[i] == want, (i, toks, chunk, overlap)
+
+
+@given(ks=st.lists(st.integers(min_value=0, max_value=10**6),
+                   min_size=1, max_size=40, unique=True),
+       n_shards=st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_global_shuffle_matches_python_md5_oracle(spark, ks, n_shards):
+    """Shard and position reproduce EXACTLY from hashlib.md5 in plain
+    Python — the engine-portability contract (any system computing the
+    same md5 construction lands every row identically)."""
+    import hashlib
+    from wp_etl_migration_spark.operators.sampling import global_shuffle
+    df = spark.createDataFrame([(k,) for k in ks], "k long")
+    got = {r.k: (r.shard, r.pos)
+           for r in global_shuffle(df, "k", n_shards, salt="s").collect()}
+
+    def h(k):
+        return int(hashlib.md5(f"s{k}".encode()).hexdigest()[:8], 16)
+    want = {}
+    per_shard = {}
+    for k in sorted(ks, key=lambda k: (h(k) % n_shards, h(k), k)):
+        sh = h(k) % n_shards
+        per_shard[sh] = per_shard.get(sh, 0) + 1
+        want[k] = (sh, per_shard[sh])
+    assert got == want

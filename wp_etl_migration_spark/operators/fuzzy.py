@@ -46,6 +46,55 @@ def _variants(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
                     F.xxhash64(variant).alias("__v")))
 
 
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_id: str, left_key: str,
+               right_id: str, right_key: str,
+               max_distance: int = 1,
+               max_bucket: int | None = None,
+               parallelize: bool = True) -> DataFrame:
+    """Two-table fuzzy key join — the entity-resolution shape (match a
+    crawl's author strings against a canonical user table, SKUs against
+    a catalog): all (left, right) pairs whose keys are within
+    ``max_distance`` (1) edit distance.
+
+    Returns (left_id, right_id, left_key, right_key, distance); NULL
+    keys on either side are excluded. Same FastSS construction and
+    guards as :func:`fuzzy_self_join`; the variant equi-join is
+    left-variants × right-variants, so the small side (the canonical
+    table) broadcasts and the big side streams map-side.
+    """
+    if max_distance != 1:
+        raise ValueError(
+            "deletion-neighborhood indexing is complete only for "
+            "max_distance=1")
+    if left_id == right_id:
+        raise ValueError(
+            "left_id and right_id must differ (both become output "
+            "columns) — withColumnRenamed one side first")
+    if parallelize:
+        from wp_etl_migration_spark.operators.dedup import (
+            spread_thin_input)
+        left, right = spread_thin_input(left), spread_thin_input(right)
+    lv = _variants(left, left_id, left_key) \
+        .withColumnRenamed("__key", "__lkey")
+    rv = _variants(right, right_id, right_key) \
+        .withColumnRenamed("__key", "__rkey")
+    if max_bucket is not None:
+        both = lv.select("__v").unionByName(rv.select("__v"))
+        cool = (both.groupBy("__v").count()
+                .where(F.col("count") <= max_bucket).select("__v"))
+        lv = lv.join(cool, "__v", "left_semi")
+        rv = rv.join(cool, "__v", "left_semi")
+    cand = (lv.join(rv, on="__v")
+            .select(F.col(left_id), F.col(right_id),
+                    F.col("__lkey").alias("left_key"),
+                    F.col("__rkey").alias("right_key"))
+            .distinct())
+    return (cand.withColumn(
+        "distance", F.levenshtein("left_key", "right_key"))
+        .where(F.col("distance") <= max_distance))
+
+
 def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
                     max_distance: int = 1,
                     max_bucket: int | None = None,
