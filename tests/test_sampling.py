@@ -304,3 +304,40 @@ def test_null_key_behavior_pinned(spark):
     sp = {r.k: r.split for r in assign_splits(
         df, "k", {"train": 0.9, "val": 0.1}).collect()}
     assert sp[None] == "val"  # last in sorted-name order
+
+
+def test_mix_corpora_proportions_and_determinism(spark):
+    from wp_etl_migration_spark.operators.sampling import mix_corpora
+    import pytest as _pt
+    web = spark.range(8000).selectExpr("id AS doc_id")
+    code = spark.range(1000).selectExpr("id + 100000 AS doc_id")
+    srcs = {"web": web, "code": code}
+    props = {"web": 0.75, "code": 0.25}
+    mixed = mix_corpora(srcs, "doc_id", props, salt="mix1")
+    from collections import Counter
+    rows = mixed.collect()
+    c = Counter(r.mix_source for r in rows)
+    # code is binding (1000/0.25 = 4000 target): kept ~whole; web
+    # downsampled to ~3000. Hash sampling is approximate: ±10%.
+    assert c["code"] == 1000                     # frac 1.0 -> exact
+    assert 0.9 * 3000 < c["web"] < 1.1 * 3000
+    share = c["web"] / (c["web"] + c["code"])
+    assert 0.70 < share < 0.80
+    # deterministic: same call -> identical rows
+    again = mix_corpora(srcs, "doc_id", props, salt="mix1").collect()
+    assert sorted((r.doc_id, r.mix_source) for r in rows) == \
+        sorted((r.doc_id, r.mix_source) for r in again)
+    # growing a source lowers its fraction; the nested-threshold
+    # construction sheds rows deterministically: among the ORIGINAL
+    # ids, the new kept set is a subset of the old one
+    web2 = spark.range(12000).selectExpr("id AS doc_id")
+    grown = mix_corpora({"web": web2, "code": code}, "doc_id", props,
+                        salt="mix1").collect()
+    kept_before = {r.doc_id for r in rows if r.mix_source == "web"}
+    kept_after = {r.doc_id for r in grown
+                  if r.mix_source == "web" and r.doc_id < 8000}
+    assert kept_after <= kept_before
+    with _pt.raises(ValueError, match="sum to 1"):
+        mix_corpora(srcs, "doc_id", {"web": 0.5, "code": 0.25})
+    with _pt.raises(ValueError, match="same corpora"):
+        mix_corpora(srcs, "doc_id", {"web": 1.0})

@@ -65,6 +65,51 @@ def weighted_hash_sample(df: DataFrame, id_col: str,
         hash_bucket(id_col, salt).cast("double") < p * float(_SCALE))
 
 
+def mix_corpora(sources: dict[str, DataFrame], id_col: str,
+                proportions: dict[str, float],
+                salt: str = "") -> DataFrame:
+    """Deterministic dataset mixing — compose a training mixture from
+    several corpora at target PROPORTIONS (the RedPajama/Dolma-style
+    mixture step: e.g. web 0.67, code 0.15, books 0.08, ...).
+
+    Output rows carry a ``mix_source`` tag. The largest achievable
+    mixture honoring every proportion is taken: the binding source
+    (largest demand/size ratio) is kept whole and every other source
+    is downsampled with the content-addressed :func:`hash_sample`, so
+    the result is reproducible on any engine/run/partitioning. When a
+    source grows, its sampling fraction changes and the nested-
+    threshold construction re-balances deterministically: the kept set
+    at the lower fraction is a strict subset of the kept set at any
+    higher fraction (rows shed highest-hash-first, no churn beyond
+    the fraction change).
+
+    Per-source sizes come from one ``count()`` each — metadata-sized
+    driver work, same class as the IVF centroid collect. Proportions
+    must sum to 1 and name exactly the sources; sources must share a
+    schema (``unionByName`` — select the common columns first).
+    """
+    if set(sources) != set(proportions):
+        raise ValueError("sources and proportions must name the same "
+                         "corpora")
+    total = sum(proportions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"proportions must sum to 1, got {total}")
+    sizes = {name: df.count() for name, df in sources.items()}
+    if any(n == 0 for n in sizes.values()):
+        raise ValueError(f"empty source(s): "
+                         f"{[k for k, n in sizes.items() if n == 0]}")
+    # Output size N maximal s.t. prop[s]*N <= size[s] for all s.
+    n_out = min(sizes[s] / proportions[s] for s in sorted(sources))
+    out = None
+    for name in sorted(sources):
+        frac = min(1.0, proportions[name] * n_out / sizes[name])
+        part = hash_sample(sources[name], id_col, frac,
+                           salt=f"{salt}|{name}") \
+            .withColumn("mix_source", F.lit(name))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def assign_splits(df: DataFrame, id_col: str,
                   fractions: dict[str, float],
                   salt: str = "") -> DataFrame:
