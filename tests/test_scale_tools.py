@@ -339,3 +339,32 @@ def test_corpus_report_one_row_summary(spark):
     plan = corpus_report(df, "doc_id", "text") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_embedding_contamination_gate(spark):
+    """Corpus vectors near an eval vector are flagged with max_sim and
+    match count; orthogonal vectors pass; empty eval flags nothing."""
+    from wp_etl_migration_spark.operators.similarity import (
+        embedding_contamination)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),      # exact eval duplicate
+         (2, [0.99, 0.14, 0.0, 0.0]),    # near (cos ~0.99)
+         (3, [0.0, 0.0, 1.0, 0.0]),      # orthogonal
+         (4, [0.0, 0.0, 0.0, 0.0])],     # zero vector: sim 0
+        ["vec_id", "embedding"])
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"])
+    got = {r.vec_id: r for r in embedding_contamination(
+        corpus, ev, "vec_id", "embedding", threshold=0.9).collect()}
+    assert set(got) == {1, 2}
+    assert abs(got[1].max_sim - 1.0) < 1e-9 and got[1].n_matches == 1
+    assert got[2].max_sim > 0.95 and got[2].n_matches == 1
+    clean = corpus.join(
+        embedding_contamination(corpus, ev, "vec_id", "embedding",
+                                threshold=0.9).select("vec_id"),
+        "vec_id", "left_anti")
+    assert sorted(r.vec_id for r in clean.collect()) == [3, 4]
+    empty_ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_contamination(corpus, empty_ev, "vec_id",
+                                   "embedding").count() == 0

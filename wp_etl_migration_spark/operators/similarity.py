@@ -669,3 +669,52 @@ def quantize_embeddings(emb: DataFrame, id_col: str, vec_col: str,
         lambda a, b: F.abs(a - b.cast("double") * F.col("scale"))))
     return out.select(F.col(id_col), "qvec", "scale",
                       err.alias("max_abs_err"))
+
+
+def embedding_contamination(corpus: DataFrame, eval_df: DataFrame,
+                            id_col: str, vec_col: str,
+                            threshold: float = 0.95) -> DataFrame:
+    """Embedding-space benchmark decontamination: corpus vectors whose
+    cosine similarity to ANY eval-set vector reaches ``threshold`` —
+    the semantic twin of the n-gram ``operators.dedup.contamination``
+    gate (paraphrased benchmark questions share no 8-gram but sit next
+    to the eval embedding; both gates run in real pipelines).
+
+    Returns (id, max_sim, n_matches); callers anti-join the result
+    against the corpus. The eval side (benchmark-sized) is collected
+    and broadcast as ONE normalized matrix; the corpus streams through
+    an Arrow/BLAS ``mapInPandas`` pass — no shuffle of corpus data at
+    all, the scan is the entire cost (the same scale shape as the
+    n-gram gate's broadcast join).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = eval_df.select(vec_col).collect()
+    if not rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, max_sim double, n_matches long")
+    ev = np.array([r[0] for r in rows], dtype=np.float64)
+    ev = ev / np.maximum(np.linalg.norm(ev, axis=1, keepdims=True),
+                         1e-12)
+    bc = corpus.sparkSession.sparkContext.broadcast(ev)
+
+    def score(batches):
+        e = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ e.T
+            keep = sims.max(axis=1) >= threshold
+            if keep.any():
+                yield pd.DataFrame({
+                    id_col: pdf[id_col].values[keep],
+                    "max_sim": sims.max(axis=1)[keep],
+                    "n_matches": (sims >= threshold).sum(axis=1)[keep],
+                })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{id_col} long, max_sim double, n_matches long")
