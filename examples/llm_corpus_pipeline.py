@@ -34,6 +34,7 @@ from wp_etl_migration_spark.operators.gates import apply_gates
 from wp_etl_migration_spark.operators.graph import dedup_keep_list
 from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
 from wp_etl_migration_spark.operators.packing import pack_sequences
+from wp_etl_migration_spark.operators.profile import corpus_report
 from wp_etl_migration_spark.operators.sampling import (
     assign_splits, stratified_hash_sample, weighted_hash_sample)
 from wp_etl_migration_spark.operators.similarity import (
@@ -150,12 +151,13 @@ def main(argv: list[str]) -> int:
                           if k.startswith("dropped_") or k in
                           ("total", "kept")})
 
-    stats = corpus.agg(
-        F.count("*").alias("docs"),
-        F.sum("n_tokens").alias("tokens"),
-        F.round(F.avg("quality"), 4).alias("avg_quality")).first()
-    print(f"corpus: {stats['docs']} docs, {stats['tokens']} tokens, "
-          f"avg quality {stats['avg_quality']} -> {out_dir}/corpus")
+    # One-pass corpus health report (operators/profile.corpus_report):
+    # the post-curation dup_rate should be ~0 — dedup just ran.
+    rep = corpus_report(spark.read.parquet(f"{out_dir}/corpus"),
+                        "doc_id", "text").first()
+    print(f"corpus: {rep['n_docs']} docs, {rep['n_tokens']} tokens, "
+          f"avg quality {round(rep['avg_quality'], 4)}, residual "
+          f"dup rate {round(rep['dup_rate'], 4)} -> {out_dir}/corpus")
 
     # Training layout: disjoint content-addressed train/val/test
     # splits, then the train split written as shuffled shards with a

@@ -379,3 +379,31 @@ def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(f"{store}/digests").count() == 2
     bands = spark.read.parquet(f"{store}/bands")
     assert bands.select("doc_id").distinct().count() == 2
+
+
+def test_embedding_contamination_works_on_stream(spark, tmp_path):
+    """The embedding decontamination gate is a stateless mapInPandas
+    pass, so the SAME operator runs unchanged on a streaming corpus
+    (stream-static semantic gate) and matches its batch output."""
+    from wp_etl_migration_spark.operators.similarity import (
+        embedding_contamination)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.97, 0.24])],
+        ["vec_id", "embedding"])
+    ev = spark.createDataFrame([(9, [1.0, 0.0])],
+                               ["vec_id", "embedding"])
+    emb_dir = str(tmp_path / "emb")
+    corpus.write.parquet(emb_dir)
+
+    stream = spark.readStream.schema(corpus.schema).parquet(emb_dir)
+    flagged = embedding_contamination(stream, ev, "vec_id",
+                                      "embedding", threshold=0.9)
+    assert flagged.isStreaming
+    run_to_memory(flagged, "econtam")
+    streamed = sorted((r.vec_id, r.n_matches)
+                      for r in spark.table("econtam").collect())
+    batch = sorted((r.vec_id, r.n_matches) for r in
+                   embedding_contamination(corpus, ev, "vec_id",
+                                           "embedding",
+                                           threshold=0.9).collect())
+    assert streamed == batch == [(1, 1), (3, 1)]
