@@ -2861,6 +2861,71 @@ FROM (SELECT doc_id, lang,
 """
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """The one-call dedup recipe end-to-end (exact → verified
+    MinHash-LSH → transitive keep-list — operators/dedup.py
+    dedup_documents), proven against a FULL-PIPELINE SQL oracle:
+    exact-dedup CTE → signature/band CTEs → candidate verify →
+    recursive-CTE connected components → keep-list semi-join."""
+    from wp_etl_migration_spark.operators.dedup import dedup_documents
+    d = _t(spark, sf_dir).documents()
+    return dedup_documents(d, "doc_id", "text") \
+        .select("doc_id", "lang")
+
+
+ORACLE_DEDUP_PIPELINE = rf"""
+WITH RECURSIVE ex AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(CAST(text AS VARCHAR))
+), base AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN ex USING (doc_id)
+), ptoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM base
+), psh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM ptoks, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), shc AS (
+  SELECT doc_id, shingle FROM psh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {JACCARD_MAX_DOC_FREQ}
+), {_duck_minhash_sig("shc")}, bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash))
+           AS band_hash
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), sets AS (
+  SELECT doc_id, list(shingle) AS s, count(*) AS n FROM shc GROUP BY 1
+), ver AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      >= 0.7
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM ver
+  UNION
+  SELECT id_b, id_a FROM ver
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+), keepc AS (
+  SELECT min(node) AS doc_id FROM comp GROUP BY component
+)
+SELECT b.doc_id, b.lang FROM base b
+WHERE b.doc_id NOT IN (SELECT node FROM comp)
+   OR b.doc_id IN (SELECT doc_id FROM keepc)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -2985,6 +3050,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "keywords": (q_keywords, ORACLE_KEYWORDS),
     "train_val_test": (q_train_val_test, ORACLE_SPLITS),
+    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
