@@ -21,12 +21,40 @@ from wp_etl_migration_spark.operators.melt import (  # noqa: F401
 )
 from wp_etl_migration_spark.operators.dedup import (  # noqa: F401
     contamination,
+    cross_corpus_exact_dedup,
+    dedup_documents,
     exact_dedup,
     incremental_lsh_pairs,
+    line_dedup,
     lsh_bands,
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
+)
+from wp_etl_migration_spark.operators.lm import (  # noqa: F401
+    bigram_counts,
+    lm_score,
+    lm_score_ngram,
+    ngram_counts,
+)
+from wp_etl_migration_spark.operators.fuzzy import (  # noqa: F401
+    fuzzy_join,
+    fuzzy_self_join,
+)
+from wp_etl_migration_spark.operators.plancheck import (  # noqa: F401
+    assert_scalable,
+    audit_plan,
+)
+from wp_etl_migration_spark.operators.textstats import (  # noqa: F401
+    chunk_documents,
+    extract_keywords,
+    gopher_rules,
+    lang_id,
+    quality_score,
+    remove_shared_passages,
+    repetition_stats,
+    shared_gram_stats,
+    vocab_build,
 )
 from wp_etl_migration_spark.operators.gates import (  # noqa: F401
     apply_gates,
@@ -36,11 +64,15 @@ from wp_etl_migration_spark.operators.graph import (  # noqa: F401
     dedup_keep_list,
 )
 from wp_etl_migration_spark.operators.sampling import (  # noqa: F401
+    assign_splits,
+    global_shuffle,
     hash_sample,
+    mix_corpora,
     stratified_hash_sample,
     weighted_hash_sample,
 )
 from wp_etl_migration_spark.operators.profile import (  # noqa: F401
+    corpus_report,
     key_skew_profile,
     profile_table,
 )
@@ -55,9 +87,11 @@ from wp_etl_migration_spark.operators.simhash import (  # noqa: F401
 from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_lsh,
+    embedding_contamination,
     embedding_near_dup,
     ivf_topk,
     kmeans_centroids,
+    quantize_embeddings,
     semantic_dedup,
 )
 from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401
