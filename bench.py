@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "keywords",
     "train_val_test",
     "dedup_pipeline",
+    "quantile_band",
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,

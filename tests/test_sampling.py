@@ -341,3 +341,26 @@ def test_mix_corpora_proportions_and_determinism(spark):
         mix_corpora(srcs, "doc_id", {"web": 0.5, "code": 0.25})
     with _pt.raises(ValueError, match="same corpora"):
         mix_corpora(srcs, "doc_id", {"web": 1.0})
+
+
+def test_quantile_band_filter_trims_tails_per_group(spark):
+    from wp_etl_migration_spark.operators.sampling import (
+        quantile_band_filter)
+    import pytest as _pt
+    rows = [(i, "a", float(i)) for i in range(10)] + \
+           [(100 + i, "b", float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "score"])
+    # keep the middle (0.2, 0.8] of each group by rank fraction
+    got = sorted(r.doc_id for r in quantile_band_filter(
+        df, "doc_id", "score", lo=0.2, hi=0.8,
+        group_col="src").collect())
+    # group a (10 rows): fracs .1.. keep (.2, .8] -> ranks 3..8 ->
+    #   scores 2..7 (ids 2..7)
+    # group b (4 rows): fracs .25 .5 .75 1.0 -> keep .25 .5 .75
+    #   -> ids 100,101,102
+    assert got == [2, 3, 4, 5, 6, 7, 100, 101, 102]
+    # whole-frame mode + bounds validation
+    allkept = quantile_band_filter(df, "doc_id", "score").count()
+    assert allkept == 14
+    with _pt.raises(ValueError):
+        quantile_band_filter(df, "doc_id", "score", lo=0.5, hi=0.4)

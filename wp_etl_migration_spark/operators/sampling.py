@@ -21,7 +21,7 @@ first (the behavior is pinned by tests so it can't drift silently).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCALE = 1 << 32
@@ -63,6 +63,41 @@ def weighted_hash_sample(df: DataFrame, id_col: str,
     p = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.where(
         hash_bucket(id_col, salt).cast("double") < p * float(_SCALE))
+
+
+def quantile_band_filter(df: DataFrame, id_col: str,
+                         score_col: str,
+                         lo: float = 0.0, hi: float = 1.0,
+                         group_col: str | None = None) -> DataFrame:
+    """Keep rows whose ``score_col`` rank fraction within their group
+    lies in (``lo``, ``hi``] — the tail-trimming curation step (drop
+    the worst 5% AND the suspiciously-perfect top 1% of quality scores
+    per source; both tails are where spam and template artifacts
+    live). Rank-based, not value-based: robust to score distribution
+    shape and engine-exact (rank_frac = rank / group size, one integer
+    division — no quantile sketch, whose results depend on
+    partitioning).
+
+    Ties rank deterministically by (score, id). ``group_col=None``
+    treats the whole frame as one group.
+
+    Scale: one window per group partition (rank + count in the same
+    sort) — groups are sources/domains, so partitions are large but
+    the sort is per-group, never global. For the degenerate
+    single-group case at corpus scale, prefer a value threshold from
+    a sampled quantile instead of this exact global sort.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    part = [group_col] if group_col is not None else []
+    w = Window.partitionBy(*part).orderBy(F.col(score_col),
+                                          F.col(id_col))
+    wall = Window.partitionBy(*part)
+    frac = (F.row_number().over(w).cast("double")
+            / F.count("*").over(wall).cast("double"))
+    return (df.withColumn("__rf", frac)
+            .where((F.col("__rf") > lo) & (F.col("__rf") <= hi))
+            .drop("__rf"))
 
 
 def mix_corpora(sources: dict[str, DataFrame], id_col: str,

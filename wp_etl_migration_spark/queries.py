@@ -2926,6 +2926,30 @@ WHERE b.doc_id NOT IN (SELECT node FROM comp)
 """
 
 
+def q_quantile_band(spark, sf_dir):
+    """Per-source quality tail trim: keep the middle (0.1, 0.9] of
+    each source's n_chars rank distribution — rank-based (engine-exact
+    integer-division fractions), not a quantile sketch
+    (operators/sampling.py quantile_band_filter)."""
+    from wp_etl_migration_spark.operators.sampling import (
+        quantile_band_filter)
+    d = _t(spark, sf_dir).documents()
+    return quantile_band_filter(d.select("doc_id", "source", "n_chars"),
+                                "doc_id", "n_chars", lo=0.1, hi=0.9,
+                                group_col="source")
+
+
+ORACLE_QUANTILE_BAND = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS DOUBLE)
+      / CAST(count(*) OVER (PARTITION BY source) AS DOUBLE) AS rf
+  FROM documents)
+WHERE rf > 0.1 AND rf <= 0.9
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -3051,6 +3075,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "keywords": (q_keywords, ORACLE_KEYWORDS),
     "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
+    "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
