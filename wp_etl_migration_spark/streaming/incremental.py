@@ -19,8 +19,13 @@ supplies exactly-once batch replay via the checkpoint, and the only
 unbounded state lives in the appendable parquet stores, not in
 executor memory. Idempotency note: foreachBatch is at-least-once on
 retry *within* a failed batch; the digest index makes the exact pass
-naturally idempotent (replayed docs dedup against their own appended
-digests), which is the standard pattern for append sinks.
+naturally idempotent for COMPLETED batches (replayed docs dedup
+against their own appended digests — test-proven). A crash BETWEEN
+the three appends of one batch can still duplicate store rows on
+replay (plain parquet appends are not transactional); production
+deployments should point the stores at a transactional table format
+(Delta/Iceberg via the same ``.write`` calls) or snapshot the store
+dir per batch with ``plans.janitor.snapshot_dataset``.
 """
 
 from __future__ import annotations
