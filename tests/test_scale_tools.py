@@ -368,3 +368,40 @@ def test_embedding_contamination_gate(spark):
     empty_ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_contamination(corpus, empty_ev, "vec_id",
                                    "embedding").count() == 0
+
+
+def test_profile_diff_flags_drift_and_schema_changes(spark):
+    from wp_etl_migration_spark.operators.profile import profile_diff
+    before = spark.createDataFrame(
+        [(i, "x", float(i)) for i in range(100)],
+        ["id", "stable", "gone"])
+    after_rows = [(i, "x", i % 3) for i in range(100)]
+    after = spark.createDataFrame(
+        [(i, "x" if i < 60 else None, i % 3) for i in range(100)],
+        ["id", "stable", "new_col"])
+    got = {r.col_name: r.status for r in
+           profile_diff(before, after).collect()}
+    assert got["gone"] == "removed"
+    assert got["new_col"] == "added"
+    assert got["stable"] == "drifted"   # null rate 0 -> 0.4
+    assert got["id"] == "ok"
+
+
+def test_mix_corpora_token_weighted(spark):
+    from wp_etl_migration_spark.operators.sampling import mix_corpora
+    from pyspark.sql import functions as F
+    # long-doc source: few rows, many tokens; short-doc source inverse
+    longs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_tokens"))
+    shorts = spark.range(10000).select(
+        (F.col("id") + 10**6).alias("doc_id"),
+        F.lit(10).alias("n_tokens"))
+    mixed = mix_corpora({"long": longs, "short": shorts}, "doc_id",
+                        {"long": 0.5, "short": 0.5}, salt="t",
+                        size_col="n_tokens")
+    tok = {r.mix_source: r.t for r in
+           mixed.groupBy("mix_source")
+           .agg(F.sum("n_tokens").alias("t")).collect()}
+    share = tok["long"] / (tok["long"] + tok["short"])
+    # token shares ~50/50 despite a 10x row imbalance
+    assert 0.45 < share < 0.55

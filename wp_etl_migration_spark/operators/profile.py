@@ -63,6 +63,55 @@ def profile_table(df: DataFrame,
              "min_str", "max_str")
 
 
+def profile_diff(before: DataFrame, after: DataFrame,
+                 cols: list[str] | None = None,
+                 null_rate_tol: float = 0.05,
+                 distinct_ratio_tol: float = 0.5) -> DataFrame:
+    """Schema/content drift between two snapshots of the same dataset
+    — the pre-flight check before pointing yesterday's pipeline at
+    today's extract. Compares :func:`profile_table` outputs:
+
+    Returns one row per column present in EITHER snapshot:
+    (col_name, status, null_rate_before, null_rate_after,
+    n_distinct_before, n_distinct_after) where ``status`` is
+    ``added`` / ``removed`` / ``drifted`` (null-rate moved more than
+    ``null_rate_tol`` absolute, or distinct count changed by more
+    than ``distinct_ratio_tol`` relative) / ``ok``.
+
+    Both profiles are single-pass scans (HLL distincts — the scale
+    mode); the diff join is column-count-sized.
+    """
+    def prof(df: DataFrame) -> DataFrame:
+        return profile_table(df, cols=cols, exact_distinct=False) \
+            .select("col_name",
+                    (F.col("n_nulls").cast("double")
+                     / F.col("n_rows").cast("double"))
+                    .alias("null_rate"),
+                    F.col("n_distinct"))
+    b = prof(before).select(F.col("col_name"),
+                            F.col("null_rate").alias("null_rate_before"),
+                            F.col("n_distinct").alias("n_distinct_before"))
+    a = prof(after).select(F.col("col_name"),
+                           F.col("null_rate").alias("null_rate_after"),
+                           F.col("n_distinct").alias("n_distinct_after"))
+    j = b.join(a, "col_name", "full_outer")
+    drift = (
+        (F.abs(F.col("null_rate_after") - F.col("null_rate_before"))
+         > null_rate_tol)
+        | (F.abs(F.col("n_distinct_after").cast("double")
+                 - F.col("n_distinct_before").cast("double"))
+           > distinct_ratio_tol
+           * F.greatest(F.col("n_distinct_before").cast("double"),
+                        F.lit(1.0))))
+    status = (F.when(F.col("null_rate_before").isNull(), "added")
+              .when(F.col("null_rate_after").isNull(), "removed")
+              .when(drift, "drifted")
+              .otherwise("ok"))
+    return j.select("col_name", status.alias("status"),
+                    "null_rate_before", "null_rate_after",
+                    "n_distinct_before", "n_distinct_after")
+
+
 def corpus_report(df: DataFrame, id_col: str, text_col: str,
                   lang_col: str | None = None) -> DataFrame:
     """One-row corpus health summary — the LLM-side "analyze" pass

@@ -102,7 +102,8 @@ def quantile_band_filter(df: DataFrame, id_col: str,
 
 def mix_corpora(sources: dict[str, DataFrame], id_col: str,
                 proportions: dict[str, float],
-                salt: str = "") -> DataFrame:
+                salt: str = "",
+                size_col: str | None = None) -> DataFrame:
     """Deterministic dataset mixing — compose a training mixture from
     several corpora at target PROPORTIONS (the RedPajama/Dolma-style
     mixture step: e.g. web 0.67, code 0.15, books 0.08, ...).
@@ -122,6 +123,14 @@ def mix_corpora(sources: dict[str, DataFrame], id_col: str,
     driver work, same class as the IVF centroid collect. Proportions
     must sum to 1 and name exactly the sources; sources must share a
     schema (``unionByName`` — select the common columns first).
+
+    ``size_col`` (e.g. ``n_tokens``) switches to TOKEN-weighted
+    mixing — the convention pretraining mixtures are actually
+    specified in. Rows are still kept/dropped whole via the uniform
+    hash, so each source's realized token share equals its row
+    fraction in expectation (exact when token counts are independent
+    of the key hash, which content-addressed hashing guarantees up to
+    sampling noise).
     """
     if set(sources) != set(proportions):
         raise ValueError("sources and proportions must name the same "
@@ -129,7 +138,11 @@ def mix_corpora(sources: dict[str, DataFrame], id_col: str,
     total = sum(proportions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"proportions must sum to 1, got {total}")
-    sizes = {name: df.count() for name, df in sources.items()}
+    if size_col is None:
+        sizes = {name: df.count() for name, df in sources.items()}
+    else:
+        sizes = {name: (df.agg(F.sum(size_col)).first()[0] or 0)
+                 for name, df in sources.items()}
     if any(n == 0 for n in sizes.values()):
         raise ValueError(f"empty source(s): "
                          f"{[k for k, n in sizes.items() if n == 0]}")
