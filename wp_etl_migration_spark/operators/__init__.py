@@ -37,6 +37,10 @@ from wp_etl_migration_spark.operators.lm import (  # noqa: F401
     lm_score_ngram,
     ngram_counts,
 )
+from wp_etl_migration_spark.operators.bpe import (  # noqa: F401
+    encode_bpe,
+    train_bpe,
+)
 from wp_etl_migration_spark.operators.fuzzy import (  # noqa: F401
     fuzzy_join,
     fuzzy_self_join,

@@ -1,0 +1,147 @@
+"""BPE tokenizer training and encoding (LLM-pipeline extension).
+
+Byte-pair encoding per Sennrich et al. 2016 ("Neural Machine
+Translation of Rare Words with Subword Units" — public): start from
+characters, repeatedly merge the most frequent adjacent symbol pair.
+``textstats.bpe_token_count`` approximates token counts with the
+GPT-style pre-tokenizer regex; this module TRAINS real merges on the
+corpus and encodes with them.
+
+Scale design — the key fact is that BPE training operates on the WORD
+FREQUENCY table, not the corpus: one corpus-sized aggregation builds
+(word, freq), and everything after runs on the vocabulary, which
+grows ~O(corpus^0.5) (Heaps' law). Each merge round is one
+vocabulary-sized pair aggregation (map-side combinable, weighted by
+word freq) + one Arrow-batched merge application; the only
+driver-side data is the single winning pair per round. Encoding
+streams the corpus once through an Arrow UDF with the merge ranks
+broadcast — the standard implementation shape (no built-in expresses
+iterative pair merging).
+
+Determinism: the winning pair each round is (count DESC, pair
+lexicographic ASC) — fully deterministic, so two engines training on
+the same corpus learn the identical merge sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: End-of-word marker (distinguishes "est</w>" the suffix from "est"
+#: mid-word — the paper's construction).
+EOW = "</w>"
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (df.select(F.explode(toks).alias("word"))
+            .where(F.length("word") > 0)
+            .groupBy("word").agg(F.count("*").alias("freq")))
+
+
+def _merge_pair_in(symbols: list, a: str, b: str) -> list:
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a \
+                and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def train_bpe(df: DataFrame, text_col: str, num_merges: int,
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` BPE merges from the corpus; returns
+    the ordered merge list [(a, b), ...] (rank = list position).
+    Stops early when no pair reaches ``min_pair_count``.
+
+    Each round: vocabulary-sized weighted pair count → ONE winning
+    pair to the driver → Arrow-batched merge application over the
+    vocabulary, lineage pinned per round (``checkpoint.pin``).
+    """
+    import pandas as pd
+
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
+    chars = F.filter(F.split(F.col("word"), ""),
+                     lambda c: c != F.lit(""))
+    vocab = pin(_word_freqs(df, text_col).select(
+        F.concat(chars, F.array(F.lit(EOW))).alias("symbols"),
+        F.col("freq")))
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        cnt = F.size("symbols") - 1
+        z = F.arrays_zip(F.slice("symbols", 1, cnt),
+                         F.slice("symbols", 2, cnt))
+        top = (vocab.where(F.size("symbols") >= 2)
+               .select(F.explode(z).alias("__p"), "freq")
+               .groupBy(F.col("__p")["0"].alias("a"),
+                        F.col("__p")["1"].alias("b"))
+               .agg(F.sum("freq").alias("n"))
+               .orderBy(F.desc("n"), "a", "b")
+               .limit(1).collect())
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+
+        def apply_merge(batches, a=a, b=b):
+            for pdf in batches:
+                pdf["symbols"] = pdf["symbols"].map(
+                    lambda s: _merge_pair_in(list(s), a, b))
+                yield pdf
+
+        vocab = pin(vocab.mapInPandas(
+            apply_merge, schema="symbols array<string>, freq long"))
+    return merges
+
+
+def encode_bpe(df: DataFrame, id_col: str, text_col: str,
+               merges: list[tuple[str, str]]) -> DataFrame:
+    """Encode documents with learned merges: (id, tokens array<string>,
+    n_tokens). One Arrow-batched pass over the corpus; the merge-rank
+    dict is broadcast (vocabulary-sized). Greedy lowest-rank-first
+    application per word — the standard BPE encoder."""
+    import pandas as pd
+
+    spark = df.sparkSession
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def encode_word(word: str, rank: dict) -> list[str]:
+        syms = list(word) + [EOW]
+        while len(syms) >= 2:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = (syms[i], syms[i + 1]), r
+            if best is None:
+                break
+            syms = _merge_pair_in(syms, *best)
+        return syms
+
+    def run(batches):
+        rank = bc.value
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks_col = []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in (text or "").lower().strip().split():
+                    if w not in cache:
+                        cache[w] = encode_word(w, rank)
+                    toks.extend(cache[w])
+                toks_col.append(toks)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "tokens": toks_col,
+                                "n_tokens": [len(t) for t in toks_col]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, tokens array<string>, "
+                    "n_tokens long")
