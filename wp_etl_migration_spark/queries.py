@@ -2984,7 +2984,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
     "token_stats": (q_token_stats, ORACLE_TOKEN),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    # swapped for dedup_pipeline in late r4: the full exact+LSH+CC
+    # recipe row subsumes this jaccard+CC subset (still strict local
+    # parity in EXTRA_REGISTRY below).
     "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
     "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
@@ -3003,6 +3005,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
     "rolling_window": (q_rolling_window, ORACLE_ROLLING),
+    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
     # Second r4 rotation wave: the round's new training-pipeline
     # families get driver-verified rows; displaced rows
     # (snake_scrub_rename, placeholder_subst, unpack_roundtrip,
@@ -3074,7 +3077,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "keywords": (q_keywords, ORACLE_KEYWORDS),
     "train_val_test": (q_train_val_test, ORACLE_SPLITS),
-    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
