@@ -389,3 +389,32 @@ def test_global_shuffle_matches_python_md5_oracle(spark, ks, n_shards):
         per_shard[sh] = per_shard.get(sh, 0) + 1
         want[k] = (sh, per_shard[sh])
     assert got == want
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50),
+              st.sampled_from(["a", "b"])),
+    min_size=1, max_size=20),
+       lo=st.floats(min_value=0.0, max_value=0.6),
+       hi=st.floats(min_value=0.7, max_value=1.0))
+@settings(**SETTINGS)
+def test_quantile_band_filter_matches_python_oracle(spark, rows, lo,
+                                                    hi):
+    """Arbitrary scores/groups/bounds vs literal Python rank math:
+    identical keep sets (ties broken by id both sides)."""
+    from wp_etl_migration_spark.operators.sampling import (
+        quantile_band_filter)
+    data = [(i, g, float(s)) for i, (s, g) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, src string, "
+                                     "score double")
+    got = sorted(r.doc_id for r in quantile_band_filter(
+        df, "doc_id", "score", lo=lo, hi=hi,
+        group_col="src").collect())
+    want = []
+    for grp in {g for _, g, _ in data}:
+        members = sorted([(s, i) for i, g, s in data if g == grp])
+        n = len(members)
+        for rank, (_, i) in enumerate(members, 1):
+            if lo < rank / n <= hi:
+                want.append(i)
+    assert got == sorted(want)
