@@ -79,7 +79,10 @@ def quantile_band_filter(df: DataFrame, id_col: str,
     partitioning).
 
     Ties rank deterministically by (score, id). ``group_col=None``
-    treats the whole frame as one group.
+    treats the whole frame as one group. Note the small-group edge:
+    a group's top row sits at rank fraction 1.0, so any ``hi < 1``
+    trims it — groups smaller than ~1/(1−hi) rows lose rows by
+    construction; pre-filter tiny groups if that matters.
 
     Scale: one window per group partition (rank + count in the same
     sort) — groups are sources/domains, so partitions are large but
