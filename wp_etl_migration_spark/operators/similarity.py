@@ -754,7 +754,11 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
     Scale: queries bucket with the same planes and equi-join the
     index on bucket — Σ per-bucket cost, never queries × corpus; the
     rescore runs only on bucket-mates. Query vectors stay float;
-    corpus vectors arrive int8 and dequantize in-expression.
+    corpus vectors arrive int8 and dequantize in-expression. The
+    per-pair expression dot is exact and engine-portable but NOT the
+    BLAS fast path — right for bounded incremental query batches (the
+    shape this index exists for); for corpus-scale self-query use
+    ``cosine_topk``/``cosine_topk_lsh`` (Arrow/BLAS kernels).
     """
     dims = len(planes[0])
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))

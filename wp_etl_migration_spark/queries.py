@@ -2950,6 +2950,88 @@ WHERE rf > 0.1 AND rf <= 0.9
 """
 
 
+#: Fixed hyperplanes for the stored-ANN-index parity row (seeded
+#: integers so the SQL literal is tidy and products are float-exact).
+ANN_INDEX_PLANES = [
+    [-1, -1, 3, 3, -2, 3, -2, 3, -2, -2, 3, 3, -2, -2, -3, 2, -2, 3,
+     -1, -3, 1, -2, 3, 2, -3, -1, -2, -3, -1, 1, 3, 1, -2, -1, -1, -2,
+     1, 2, 2, 1, 3, -1, 1, 3, -1, 3, -3, -1, 2, 3, -1, 3, 1, 2, 2, 3,
+     -2, 1, 3, 3, 1, 2, -2, -1],
+    [-2, -2, 2, -1, -1, -1, 1, -1, 2, -1, 1, -2, 2, 1, 2, -2, 2, -2,
+     -2, 3, -1, -2, -3, 1, 3, 3, 1, 1, -3, 3, 1, -3, -2, -2, 1, 3, 1,
+     3, -1, -2, 3, 1, 3, -1, -1, -2, 3, 3, -1, 2, 3, 3, -2, 3, 2, -2,
+     3, 1, -2, 2, -3, 2, 3, 2],
+]
+
+
+def q_ann_index_topk(spark, sf_dir):
+    """Stored quantized ANN index end-to-end: build (bucket + int8)
+    then query the same embeddings for top-5 against the DEQUANTIZED
+    index (operators/similarity.py build_ann_index/query_ann_index).
+    Ranks only — sims are engine-float like embedding_topk. The
+    expression-based rescore is chosen for bit-exact oracle parity
+    and suits bounded incremental batches; corpus-scale self-query
+    uses the BLAS cosine_topk family instead (see bench.py note)."""
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, query_ann_index)
+    e = _t(spark, sf_dir).embeddings()
+    idx = build_ann_index(e, "vec_id", "embedding", ANN_INDEX_PLANES)
+    return query_ann_index(e, idx, "vec_id", "embedding",
+                           ANN_INDEX_PLANES, k=5) \
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"))
+
+
+_PLANES_VALUES = ", ".join(
+    f"({i}, [" + ", ".join(str(x) for x in p) + "])"
+    for i, p in enumerate(ANN_INDEX_PLANES))
+
+
+ORACLE_ANN_INDEX = f"""
+WITH pv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), pl AS (
+  SELECT * FROM (VALUES {_PLANES_VALUES}) AS t(rowid, p)
+), bk AS (
+  SELECT vec_id, e,
+    string_agg(CASE WHEN list_sum(list_transform(range(1, 65),
+                 i -> CAST(p[i] AS DOUBLE) * e[i])) >= 0
+               THEN '1' ELSE '0' END, '' ORDER BY rowid) AS bucket
+  FROM pv, pl
+  GROUP BY vec_id, e
+), qz AS (
+  SELECT vec_id,
+    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale, e
+  FROM pv
+), dq AS (
+  SELECT vec_id,
+    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+         ELSE list_transform(e,
+           x -> CAST(CAST(floor(x / scale + 0.5) AS INT) AS DOUBLE)
+                * scale)
+    END AS dv
+  FROM qz
+), sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, 65), i -> qa.e[i] * db.dv[i]))
+      / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> qa.e[i] * qa.e[i])))
+         * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> db.dv[i] * db.dv[i])))) AS sim
+  FROM bk a JOIN bk b ON a.bucket = b.bucket
+                     AND a.vec_id <> b.vec_id
+  JOIN pv qa ON qa.vec_id = a.vec_id
+  JOIN dq db ON db.vec_id = b.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -3079,6 +3161,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
+    "ann_index_topk": (q_ann_index_topk, ORACLE_ANN_INDEX),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
