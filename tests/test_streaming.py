@@ -407,3 +407,25 @@ def test_embedding_contamination_works_on_stream(spark, tmp_path):
                                            "embedding",
                                            threshold=0.9).collect())
     assert streamed == batch == [(1, 1), (3, 1)]
+
+
+def test_encode_bpe_works_on_stream(spark, tmp_path):
+    """BPE encoding is a stateless Arrow pass, so merges trained
+    offline apply unchanged to a document stream (the tokenize step
+    of a streaming ingestion pipeline)."""
+    from wp_etl_migration_spark.operators.bpe import encode_bpe, train_bpe
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newest")], ["doc_id", "text"])
+    merges = train_bpe(docs, "text", num_merges=10)
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    enc = encode_bpe(stream, "doc_id", "text", merges)
+    assert enc.isStreaming
+    run_to_memory(enc, "bpe_enc")
+    streamed = {r.doc_id: (list(r.tokens), r.n_tokens)
+                for r in spark.table("bpe_enc").collect()}
+    batch = {r.doc_id: (list(r.tokens), r.n_tokens)
+             for r in encode_bpe(docs, "doc_id", "text",
+                                 merges).collect()}
+    assert streamed == batch and set(streamed) == {1, 2}
