@@ -776,7 +776,11 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
              .withColumn("__cn", F.sqrt(
                  unrolled_dot(F.col("__cv"), F.col("__cv"), dims)))
              .drop("qvec", "scale"))
-    joined = (qside.join(iside, "bucket")
+    # Zero-norm vectors have no cosine direction: excluded explicitly
+    # (a NULL sim would sort nulls-last in Spark but nulls-first in
+    # other engines — undefined ordering, not a neighbor).
+    joined = (qside.where(F.col("__qn") > 0)
+              .join(iside.where(F.col("__cn") > 0), "bucket")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("sim",
                           unrolled_dot(F.col("__qv"), F.col("__cv"),
