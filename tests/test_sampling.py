@@ -364,3 +364,16 @@ def test_quantile_band_filter_trims_tails_per_group(spark):
     assert allkept == 14
     with _pt.raises(ValueError):
         quantile_band_filter(df, "doc_id", "score", lo=0.5, hi=0.4)
+
+
+def test_quantile_band_filter_drops_null_scores(spark):
+    from wp_etl_migration_spark.operators.sampling import (
+        quantile_band_filter)
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, None), (4, 3.0), (5, 4.0)],
+        "doc_id long, score double")
+    got = sorted(r.doc_id for r in quantile_band_filter(
+        df, "doc_id", "score", lo=0.25, hi=1.0).collect())
+    # null row dropped AND excluded from n: 4 ranked rows, keep
+    # fracs (.25, 1] -> ranks 2,3,4 -> ids 2,4,5
+    assert got == [2, 4, 5]

@@ -92,6 +92,10 @@ def quantile_band_filter(df: DataFrame, id_col: str,
     """
     if not 0.0 <= lo < hi <= 1.0:
         raise ValueError("need 0 <= lo < hi <= 1")
+    # NULL scores are unrankable (and NULL ordering is engine-specific:
+    # Spark sorts them first ascending, others last) — dropped, and
+    # excluded from the group size the fractions divide by.
+    df = df.where(F.col(score_col).isNotNull())
     part = [group_col] if group_col is not None else []
     w = Window.partitionBy(*part).orderBy(F.col(score_col),
                                           F.col(id_col))
