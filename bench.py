@@ -82,10 +82,10 @@ BENCH_QUERIES = [
     "dedup_pipeline",
     "quantile_band",
     # ann_index_topk is parity-checked + unit-tested but not benched:
-    # its expression-based in-bucket rescore exists for exact oracle
-    # parity and bounded INCREMENTAL query batches (the production
-    # shape); corpus-scale self-query belongs to the BLAS cosine_topk
-    # family, which the ANN rows above already bench.
+    # the parity row pins the bit-exact expression rescore (the
+    # operator's default is the ~3x-faster Arrow/BLAS cogroup), and
+    # corpus-scale self-query belongs to the cosine_topk family the
+    # ANN rows above already bench.
     # semantic_dedup is parity-checked + unit-tested but not benched:
     # at sf0.1 its runtime is ~90% per-round scheduling overhead of the
     # component loop on a ~1k-edge graph, which measures the scheduler,

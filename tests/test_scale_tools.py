@@ -436,3 +436,29 @@ def test_ann_index_build_query_roundtrip(spark, tmp_path):
     # blob structure survives quantization + bucketing: same parity
     for q, n, _ in replay:
         assert q % 2 == n % 2
+
+
+def test_ann_index_arrow_rescore_matches_expr(spark):
+    """The BLAS cogroup rescore returns the same neighbor ranks as the
+    bit-exact expression path (ties impossible on gaussian data)."""
+    import random
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, query_ann_index)
+    rng = random.Random(21)
+    dims = 6
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dims)]) for i in range(60)],
+        ["vec_id", "embedding"])
+    planes = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(2)]
+    idx = build_ann_index(emb, "vec_id", "embedding", planes)
+    expr = {(r.query_id, r.neighbor_id, r.rank) for r in
+            query_ann_index(emb, idx, "vec_id", "embedding", planes,
+                            k=3, rescore="expr").collect()}
+    arrow = {(r.query_id, r.neighbor_id, r.rank) for r in
+             query_ann_index(emb, idx, "vec_id", "embedding", planes,
+                             k=3).collect()}
+    assert arrow == expr and len(arrow) > 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        query_ann_index(emb, idx, "vec_id", "embedding", planes,
+                        rescore="bogus")

@@ -2977,7 +2977,7 @@ def q_ann_index_topk(spark, sf_dir):
     e = _t(spark, sf_dir).embeddings()
     idx = build_ann_index(e, "vec_id", "embedding", ANN_INDEX_PLANES)
     return query_ann_index(e, idx, "vec_id", "embedding",
-                           ANN_INDEX_PLANES, k=5) \
+                           ANN_INDEX_PLANES, k=5, rescore="expr") \
         .select("query_id", "neighbor_id",
                 F.col("rank").cast("int").alias("rank"))
 
