@@ -377,3 +377,23 @@ def test_quantile_band_filter_drops_null_scores(spark):
     # null row dropped AND excluded from n: 4 ranked rows, keep
     # fracs (.25, 1] -> ranks 2,3,4 -> ids 2,4,5
     assert got == [2, 4, 5]
+
+
+def test_script_fractions_multilingual(spark):
+    from wp_etl_migration_spark.operators.textstats import script_fractions
+    df = spark.createDataFrame(
+        [(1, "Hello world"),                  # pure latin
+         (2, "Привет мир"),                   # pure cyrillic
+         (3, "Hello Привет 你好 مرحبا"),       # script soup
+         (4, "12345 !!!")],                   # no letters
+        ["doc_id", "text"])
+    got = {r.doc_id: r.s.asDict() for r in df.select(
+        "doc_id", script_fractions("text").alias("s")).collect()}
+    assert got[1]["latin"] == 1.0 and got[1]["cyrillic"] == 0.0
+    assert got[2]["cyrillic"] == 1.0
+    s = got[3]
+    assert 0 < s["latin"] < 1 and 0 < s["cyrillic"] < 1
+    assert 0 < s["han"] < 1 and 0 < s["arabic"] < 1
+    assert abs(s["latin"] + s["cyrillic"] + s["han"] + s["arabic"]
+               + s["devanagari"] + s["other"] - 1.0) < 1e-12
+    assert got[4]["n_letters"] == 0 and got[4]["latin"] == 0.0

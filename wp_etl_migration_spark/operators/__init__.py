@@ -57,6 +57,7 @@ from wp_etl_migration_spark.operators.textstats import (  # noqa: F401
     quality_score,
     remove_shared_passages,
     repetition_stats,
+    script_fractions,
     shared_gram_stats,
     vocab_build,
 )

@@ -202,6 +202,45 @@ def repetition_stats(df: DataFrame, id_col: str,
     return base.join(top, on=id_col, how="left")
 
 
+#: Unicode scripts the fraction tagger reports (Java regex script
+#: class names). "other" absorbs the remaining letters.
+SCRIPTS: dict[str, str] = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "han": r"\p{IsHan}",
+    "arabic": r"\p{IsArabic}",
+    "devanagari": r"\p{IsDevanagari}",
+}
+
+
+def script_fractions(col: Column | str,
+                     scripts: dict[str, str] | None = None) -> Column:
+    """Per-script letter fractions as ONE struct column: what share of
+    the text's LETTER characters belong to each Unicode script (plus
+    ``other`` and the letter count) — the script tagger multilingual
+    curation pipelines run before language ID (Dolma ships one;
+    mixed-script text is its own quality signal: spam and mojibake
+    show up as script soup).
+
+    All ``regexp_count`` over Java script classes — codegen, one pass,
+    no shuffle. Zero-letter text yields zero fractions (never NULL).
+    """
+    sc = scripts if scripts is not None else SCRIPTS
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.regexp_count(c, F.lit(r"\p{L}")).cast("long")
+    denom = F.greatest(letters, F.lit(1)).cast("double")
+    fields = []
+    known = None
+    for name in sorted(sc):
+        n = F.regexp_count(c, F.lit(sc[name])).cast("long")
+        known = n if known is None else known + n
+        fields.append((n.cast("double") / denom).alias(name))
+    fields.append(((letters - known).cast("double") / denom)
+                  .alias("other"))
+    fields.append(letters.alias("n_letters"))
+    return F.struct(*fields)
+
+
 def vocab_build(df: DataFrame, text_col: str,
                 top_k: int = 1000) -> DataFrame:
     """Top-``top_k`` token vocabulary with corpus coverage — the
