@@ -3032,6 +3032,38 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_script_fractions(spark, sf_dir):
+    """Unicode script tagger over documents: latin fraction + letter
+    count (operators/textstats.py script_fractions; fractions are
+    single divisions of exact counts — oracle-portable)."""
+    from wp_etl_migration_spark.operators.textstats import (
+        script_fractions)
+    d = _t(spark, sf_dir).documents()
+    return (d.withColumn("__s", script_fractions("text"))
+            .select("doc_id",
+                    F.col("__s.latin").alias("latin_frac"),
+                    F.col("__s.other").alias("other_frac"),
+                    F.col("__s.n_letters").alias("n_letters")))
+
+
+ORACLE_SCRIPTS_FRAC = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\p{Latin}')) AS DOUBLE)
+    / CAST(greatest(len(regexp_extract_all(text, '\pL')), 1) AS DOUBLE)
+    AS latin_frac,
+  CAST(len(regexp_extract_all(text, '\pL'))
+       - len(regexp_extract_all(text, '\p{Latin}'))
+       - len(regexp_extract_all(text, '\p{Cyrillic}'))
+       - len(regexp_extract_all(text, '\p{Han}'))
+       - len(regexp_extract_all(text, '\p{Arabic}'))
+       - len(regexp_extract_all(text, '\p{Devanagari}')) AS DOUBLE)
+    / CAST(greatest(len(regexp_extract_all(text, '\pL')), 1) AS DOUBLE)
+    AS other_frac,
+  CAST(len(regexp_extract_all(text, '\pL')) AS BIGINT) AS n_letters
+FROM documents
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -3162,6 +3194,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
     "ann_index_topk": (q_ann_index_topk, ORACLE_ANN_INDEX),
+    "script_fractions": (q_script_fractions, ORACLE_SCRIPTS_FRAC),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
