@@ -152,10 +152,14 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str,
         out = main.crossJoin(langs)
     else:
         out = df.agg(*aggs)
+    # HLL can overestimate distincts by its rsd (±2.3%), which would
+    # read as a (nonsensical) negative dup rate on a clean corpus.
     return out.withColumn(
         "dup_rate",
-        F.lit(1.0) - F.col("approx_distinct_texts").cast("double")
-        / F.col("n_docs").cast("double"))
+        F.greatest(
+            F.lit(1.0) - F.col("approx_distinct_texts").cast("double")
+            / F.col("n_docs").cast("double"),
+            F.lit(0.0)))
 
 
 def key_skew_profile(df: DataFrame, key_col: str,
