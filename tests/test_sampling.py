@@ -181,6 +181,19 @@ def test_vocab_build_rank_and_coverage(spark):
     assert got[3].cum_share == 8 / 9
 
 
+def test_vocab_build_topk_is_distributed(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-
+    partition partial top-k) — never a full-vocabulary sort feeding an
+    unpartitioned window, which would funnel ~1e8 rows at 100 TB
+    through one task."""
+    from wp_etl_migration_spark.operators.textstats import vocab_build
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d")], ["doc_id", "text"])
+    plan = vocab_build(df, "text", top_k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_remove_shared_passages_cuts_duplicated_span(spark):
     """A 4-gram copied between two docs is cut from both; the unique
     remainder survives in order; untouched docs pass through."""
@@ -341,6 +354,23 @@ def test_mix_corpora_proportions_and_determinism(spark):
         mix_corpora(srcs, "doc_id", {"web": 0.5, "code": 0.25})
     with _pt.raises(ValueError, match="same corpora"):
         mix_corpora(srcs, "doc_id", {"web": 1.0})
+
+
+def test_mix_corpora_zero_proportion_excludes_source(spark):
+    """A 0.0 proportion disables a source (no ZeroDivisionError, no
+    rows, no n_out constraint); negatives are rejected outright."""
+    from wp_etl_migration_spark.operators.sampling import mix_corpora
+    import pytest as _pt
+    web = spark.range(2000).selectExpr("id AS doc_id")
+    code = spark.range(500).selectExpr("id + 100000 AS doc_id")
+    srcs = {"web": web, "code": code}
+    mixed = mix_corpora(srcs, "doc_id", {"web": 1.0, "code": 0.0},
+                        salt="z")
+    got = mixed.collect()
+    assert {r.mix_source for r in got} == {"web"}
+    assert len(got) == 2000                      # frac 1.0 -> whole
+    with _pt.raises(ValueError, match=">= 0"):
+        mix_corpora(srcs, "doc_id", {"web": 1.5, "code": -0.5})
 
 
 def test_quantile_band_filter_trims_tails_per_group(spark):

@@ -341,6 +341,26 @@ def test_corpus_report_one_row_summary(spark):
     assert "Join" not in plan
 
 
+def test_corpus_report_null_lang_and_scalable_plan(spark):
+    """NULL langs bucket under 'unknown' (a NULL map key would make
+    map_from_entries raise at runtime), and the lang-rollup join is a
+    constant-key equi-join — no CartesianProduct/BNLJ, so pipelines
+    wrapped in plancheck.assert_scalable don't false-fail on it."""
+    from wp_etl_migration_spark.operators.profile import corpus_report
+    from wp_etl_migration_spark.operators.plancheck import (
+        assert_scalable)
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox", "en"),
+         (2, "le renard brun", None),
+         (3, "el zorro marron", None)],
+        ["doc_id", "text", "lang"])
+    rep = assert_scalable(corpus_report(df, "doc_id", "text",
+                                        lang_col="lang"))
+    r = rep.first()
+    assert dict(r.langs) == {"en": 1, "unknown": 2}
+    assert r.n_docs == 3
+
+
 def test_embedding_contamination_gate(spark):
     """Corpus vectors near an eval vector are flagged with max_sim and
     match count; orthogonal vectors pass; empty eval flags nothing."""

@@ -143,13 +143,24 @@ def corpus_report(df: DataFrame, id_col: str, text_col: str,
     if lang_col is not None:
         aggs.append(F.map_from_entries(F.collect_list(F.struct(
             F.col("__lang"), F.col("__n")))).alias("langs"))
-        per_lang = (df.groupBy(F.col(lang_col).alias("__lang"))
-                    .agg(F.count("*").alias("__n")))
-        # the lang rollup is its own tiny agg joined in (langs are
-        # few); the heavy text metrics stay in the single main pass
+        # NULL map keys are illegal in Spark (map_from_entries raises
+        # at runtime), and realistic corpora do have missing langs —
+        # bucket them under 'unknown'.
+        per_lang = (df.groupBy(
+            F.coalesce(F.col(lang_col).cast("string"),
+                       F.lit("unknown")).alias("__lang"))
+            .agg(F.count("*").alias("__n")))
+        # the lang rollup is its own tiny agg (langs are few); the
+        # heavy text metrics stay in the single main pass. The two
+        # 1-row frames are combined by union + first(ignorenulls) —
+        # joining them on a constant key constant-folds into a
+        # BroadcastNestedLoopJoin, which would false-fail pipelines
+        # wrapped in plancheck.assert_scalable.
         main = df.agg(*aggs[:-1])
         langs = per_lang.agg(aggs[-1])
-        out = main.crossJoin(langs)
+        out = (main.unionByName(langs, allowMissingColumns=True)
+               .agg(*[F.first(c, ignorenulls=True).alias(c)
+                      for c in main.columns + ["langs"]]))
     else:
         out = df.agg(*aggs)
     # HLL can overestimate distincts by its rsd (±2.3%), which would

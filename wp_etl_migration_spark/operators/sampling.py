@@ -145,6 +145,15 @@ def mix_corpora(sources: dict[str, DataFrame], id_col: str,
     total = sum(proportions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"proportions must sum to 1, got {total}")
+    if any(p < 0 for p in proportions.values()):
+        raise ValueError(
+            f"proportions must be >= 0: "
+            f"{ {k: p for k, p in proportions.items() if p < 0} }")
+    # A 0.0 proportion is the natural way to disable a source: drop it
+    # entirely (it neither constrains n_out nor emits rows) instead of
+    # dividing by zero below.
+    sources = {k: v for k, v in sources.items() if proportions[k] > 0}
+    proportions = {k: p for k, p in proportions.items() if p > 0}
     if size_col is None:
         sizes = {name: df.count() for name, df in sources.items()}
     else:

@@ -253,25 +253,31 @@ def vocab_build(df: DataFrame, text_col: str,
     vocabulary covers.
 
     Scale: tokenize+explode feeds one (token)-keyed count — hot tokens
-    ("the") pre-reduce map-side. Rank, running total, and corpus total
-    all come from ONE sorted window over the *vocabulary*, not the
-    corpus: Heaps-law sublinear (~10⁸ rows even at 100 TB), one modest
-    single-pass sort, no join anywhere in the plan.
+    ("the") pre-reduce map-side. The corpus total is a separate scalar
+    aggregate (map-side combinable) and the global top-k comes from
+    sort+limit, which Spark plans as TakeOrderedAndProject —
+    per-partition partial top-k, merged — so the full vocabulary
+    (Heaps-law ~10⁸ rows at 100 TB) never funnels through a single
+    window task; the only unpartitioned window runs over ≤ ``top_k``
+    rows. ``cum_share`` is exact: the running sum over the top-k
+    prefix equals the running sum over the same prefix of the full
+    ranked vocabulary.
     """
     toks = tokens(text_col)
     counts = (df.select(F.explode(toks).alias("token"))
               .groupBy("token").agg(F.count("*").alias("n")))
+    total = (counts.agg(F.sum("n").cast("long").alias("__total"))
+             .withColumn("__j", F.lit(1)))
+    top = (counts.orderBy(F.col("n").desc(), F.col("token"))
+           .limit(top_k).withColumn("__j", F.lit(1)))
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     cum = F.sum("n").over(
         w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
-    total = F.sum("n").over(
-        w.rowsBetween(Window.unboundedPreceding,
-                      Window.unboundedFollowing)).cast("long")
-    return (counts
+    return (top.join(F.broadcast(total), "__j").drop("__j")
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .withColumn("cum_share",
-                        cum.cast("double") / total.cast("double"))
-            .where(F.col("rank") <= top_k)
+                        cum.cast("double")
+                        / F.col("__total").cast("double"))
             .select("token", F.col("n").cast("long").alias("n"),
                     "rank", "cum_share"))
 

@@ -18,7 +18,6 @@ shard). The manifest aggregation is shard-count-sized.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,6 +56,23 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
                                      if k != "shard"}
                    for r in per_shard},
     }
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
+    _write_text(df.sparkSession, path.rstrip("/") + "/_manifest.json",
+                json.dumps(manifest, indent=1, sort_keys=True))
     return manifest
+
+
+def _write_text(spark, uri: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so the
+    manifest lands on the SAME filesystem as the shards (HDFS/S3/
+    local) — a local ``open()`` would succeed for local paths but
+    throw after the shard write on any remote URI, leaving shards
+    without a manifest."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jpath.getFileSystem(conf)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
