@@ -27,9 +27,10 @@ from pyspark.sql import functions as F
 
 from wp_etl_migration_spark.functions.dates import (
     normalize_datetime, validate_date)
-from wp_etl_migration_spark.functions.text import (
-    kses_post, sanitize_text_field, to_slug)
+from wp_etl_migration_spark.functions.text import kses_post
 from wp_etl_migration_spark.plans import janitor
+from wp_etl_migration_spark.plans.presets import (
+    wordpress_post_pipeline, wordpress_user_pipeline)
 from wp_etl_migration_spark.session import get_spark, tune
 from wp_etl_migration_spark.sinks import ledger as lsink
 from wp_etl_migration_spark.sinks.wordpress import (
@@ -44,23 +45,29 @@ LEGACY_CSV = """id,title,body,author_email,author_login,category,tags,published
 
 
 def transform(raw):
-    """Legacy columns → prefixed WP entities (post./user./meta./tax.)."""
+    """Legacy columns → prefixed WP entities (post./user./meta./tax.),
+    then the canned presets (plans/presets.py ≙ the reference's
+    WordPressPostPipeline/WordPressUserPipeline) fill the standard
+    chains: post_type, slug-from-title, status default, excerpt,
+    date/GMT, the etl_pipeline meta stamp, user role/display_name."""
     published = validate_date(
         F.col("published"),
         fallback=F.lit("2000-01-01 00:00:00").cast("timestamp"))
-    return raw.select(
+    mapped = raw.select(
         F.lit(None).cast("long").alias("post.ID"),
-        to_slug("title").alias("post.post_name"),
-        F.lit("post").alias("post.post_type"),
-        sanitize_text_field(F.col("title")).alias("post.post_title"),
+        F.col("title").alias("post.post_title"),
         kses_post(F.col("body")).alias("post.post_content"),
-        normalize_datetime(published).alias("post.post_date"),
+        published.alias("post.post_date"),
         F.col("author_email").alias("user.user_email"),
         F.col("author_login").alias("user.user_login"),
         F.col("id").cast("string").alias("meta.legacy_id"),
         F.split("tags", ",").alias("tax.post_tag"),
         F.col("category").alias("tax.category"),
     )
+    entities = wordpress_user_pipeline()(wordpress_post_pipeline()(mapped))
+    # the demo posts table stores ATOM strings, not timestamps
+    return entities.withColumn(
+        "post.post_date", normalize_datetime(F.col("`post.post_date`")))
 
 
 def main(argv: list[str]) -> int:

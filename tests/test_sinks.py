@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 from wp_etl_migration_spark.sinks import files as fsink
 from wp_etl_migration_spark.sinks import ledger as lsink
 from wp_etl_migration_spark.sinks.wordpress import (
-    media_stage, meta_stage, post_upsert_stage, run_stages,
-    term_upsert_stage, terms_stage, user_upsert_stage)
+    featured_image_stage, media_stage, meta_stage, post_upsert_stage,
+    run_stages, term_upsert_stage, terms_stage, user_upsert_stage)
 
 
 def rows(df, *cols):
@@ -320,6 +320,45 @@ def test_wp_post_all_chain(spark):
     assert (8, "img_note", "img=4") in meta
     assert rows(out["term_relationships"],
                 "post_id", "taxonomy", "term") == [(8, "category", "news")]
+
+
+def test_featured_image_stage_links_thumbnail(spark):
+    """media → post → featured chain (≙ WordPressPostLoader.php:109-117
+    set_post_thumbnail): the sideloaded attachment becomes the post's
+    ``_thumbnail_id`` meta and ``post.featured_media``; posts without
+    featured media are untouched; a re-run is idempotent."""
+    state = {
+        "incoming": spark.createDataFrame(
+            [(None, "hello", "post", "Hello", "http://cdn/img.png"),
+             (None, "plain", "post", "Plain", None)],
+            "`post.ID` long, `post.post_name` string, "
+            "`post.post_type` string, `post.post_title` string, "
+            "`media.featured.url` string"),
+        "posts": spark.createDataFrame(
+            [(7, "other", "post", "Other")],
+            ["ID", "post_name", "post_type", "post_title"]),
+        "attachments": spark.createDataFrame([(3, "old.png")],
+                                             ["ID", "file"]),
+        "postmeta": spark.createDataFrame(
+            [(7, "color", "red")],
+            "post_id long, meta_key string, meta_value string"),
+    }
+    stages = [media_stage(), post_upsert_stage(), featured_image_stage()]
+    out = run_stages(state, stages)
+    inc = {r["post.post_name"]: r for r in out["incoming"].collect()}
+    assert inc["hello"]["post.featured_media"] == 4   # minted att id
+    assert inc["plain"]["post.featured_media"] is None
+    meta = rows(out["postmeta"], "post_id", "meta_key", "meta_value")
+    hello_id = inc["hello"]["post.ID"]
+    assert (hello_id, "_thumbnail_id", "4") in meta
+    assert (7, "color", "red") in meta                # untouched
+    assert len([m for m in meta if m[1] == "_thumbnail_id"]) == 1
+    # idempotent: running the chain again converges to the same rows
+    again = run_stages(
+        {**out, "incoming": state["incoming"]}, stages)
+    meta2 = sorted(rows(again["postmeta"],
+                        "post_id", "meta_key", "meta_value"))
+    assert meta2 == sorted(meta)
 
 
 def test_term_upsert_duplicate_new_slug_mints_once(spark):

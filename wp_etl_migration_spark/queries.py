@@ -3087,6 +3087,87 @@ FROM documents
 """
 
 
+def q_wp_post_preset(spark, sf_dir):
+    """The canned post preset's full column chain (plans/presets.py
+    WordPressPostPipeline ≙ WordPressPostPipeline.php:121-310): title
+    sanitize + defaulting, slug-from-title, legacy status mapping,
+    content/excerpt/author defaults, pinned-now() date + fixed-offset
+    GMT chain, etl_pipeline stamp. The oracle replays every rule in
+    SQL. tz is a fixed offset (GMT-05:00) so the oracle's GMT shift is
+    a plain interval, engine-independent."""
+    from wp_etl_migration_spark.plans.presets import (
+        wordpress_post_pipeline)
+    p = _t(spark, sf_dir).part()
+    src = p.select(
+        F.col("p_partkey").alias("meta.legacy_id"),
+        F.concat(F.lit("<b>"), F.col("p_name"),
+                 F.lit("</b>")).alias("post.post_title"),
+        F.when(F.col("p_partkey") % 3 == 0, "Published")
+         .when(F.col("p_partkey") % 3 == 1, "Draft")
+         .otherwise("weird").alias("post.post_status"),
+        F.to_timestamp(F.date_add(
+            F.lit("1995-01-01").cast("date"),
+            (F.col("p_partkey") % 1000).cast("int")))
+        .alias("post.post_date"))
+    pipe = wordpress_post_pipeline(
+        now=F.lit("2025-01-01 00:00:00").cast("timestamp"),
+        tz="GMT-05:00")
+    out = pipe(src)
+    return out.select(
+        F.col("`meta.legacy_id`").alias("legacy_id"),
+        F.col("`post.post_type`").alias("post_type"),
+        F.col("`post.post_title`").alias("post_title"),
+        F.col("`post.post_name`").alias("post_name"),
+        F.col("`post.post_status`").alias("post_status"),
+        F.col("`post.post_content`").alias("post_content"),
+        F.col("`post.post_excerpt`").alias("post_excerpt"),
+        F.col("`post.post_author`").alias("post_author"),
+        F.col("`post.post_date`").alias("post_date"),
+        F.col("`post.post_date_gmt`").alias("post_date_gmt"),
+        F.col("`post.post_modified_date`").alias("post_modified"),
+        F.col("`meta.etl_pipeline`").alias("etl_pipeline"))
+
+
+ORACLE_WP_POST_PRESET = r"""
+WITH s AS (
+  SELECT p_partkey AS legacy_id,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace('<b>' || p_name || '</b>',
+                         '<[^>]*>', '', 'g'),
+          '%[a-fA-F0-9]{2}', '', 'g'),
+        '[\x00-\x1F\x7F]', '', 'g'),
+      '[ \t]+', ' ', 'g')) AS post_title,
+    CASE lower(trim(CASE WHEN p_partkey % 3 = 0 THEN 'Published'
+                         WHEN p_partkey % 3 = 1 THEN 'Draft'
+                         ELSE 'weird' END))
+      WHEN 'published' THEN 'publish'
+      WHEN 'draft' THEN 'draft'
+      ELSE 'draft' END AS post_status,
+    CAST(DATE '1995-01-01'
+         + (p_partkey % 1000) * INTERVAL 1 DAY AS TIMESTAMP)
+      AS post_date
+  FROM part
+)
+SELECT legacy_id,
+  'post' AS post_type,
+  post_title,
+  regexp_replace(regexp_replace(lower(trim(post_title)),
+                                '[^a-z0-9]+', '-', 'g'),
+                 '^-+|-+$', '', 'g') AS post_name,
+  post_status,
+  'Default post content' AS post_content,
+  '' AS post_excerpt,
+  CAST(1 AS BIGINT) AS post_author,
+  post_date,
+  post_date + INTERVAL 5 HOUR AS post_date_gmt,
+  post_date AS post_modified,
+  'WordPressPostPipeline' AS etl_pipeline
+FROM s
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -3174,6 +3255,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
 EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                 str | None]] = {
     "slugify": (q_slugify, ORACLE_SLUG),
+    # r5: the canned post preset's column chain (plans/presets.py)
+    "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
     # Rotated OUT of the driver registry in r5 (long-green; families
     # stay driver-covered — see REGISTRY r5 rotation note):
     "author_embed": (q_author_embed, ORACLE_AUTHOR),

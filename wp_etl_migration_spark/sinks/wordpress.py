@@ -535,8 +535,13 @@ def media_stage(incoming_key: str = "incoming",
         probe = probe.join(hit, on="__fname", how="left")
 
         max_id = atts.agg(F.max(att_id_col)).first()[0] or 0
+        # Rows with no featured URL (null/empty filename) carry no
+        # media: they must neither mint an attachment ID nor append a
+        # null-file attachment row.
         news = assign_new_ids(
-            probe.where(F.col("__att_id").isNull())
+            probe.where(F.col("__att_id").isNull()
+                        & F.col("__fname").isNotNull()
+                        & (F.col("__fname") != ""))
                  .select("__fname").distinct(),
             "__new_id", max_id + 1, ["__fname"])
         probe = (probe.join(news, on="__fname", how="left")
@@ -581,5 +586,51 @@ def media_stage(incoming_key: str = "incoming",
                 download_dir, url_col="__url", id_col="__new_id",
                 fetcher=fetcher)
         return out
+
+    return stage
+
+
+def featured_image_stage(incoming_key: str = "incoming",
+                         meta_key_: str = "postmeta",
+                         post_id_col: str = "post.ID",
+                         att_id_col: str =
+                         "media.featured.attachment_id") -> Stage:
+    """Link each post's sideloaded featured media as its thumbnail
+    (≙ WordPressPostLoader.php:109-117: ``sideload_media`` +
+    ``set_post_thumbnail``, which writes the ``_thumbnail_id`` post
+    meta, plus the ``post.featured_media`` row mutation).
+
+    Compose in ``run_stages`` AFTER :func:`post_upsert_stage` (posts
+    have IDs) and :func:`media_stage` (attachment IDs are minted /
+    deduped): rows holding both IDs emit one ``_thumbnail_id`` meta
+    row; rows without featured media are untouched.
+
+    Idempotent: thumbnail links merge with ``update`` semantics on
+    (post_id, ``_thumbnail_id``) — a re-run (or N duplicate incoming
+    rows) converges to the same single meta row per post, exactly like
+    repeated ``set_post_thumbnail`` calls.
+
+    Scale: one equi-shuffle on (post_id, meta_key) for the merge; the
+    incoming mutation is a pure projection.
+    """
+
+    def stage(state: State) -> State:
+        incoming, meta = state[incoming_key], state[meta_key_]
+        links = (incoming
+                 .where(_bt(att_id_col).isNotNull()
+                        & _bt(post_id_col).isNotNull())
+                 .select(_bt(post_id_col).alias("post_id"),
+                         F.lit("_thumbnail_id").alias("meta_key"),
+                         _bt(att_id_col).cast("string")
+                         .alias("meta_value")))
+        links = _one_row_per_key(links, ["post_id", "meta_key"])
+        survivors = meta.join(links.select("post_id", "meta_key"),
+                              on=["post_id", "meta_key"],
+                              how="left_anti")
+        enriched = incoming.withColumn("post.featured_media",
+                                       _bt(att_id_col))
+        return {**state,
+                incoming_key: enriched,
+                meta_key_: survivors.unionByName(links)}
 
     return stage
