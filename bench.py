@@ -94,6 +94,88 @@ BENCH_QUERIES = [
 ]
 
 
+def paired(argv: list[str]) -> int:
+    """``bench.py --paired [--only a,b,c]`` — the committed baseline
+    procedure (BASELINE.md) as one command: TWO child bench runs, each
+    a fresh interpreter + fresh SparkSession (in-session repeats are
+    invalid for operators that ``.cache()`` — Spark's cache manager
+    serves identical plans from the first run), per-query MINIMUM
+    merged into ``baseline_queries.json``.
+
+    Merge policy: queries named in ``--only`` are REPLACED (their code
+    changed; the old minimum no longer describes the plan); all other
+    queries keep the historical minimum ``min(existing, new)`` so a
+    re-commit can never quietly raise an unchanged query's bar.
+    """
+    import subprocess
+
+    names: list[str] | None = None
+    for i, a in enumerate(argv):
+        if a == "--only":
+            names = [n.strip() for n in argv[i + 1].split(",") if n]
+        elif a.startswith("--only="):
+            names = [n.strip() for n in a[len("--only="):].split(",")
+                     if n]
+    unknown = set(names or ()) - set(BENCH_QUERIES)
+    if unknown:
+        print(json.dumps({"error": f"not headline queries: "
+                                   f"{sorted(unknown)}"}))
+        return 2
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs: list[dict[str, float]] = []
+    for _ in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=dict(os.environ))
+        if proc.returncode != 0:
+            print(json.dumps({"error": proc.stderr[-500:]}))
+            return 1
+        runs.append(json.loads(proc.stdout.strip().splitlines()[-1])
+                    ["queries"])
+    fresh = {n: round(min(r[n] for r in runs), 3)
+             for n in runs[0] if all(n in r for r in runs)}
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_queries.json")
+    base = {"sf": sf_dir, "queries": {}}
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if os.path.normpath(base.get("sf", sf_dir)) != \
+                os.path.normpath(sf_dir):
+            print(json.dumps({"error": "baseline sf differs from "
+                                       "$SPARK_GRAFT_SF_DIR"}))
+            return 2
+    replaced, lowered = [], []
+    for n, t in fresh.items():
+        if names is not None and n not in names:
+            continue
+        old = base["queries"].get(n)
+        if names is not None and n in names:
+            base["queries"][n] = t          # changed code: replace
+            replaced.append(n)
+        elif old is None or t < old:
+            base["queries"][n] = t          # historical minimum
+            lowered.append(n)
+    base["sf"] = sf_dir
+    base["method"] = ("per-query minimum of two quiet paired runs, "
+                      "fresh interpreter + SparkSession each "
+                      "(bench.py --paired); --only names replace, "
+                      "others keep the historical minimum")
+    with open(base_path, "w") as fh:
+        json.dump(base, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps({
+        "metric": "paired_baseline",
+        "sf": sf_dir,
+        "runs": [round(sum(r.values()), 3) for r in runs],
+        "replaced": sorted(replaced),
+        "lowered": sorted(lowered),
+        "baseline_total": round(sum(base["queries"].values()), 3),
+    }))
+    return 0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("wp-etl-bench")
@@ -185,4 +267,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--paired" in sys.argv[1:]:
+        sys.exit(paired(sys.argv[1:]))
     sys.exit(main())

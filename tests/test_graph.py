@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from wp_etl_migration_spark.operators.graph import (
     connected_components, dedup_keep_list)
 
@@ -408,12 +411,82 @@ def test_fuzzy_self_join_max_bucket_and_radius_guard(spark):
                                          (11, "unique-long-kex")],
         ["id", "k"])
     with _pt.raises(ValueError):
-        fuzzy_self_join(df, "id", "k", max_distance=2)
+        fuzzy_self_join(df, "id", "k", max_distance=3)
     # the 5 identical short keys make hot variant buckets; the cap
     # drops them but keeps the long-key pair
     capped = {(r.id_a, r.id_b) for r in fuzzy_self_join(
         df, "id", "k", max_bucket=3).collect()}
     assert capped == {(10, 11)}
+
+
+def test_fuzzy_self_join_complete_for_distance_2(spark):
+    """Depth-2 deletion neighborhoods find exactly the ED<=2 pairs:
+    double substitution, transposition (=2 in levenshtein),
+    insert+delete combos — verified against a brute-force DP oracle."""
+    from wp_etl_migration_spark.operators.fuzzy import fuzzy_self_join
+    import itertools
+    df = spark.createDataFrame(
+        [(1, "sparkle"), (2, "sporkle"),    # 1 sub
+         (3, "spackle"),                    # 2 subs vs 2, 1 vs 1
+         (4, "sparkles"), (5, "parkle"),    # insert / delete
+         (6, "sprakle"),                    # transposition (=2)
+         (7, "telephone"), (8, "xyzzyx")],  # far away
+        ["id", "k"])
+    got = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_self_join(df, "id", "k",
+                                    max_distance=2).collect()}
+
+    def ed(a, b):
+        import functools
+
+        @functools.lru_cache(None)
+        def d(i, j):
+            if not i:
+                return j
+            if not j:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    rows = {r.id: r.k for r in df.collect()}
+    expect = {(i, j): ed(rows[i], rows[j])
+              for i, j in itertools.combinations(sorted(rows), 2)
+              if ed(rows[i], rows[j]) <= 2}
+    assert got == expect
+    assert got[(1, 6)] == 2 and (1, 7) not in got
+
+
+@given(keys=st.lists(st.text(alphabet="abc", max_size=5),
+                     min_size=2, max_size=8))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_self_join_hypothesis_ed2(spark, keys):
+    """Property test: on generated short keys over a tiny alphabet
+    (maximizing collisions and edge cases: empty strings, equal keys,
+    pure inserts/deletes), depth-2 FastSS output == brute force."""
+    import itertools
+
+    def ed(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ids = list(enumerate(keys))
+    expect = {(i, j): ed(a, b)
+              for (i, a), (j, b) in itertools.combinations(ids, 2)
+              if ed(a, b) <= 2}
+    from wp_etl_migration_spark.operators.fuzzy import fuzzy_self_join
+    df = spark.createDataFrame(ids, "id int, k string")
+    got = {(r.id_a, r.id_b): r.distance
+           for r in fuzzy_self_join(df, "id", "k",
+                                    max_distance=2).collect()}
+    assert got == expect
 
 
 def test_dedup_documents_one_call_recipe(spark):

@@ -3,26 +3,32 @@
 reference, which matches keys exactly).
 
 ``fuzzy_self_join`` finds all row pairs whose key strings are within
-edit distance 1, using FastSS deletion-neighborhood indexing (Bocek et
-al. 2007, public): every key emits itself plus each single-character
-deletion as index variants; two keys at edit distance ≤ 1 ALWAYS share
-a variant (equal → the full key; insertion/deletion → one side's full
-key is the other's deletion; substitution → deleting the differing
-position from both yields the same string). Candidates from the
-variant equi-join are then verified with the built-in ``levenshtein``
-— candidate-bounded, exact, and complete for distance ≤ 1.
+edit distance ``max_distance`` (1 or 2), using FastSS
+deletion-neighborhood indexing (Bocek et al. 2007, public): every key
+emits its depth-``d`` deletion neighborhood (itself, every single
+deletion, and for d=2 every position pair deleted) as index
+variants; FastSS's theorem guarantees two keys at edit distance ≤ d
+share at least one variant (equal → the full key; insertion/deletion
+→ one side's deletion is the other's; substitution → deleting the
+differing position from both sides). Candidates from the variant
+equi-join are then verified with the built-in ``levenshtein`` —
+candidate-bounded, exact, and complete for distance ≤ d.
 
 This is the dedup primitive for near-identical identifiers: URLs with
 one-character typos, doubled-letter usernames, off-by-one SKU codes.
 
-Scale: the variant index is a ×(len+1) explode of the KEY column only
-(not the rows), joined on xxhash64(variant) — an equi-join, never a
-cartesian. The verify pass runs ``levenshtein`` on candidate pairs
-only. Hot variants (short keys collapse to few deletions: every
-2-char key shares single-char variants) can fan out; ``max_bucket``
-drops variant buckets above the cap — the same guard-and-tradeoff as
-the LSH band caps, and short keys are exactly where fuzzy matching is
-noise anyway.
+Scale: the variant index is an explode of the KEY column only (not
+the rows), joined on xxhash64(variant) — an equi-join, never a
+cartesian. Cost grows with the neighborhood: depth 1 emits len+1
+variants per key; depth 2 emits 1 + len + len·(len−1)/2 (quadratic in
+key length — ~200 variants for an 18-char key; keep ED=2 for short
+identifier columns, not sentences). The verify pass runs
+``levenshtein`` on candidate pairs only. Hot variants (short keys
+collapse to few deletions: every 2-char key shares single-char
+variants) fan out harder at depth 2; ``max_bucket`` drops variant
+buckets above the cap — the same guard-and-tradeoff as the LSH band
+caps, and short keys are exactly where fuzzy matching is noise
+anyway.
 """
 
 from __future__ import annotations
@@ -31,19 +37,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _variants(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
-    """(id, key, variant-hash) — the key itself plus every deletion."""
+def _del1(k, p):
+    """Delete the 1-based position ``p`` from ``k`` (p = 0: keep)."""
+    return F.when(p == 0, k).otherwise(
+        F.concat(k.substr(F.lit(1), p - 1),
+                 k.substr(p + 1, F.length(k))))
+
+
+def _del2(k, p1, p2):
+    """Delete 1-based positions ``p1 < p2`` from ``k``."""
+    return F.concat(k.substr(F.lit(1), p1 - 1),
+                    k.substr(p1 + 1, p2 - p1 - 1),
+                    k.substr(p2 + 1, F.length(k)))
+
+
+def _variants(df: DataFrame, id_col: str, key_col: str,
+              depth: int = 1) -> DataFrame:
+    """(id, variant-hash) — the depth-``depth`` FastSS deletion
+    neighborhood: the key itself, every single deletion, and (depth 2)
+    every canonical position pair ``p1 < p2`` deleted from the
+    ORIGINAL string (canonical pairs enumerate each 2-deletion variant
+    once, not twice).
+
+    Only the 16-byte (id, hash) pair leaves this function — key
+    strings rejoin AFTER candidate dedup (see the join functions), so
+    the variant shuffle stays narrow at any key width.
+
+    The output is distinct per (id, variant): deleting different
+    positions inside a run of identical characters yields the SAME
+    variant string (a key with a 5-zero run emits C(5,2)=10 copies of
+    one variant at depth 2), and the downstream equi-join would fan
+    out as copies_a × copies_b PER CANDIDATE PAIR before any dedup —
+    a quadratic blow-up on padded identifiers. One map-side-combinable
+    distinct keeps the join input set-shaped."""
     key = F.col(key_col)
-    # p = 0 keeps the full key; p in 1..len deletes the p-th character.
-    positions = F.sequence(F.lit(0), F.length(key))
     k = F.col("__key")
-    variant = F.when(F.col("__p") == 0, k).otherwise(
-        F.concat(k.substr(F.lit(1), F.col("__p") - 1),
-                 k.substr(F.col("__p") + 1, F.length(k))))
-    return (df.select(F.col(id_col), key.alias("__key"),
-                      F.explode(positions).alias("__p"))
-            .select(F.col(id_col), "__key",
-                    F.xxhash64(variant).alias("__v")))
+    p1, p2 = F.col("__p1"), F.col("__p2")
+    base = df.select(F.col(id_col), key.alias("__key"))
+    if depth == 1:
+        # (0) keeps the full key; p in 1..len deletes the p-th char.
+        v = _del1(k, p2)
+        return (base.select(
+            F.col(id_col), "__key",
+            F.explode(F.sequence(F.lit(0), F.length(k)))
+            .alias("__p2"))
+            .select(F.col(id_col), F.xxhash64(v).alias("__v"))
+            .distinct())
+    # depth 2: (0,0) full key; (0,p) single deletions; (p1<p2) doubles.
+    seconds = F.when(
+        p1 == 0, F.sequence(F.lit(0), F.length(k))).otherwise(
+        F.when(p1 < F.length(k),
+               F.sequence(p1 + 1, F.length(k)))
+        .otherwise(F.array().cast("array<int>")))
+    v = F.when((p1 == 0) & (p2 == 0), k) \
+         .when(p1 == 0, _del1(k, p2)) \
+         .otherwise(_del2(k, p1, p2))
+    return (base.select(
+        F.col(id_col), "__key",
+        F.explode(F.sequence(F.lit(0), F.length(k))).alias("__p1"))
+        .select(F.col(id_col), "__key", "__p1",
+                F.explode(seconds).alias("__p2"))
+        .select(F.col(id_col), F.xxhash64(v).alias("__v"))
+        .distinct())
 
 
 def fuzzy_join(left: DataFrame, right: DataFrame,
@@ -55,7 +110,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     """Two-table fuzzy key join — the entity-resolution shape (match a
     crawl's author strings against a canonical user table, SKUs against
     a catalog): all (left, right) pairs whose keys are within
-    ``max_distance`` (1) edit distance.
+    ``max_distance`` (1 or 2) edit distance.
 
     Returns (left_id, right_id, left_key, right_key, distance); NULL
     keys on either side are excluded. Same FastSS construction and
@@ -63,10 +118,10 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     left-variants × right-variants, so the small side (the canonical
     table) broadcasts and the big side streams map-side.
     """
-    if max_distance != 1:
+    if max_distance not in (1, 2):
         raise ValueError(
-            "deletion-neighborhood indexing is complete only for "
-            "max_distance=1")
+            "deletion-neighborhood indexing supports max_distance 1 "
+            "or 2 (cost grows quadratically with key length at 2)")
     if left_id == right_id:
         raise ValueError(
             "left_id and right_id must differ (both become output "
@@ -75,24 +130,30 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
         from wp_etl_migration_spark.operators.dedup import (
             spread_thin_input)
         left, right = spread_thin_input(left), spread_thin_input(right)
-    lv = _variants(left, left_id, left_key) \
-        .withColumnRenamed("__key", "__lkey")
-    rv = _variants(right, right_id, right_key) \
-        .withColumnRenamed("__key", "__rkey")
+    lv = _variants(left, left_id, left_key, depth=max_distance)
+    rv = _variants(right, right_id, right_key, depth=max_distance)
     if max_bucket is not None:
         both = lv.select("__v").unionByName(rv.select("__v"))
         cool = (both.groupBy("__v").count()
                 .where(F.col("count") <= max_bucket).select("__v"))
         lv = lv.join(cool, "__v", "left_semi")
         rv = rv.join(cool, "__v", "left_semi")
+    # Candidate ID pairs first (16-byte rows through the fanout), keys
+    # re-joined only for the distinct survivors — the levenshtein
+    # verify touches each unique pair once regardless of how many
+    # variants it shares.
     cand = (lv.join(rv, on="__v")
-            .select(F.col(left_id), F.col(right_id),
-                    F.col("__lkey").alias("left_key"),
-                    F.col("__rkey").alias("right_key"))
-            .distinct())
-    return (cand.withColumn(
-        "distance", F.levenshtein("left_key", "right_key"))
-        .where(F.col("distance") <= max_distance))
+            .select(left_id, right_id).distinct())
+    lk = left.select(F.col(left_id),
+                     F.col(left_key).alias("left_key")).distinct()
+    rk = right.select(F.col(right_id),
+                      F.col(right_key).alias("right_key")).distinct()
+    return (cand.join(lk, on=left_id).join(rk, on=right_id)
+            .withColumn("distance",
+                        F.levenshtein("left_key", "right_key"))
+            .where(F.col("distance") <= max_distance)
+            .select(left_id, right_id, "left_key", "right_key",
+                    "distance"))
 
 
 def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
@@ -100,7 +161,7 @@ def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
                     max_bucket: int | None = None,
                     parallelize: bool = True) -> DataFrame:
     """All pairs (id_a < id_b) whose keys are within ``max_distance``
-    (currently 1 — the deletion-neighborhood completeness bound) edit
+    (1 or 2 — the supported deletion-neighborhood depths) edit
     distance, with both keys and the exact distance.
 
     Returns (id_a, id_b, key_a, key_b, distance). Rows with NULL keys
@@ -114,28 +175,33 @@ def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
     a single-row-group file; ~4.5× at sf0.1). See
     :func:`operators.dedup.spread_thin_input`.
     """
-    if max_distance != 1:
+    if max_distance not in (1, 2):
         raise ValueError(
-            "deletion-neighborhood indexing is complete only for "
-            "max_distance=1; chain joins or widen the neighborhood "
-            "for larger radii")
+            "deletion-neighborhood indexing supports max_distance 1 "
+            "or 2; the depth-d neighborhood is len^d-sized, so larger "
+            "radii need a different blocking scheme")
     if parallelize:
         from wp_etl_migration_spark.operators.dedup import (
             spread_thin_input)
         df = spread_thin_input(df)
-    v = _variants(df, id_col, key_col)
+    v = _variants(df, id_col, key_col, depth=max_distance)
     if max_bucket is not None:
         cool = (v.groupBy("__v").count()
                 .where(F.col("count") <= max_bucket).select("__v"))
         v = v.join(cool, "__v", "left_semi")
     a, b = v.alias("a"), v.alias("b")
+    # Candidate ID pairs first (16-byte rows through the fanout), keys
+    # re-joined only for the distinct survivors.
     cand = (a.join(b, on="__v")
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.__key").alias("key_a"),
-                    F.col("b.__key").alias("key_b"))
+                    F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    return (cand.withColumn(
-        "distance", F.levenshtein("key_a", "key_b"))
-        .where(F.col("distance") <= max_distance))
+    ka = df.select(F.col(id_col).alias("id_a"),
+                   F.col(key_col).alias("key_a")).distinct()
+    kb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(key_col).alias("key_b")).distinct()
+    return (cand.join(ka, on="id_a").join(kb, on="id_b")
+            .withColumn("distance", F.levenshtein("key_a", "key_b"))
+            .where(F.col("distance") <= max_distance)
+            .select("id_a", "id_b", "key_a", "key_b", "distance"))

@@ -2750,21 +2750,51 @@ FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
 
 
 def q_fuzzy_match(spark, sf_dir):
-    """Edit-distance-1 key matching via FastSS deletion-neighborhood
-    indexing — equi-join candidates + levenshtein verify, never a
-    cross join (operators/fuzzy.py). Customer names differing in one
-    digit are the demo entity-resolution workload."""
+    """Edit-distance-2 key matching via depth-2 FastSS
+    deletion-neighborhood indexing — equi-join candidates +
+    levenshtein verify, never a cross join (operators/fuzzy.py).
+
+    Keys are realistic sparse identifiers with planted typos: every 3
+    consecutive custkeys share a 10-hex md5 base, mutated by 0/1/2
+    leading 'Z' substitutions — guaranteed ED-1 and ED-2 pairs inside
+    each triple, near-zero accidental pairs across triples. (The raw
+    ``Customer#0000NNNNN`` names are NOT used: 15k sequential
+    zero-padded numbers are maximally dense in depth-2 edit space —
+    ~17M true pairs at sf0.1 — which benchmarks the data shape, not
+    the operator.) Oracle is the brute-force levenshtein cross-check.
+    """
     from wp_etl_migration_spark.operators.fuzzy import fuzzy_self_join
-    c = _t(spark, sf_dir).customer().select("c_custkey", "c_name")
-    return fuzzy_self_join(c, "c_custkey", "c_name")
+    c = _t(spark, sf_dir).customer()
+    base = F.substring(
+        F.md5(F.floor(F.col("c_custkey") / 3).cast("long")
+              .cast("string")), 1, 10)
+    key = (F.when(F.col("c_custkey") % 3 == 0, base)
+           .when(F.col("c_custkey") % 3 == 1,
+                 F.concat(F.lit("Z"), F.expr("substring(__b, 2)")))
+           .otherwise(F.concat(F.lit("ZZ"),
+                               F.expr("substring(__b, 3)"))))
+    keyed = (c.select("c_custkey", base.alias("__b"))
+             .select("c_custkey", key.alias("key")))
+    return fuzzy_self_join(keyed, "c_custkey", "key", max_distance=2)
 
 
 ORACLE_FUZZY = """
+WITH k AS (
+  SELECT c_custkey,
+    CASE CAST(c_custkey % 3 AS INT)
+      WHEN 0 THEN __b
+      WHEN 1 THEN 'Z' || substr(__b, 2)
+      ELSE 'ZZ' || substr(__b, 3) END AS key
+  FROM (SELECT c_custkey,
+               substr(md5(CAST(c_custkey // 3 AS VARCHAR)), 1, 10)
+                 AS __b
+        FROM customer)
+)
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-       a.c_name AS key_a, b.c_name AS key_b,
-       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
-FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-WHERE levenshtein(a.c_name, b.c_name) <= 1
+       a.key AS key_a, b.key AS key_b,
+       CAST(levenshtein(a.key, b.key) AS INT) AS distance
+FROM k a JOIN k b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.key, b.key) <= 2
 """
 
 
