@@ -429,3 +429,56 @@ def test_encode_bpe_works_on_stream(spark, tmp_path):
              for r in encode_bpe(docs, "doc_id", "text",
                                  merges).collect()}
     assert streamed == batch and set(streamed) == {1, 2}
+
+
+def test_incremental_ann_index_stream_two_batches(spark, tmp_path):
+    """Continuous stored-ANN maintenance: batch 2 queries hit batch 1
+    vectors through the int8 index alone — batch 1 is never
+    re-bucketed/re-quantized (its stored rows are byte-identical after
+    batch 2), and matches are strictly backward (no in-batch pairs)."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    store = str(tmp_path / "ann_store")
+    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
+                              k=2)
+
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, emb array<double>")
+    b1.coalesce(1).write.parquet(str(in_dir / "batch1"))
+    q = idx.run_stream(
+        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
+    q.awaitTermination()
+    # empty index at batch 1: no matches, 3 index rows appended
+    assert spark.read.parquet(f"{store}/matches").count() == 0
+    def canon(df):
+        return {(r.vec_id, r.bucket, tuple(r.qvec), r.scale)
+                for r in df.collect()}
+
+    rows1 = canon(spark.read.parquet(f"{store}/ann"))
+    assert len(rows1) == 3
+
+    b2 = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0, 0.0]),      # near stored vector 1
+         (11, [0.88, 0.12, 0.0, 0.0])],   # near 1 AND near 10
+        "vec_id long, emb array<double>")
+    b2.coalesce(1).write.parquet(str(in_dir / "batch2"))
+    q = idx.run_stream(
+        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
+    q.awaitTermination()
+    matches = spark.read.parquet(f"{store}/matches").collect()
+    got = {(r.query_id, r.neighbor_id) for r in matches}
+    assert (10, 1) in got                  # batch-2 query hit batch-1
+    assert (11, 1) in got
+    # strictly backward: 10/11 are not in the index during their batch
+    assert (10, 11) not in got and (11, 10) not in got
+    top = {r.query_id: r for r in matches if r.rank == 1}
+    assert top[10].neighbor_id == 1 and top[10].sim > 0.9
+    # batch-1 index rows were reused, not recomputed: byte-identical
+    rows2 = canon(spark.read.parquet(f"{store}/ann"))
+    assert rows1 <= rows2 and len(rows2) == 5

@@ -128,3 +128,89 @@ class IncrementalDedup:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class IncrementalAnnIndex:
+    """Continuous embedding-space maintenance — the stored-ANN-index
+    twin of :class:`IncrementalDedup` (the embedding-side of the
+    digest/band pattern above; index layout from
+    ``operators.similarity.build_ann_index``).
+
+    Each microbatch:
+
+    1. queries the stored int8 index for its top-k nearest corpus
+       neighbors (``operators.similarity.query_ann_index``) — corpus
+       FLOAT vectors are never touched and earlier batches are never
+       re-bucketed/re-quantized; the stored (id, bucket, qvec, scale)
+       rows are reused as-is;
+    2. appends the match rows (query_id, neighbor_id, sim, rank) to
+       the ``matches/`` store — the continuous near-neighbor feed a
+       semantic-dedup or retrieval loop consumes;
+    3. appends the batch's OWN index rows to the ``ann/`` store, so
+       the next batch searches this one.
+
+    A batch's vectors are indexed only after it is queried, so matches
+    are strictly cross-batch/backward (no self-matches), mirroring the
+    smallest-id-wins convention of the text loop. The same
+    transactional-store caveat as :class:`IncrementalDedup` applies to
+    a crash between the two appends.
+    """
+
+    def __init__(self, spark: SparkSession, store_dir: str,
+                 id_col: str, vec_col: str,
+                 planes: list[list[float]], k: int = 5,
+                 rescore: str = "arrow"):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.id_col, self.vec_col = id_col, vec_col
+        self.planes, self.k, self.rescore = planes, k, rescore
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.store_dir, name)
+
+    def _load_index(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+        schema = (f"{self.id_col} long, bucket string, "
+                  "qvec array<int>, scale double")
+        try:
+            df = self.spark.read.schema(schema).parquet(
+                self._path("ann"))
+            df.schema
+            return df
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
+
+    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """The foreachBatch body: query the stored index, append the
+        matches, then append this batch's index rows. Safe to call
+        directly for batch backfills."""
+        from wp_etl_migration_spark.operators.similarity import (
+            build_ann_index, query_ann_index)
+        index = self._load_index()
+        matches = query_ann_index(batch, index, self.id_col,
+                                  self.vec_col, self.planes,
+                                  k=self.k, rescore=self.rescore)
+        # Materialize matches BEFORE the index append: their lineage
+        # reads the ann store being appended to.
+        (matches.select(F.col("query_id").cast("long"),
+                        F.col("neighbor_id").cast("long"),
+                        "sim", F.col("rank").cast("int"))
+         .write.mode("append").parquet(self._path("matches")))
+        (build_ann_index(batch, self.id_col, self.vec_col, self.planes)
+         .select(F.col(self.id_col).cast("long"), "bucket",
+                 F.col("qvec").cast("array<int>"), "scale")
+         .write.mode("append").parquet(self._path("ann")))
+
+    def run_stream(self, stream: DataFrame,
+                   checkpoint_dir: str | None = None,
+                   available_now: bool = True):
+        """Attach to a streaming frame via foreachBatch. Returns the
+        started query (caller awaits/stops)."""
+        writer = (stream.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation",
+                          checkpoint_dir
+                          or self._path("_checkpoint")))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
