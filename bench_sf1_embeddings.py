@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""sf1 spot-bench for the embedding family — the ANN twin of
+``bench_sf1_dedup.py``: stored quantized index (`build_ann_index` +
+`query_ann_index`) vs brute-force `cosine_topk`, plus `semantic_dedup`,
+on a derived 50k-vector corpus, with the ANN path's recall@5 against
+the brute-force ground truth.
+
+Corpus: 25 deterministic replicas of the committed sf0.1 embeddings
+table (2 000 × 64-dim), each replica's vector perturbed by a small
+per-dim deterministic offset so replicas are TRUE near-neighbors (the
+workload ANN exists for) while inter-family similarity stays random.
+Scratch parquet lives under .scratch/ (gitignored); testdata is never
+modified.
+
+Methodology (BASELINE.md round-4 robustness note): in-session repeats
+are invalid for operators that ``.cache()``, and single cold runs vary
+±50% — so ``--study`` spawns THREE COLD SESSIONS per operator (fresh
+interpreter + JVM each, alternating operator order) and reports
+per-operator min/median. ``--op NAME`` runs one operator in this
+process (the child mode); ``--recall`` computes recall@5 (a result,
+not a timing — one session is fine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+REPLICAS = 25
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".scratch", "sf1_embeddings.parquet")
+IDX_STORE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".scratch", "sf1_ann_index.parquet")
+K = 5
+#: Seeded hyperplanes (same pure formula family as queries.ANN_PLANES):
+#: 8 planes → 256 buckets → balanced Σb² ≈ 50k²/256 ≈ 10M in-bucket
+#: pairs, ~250× under brute force's 2.5G.
+PLANES = [[__import__("math").sin(0.37 + p * 5.1 + i * 0.83)
+           for i in range(64)] for p in range(8)]
+
+
+def build_corpus(spark) -> None:
+    if os.path.exists(os.path.join(SCRATCH, "_SUCCESS")):
+        return
+    emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet")) \
+        .select("vec_id", "embedding")
+    n = emb.count()
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    # Replica r of vector v: v + 0.02·sin(3r + 0.5i) per dim — a small
+    # deterministic rotation-ish offset; replicas of one base vector
+    # stay ~0.98+ cosine to each other, far above random pairs.
+    perturbed = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: x + 0.02 * F.sin(3.0 * F.col("rep")
+                                      + 0.5 * i.cast("double")))
+    big = (emb.crossJoin(F.broadcast(reps))
+           .select((F.col("vec_id") + F.col("rep") * F.lit(n))
+                   .alias("vec_id"),
+                   F.when(F.col("rep") == 0,
+                          F.col("embedding").cast("array<double>"))
+                   .otherwise(perturbed).alias("embedding")))
+    big.write.mode("overwrite").parquet(SCRATCH)
+
+
+def build_index_store(spark) -> None:
+    """Prebuild the stored int8 index once (untimed prep): the
+    incremental scenario measures QUERYING a store that already
+    exists, like a production corpus snapshot."""
+    if os.path.exists(os.path.join(IDX_STORE, "_SUCCESS")):
+        return
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index)
+    corpus = spark.read.parquet(SCRATCH)
+    build_ann_index(corpus, "vec_id", "embedding", PLANES) \
+        .write.mode("overwrite").parquet(IDX_STORE)
+
+
+def _spark():
+    from wp_etl_migration_spark.session import get_spark
+    spark = get_spark("wp-etl-sf1-emb",
+                      **{"spark.driver.memory":
+                         os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                        "48g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_op(name: str) -> float:
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, cosine_topk, query_ann_index, semantic_dedup)
+    spark = _spark()
+    build_corpus(spark)
+    build_index_store(spark)
+    corpus = spark.read.parquet(SCRATCH)
+    # The incremental batch: one query per replica family (2k rows).
+    batch = corpus.where(F.col("vec_id") % REPLICAS == 0)
+    start = time.monotonic()
+    if name == "cosine_topk_self":
+        out = cosine_topk(corpus, "vec_id", "embedding", k=K)
+    elif name == "ann_index_self":
+        idx = build_ann_index(corpus, "vec_id", "embedding", PLANES)
+        out = query_ann_index(corpus, idx, "vec_id", "embedding",
+                              PLANES, k=K, rescore="arrow")
+    elif name == "ann_batch_query":
+        idx = spark.read.parquet(IDX_STORE)    # corpus floats untouched
+        out = query_ann_index(batch, idx, "vec_id", "embedding",
+                              PLANES, k=K, rescore="arrow")
+    elif name == "brute_batch_query":
+        out = cosine_topk(corpus, "vec_id", "embedding", k=K,
+                          queries=batch)       # rescans corpus floats
+    elif name == "semantic_dedup":
+        # k sized to the corpus (SCALE.md: cells ~N/k; 50k/64 ≈ 780)
+        out = semantic_dedup(corpus, "vec_id", "embedding", k=64,
+                             iters=2, threshold=0.35)
+    else:
+        raise SystemExit(f"unknown op {name}")
+    out.write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - start, 3)
+
+
+def recall() -> dict:
+    """recall@5 of the stored-index path vs brute-force ground truth,
+    over a deterministic 2k-query sample (vec_id % 25 == 0: one query
+    per replica family)."""
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, cosine_topk, query_ann_index)
+    spark = _spark()
+    build_corpus(spark)
+    corpus = spark.read.parquet(SCRATCH)
+    qs = corpus.where(F.col("vec_id") % REPLICAS == 0)
+    truth = cosine_topk(corpus, "vec_id", "embedding", k=K, queries=qs) \
+        .select("query_id", "neighbor_id")
+    idx = build_ann_index(corpus, "vec_id", "embedding", PLANES)
+    got = query_ann_index(qs, idx, "vec_id", "embedding", PLANES,
+                          k=K, rescore="arrow") \
+        .select("query_id", "neighbor_id")
+    n_truth = truth.count()
+    hit = truth.join(got, ["query_id", "neighbor_id"]).count()
+    return {"queries": qs.count(), "k": K,
+            "recall_at_5": round(hit / n_truth, 4)}
+
+
+OPS = ("cosine_topk_self", "ann_index_self", "ann_batch_query",
+       "brute_batch_query", "semantic_dedup")
+
+
+def study() -> int:
+    timings: dict[str, list[float]] = {o: [] for o in OPS}
+    for r in range(3):
+        order = OPS if r % 2 == 0 else tuple(reversed(OPS))
+        for op in order:                       # alternating cold runs
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--op", op],
+                capture_output=True, text=True, env=dict(os.environ))
+            if proc.returncode != 0:
+                print(json.dumps({"error": proc.stderr[-500:]}))
+                return 1
+            timings[op].append(
+                json.loads(proc.stdout.strip().splitlines()[-1])["sec"])
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--recall"],
+        capture_output=True, text=True, env=dict(os.environ))
+    rec = json.loads(proc.stdout.strip().splitlines()[-1]) \
+        if proc.returncode == 0 else {"error": proc.stderr[-300:]}
+    med = {o: sorted(t)[1] for o, t in timings.items()}
+    print(json.dumps({
+        "metric": "sf1_embedding_family", "unit": "sec",
+        "vectors": 2000 * REPLICAS, "planes": len(PLANES),
+        "runs": timings,
+        "min": {o: min(t) for o, t in timings.items()},
+        "median": med,
+        "self_query_ann_vs_brute":
+            round(min(timings["ann_index_self"])
+                  / min(timings["cosine_topk_self"]), 2),
+        "batch_query_brute_vs_ann":
+            round(min(timings["brute_batch_query"])
+                  / min(timings["ann_batch_query"]), 2),
+        "recall": rec,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if "--study" in args:
+        sys.exit(study())
+    if "--recall" in args:
+        print(json.dumps(recall()))
+        sys.exit(0)
+    if "--op" in args:
+        print(json.dumps({"op": args[args.index("--op") + 1],
+                          "sec": run_op(args[args.index("--op") + 1])}))
+        sys.exit(0)
+    sys.exit(study())

@@ -73,6 +73,48 @@ def test_lsh_band_params():
         lsh_band_params(1.5, 16)
 
 
+def test_grid_cogroup_matches_across_shuffle_partitions(spark):
+    """Regression: the grid cogroup's two sides must agree on group-key
+    TYPES. One side's pmod(long id) was long while the other's exploded
+    literal was int; Murmur3 hash-partitioning is type-sensitive, so
+    the same logical key landed in different shuffle partitions and the
+    cogroup silently paired every group with an empty other side (zero
+    results, no error) — invisible on single-partition toy inputs. The
+    inputs here are force-repartitioned so any relapse reproduces."""
+    import random
+    from pyspark.sql import functions as F
+    from wp_etl_migration_spark.operators.similarity import (
+        cosine_topk, embedding_near_dup)
+    rng = random.Random(11)
+    dims = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dims)])
+            for i in range(300)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .repartition(16)
+    qs = emb.where(F.col("vec_id") % 10 == 0).repartition(8)
+    got = cosine_topk(emb, "vec_id", "embedding", k=3,
+                      queries=qs).collect()
+    assert len(got) == 30 * 3          # every query found 3 neighbors
+    # value check against a local brute force for one query
+    import numpy as np
+    m = {i: np.array(v) for i, v in rows}
+    q0 = m[0] / np.linalg.norm(m[0])
+    sims = sorted(((float(q0 @ (v / np.linalg.norm(v))), i)
+                   for i, v in m.items() if i != 0),
+                  key=lambda t: (-t[0], t[1]))
+    expect = [i for _, i in sims[:3]]
+    got0 = sorted((r for r in got if r.query_id == 0),
+                  key=lambda r: r.rank)
+    assert [r.neighbor_id for r in got0] == expect
+    # the near-dup kernel shares the cogroup: must also produce pairs
+    dup_rows = [(1000, rows[5][1]), (1001, rows[5][1])]
+    emb2 = spark.createDataFrame(rows + dup_rows,
+                                 ["vec_id", "embedding"]).repartition(16)
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup(
+        emb2, "vec_id", "embedding", threshold=0.999).collect()}
+    assert (1000, 1001) in pairs and (5, 1000) in pairs
+
+
 def test_multi_table_lsh_recall_improves(spark):
     """Union of independent hyperplane tables recovers neighbors a
     single table's bucketing splits apart; results approach exact."""

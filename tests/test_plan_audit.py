@@ -29,6 +29,9 @@ EXEMPT = {
     # totals frame is ONE aggregate row; broadcasting it as a nested
     # loop join is a constant-size plan node, not a scale hazard.
     "key_skew": ("BroadcastNestedLoopJoin",),
+    # same pattern: the corpus token total (one row) broadcast against
+    # the <= top_k vocabulary rows.
+    "vocab_topk": ("BroadcastNestedLoopJoin",),
 }
 
 

