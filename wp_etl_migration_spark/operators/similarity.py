@@ -473,16 +473,46 @@ def semantic_dedup(emb: DataFrame, id_col: str, vec_col: str,
     from wp_etl_migration_spark.operators.checkpoint import pin
 
     withn = pin(assigned.withColumn("__n", norm))
-    a = withn.select(F.col("__id").alias("id_a"),
-                     F.col("__v").alias("__va"),
-                     F.col("__n").alias("__na"), "__cell")
-    b = withn.select(F.col("__id").alias("id_b"),
-                     F.col("__v").alias("__vb"),
-                     F.col("__n").alias("__nb"), "__cell")
+
+    # Cell-local pair stage, two-phase like embedding_near_dup:
+    # (1) candidates via one BLAS matmul per cell (Arrow batch) with a
+    # safety margin — the expression-per-pair equi-join this replaces
+    # measured ~2.4× slower at 50k vectors (interpreted fold × 39M
+    # pairs); (2) exact fold rescore on the candidate set only, so
+    # pair MEMBERSHIP stays bit-deterministic (numpy's SIMD summation
+    # order affects selection only, absorbed by the margin).
+    import numpy as np
+    import pandas as pd
+
+    margin = 1e-9
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ids = pdf["__id"].to_numpy()
+        vm = np.array(list(pdf["__v"]), dtype=np.float64)
+        nrm = np.linalg.norm(vm, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vm = vm / nrm
+        sims = vm @ vm.T
+        hit = (sims >= threshold - margin) \
+            & (ids[None, :] > ids[:, None])
+        r, c = np.nonzero(hit)
+        return pd.DataFrame({"id_a": ids[r], "id_b": ids[c]})
+
+    cand = (withn.select("__cell", "__id", "__v")
+            .groupBy("__cell")
+            .applyInPandas(cell_pairs, schema="id_a long, id_b long"))
     sim = (unrolled_dot(F.col("__va"), F.col("__vb"), dims)
            / (F.col("__na") * F.col("__nb")))
-    pairs = (a.join(b, on="__cell")
-             .where(F.col("id_a") < F.col("id_b"))
+    pairs = (cand
+             .join(withn.select(F.col("__id").alias("id_a"),
+                                F.col("__v").alias("__va"),
+                                F.col("__n").alias("__na")), on="id_a")
+             .join(withn.select(F.col("__id").alias("id_b"),
+                                F.col("__v").alias("__vb"),
+                                F.col("__n").alias("__nb")), on="id_b")
              .where(sim >= threshold)
              .select("id_a", "id_b"))
     return dedup_keep_list(emb.select(id_col), pairs, id_col)
