@@ -529,25 +529,57 @@ def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,
     cost is Σ bucket² instead of N². Recall < 1 by construction: a pair
     split by any hyperplane is missed — union several plane sets to
     recover recall, exactly as with ``cosine_topk_lsh``.
+
+    Same two-phase kernel as ``embedding_near_dup``: one BLAS matmul
+    per bucket generates candidates within a safety margin, then the
+    exact sequential fold rescores them — the emitted ``cos_sim`` (and
+    therefore pair membership) is bit-identical to the naive
+    definition; only which pairs get *scored* depends on numpy, which
+    the margin absorbs.
     """
+    import numpy as np
+    import pandas as pd
+
     if dims is None:
         dims = _dims(emb, vec_col)
+    margin = 1e-9
     v = emb.select(F.col(id_col),
                    F.col(vec_col).cast("array<double>").alias("__v"))
     norm = F.sqrt(unrolled_dot(F.col("__v"), F.col("__v"), dims))
     bucketed = (v.withColumn("__n", norm)
                 .withColumn("__b",
-                            hyperplane_bucket(F.col("__v"), planes, dims)))
-    a = bucketed.select(F.col(id_col).alias("id_a"),
-                        F.col("__v").alias("__va"),
-                        F.col("__n").alias("__na"), "__b")
-    b = bucketed.select(F.col(id_col).alias("id_b"),
-                        F.col("__v").alias("__vb"),
-                        F.col("__n").alias("__nb"), "__b")
+                            hyperplane_bucket(F.col("__v"), planes,
+                                              dims)))
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ids = pdf[id_col].to_numpy()
+        vm = np.array(list(pdf["__v"]), dtype=np.float64)
+        nrm = np.linalg.norm(vm, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vm = vm / nrm
+        sims = vm @ vm.T
+        hit = (sims >= threshold - margin) \
+            & (ids[None, :] > ids[:, None])
+        r, c = np.nonzero(hit)
+        return pd.DataFrame({"id_a": ids[r], "id_b": ids[c]})
+
+    cand = (bucketed.select("__b", F.col(id_col), "__v")
+            .groupBy("__b")
+            .applyInPandas(bucket_pairs, schema="id_a long, id_b long"))
     sim = (unrolled_dot(F.col("__va"), F.col("__vb"), dims)
            / (F.col("__na") * F.col("__nb")))
-    return (a.join(b, on="__b")
-            .where(F.col("id_a") < F.col("id_b"))
+    return (cand
+            .join(bucketed.select(F.col(id_col).alias("id_a"),
+                                  F.col("__v").alias("__va"),
+                                  F.col("__n").alias("__na")),
+                  on="id_a")
+            .join(bucketed.select(F.col(id_col).alias("id_b"),
+                                  F.col("__v").alias("__vb"),
+                                  F.col("__n").alias("__nb")),
+                  on="id_b")
             .withColumn("cos_sim", sim)
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
