@@ -356,6 +356,36 @@ def test_mix_corpora_proportions_and_determinism(spark):
         mix_corpora(srcs, "doc_id", {"web": 1.0})
 
 
+def test_cap_per_key_domain_caps(spark):
+    """Per-key cap: at most n rows survive per key, chosen
+    deterministically (content-addressed draw) or quality-ranked via
+    order_col; NULL keys form their own capped group."""
+    from wp_etl_migration_spark.operators.sampling import cap_per_key
+    import pytest as _pt
+    rows = [(i, "a", float(i)) for i in range(10)] + \
+           [(100 + i, "b", float(i)) for i in range(3)] + \
+           [(200 + i, None, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                               "q double")
+    got = cap_per_key(df, "doc_id", "source", 2).collect()
+    from collections import Counter
+    c = Counter(r.source for r in got)
+    assert c == {"a": 2, "b": 2, None: 2}
+    # deterministic: identical kept set on a re-run and a repartition
+    again = cap_per_key(df.repartition(7), "doc_id", "source", 2) \
+        .collect()
+    assert sorted(r.doc_id for r in got) == \
+        sorted(r.doc_id for r in again)
+    # quality-ranked: keep the BEST n per key (highest q, id tiebreak)
+    best = cap_per_key(df, "doc_id", "source", 2, order_col="q")
+    ids = sorted(r.doc_id for r in best.collect())
+    assert ids == [8, 9, 101, 102, 202, 203]
+    # a cap larger than every group is the identity
+    assert cap_per_key(df, "doc_id", "source", 99).count() == len(rows)
+    with _pt.raises(ValueError, match=">= 1"):
+        cap_per_key(df, "doc_id", "source", 0)
+
+
 def test_mix_corpora_zero_proportion_excludes_source(spark):
     """A 0.0 proportion disables a source (no ZeroDivisionError, no
     rows, no n_out constraint); negatives are rejected outright."""

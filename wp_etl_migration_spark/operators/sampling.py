@@ -246,3 +246,37 @@ def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
         thresh = F.when(F.col(strata_col) == k,
                         F.lit(int(frac * _SCALE))).otherwise(thresh)
     return df.where(hash_bucket(id_col, salt) < thresh)
+
+
+def cap_per_key(df: DataFrame, id_col: str, key_col: str,
+                max_per_key: int, salt: str = "",
+                order_col: Column | str | None = None) -> DataFrame:
+    """Per-key document cap — the web-corpus domain-cap rule (keep at
+    most ``max_per_key`` docs per registered domain / source so one
+    hot site cannot dominate a pretraining mixture; the per-source
+    twin of :func:`mix_corpora`'s corpus-level proportions).
+
+    Selection is deterministic. Default: rows rank within their key by
+    (md5(salt ∥ id), id) — a content-addressed uniform draw, so the
+    kept set is identical on any engine/run/partitioning and re-runs
+    agree forever. With ``order_col``: rank by (order_col DESC, id) to
+    keep the BEST n per key (quality-ranked caps). NULL keys form
+    their own group (all uncategorized docs compete for one cap).
+
+    Scale: ONE window partitioned BY KEY — per-key work is that key's
+    row count, never a global single-task sort; hot-domain skew is
+    precisely what the cap then removes.
+    """
+    if max_per_key < 1:
+        raise ValueError("max_per_key must be >= 1")
+    if order_col is None:
+        draw = F.md5(F.concat(F.lit(salt),
+                              F.col(id_col).cast("string")))
+        ordering = [draw.asc(), F.col(id_col).asc()]
+    else:
+        oc = F.col(order_col) if isinstance(order_col, str) \
+            else order_col
+        ordering = [oc.desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*ordering)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= max_per_key).drop("__rk"))

@@ -3117,6 +3117,27 @@ FROM documents
 """
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-source document cap (the web-corpus domain-cap mixture
+    rule): at most 15 docs per source survive, chosen by the
+    content-addressed (md5(salt|id), id) draw
+    (operators/sampling.cap_per_key). Oracle replays the identical
+    window rank in SQL."""
+    from wp_etl_migration_spark.operators.sampling import cap_per_key
+    d = _t(spark, sf_dir).documents()
+    return cap_per_key(d.select("doc_id", "source"), "doc_id",
+                       "source", max_per_key=15, salt="cap|")
+
+
+ORACLE_DOMAIN_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= 15
+"""
+
+
 def q_wp_post_preset(spark, sf_dir):
     """The canned post preset's full column chain (plans/presets.py
     WordPressPostPipeline ≙ WordPressPostPipeline.php:121-310): title
@@ -3287,6 +3308,8 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "slugify": (q_slugify, ORACLE_SLUG),
     # r5: the canned post preset's column chain (plans/presets.py)
     "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
+    # r5: per-source domain cap (operators/sampling.cap_per_key)
+    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
     # Rotated OUT of the driver registry in r5 (long-green; families
     # stay driver-covered — see REGISTRY r5 rotation note):
     "author_embed": (q_author_embed, ORACLE_AUTHOR),
