@@ -6,7 +6,7 @@ engine's operators — the kind of job this engine exists for at 100 TB:
               gates ──ž language filter ──ž exact dedup ──ž MinHash-LSH
               near-dup pairs ──ž connected-component keep-list
               ──ž bigram-LM fluency gate ──ž benchmark-contamination
-              gate ──ž stratified sampling ──ž quality-weighted
+              gate ──ž domain caps ──ž stratified sampling ──ž quality-weighted
               downsampling ──ž token accounting ──ž train/val/test
               splits ──ž shuffled training shards + manifest
               ──ž per-shard sequence packing
@@ -36,7 +36,8 @@ from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
 from wp_etl_migration_spark.operators.packing import pack_sequences
 from wp_etl_migration_spark.operators.profile import corpus_report
 from wp_etl_migration_spark.operators.sampling import (
-    assign_splits, stratified_hash_sample, weighted_hash_sample)
+    assign_splits, cap_per_key, stratified_hash_sample,
+    weighted_hash_sample)
 from wp_etl_migration_spark.operators.similarity import (
     ivf_topk, kmeans_centroids, quantize_embeddings, semantic_dedup)
 from wp_etl_migration_spark.sinks.training import write_training_shards
@@ -110,6 +111,13 @@ def build_corpus(spark: SparkSession, sf_dir: str,
     dirty = contamination(deduped, eval_df, "doc_id", "text", n=8) \
         .select("doc_id")
     deduped = deduped.join(dirty, "doc_id", "left_anti")
+
+    # Domain cap: no single source may contribute more than 40 docs
+    # (the web-corpus rule that stops one hot site from dominating the
+    # mixture) — the kept set is a content-addressed draw, so re-runs
+    # agree.
+    deduped = cap_per_key(deduped, "doc_id", "source", max_per_key=40,
+                          salt="corpus-v1-cap")
 
     # Deterministic source rebalancing: content-addressed keep decision,
     # so backfills and retries reproduce the identical sample.
