@@ -57,6 +57,14 @@ def get_spark(app_name: str = "wp-etl-migration-spark",
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
+    # Local-mode JVM heap: Spark's 1g default is far below this box's
+    # RAM and GC-thrashes the 10k+-vector kernels (the sf1 study tools
+    # pass 48g explicitly). Only effective at JVM launch — a no-op on
+    # an already-running session; on a real cluster the deployment
+    # sets executor/driver memory instead.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem and "spark.driver.memory" not in extra_conf:
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in {**ENGINE_CONF, **extra_conf}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
