@@ -240,6 +240,37 @@ def test_pipeline_class_lifecycle(spark, project):
     assert df.select("stage").distinct().collect()[0][0] == "done"
 
 
+def test_yaml_job_uses_canned_preset(spark, project):
+    """The canned presets register themselves on runner import, so a
+    YAML job can reference `pipeline: wordpress_post` directly (≙ the
+    reference shipping WordPressPostPipeline as a ready-made FQCN)."""
+    from pyspark.sql import functions as F
+    from wp_etl_migration_spark.plans.runner import Runner
+
+    root, cfg = project
+    runner = Runner(spark, str(cfg), output_dir=str(root))
+    runner.jobs[0].transform = [
+        {"with_column": {"name": "post.post_title",
+                         "expr": "`legacy.title`"}},
+        {"pipeline": "wordpress_post"},
+    ]
+    df = runner.compose(runner.jobs[0])
+    assert "post.post_type" in df.columns
+    assert "post.post_name" in df.columns
+    r = df.select(F.col("`post.post_type`").alias("t"),
+                  F.col("`post.post_status`").alias("s"),
+                  F.col("`post.post_title`").alias("ti"),
+                  F.col("`post.post_name`").alias("slug"),
+                  F.col("`legacy.title`").alias("src")).first()
+    assert r.t == "post" and r.s == "draft"
+    # the mapped title flowed through the preset (sanitized), and the
+    # slug derived from it — not from the 'Default post title' default
+    assert r.ti == r.src.strip()
+    assert r.slug != "default-post-title" and r.slug
+    assert df.select("`meta.etl_pipeline`").first()[0] == \
+        "WordPressPostPipeline"
+
+
 def test_cli_extract_with_transform(spark, project, capsys):
     from wp_etl_migration_spark.__main__ import main
     root, cfg = project

@@ -362,3 +362,10 @@ class Runner:
             n, secs = timed_count(self.extract(job))
             out.append(JobReport(job.name, n, secs))
         return out
+
+
+# Register the canned per-entity presets (plans/presets.py) so YAML
+# jobs can reference them — `transform: [{pipeline: wordpress_post}]`
+# — without the caller importing the module first. Import at module
+# bottom: presets subclasses TransformPipeline defined above.
+from wp_etl_migration_spark.plans import presets as _presets  # noqa: E402,F401
