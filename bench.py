@@ -94,6 +94,30 @@ BENCH_QUERIES = [
 ]
 
 
+def merge_baseline(queries: dict[str, float],
+                   fresh: dict[str, float],
+                   names: list[str] | None) -> tuple[list[str],
+                                                     list[str]]:
+    """Merge freshly-measured minimums into the committed baseline map
+    (mutates ``queries``). Queries in ``names`` are REPLACED (their
+    code changed; the old minimum no longer describes the plan); with
+    ``names=None`` every query keeps the historical minimum
+    ``min(existing, new)`` so a re-commit can never quietly raise an
+    unchanged query's bar. Returns (replaced, lowered)."""
+    replaced, lowered = [], []
+    for n, t in fresh.items():
+        if names is not None and n not in names:
+            continue
+        old = queries.get(n)
+        if names is not None:
+            queries[n] = t                  # changed code: replace
+            replaced.append(n)
+        elif old is None or t < old:
+            queries[n] = t                  # historical minimum
+            lowered.append(n)
+    return replaced, lowered
+
+
 def paired(argv: list[str]) -> int:
     """``bench.py --paired [--only a,b,c]`` — the committed baseline
     procedure (BASELINE.md) as one command: TWO child bench runs, each
@@ -146,17 +170,7 @@ def paired(argv: list[str]) -> int:
             print(json.dumps({"error": "baseline sf differs from "
                                        "$SPARK_GRAFT_SF_DIR"}))
             return 2
-    replaced, lowered = [], []
-    for n, t in fresh.items():
-        if names is not None and n not in names:
-            continue
-        old = base["queries"].get(n)
-        if names is not None and n in names:
-            base["queries"][n] = t          # changed code: replace
-            replaced.append(n)
-        elif old is None or t < old:
-            base["queries"][n] = t          # historical minimum
-            lowered.append(n)
+    replaced, lowered = merge_baseline(base["queries"], fresh, names)
     base["sf"] = sf_dir
     base["method"] = ("per-query minimum of two quiet paired runs, "
                       "fresh interpreter + SparkSession each "

@@ -482,3 +482,27 @@ def test_ann_index_arrow_rescore_matches_expr(spark):
     with _pt.raises(ValueError):
         query_ann_index(emb, idx, "vec_id", "embedding", planes,
                         rescore="bogus")
+
+
+def test_bench_paired_merge_policy():
+    """bench.py --paired merge rules: --only names REPLACE (even if
+    slower — their code changed), unnamed queries keep the historical
+    minimum, and unknown fresh queries simply gain an entry."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    base = {"a": 1.0, "b": 2.0, "c": 3.0}
+    fresh = {"a": 5.0, "b": 1.5, "d": 4.0}
+    rep, low = bench.merge_baseline(base, fresh, names=["a"])
+    assert rep == ["a"] and low == []
+    assert base == {"a": 5.0, "b": 2.0, "c": 3.0}   # b untouched
+
+    base = {"a": 1.0, "b": 2.0}
+    rep, low = bench.merge_baseline(base, fresh, names=None)
+    assert rep == [] and sorted(low) == ["b", "d"]
+    assert base == {"a": 1.0, "b": 1.5, "d": 4.0}   # min policy
