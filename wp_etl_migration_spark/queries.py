@@ -3306,6 +3306,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
 EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                 str | None]] = {
     "slugify": (q_slugify, ORACLE_SLUG),
+    # r6 rotation candidates (strict local parity but never yet a
+    # driver CORRECTNESS row): wp_post_preset, domain_cap,
+    # cross_corpus_dedup, trigram_lm_score, chunk_documents, keywords,
+    # train_val_test, vocab_topk — swap these in next, displacing
+    # long-green rows whose families stay covered.
     # r5: the canned post preset's column chain (plans/presets.py)
     "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
     # r5: per-source domain cap (operators/sampling.cap_per_key)
