@@ -1116,31 +1116,33 @@ FROM c
 
 
 def q_contamination(spark, sf_dir):
-    """Benchmark-contamination sweep: docs sharing any 5-gram with the
-    deterministic eval subset (doc_id % 97 == 0). Eval shingles are
+    """Benchmark-contamination sweep: docs sharing any 4-gram with the
+    deterministic eval subset (doc_id % 29 == 0). Eval shingles are
     broadcast — the corpus side never shuffles (operators/dedup.py
-    contamination)."""
+    contamination). (mod 29 / n=4 chosen so the sf0.01 driver row has
+    a few dozen matches — a substantive hash witness — instead of the
+    1 row the original 97/5 parameters produced.)"""
     from wp_etl_migration_spark.operators.dedup import contamination
     d = _t(spark, sf_dir).documents()
-    ev = d.where(F.col("doc_id") % 97 == 0)
-    co = d.where(F.col("doc_id") % 97 != 0)
-    return contamination(co, ev, "doc_id", "text", n=5)
+    ev = d.where(F.col("doc_id") % 29 == 0)
+    co = d.where(F.col("doc_id") % 29 != 0)
+    return contamination(co, ev, "doc_id", "text", n=4)
 
 
 ORACLE_CONTAMINATION = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
   FROM documents
-), sh5 AS (
-  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
-  FROM toks, UNNEST(range(1, len(t) - 3)) AS r(i)
-  WHERE len(t) >= 5
+), sh4 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 2)) AS r(i)
+  WHERE len(t) >= 4
 ), ev AS (
-  SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 97 = 0
+  SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 29 = 0
 )
 SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
-FROM sh5 s JOIN ev USING (shingle)
-WHERE s.doc_id % 97 <> 0
+FROM sh4 s JOIN ev USING (shingle)
+WHERE s.doc_id % 29 <> 0
 GROUP BY 1
 """
 
