@@ -482,3 +482,9 @@ def test_incremental_ann_index_stream_two_batches(spark, tmp_path):
     # batch-1 index rows were reused, not recomputed: byte-identical
     rows2 = canon(spark.read.parquet(f"{store}/ann"))
     assert rows1 <= rows2 and len(rows2) == 5
+    # replaying an already-indexed batch is a no-op (foreachBatch is
+    # at-least-once on retry): no duplicate index or match rows
+    idx.process_batch(b2)
+    assert len(canon(spark.read.parquet(f"{store}/ann"))) == 5
+    assert spark.read.parquet(f"{store}/matches").count() == \
+        len(matches)

@@ -183,10 +183,17 @@ class IncrementalAnnIndex:
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """The foreachBatch body: query the stored index, append the
         matches, then append this batch's index rows. Safe to call
-        directly for batch backfills."""
+        directly for batch backfills.
+
+        Replay-idempotent the same way the dedup loop's digest index
+        is: vectors whose ids are already in the ``ann/`` store are
+        dropped before querying, so a retried batch (foreachBatch is
+        at-least-once) appends nothing the first attempt didn't."""
         from wp_etl_migration_spark.operators.similarity import (
             build_ann_index, query_ann_index)
         index = self._load_index()
+        batch = batch.join(index.select(self.id_col),
+                           on=self.id_col, how="left_anti")
         matches = query_ann_index(batch, index, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore)
