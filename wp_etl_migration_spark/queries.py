@@ -3226,9 +3226,7 @@ FROM s
 #: name → (spark callable, oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                           str | None]] = {
-    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "scan_filter_sort_limit": (q_scan_filter_sort_limit, ORACLE_SCAN),
-    "union_merge": (q_union_merge, ORACLE_UNION),
     "prefix_pipeline": (q_prefix_pipeline, ORACLE_PREFIX),
     "meta_melt": (q_meta_melt, ORACLE_MELT),
     "upsert_merge": (q_upsert_merge, ORACLE_UPSERT),
@@ -3239,9 +3237,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
     "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
     "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
-    "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
-    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
     "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
@@ -3249,11 +3244,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
-    "token_stats": (q_token_stats, ORACLE_TOKEN),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
-    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
     "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
@@ -3296,6 +3288,28 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "script_fractions": (q_script_fractions, ORACLE_SCRIPTS_FRAC),
     "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
+    # r6 rotation wave — the final 8 never-driver-witnessed queries
+    # (VERDICT r5 "Next round" #1) get driver CORRECTNESS rows; after
+    # this every operator family has had an independent driver witness
+    # at least once. Displaced rows (pricing_summary, union_merge,
+    # dedup_exact, token_stats, sketch_distinct, topk_per_group,
+    # numeric_preserve, ngram_jaccard_dedup — all green r1-r5) move to
+    # EXTRA_REGISTRY with families still driver-covered
+    # (regional_revenue/shipping_priority for TPC-H aggs, set-ops via
+    # long-green rot, line_dedup/minhash_lsh_dedup/dedup_pipeline +
+    # cross_corpus_dedup for dedup, text_quality/script_fractions +
+    # vocab_topk/trigram_lm_score for text stats, table_profile for
+    # profiling, rolling_window/quantile_band for windows,
+    # date_validate for casts, minhash_lsh_dedup/incremental_lsh for
+    # shingle-LSH).
+    "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
+    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
+    "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
+    "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
+    "keywords": (q_keywords, ORACLE_KEYWORDS),
+    "train_val_test": (q_train_val_test, ORACLE_SPLITS),
+    "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
 }
 
 
@@ -3308,15 +3322,18 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
 EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                 str | None]] = {
     "slugify": (q_slugify, ORACLE_SLUG),
-    # r6 rotation candidates (strict local parity but never yet a
-    # driver CORRECTNESS row): wp_post_preset, domain_cap,
-    # cross_corpus_dedup, trigram_lm_score, chunk_documents, keywords,
-    # train_val_test, vocab_topk — swap these in next, displacing
-    # long-green rows whose families stay covered.
-    # r5: the canned post preset's column chain (plans/presets.py)
-    "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
-    # r5: per-source domain cap (operators/sampling.cap_per_key)
-    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
+    # Rotated OUT of the driver registry in r6 (green r1-r5; families
+    # stay driver-covered — see REGISTRY r6 rotation note). With this
+    # wave the driver-witness backlog is zero: every query below has
+    # held a green driver CORRECTNESS row in some round.
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "union_merge": (q_union_merge, ORACLE_UNION),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "token_stats": (q_token_stats, ORACLE_TOKEN),
+    "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
+    "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
+    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
     # Rotated OUT of the driver registry in r5 (long-green; families
     # stay driver-covered — see REGISTRY r5 rotation note):
     "author_embed": (q_author_embed, ORACLE_AUTHOR),
@@ -3364,13 +3381,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # r4 additions — training-pipeline breadth (local parity;
     # five of the round's additions were promoted to REGISTRY in the
     # second rotation wave, the rest stay here):
-    "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
-    "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
-    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
-    "keywords": (q_keywords, ORACLE_KEYWORDS),
-    "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
