@@ -154,8 +154,17 @@ def paired(argv: list[str]) -> int:
         if proc.returncode != 0:
             print(json.dumps({"error": proc.stderr[-500:]}))
             return 1
-        runs.append(json.loads(proc.stdout.strip().splitlines()[-1])
-                    ["queries"])
+        # A zero exit with empty/garbled stdout (e.g. a stray warning
+        # after the JSON line) must fail structured, not traceback.
+        try:
+            runs.append(json.loads(
+                proc.stdout.strip().splitlines()[-1])["queries"])
+        except (IndexError, ValueError, KeyError, TypeError):
+            print(json.dumps({
+                "error": "child bench emitted no parseable JSON line",
+                "stdout_tail": proc.stdout[-300:],
+                "stderr_tail": proc.stderr[-300:]}))
+            return 1
     fresh = {n: round(min(r[n] for r in runs), 3)
              for n in runs[0] if all(n in r for r in runs)}
 

@@ -167,3 +167,20 @@ def test_preset_subclass_overrides_field_method(spark):
     assert r["post.post_type"] == "story"
     assert r["meta.source"] == "legacy"
     assert r["meta.etl_pipeline"] == "MyPosts"
+
+
+def test_prefixed_pipeline_subclass_without_class_defaults(spark):
+    """A _PrefixedPipeline subclass that declares no class-level
+    defaults dict still accepts the defaults= kwarg (ADVICE r5: the
+    base class now declares defaults = {} so the merge has a target
+    instead of raising AttributeError)."""
+    from wp_etl_migration_spark.plans.presets import _PrefixedPipeline
+
+    class Bare(_PrefixedPipeline):
+        pass
+
+    p = Bare(defaults={"post.post_status": "draft"})
+    assert p.defaults == {"post.post_status": "draft"}
+    # instance merge must not mutate the shared class attribute
+    assert _PrefixedPipeline.defaults == {}
+    assert Bare().defaults == {}

@@ -506,3 +506,36 @@ def test_bench_paired_merge_policy():
     rep, low = bench.merge_baseline(base, fresh, names=None)
     assert rep == [] and sorted(low) == ["b", "d"]
     assert base == {"a": 1.0, "b": 1.5, "d": 4.0}   # min policy
+
+
+def test_bench_paired_garbled_child_stdout(monkeypatch, capsys):
+    """paired() must fail structured (one {"error": ...} JSON line,
+    rc 1) when a zero-exit child emits no parseable JSON — e.g. a
+    stray warning line after stdout was truncated (ADVICE r5)."""
+    import importlib.util
+    import os
+    import subprocess
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    class Garbled:
+        returncode = 0
+        stdout = "WARNING: something\nnot a json line"
+        stderr = "some stderr noise"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: Garbled())
+    rc = bench.paired([])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert "error" in out and "stdout_tail" in out
+
+    class Empty(Garbled):
+        stdout = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: Empty())
+    rc = bench.paired([])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and "error" in out

@@ -488,3 +488,54 @@ def test_incremental_ann_index_stream_two_batches(spark, tmp_path):
     assert len(canon(spark.read.parquet(f"{store}/ann"))) == 5
     assert spark.read.parquet(f"{store}/matches").count() == \
         len(matches)
+
+
+def test_incremental_ann_replay_between_writes(spark, tmp_path):
+    """foreachBatch replay safety for the ANN loop (ADVICE r5): a
+    retry of a batch that crashed BETWEEN the matches write and the
+    ann append must end with exactly one copy of every match row
+    (the per-batch overwrite subdir replaces the partial write), and a
+    retry of a fully-committed batch must touch nothing (the committed
+    match rows survive)."""
+    import os
+    import shutil
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
+    store = str(tmp_path / "store")
+    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
+                              k=2)
+    b1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, emb array<double>")
+    b2 = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0, 0.0]),
+         (11, [0.88, 0.12, 0.0, 0.0])],
+        "vec_id long, emb array<double>")
+    idx.process_batch(b1, 0)
+    ann_b1 = str(tmp_path / "ann_after_b1")
+    shutil.copytree(os.path.join(store, "ann"), ann_b1)
+
+    idx.process_batch(b2, 1)
+    def match_rows():
+        return sorted((r.query_id, r.neighbor_id, r.rank) for r in
+                      spark.read.parquet(f"{store}/matches").collect())
+    committed = match_rows()
+    assert committed  # b2 really matched b1 vectors
+
+    # Simulate a crash between the two writes: matches/batch_id=1
+    # landed, the ann append did not. Replay must converge to the
+    # committed state, not duplicate the match rows.
+    shutil.rmtree(os.path.join(store, "ann"))
+    shutil.copytree(ann_b1, os.path.join(store, "ann"))
+    idx.process_batch(b2, 1)
+    assert match_rows() == committed
+    assert spark.read.parquet(f"{store}/ann").count() == 5
+
+    # Replay of a fully-committed batch: no-op, matches survive.
+    idx.process_batch(b2, 1)
+    assert match_rows() == committed
+    assert spark.read.parquet(f"{store}/ann").count() == 5

@@ -126,6 +126,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
         raise ValueError(
             "left_id and right_id must differ (both become output "
             "columns) — withColumnRenamed one side first")
+    from wp_etl_migration_spark.operators.checkpoint import pin
+    # Pin the narrow (id, key) projections once: the variant fanout
+    # AND the key re-join both read them, so an unpinned frame would
+    # re-run the upstream lineage (filters, prior joins) twice per
+    # side. Mirrors semantic_dedup's pin() pattern.
+    left = pin(left.select(left_id, left_key))
+    right = pin(right.select(right_id, right_key))
     if parallelize:
         from wp_etl_migration_spark.operators.dedup import (
             spread_thin_input)
@@ -180,6 +187,11 @@ def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
             "deletion-neighborhood indexing supports max_distance 1 "
             "or 2; the depth-d neighborhood is len^d-sized, so larger "
             "radii need a different blocking scheme")
+    from wp_etl_migration_spark.operators.checkpoint import pin
+    # Pin the narrow (id, key) projection once: the variant fanout and
+    # the two key re-joins all read it, so an unpinned frame would
+    # re-run the upstream lineage three times.
+    df = pin(df.select(id_col, key_col))
     if parallelize:
         from wp_etl_migration_spark.operators.dedup import (
             spread_thin_input)

@@ -76,6 +76,9 @@ class _PrefixedPipeline(TransformPipeline):
     meta_prefix = "meta"
     tax_prefix = "tax"
     ledger_prefix = "ledger"
+    #: subclasses override with their preset defaults; declared here so
+    #: a subclass without one still accepts the ``defaults=`` kwarg.
+    defaults: dict[str, Any] = {}
 
     def __init__(self, job_config: dict[str, Any] | None = None, *,
                  defaults: dict[str, Any] | None = None,

@@ -151,9 +151,13 @@ class IncrementalAnnIndex:
 
     A batch's vectors are indexed only after it is queried, so matches
     are strictly cross-batch/backward (no self-matches), mirroring the
-    smallest-id-wins convention of the text loop. The same
-    transactional-store caveat as :class:`IncrementalDedup` applies to
-    a crash between the two appends.
+    smallest-id-wins convention of the text loop. Replay safety: match
+    rows land in a per-batch ``matches/batch_id=N`` subdir with
+    overwrite semantics and a fully-indexed batch short-circuits, so a
+    foreachBatch retry (at-least-once) can neither duplicate nor lose
+    match rows; only a crash *mid-append* of the ``ann/`` store itself
+    retains the plain-parquet transactional caveat of
+    :class:`IncrementalDedup`.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
@@ -187,22 +191,34 @@ class IncrementalAnnIndex:
 
         Replay-idempotent the same way the dedup loop's digest index
         is: vectors whose ids are already in the ``ann/`` store are
-        dropped before querying, so a retried batch (foreachBatch is
-        at-least-once) appends nothing the first attempt didn't."""
+        dropped before querying (a fully-indexed replay becomes a
+        no-op), and match rows overwrite the batch's own
+        ``matches/batch_id=N`` subdir, so a retry that crashed between
+        the two writes replaces its partial match rows instead of
+        appending duplicates."""
+        from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.similarity import (
             build_ann_index, query_ann_index)
         index = self._load_index()
-        batch = batch.join(index.select(self.id_col),
-                           on=self.id_col, how="left_anti")
+        # Pin before the two writes: the filtered batch is read twice
+        # (matches + index append) and its lineage joins against the
+        # ann/ store being appended to — without the pin the index
+        # append could re-list the files of the store it is mutating.
+        batch = pin(batch.join(index.select(self.id_col),
+                               on=self.id_col, how="left_anti"))
+        if batch.isEmpty():
+            # Every id is already indexed: this is a replay of a batch
+            # whose writes all landed. Touch nothing (an overwrite
+            # here would wipe the batch's committed match rows).
+            return
         matches = query_ann_index(batch, index, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore)
-        # Materialize matches BEFORE the index append: their lineage
-        # reads the ann store being appended to.
         (matches.select(F.col("query_id").cast("long"),
                         F.col("neighbor_id").cast("long"),
                         "sim", F.col("rank").cast("int"))
-         .write.mode("append").parquet(self._path("matches")))
+         .write.mode("overwrite")
+         .parquet(self._path(f"matches/batch_id={int(batch_id)}")))
         (build_ann_index(batch, self.id_col, self.vec_col, self.planes)
          .select(F.col(self.id_col).cast("long"), "bucket",
                  F.col("qvec").cast("array<int>"), "scale")
