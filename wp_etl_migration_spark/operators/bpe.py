@@ -53,15 +53,51 @@ def _merge_pair_in(symbols: list, a: str, b: str) -> list:
     return out
 
 
+def select_disjoint_batch(top: list[tuple[str, str, int]],
+                          k: int) -> list[tuple[str, str]]:
+    """Greedy batch selection over a (count desc, a, b)-ordered pair
+    list: accept up to ``k`` pairs that share NO symbol with any
+    earlier-accepted pair. Disjoint pairs' counts are invariant under
+    each other's merges, so applying the batch sequentially is
+    well-defined; skipped (overlapping) pairs stay in the table and
+    compete again next pass. Driver-side, vocabulary-independent."""
+    batch: list[tuple[str, str]] = []
+    used: set[str] = set()
+    for a, b, _n in top:
+        if len(batch) == k:
+            break
+        if a in used or b in used:
+            continue
+        batch.append((a, b))
+        used.update((a, b, a + b))
+    return batch
+
+
 def train_bpe(df: DataFrame, text_col: str, num_merges: int,
-              min_pair_count: int = 2) -> list[tuple[str, str]]:
+              min_pair_count: int = 2,
+              batch_k: int = 1) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from the corpus; returns
     the ordered merge list [(a, b), ...] (rank = list position).
     Stops early when no pair reaches ``min_pair_count``.
 
-    Each round: vocabulary-sized weighted pair count → ONE winning
-    pair to the driver → Arrow-batched merge application over the
-    vocabulary, lineage pinned per round (``checkpoint.pin``).
+    Each pass: vocabulary-sized weighted pair count → the top
+    ``4·batch_k`` pairs to the driver (a few KB) → greedy selection of
+    up to ``batch_k`` symbol-disjoint winners
+    (:func:`select_disjoint_batch`) → ONE Arrow-batched application of
+    the whole batch over the vocabulary, lineage pinned per pass
+    (``checkpoint.pin``). At a real 32k-merge vocabulary this cuts the
+    driver round-trips / Spark jobs from 32k to ~32k/batch_k.
+
+    ``batch_k=1`` (default) is EXACTLY classic sequential BPE
+    (Sennrich et al.). With ``batch_k>1`` the pass freezes its
+    selection before seeing pairs CREATED by the pass's own earlier
+    merges, so the learned sequence can deviate from classic BPE when
+    a newly-created pair (count ≤ its parent's) would outrank a later
+    batch member; skipped overlapping pairs are never lost — they
+    re-compete next pass. The batched sequence is itself fully
+    deterministic ((count desc, pair lex asc) order throughout) and is
+    parity-tested against a pure-Python implementation of the same
+    batched algorithm (tests/test_bpe.py).
     """
     import pandas as pd
 
@@ -74,7 +110,8 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
         F.col("freq")))
 
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
+        k = min(batch_k, num_merges - len(merges))
         cnt = F.size("symbols") - 1
         z = F.arrays_zip(F.slice("symbols", 1, cnt),
                          F.slice("symbols", 2, cnt))
@@ -83,21 +120,27 @@ def train_bpe(df: DataFrame, text_col: str, num_merges: int,
                .groupBy(F.col("__p")["0"].alias("a"),
                         F.col("__p")["1"].alias("b"))
                .agg(F.sum("freq").alias("n"))
+               .where(F.col("n") >= min_pair_count)
                .orderBy(F.desc("n"), "a", "b")
-               .limit(1).collect())
-        if not top or top[0]["n"] < min_pair_count:
+               .limit(max(4 * k, 4)).collect())
+        if not top:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        batch = select_disjoint_batch(
+            [(r["a"], r["b"], r["n"]) for r in top], k)
+        merges.extend(batch)
 
-        def apply_merge(batches, a=a, b=b):
+        def apply_batch(batches, pairs=tuple(batch)):
             for pdf in batches:
-                pdf["symbols"] = pdf["symbols"].map(
-                    lambda s: _merge_pair_in(list(s), a, b))
+                def app(s):
+                    s = list(s)
+                    for a, b in pairs:
+                        s = _merge_pair_in(s, a, b)
+                    return s
+                pdf["symbols"] = pdf["symbols"].map(app)
                 yield pdf
 
         vocab = pin(vocab.mapInPandas(
-            apply_merge, schema="symbols array<string>, freq long"))
+            apply_batch, schema="symbols array<string>, freq long"))
     return merges
 
 
