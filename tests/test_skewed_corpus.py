@@ -1,0 +1,217 @@
+"""Skewed-corpus robustness bed (VERDICT r5 #2).
+
+Real web corpora are not uniform: one boilerplate line appears in 30%
+of documents, one document is mirrored 10k times, one domain owns a
+third of the crawl. The dedup/shingle/sampling paths are benched on
+near-uniform synthetic keys, so this suite builds a deterministic
+pathological fixture and asserts the skew-sensitive operators
+(``line_dedup``, ``ngram_jaccard_pairs`` with its hot-shingle cap,
+``vocab_build``, ``cap_per_key``) both answer correctly AND run with
+bounded per-task skew, measured as max/median shuffle-read records
+per stage from Spark's own REST metrics (AQE partition coalescing is
+disabled during the probe so the task distribution is observable).
+
+The bound asserted is structural, not a tuning accident: every one of
+these operators pre-reduces or splits its hot keys (map-side combine
+for line/token counts, doc-frequency capping before the shingle pair
+join, per-(key, id-bucket) partial top-n in ``cap_per_key``), so the
+hot key reaches any single reducer pre-shrunk. Measured numbers are
+recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_plan_equivalence import _forced_shuffle
+
+#: a stage must move at least this many rows before its distribution
+#: is judged (tiny stages are all noise)
+MIN_STAGE_RECORDS = 2000
+#: max task may carry at most this multiple of the median task
+SKEW_RATIO = 3.0
+#: absolute slack for integer/rounding effects on small medians
+SKEW_SLACK = 64
+
+BOILER = "subscribe to our newsletter for daily updates and offers"
+HOT_DOMAIN = "hot.example"
+HOT_TEXT = ("mirror mirror of the same press release body repeated "
+            "verbatim across every syndication partner site today")
+N_MIRRORS = 10_000
+
+
+@pytest.fixture(scope="module")
+def skew_docs(spark):
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    for i in range(1200):
+        words = [vocab[rng.randrange(500)] for _ in range(28)]
+        text = " ".join(words)
+        if i % 3 == 0:
+            text = BOILER + " | " + text
+        domain = HOT_DOMAIN if i % 2 == 0 \
+            else f"site{i % 40}.example"
+        rows.append((i, text, domain))
+    for j in range(N_MIRRORS):
+        rows.append((10_000 + j, HOT_TEXT, HOT_DOMAIN))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string") \
+        .repartition(16).localCheckpoint(eager=True)
+
+
+def _rest(spark, path):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}{path}",
+            timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _probe_skew(spark, action):
+    """Run ``action`` (must trigger its own job) under forced shuffle
+    parallelism; return (result, stats) where stats is one dict per
+    new completed stage that read >= MIN_STAGE_RECORDS shuffle rows:
+    {stage, records, max, median, ratio}."""
+    seen = {(s["stageId"], s["attemptId"])
+            for s in _rest(spark, "/stages")}
+    with _forced_shuffle(spark):
+        out = action()
+    stats = []
+    for s in _rest(spark, "/stages"):
+        if (s["stageId"], s["attemptId"]) in seen \
+                or s["status"] != "COMPLETE" \
+                or s.get("shuffleReadRecords", 0) < MIN_STAGE_RECORDS:
+            continue
+        ts = _rest(spark,
+                   f"/stages/{s['stageId']}/{s['attemptId']}"
+                   "/taskSummary?quantiles=0.0,0.5,1.0")
+        lo, med, hi = ts["shuffleReadMetrics"]["readRecords"]
+        stats.append({"stage": s["stageId"],
+                      "records": s["shuffleReadRecords"],
+                      "tasks": s["numCompleteTasks"],
+                      "max": hi, "median": med,
+                      "ratio": hi / med if med else float("inf")})
+    return out, stats
+
+
+def _assert_bounded(name, stats, abs_cap=0):
+    """Every judged stage must satisfy the max/median ratio bound OR
+    (where the operator routes a capped candidate set to one reducer
+    by design) an absolute per-task row cap that is independent of
+    corpus size — that constant-vs-N distinction is exactly what
+    "survives 100×" means for a skewed key."""
+    assert stats, f"{name}: no shuffle stage moved enough rows to judge"
+    for st in stats:
+        ok_ratio = st["max"] <= SKEW_RATIO * st["median"] + SKEW_SLACK
+        ok_abs = abs_cap and st["max"] <= abs_cap
+        assert ok_ratio or ok_abs, (
+            f"{name}: stage {st['stage']} task skew {st['max']:.0f} "
+            f"max vs {st['median']:.0f} median over {st['tasks']} "
+            f"tasks — hot key reached a reducer unreduced: {stats}")
+
+
+def test_line_dedup_hot_line_bounded(spark, skew_docs):
+    """One line in 30% of docs + one full doc mirrored 10k×: both are
+    boilerplate at max_line_df=3 and must vanish from every doc, with
+    the line-frequency exchange arriving map-side pre-reduced."""
+    from wp_etl_migration_spark.operators.dedup import line_dedup
+
+    def act():
+        out = line_dedup(skew_docs, "doc_id", "text",
+                         max_line_df=3, delimiter=" | ")
+        return {r.doc_id: r for r in out.collect()}
+
+    got, stats = _probe_skew(spark, act)
+    assert len(got) == 1200 + N_MIRRORS
+    # boilerplate line stripped, body kept, order preserved
+    assert got[0].text.count(BOILER) == 0
+    assert got[0].n_removed == 1 and got[0].n_lines == 2
+    assert got[1].n_removed == 0
+    # the mirrored doc is ALL boilerplate -> empty text survives
+    assert got[10_005].text == "" and got[10_005].n_removed == 1
+    _assert_bounded("line_dedup", stats)
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounded(spark, skew_docs):
+    """10k mirrored docs share every shingle; the doc-frequency cap
+    must drop those shingles BEFORE the pair join (the exact-dup
+    family is the exact pass's job), so no mirror×mirror candidate
+    pairs explode through the shuffle."""
+    from wp_etl_migration_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    def act():
+        pairs = ngram_jaccard_pairs(skew_docs, "doc_id", "text",
+                                    threshold=0.5, max_doc_freq=20)
+        return [(r.id_a, r.id_b) for r in pairs.collect()]
+
+    got, stats = _probe_skew(spark, act)
+    # no pair between two mirrors (ids >= 10_000): their shingles all
+    # exceeded the cap
+    assert not [p for p in got if p[0] >= 10_000 and p[1] >= 10_000]
+    _assert_bounded("ngram_jaccard_pairs", stats)
+
+
+def test_vocab_build_hot_token_bounded(spark, skew_docs):
+    """The mirrored doc's tokens dominate the corpus; partial (map
+    side) aggregation must pre-reduce them so no reducer receives the
+    hot token row-at-a-time."""
+    from wp_etl_migration_spark.operators.textstats import vocab_build
+
+    def act():
+        return {r.token: (r.n, r.rank) for r in
+                vocab_build(skew_docs, "text", top_k=50).collect()}
+
+    got, stats = _probe_skew(spark, act)
+    # 'mirror' appears twice per mirrored doc
+    assert got["mirror"][0] == 2 * N_MIRRORS
+    assert got["mirror"][1] == 1          # the hottest token
+    # uniform vocab tokens: 1200 docs * 28 draws / 500 tokens ~ 67
+    assert got["the"][0] >= N_MIRRORS     # also in every mirror
+    _assert_bounded("vocab_build", stats)
+
+
+def test_cap_per_key_hot_domain_bounded(spark, skew_docs):
+    """One domain owns ~90% of the corpus. The two-phase top-n must
+    (a) keep exactly max_per_key docs for it, identical to the
+    single-window answer, and (b) split the hot key across id-hash
+    buckets so no task reads the whole domain."""
+    from pyspark.sql import Window
+    from wp_etl_migration_spark.operators.sampling import cap_per_key
+
+    def act():
+        kept = cap_per_key(skew_docs.select("doc_id", "source"),
+                           "doc_id", "source", max_per_key=15,
+                           salt="skew|")
+        return sorted((r.doc_id, r.source) for r in kept.collect())
+
+    got, stats = _probe_skew(spark, act)
+    per_key = {}
+    for _id, src in got:
+        per_key[src] = per_key.get(src, 0) + 1
+    assert per_key[HOT_DOMAIN] == 15
+    assert all(n <= 15 for n in per_key.values())
+    # exact equivalence with the one-window form
+    draw = F.md5(F.concat(F.lit("skew|"),
+                          F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(draw.asc(),
+                                             F.col("doc_id").asc())
+    want = sorted((r.doc_id, r.source) for r in
+                  skew_docs.select("doc_id", "source")
+                  .withColumn("__rk", F.row_number().over(w))
+                  .where(F.col("__rk") <= 15).drop("__rk").collect())
+    assert got == want
+    # phase-1 stages obey the ratio bound (hot key splits over 32
+    # id-hash buckets); the phase-2 stage routes at most
+    # n_buckets × max_per_key + per-uniform-key rows to one reducer —
+    # a CONSTANT in corpus size (the pre-fix single window read the
+    # whole 10k-row domain in one task here).
+    _assert_bounded("cap_per_key", stats,
+                    abs_cap=32 * 15 + SKEW_SLACK)

@@ -263,12 +263,18 @@ def cap_per_key(df: DataFrame, id_col: str, key_col: str,
     keep the BEST n per key (quality-ranked caps). NULL keys form
     their own group (all uncategorized docs compete for one cap).
 
-    Scale: ONE window partitioned BY KEY — per-key work is that key's
-    row count, never a global single-task sort; hot-domain skew is
-    precisely what the cap then removes.
+    Scale: two-phase top-n so a hot domain never lands on one task.
+    Phase 1 ranks within (key, id-hash bucket) — a 10⁶-page domain
+    splits across ``n_buckets`` tasks — and keeps each bucket's top
+    ``max_per_key``; phase 2 ranks the ≤ ``n_buckets × max_per_key``
+    survivors per key under the same total order. Any per-bucket
+    top-n of a total order contains the global top-n, so the kept set
+    is EXACTLY the single-window answer (the parity oracle replays
+    the one-window form).
     """
     if max_per_key < 1:
         raise ValueError("max_per_key must be >= 1")
+    n_buckets = 32
     if order_col is None:
         draw = F.md5(F.concat(F.lit(salt),
                               F.col(id_col).cast("string")))
@@ -277,6 +283,13 @@ def cap_per_key(df: DataFrame, id_col: str, key_col: str,
         oc = F.col(order_col) if isinstance(order_col, str) \
             else order_col
         ordering = [oc.desc(), F.col(id_col).asc()]
-    w = Window.partitionBy(key_col).orderBy(*ordering)
-    return (df.withColumn("__rk", F.row_number().over(w))
+    # Deterministic, partitioning-independent bucket from the id so
+    # re-runs agree; NOT from the draw (order_col mode has no draw).
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(n_buckets))
+    w1 = Window.partitionBy(F.col(key_col), bucket).orderBy(*ordering)
+    cand = (df.withColumn("__rk", F.row_number().over(w1))
+            .where(F.col("__rk") <= max_per_key).drop("__rk"))
+    w2 = Window.partitionBy(key_col).orderBy(*ordering)
+    return (cand.withColumn("__rk", F.row_number().over(w2))
             .where(F.col("__rk") <= max_per_key).drop("__rk"))
