@@ -66,7 +66,8 @@ def profile_table(df: DataFrame,
 def profile_diff(before: DataFrame, after: DataFrame,
                  cols: list[str] | None = None,
                  null_rate_tol: float = 0.05,
-                 distinct_ratio_tol: float = 0.5) -> DataFrame:
+                 distinct_ratio_tol: float = 0.5,
+                 exact_distinct: bool = False) -> DataFrame:
     """Schema/content drift between two snapshots of the same dataset
     — the pre-flight check before pointing yesterday's pipeline at
     today's extract. Compares :func:`profile_table` outputs:
@@ -78,11 +79,14 @@ def profile_diff(before: DataFrame, after: DataFrame,
     ``null_rate_tol`` absolute, or distinct count changed by more
     than ``distinct_ratio_tol`` relative) / ``ok``.
 
-    Both profiles are single-pass scans (HLL distincts — the scale
-    mode); the diff join is column-count-sized.
+    Both profiles are single-pass scans (HLL distincts by default —
+    the scale mode; ``exact_distinct=True`` switches to portable
+    ``count(DISTINCT)`` for engine-exact parity at the cost of an
+    EXPAND); the diff join is column-count-sized.
     """
     def prof(df: DataFrame) -> DataFrame:
-        return profile_table(df, cols=cols, exact_distinct=False) \
+        return profile_table(df, cols=cols,
+                             exact_distinct=exact_distinct) \
             .select("col_name",
                     (F.col("n_nulls").cast("double")
                      / F.col("n_rows").cast("double"))

@@ -1307,6 +1307,108 @@ QUALIFY row_number() OVER (ORDER BY n DESC, key) <= 5
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Integer contract of the one-row corpus health report
+    (operators/profile.corpus_report): doc/token counts + the
+    lang histogram, exploded to scalar rows. Float fields
+    (avg_tokens, avg_quality) and the HLL distinct/dup-rate are
+    diagnostics, not cross-engine contracts — excluded (VERDICT r5
+    #8)."""
+    from wp_etl_migration_spark.operators.profile import corpus_report
+    d = _t(spark, sf_dir).documents()
+    rep = corpus_report(d, "doc_id", "text", lang_col="lang")
+    return (rep.select(
+        "n_docs", "n_tokens",
+        F.explode("langs").alias("lang", "lang_docs")))
+
+
+ORACLE_CORPUS_REPORT = r"""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), l AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), 'unknown') AS lang,
+         CAST(count(*) AS BIGINT) AS lang_docs
+  FROM documents GROUP BY 1
+)
+SELECT m.n_docs, m.n_tokens, l.lang, l.lang_docs FROM m, l
+"""
+
+
+def q_profile_diff(spark, sf_dir):
+    """Snapshot drift report (operators/profile.profile_diff): the
+    'after' extract drops a third of the rows, nulls lang on even
+    ids, removes source and adds n_chars — exercising all four
+    statuses (ok / drifted / removed / added). exact_distinct=True is
+    the engine-portable contract mode (HLL stays the 100 TB default);
+    null rates are single divisions of exact integers (VERDICT r5
+    #8)."""
+    from wp_etl_migration_spark.operators.profile import profile_diff
+    d = _t(spark, sf_dir).documents()
+    before = d.select("doc_id", "lang", "source")
+    after = (d.where(F.col("doc_id") % 3 != 0)
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 2 == 0,
+                            F.col("lang")).alias("lang"),
+                     "n_chars"))
+    return profile_diff(before, after, exact_distinct=True)
+
+
+ORACLE_PROFILE_DIFF = """
+WITH b AS (SELECT doc_id, lang, source FROM documents),
+a AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+             n_chars
+      FROM documents WHERE doc_id % 3 != 0),
+bp AS (
+  SELECT 'doc_id' AS col_name,
+    CAST(count(*) FILTER (doc_id IS NULL) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS null_rate_before,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_before
+  FROM b
+  UNION ALL
+  SELECT 'lang',
+    CAST(count(*) FILTER (lang IS NULL) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE),
+    CAST(count(DISTINCT lang) AS BIGINT) FROM b
+  UNION ALL
+  SELECT 'source',
+    CAST(count(*) FILTER (source IS NULL) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE),
+    CAST(count(DISTINCT source) AS BIGINT) FROM b
+), ap AS (
+  SELECT 'doc_id' AS col_name,
+    CAST(count(*) FILTER (doc_id IS NULL) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS null_rate_after,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_after
+  FROM a
+  UNION ALL
+  SELECT 'lang',
+    CAST(count(*) FILTER (lang IS NULL) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE),
+    CAST(count(DISTINCT lang) AS BIGINT) FROM a
+  UNION ALL
+  SELECT 'n_chars',
+    CAST(count(*) FILTER (n_chars IS NULL) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE),
+    CAST(count(DISTINCT n_chars) AS BIGINT) FROM a
+)
+SELECT coalesce(bp.col_name, ap.col_name) AS col_name,
+  CASE WHEN bp.col_name IS NULL THEN 'added'
+       WHEN ap.col_name IS NULL THEN 'removed'
+       WHEN abs(null_rate_after - null_rate_before) > 0.05
+         OR abs(CAST(n_distinct_after AS DOUBLE)
+                - CAST(n_distinct_before AS DOUBLE))
+            > 0.5 * greatest(CAST(n_distinct_before AS DOUBLE), 1.0)
+       THEN 'drifted' ELSE 'ok' END AS status,
+  null_rate_before, null_rate_after,
+  n_distinct_before, n_distinct_after
+FROM bp FULL OUTER JOIN ap ON bp.col_name = ap.col_name
+"""
+
+
 def q_shared_gram_stats(spark, sf_dir):
     """Duplicate-passage tagging: per doc, the fraction of word 8-gram
     starts shared with at least one other document (hot grams capped at
@@ -3382,6 +3484,11 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # five of the round's additions were promoted to REGISTRY in the
     # second rotation wave, the rest stay here):
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    # r6: the two formerly no-contract diagnostics, oracle-ified
+    # (VERDICT r5 #8): corpus_report's integer fields + lang
+    # histogram, and profile_diff's full status matrix.
+    "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
+    "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
