@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "train_val_test",
     "dedup_pipeline",
     "quantile_band",
+    # r6: the composed user journey (CSV scan -> preset chain ->
+    # media/post/meta/terms staged sinks -> ledger write) as ONE
+    # tracked wall time — the reference's actual end-to-end workload,
+    # not just its pieces. Timing includes the sink writes.
+    "wp_post_all",
     # ann_index_topk is parity-checked + unit-tested but not benched:
     # the parity row pins the bit-exact expression rescore (the
     # operator's default is the ~3x-faster Arrow/BLAS cogroup), and
