@@ -107,10 +107,14 @@ def run_op(name: str) -> float:
         idx = build_ann_index(corpus, "vec_id", "embedding", PLANES)
         out = query_ann_index(corpus, idx, "vec_id", "embedding",
                               PLANES, k=K, rescore="arrow")
-    elif name == "ann_batch_query":
+    elif name.startswith("ann_batch_query"):
+        # "ann_batch_query" or "ann_batch_query_pN" (multi-probe)
+        probes = int(name.rsplit("_p", 1)[1]) if "_p" in name[15:] \
+            else 1
         idx = spark.read.parquet(IDX_STORE)    # corpus floats untouched
         out = query_ann_index(batch, idx, "vec_id", "embedding",
-                              PLANES, k=K, rescore="arrow")
+                              PLANES, k=K, rescore="arrow",
+                              n_probes=probes)
     elif name == "brute_batch_query":
         out = cosine_topk(corpus, "vec_id", "embedding", k=K,
                           queries=batch)       # rescans corpus floats
@@ -124,7 +128,7 @@ def run_op(name: str) -> float:
     return round(time.monotonic() - start, 3)
 
 
-def recall() -> dict:
+def recall(n_probes: int = 1) -> dict:
     """recall@5 of the stored-index path vs brute-force ground truth,
     over a deterministic 2k-query sample (vec_id % 25 == 0: one query
     per replica family)."""
@@ -138,12 +142,48 @@ def recall() -> dict:
         .select("query_id", "neighbor_id")
     idx = build_ann_index(corpus, "vec_id", "embedding", PLANES)
     got = query_ann_index(qs, idx, "vec_id", "embedding", PLANES,
-                          k=K, rescore="arrow") \
+                          k=K, rescore="arrow", n_probes=n_probes) \
         .select("query_id", "neighbor_id")
     n_truth = truth.count()
     hit = truth.join(got, ["query_id", "neighbor_id"]).count()
-    return {"queries": qs.count(), "k": K,
+    return {"queries": qs.count(), "k": K, "n_probes": n_probes,
             "recall_at_5": round(hit / n_truth, 4)}
+
+
+def probe_study() -> int:
+    """Multi-probe recall/cost curve (VERDICT r5 #7): per n_probes, a
+    COLD-session timed batch query (2k queries vs the 50k stored
+    index) + recall@5 vs brute-force truth, plus the brute-force
+    batch cost for reference."""
+    out = {"metric": "sf1_ann_multi_probe", "unit": "sec",
+           "vectors": 2000 * REPLICAS, "planes": len(PLANES),
+           "curve": []}
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--op",
+         "brute_batch_query"],
+        capture_output=True, text=True, env=dict(os.environ))
+    if proc.returncode == 0:
+        out["brute_batch_sec"] = json.loads(
+            proc.stdout.strip().splitlines()[-1])["sec"]
+    for n in (1, 2, 3, 4):
+        op = "ann_batch_query" if n == 1 else f"ann_batch_query_p{n}"
+        t = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--op", op],
+            capture_output=True, text=True, env=dict(os.environ))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--recall-probes", str(n)],
+            capture_output=True, text=True, env=dict(os.environ))
+        if t.returncode != 0 or r.returncode != 0:
+            print(json.dumps({"error": (t.stderr + r.stderr)[-500:]}))
+            return 1
+        out["curve"].append({
+            "n_probes": n,
+            "sec": json.loads(t.stdout.strip().splitlines()[-1])["sec"],
+            "recall_at_5": json.loads(
+                r.stdout.strip().splitlines()[-1])["recall_at_5"]})
+    print(json.dumps(out))
+    return 0
 
 
 OPS = ("cosine_topk_self", "ann_index_self", "ann_batch_query",
@@ -190,6 +230,12 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if "--study" in args:
         sys.exit(study())
+    if "--probe-study" in args:
+        sys.exit(probe_study())
+    if "--recall-probes" in args:
+        print(json.dumps(recall(
+            int(args[args.index("--recall-probes") + 1]))))
+        sys.exit(0)
     if "--recall" in args:
         print(json.dumps(recall()))
         sys.exit(0)

@@ -539,3 +539,57 @@ def test_bench_paired_garbled_child_stdout(monkeypatch, capsys):
     rc = bench.paired([])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and "error" in out
+
+
+def test_ann_index_multi_probe_recall(spark):
+    """Multi-probe querying (VERDICT r5 #7): probes 2..n flip the
+    query's lowest-|margin| hyperplane bits, recovering neighbors a
+    single bucket's boundary splits away. Checks: recall vs the exact
+    brute-force top-k is monotone non-decreasing in n_probes and
+    strictly better than single-probe on boundary-straddling data;
+    the expr and arrow kernels agree under multi-probe; probe
+    expansion never duplicates a (query, neighbor) pair; bounds
+    enforced."""
+    import random
+    import pytest as _pt
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, cosine_topk, query_ann_index)
+    rng = random.Random(33)
+    dims = 6
+    # Clustered points with small spread: many clusters sit near a
+    # hyperplane, so their members split across buckets.
+    rows = []
+    for c in range(30):
+        center = [rng.gauss(0, 1) for _ in range(dims)]
+        for m in range(6):
+            rows.append((c * 10 + m,
+                         [x + rng.gauss(0, 0.15) for x in center]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[rng.gauss(0, 1) for _ in range(dims)]
+              for _ in range(4)]
+    idx = build_ann_index(emb, "vec_id", "embedding", planes)
+    truth = {(r.query_id, r.neighbor_id) for r in
+             cosine_topk(emb, "vec_id", "embedding", k=3).collect()}
+
+    def run(n_probes, rescore="arrow"):
+        return [(r.query_id, r.neighbor_id) for r in
+                query_ann_index(emb, idx, "vec_id", "embedding",
+                                planes, k=3, rescore=rescore,
+                                n_probes=n_probes).collect()]
+
+    recalls = []
+    for n in (1, 2, 3, 5):
+        got = run(n)
+        assert len(got) == len(set(got))       # no duplicate pairs
+        recalls.append(len(truth & set(got)) / len(truth))
+    assert recalls == sorted(recalls)          # monotone in probes
+    assert recalls[-1] > recalls[0]            # boundary pairs found
+    assert recalls[-1] > 0.9
+    # kernels agree under multi-probe (gaussian data: no ties)
+    assert sorted(run(3)) == sorted(run(3, rescore="expr"))
+    with _pt.raises(ValueError):
+        query_ann_index(emb, idx, "vec_id", "embedding", planes,
+                        n_probes=len(planes) + 2)
+    with _pt.raises(ValueError):
+        query_ann_index(emb, idx, "vec_id", "embedding", planes,
+                        n_probes=0)

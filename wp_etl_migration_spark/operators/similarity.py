@@ -841,26 +841,43 @@ def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
 def query_ann_index(queries: DataFrame, index: DataFrame,
                     id_col: str, vec_col: str,
                     planes: list[list[float]], k: int = 5,
-                    rescore: str = "arrow") -> DataFrame:
+                    rescore: str = "arrow",
+                    n_probes: int = 1) -> DataFrame:
     """Top-k neighbors of a query batch against a stored
     :func:`build_ann_index` index. Returns (query_id, neighbor_id,
     sim, rank) — ``sim`` is cosine against the DEQUANTIZED neighbor
     (within scale/2-per-lane of the true value; exact rescoring needs
     the float corpus, which this index deliberately doesn't carry).
 
-    Scale: queries bucket with the same planes and a query belongs to
-    exactly ONE bucket, so per-bucket top-k IS global top-k — Σ
-    per-bucket cost, never queries × corpus. ``rescore`` picks the
-    in-bucket kernel:
+    Scale: queries bucket with the same planes; with the default
+    ``n_probes=1`` a query belongs to exactly ONE bucket, so
+    per-bucket top-k IS global top-k — Σ per-bucket cost, never
+    queries × corpus. ``rescore`` picks the in-bucket kernel:
 
     - ``"arrow"`` (default) — bucket-cogrouped BLAS matmul, the fast
       path (~10× the expression chain on big buckets);
     - ``"expr"`` — per-pair left-to-right expression dot:
       bit-deterministic and engine-portable (what the SQL parity
       oracle reproduces), right when reproducibility outranks speed.
+
+    ``n_probes`` is the recall lever (multi-probe LSH, Lv et al. 2007,
+    public): a query near a hyperplane has neighbors on the other
+    side, so probes 2..n also search the buckets reached by flipping
+    the query's lowest-|margin| sign bits, in margin order. The query
+    side fans out ``n_probes``× (the INDEX side and the store are
+    untouched — this is a pure query-time knob on the same stored
+    index), candidates from all probed buckets merge under one global
+    (sim desc, neighbor id) rank. A corpus vector lives in exactly one
+    bucket, so probes never produce duplicate candidates. Recall vs
+    cost is measured at the 50k corpus in BASELINE.md (§ round 6).
     """
     if rescore not in ("arrow", "expr"):
         raise ValueError("rescore must be 'arrow' or 'expr'")
+    if not 1 <= n_probes <= len(planes) + 1:
+        raise ValueError(
+            f"n_probes must be in [1, n_planes + 1] — probe 1 is the "
+            f"query's own bucket, probes 2..{len(planes) + 1} flip "
+            "one sign bit each")
     dims = len(planes[0])
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qn = F.sqrt(unrolled_dot(F.col("__qv"), F.col("__qv"), dims))
@@ -869,6 +886,31 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
              .withColumn("bucket",
                          hyperplane_bucket(F.col("__qv"), planes, dims))
              .withColumn("__qn", qn))
+    if n_probes > 1:
+        # Per-plane signed margins; flip order = |margin| asc (ties by
+        # plane index). The flipped bucket strings are built with
+        # dynamic substr so the whole probe expansion stays JVM-side.
+        dots = F.array(*[
+            fold_dot(F.col("__qv"),
+                     F.array(*[F.lit(float(x)) for x in p]))
+            for p in planes])
+        order = F.array_sort(F.transform(
+            dots, lambda d, i: F.struct(F.abs(d).alias("m"),
+                                        i.alias("i"))))
+
+        def flip(bit_i: Column) -> Column:
+            b = F.col("bucket")
+            ch = b.substr(bit_i + F.lit(1), F.lit(1))
+            return F.concat(
+                b.substr(F.lit(1), bit_i),
+                F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+                b.substr(bit_i + F.lit(2), F.lit(len(planes))))
+
+        probes = F.array(
+            F.col("bucket"),
+            *[flip(F.element_at(order, j + 1)["i"])
+              for j in range(n_probes - 1)])
+        qside = (qside.withColumn("bucket", F.explode(probes)))
     deq = F.transform(F.col("qvec"),
                       lambda x: x.cast("double") * F.col("scale"))
     iside = (index.select(F.col(id_col).alias("neighbor_id"),
@@ -933,9 +975,19 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
             "sim": cand_sims[keep],
             "rank": ranks[keep].astype("int32")})
 
-    return (qside.groupby("bucket")
+    cand = (qside.groupby("bucket")
             .cogroup(iside.groupby("bucket"))
             .applyInPandas(
                 cell,
                 schema="query_id long, neighbor_id long, sim double, "
                        "rank int"))
+    if n_probes == 1:
+        return cand                 # one bucket per query: rank final
+    # Multi-probe: merge the probed buckets' per-bucket top-k under
+    # one global rank (no duplicates possible — each corpus vector is
+    # indexed in exactly one bucket).
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               "neighbor_id")
+    return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank"))
