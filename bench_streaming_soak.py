@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Streaming soak for the continuous dedup + ANN maintenance loops
+(VERDICT r5 #6): the two-batch tests prove semantics; this measures
+latency as the on-disk stores GROW. 20 batches of sf0.1-sized data
+stream through ``IncrementalDedup`` / ``IncrementalAnnIndex``
+(``process_batch`` backfill mode — same code path foreachBatch runs),
+recording per-batch wall time and store size. The design claim under
+test: each batch's cost is (batch work) + (one scan of the stored
+*index*, which grows linearly but is tiny vs the corpus) — NOT a
+recompute of the corpus, so the trend stays ~flat.
+
+Batch content (deterministic): batch b re-ids the sf table by
+``id + b·N``; 10% of each dedup batch repeats batch-0 text verbatim
+(exercising the digest index on every batch), the rest is made unique
+with a per-batch suffix token. ANN batches perturb the embedding by a
+per-batch deterministic offset, so every batch has true near-neighbors
+in earlier batches.
+
+Run:  python bench_streaming_soak.py [--soak dedup|ann] [--batches 20]
+      [--sf-dir /root/testdata/sf0.1]
+Prints ONE JSON line with per-batch walls + store row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _spark():
+    from wp_etl_migration_spark.session import get_spark
+    spark = get_spark("wp-etl-streaming-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def soak_dedup(spark, sf_dir: str, batches: int,
+               store: str) -> dict:
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    docs = spark.read.parquet(os.path.join(sf_dir,
+                                           "documents.parquet")) \
+        .select("doc_id", "text").localCheckpoint(eager=True)
+    n = docs.count()
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            max_bucket=64)
+    walls, corpus_rows, band_rows = [], [], []
+    for b in range(batches):
+        # 10% exact repeats of batch-0 text (digest index hits every
+        # batch); the rest interleave a per-batch token between every
+        # word so their shingle sets are genuinely new (a mere suffix
+        # would leave them near-dups of batch 0 — correctly dropped by
+        # the LSH pass, but then the soak would measure an empty
+        # append path).
+        batch = docs.select(
+            (F.col("doc_id") + b * n).alias("doc_id"),
+            F.when(F.col("doc_id") % 10 == 0, F.col("text"))
+            .otherwise(F.regexp_replace(F.col("text"), " ",
+                                        f" w{b} ")).alias("text"))
+        t0 = time.monotonic()
+        loop.process_batch(batch, b)
+        walls.append(round(time.monotonic() - t0, 3))
+        corpus_rows.append(
+            spark.read.parquet(f"{store}/corpus").count())
+        band_rows.append(spark.read.parquet(f"{store}/bands").count())
+    return {"walls": walls, "corpus_rows": corpus_rows,
+            "band_rows": band_rows, "batch_docs": n}
+
+
+def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
+    import math
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    emb = spark.read.parquet(os.path.join(sf_dir,
+                                          "embeddings.parquet")) \
+        .select("vec_id", "embedding").localCheckpoint(eager=True)
+    n = emb.count()
+    dims = len(emb.first().embedding)
+    planes = [[math.sin(0.37 + p * 5.1 + i * 0.83)
+               for i in range(dims)] for p in range(8)]
+    loop = IncrementalAnnIndex(spark, store, "vec_id", "embedding",
+                               planes, k=5)
+    walls, index_rows, match_rows = [], [], []
+    for b in range(batches):
+        batch = emb.select(
+            (F.col("vec_id") + b * n).alias("vec_id"),
+            F.transform(F.col("embedding").cast("array<double>"),
+                        lambda x, i: x + 0.02 * F.sin(
+                            3.0 * F.lit(float(b))
+                            + 0.5 * i.cast("double")))
+            .alias("embedding"))
+        t0 = time.monotonic()
+        loop.process_batch(batch, b)
+        walls.append(round(time.monotonic() - t0, 3))
+        index_rows.append(spark.read.parquet(f"{store}/ann").count())
+        match_rows.append(
+            spark.read.parquet(f"{store}/matches").count())
+    return {"walls": walls, "index_rows": index_rows,
+            "match_rows": match_rows, "batch_vectors": n}
+
+
+def main(argv: list[str]) -> int:
+    which = argv[argv.index("--soak") + 1] if "--soak" in argv \
+        else "both"
+    batches = int(argv[argv.index("--batches") + 1]) \
+        if "--batches" in argv else 20
+    sf_dir = argv[argv.index("--sf-dir") + 1] if "--sf-dir" in argv \
+        else os.environ.get("SPARK_GRAFT_SF_DIR",
+                            "/root/testdata/sf0.1")
+    spark = _spark()
+    out = {"metric": "streaming_soak", "unit": "sec",
+           "batches": batches, "sf": sf_dir}
+    work = tempfile.mkdtemp(prefix="soak_")
+    try:
+        if which in ("dedup", "both"):
+            out["dedup"] = soak_dedup(spark, sf_dir, batches,
+                                      os.path.join(work, "dedup"))
+        if which in ("ann", "both"):
+            out["ann"] = soak_ann(spark, sf_dir, batches,
+                                  os.path.join(work, "ann"))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    for k in ("dedup", "ann"):
+        if k in out:
+            w = out[k]["walls"]
+            out[k]["late_vs_early"] = round(
+                sorted(w[-3:])[1] / sorted(w[1:4])[1], 2)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

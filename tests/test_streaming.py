@@ -539,3 +539,38 @@ def test_incremental_ann_replay_between_writes(spark, tmp_path):
     idx.process_batch(b2, 1)
     assert match_rows() == committed
     assert spark.read.parquet(f"{store}/ann").count() == 5
+
+
+def test_incremental_soak_latency_flat(spark, tmp_path):
+    """Store-growth soak bound (VERDICT r5 #6): 12 backfill batches
+    through each incremental loop; per-batch wall time must stay
+    ~flat as the on-disk stores grow (index-append, never
+    recompute-the-corpus). Bound: median of the last 3 batches <=
+    2x the median of batches 2-4 (batch 1 pays JVM/Arrow warmup).
+    The 20-batch sf0.1 runs live in BASELINE.md via
+    bench_streaming_soak.py."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_streaming_soak",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_streaming_soak.py"))
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+
+    sf = "/root/testdata/sf0.001"
+    d = soak.soak_dedup(spark, sf, 12, str(tmp_path / "dedup"))
+    a = soak.soak_ann(spark, sf, 12, str(tmp_path / "ann"))
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    for name, r in (("dedup", d), ("ann", a)):
+        late, early = med(r["walls"][-3:]), med(r["walls"][1:4])
+        assert late <= 2.0 * early, (
+            f"{name}: batch latency grew with store size "
+            f"({r['walls']}) — the loop is recomputing the corpus")
+    # stores actually grew (the bound must not pass vacuously)
+    assert d["band_rows"][-1] > d["band_rows"][0]
+    assert a["index_rows"][-1] == 12 * a["batch_vectors"]
