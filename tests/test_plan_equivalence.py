@@ -172,6 +172,20 @@ def _k_fuzzy_join(spark):
                              "rkey", max_distance=1).collect())
 
 
+def _k_cap_per_key(spark):
+    # two-phase top-n (r6): the (key, id-hash-bucket) phase-1 window
+    # plus the per-key phase-2 window must agree on the kept set at
+    # any shuffle partitioning
+    from wp_etl_migration_spark.operators.sampling import cap_per_key
+    d = _docs(spark).select(
+        "doc_id",
+        F.concat(F.lit("dom"),
+                 (F.col("doc_id") % 7).cast("string")).alias("source"))
+    return sorted((r.doc_id, r.source) for r in
+                  cap_per_key(d, "doc_id", "source", max_per_key=5,
+                              salt="eq|").collect())
+
+
 def _k_semantic_dedup(spark):
     from wp_etl_migration_spark.operators.similarity import semantic_dedup
     emb = _vecs(spark)
@@ -190,6 +204,7 @@ KERNELS = {
     "simhash_near_dup": _k_simhash,
     "fuzzy_self_join": _k_fuzzy_self,
     "fuzzy_join": _k_fuzzy_join,
+    "cap_per_key": _k_cap_per_key,
     "semantic_dedup": _k_semantic_dedup,
 }
 

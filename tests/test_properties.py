@@ -418,3 +418,41 @@ def test_quantile_band_filter_matches_python_oracle(spark, rows, lo,
             if lo < rank / n <= hi:
                 want.append(i)
     assert got == sorted(want)
+
+
+@given(st.lists(
+    st.tuples(st.text(alphabet="abcd", min_size=1, max_size=3),
+              st.text(alphabet="abcd", min_size=1, max_size=3),
+              st.integers(min_value=1, max_value=1000)),
+    max_size=30),
+    st.integers(min_value=1, max_value=8))
+def test_select_disjoint_batch_invariants(ranked, k):
+    """Batched-BPE selection (operators/bpe.select_disjoint_batch):
+    the accepted batch is a subsequence of the input order, at most k
+    long, never empty when the input isn't, pairwise symbol-disjoint,
+    and greedy-maximal (every rejected earlier pair shares a symbol
+    with an earlier-accepted one)."""
+    from wp_etl_migration_spark.operators.bpe import (
+        select_disjoint_batch)
+    batch = select_disjoint_batch(ranked, k)
+    assert len(batch) <= k
+    if ranked:
+        assert batch and batch[0] == tuple(ranked[0][:2])
+    # subsequence of the input order
+    it = iter([tuple(r[:2]) for r in ranked])
+    assert all(p in it for p in batch)
+    # pairwise symbol-disjoint
+    seen: set = set()
+    for a, b in batch:
+        assert a not in seen and b not in seen
+        seen.update((a, b, a + b))
+    # greedy-maximal: any pair skipped while acceptances remained
+    # must have overlapped the symbols accepted before its turn
+    accepted: set = set()
+    taken = list(batch)
+    for a, b, _n in ranked:
+        if taken and (a, b) == taken[0]:
+            accepted.update((a, b, a + b))
+            taken.pop(0)
+        elif taken:
+            assert a in accepted or b in accepted

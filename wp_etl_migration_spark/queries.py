@@ -3611,7 +3611,11 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     # r6: the two formerly no-contract diagnostics, oracle-ified
     # (VERDICT r5 #8): corpus_report's integer fields + lang
-    # histogram, and profile_diff's full status matrix.
+    # histogram, and profile_diff's full status matrix. These are the
+    # natural r7 rotation candidates (new this round, never yet a
+    # driver CORRECTNESS row); wp_post_all below cannot take a
+    # hash-checked slot (no SQL oracle — its witness is the golden
+    # test + the benched headline row).
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
     "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
     # r6: the composed CSV→preset→staged-sinks→ledger journey as a
