@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""sf1 spot-bench for SKEWED-corpus behavior — the scale companion to
+``tests/test_skewed_corpus.py`` (which proves bounded task skew at
+test size): a 500k-doc corpus with real pathologies — one document
+mirrored 50,000×, one boilerplate line in ~30% of docs, one domain
+owning half the corpus — through the skew-sensitive operators,
+measuring wall time AND comparing the r6 two-phase ``cap_per_key``
+against the pre-r6 single-window shape on identical data.
+
+Corpus: 100 deterministic replicas of the sf0.1 documents table
+(5,000 docs each); replica r's docs are made unique by interleaving a
+per-replica token, then the hot structures are injected. Scratch
+parquet lives under .scratch/ (gitignored).
+
+Methodology: one cold session per timed operator (same rationale as
+the other bench_sf1_* rigs — in-session repeats are invalid and
+single runs vary; here we care about SHAPE differences ≫ noise, and
+the single-vs-two-phase comparison runs in ONE session back-to-back
+on the same cached input, alternating order across --study rounds).
+
+Run:  python bench_sf1_skew.py            # the full study (3 rounds)
+      python bench_sf1_skew.py --op NAME  # one op, this process
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+REPLICAS = 100
+MIRRORS = 50_000
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".scratch", "sf1_skew.parquet")
+BOILER = "subscribe to our newsletter for daily updates and offers"
+HOT_TEXT = ("mirror mirror of the same press release body repeated "
+            "verbatim across every syndication partner site today")
+
+
+def build_corpus(spark) -> None:
+    if os.path.exists(os.path.join(SCRATCH, "_SUCCESS")):
+        return
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet")) \
+        .select("doc_id", "text")
+    n = docs.count()
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    uniq = (docs.crossJoin(F.broadcast(reps))
+            .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+                    F.concat(
+                        F.when(F.col("doc_id") % 3 == 0,
+                               F.lit(BOILER + " | ")).otherwise(F.lit("")),
+                        F.regexp_replace(
+                            F.col("text"), " ",
+                            F.concat(F.lit(" w"),
+                                     F.col("rep").cast("string"),
+                                     F.lit(" ")))).alias("text"),
+                    F.when(F.col("doc_id") % 2 == 0, "hot.example")
+                    .otherwise(F.concat(F.lit("site"),
+                                        (F.col("doc_id") % 40)
+                                        .cast("string"),
+                                        F.lit(".example")))
+                    .alias("source")))
+    base = n * REPLICAS
+    mirrors = spark.range(MIRRORS).select(
+        (F.col("id") + base).alias("doc_id"),
+        F.lit(HOT_TEXT).alias("text"),
+        F.lit("hot.example").alias("source"))
+    uniq.unionByName(mirrors).write.mode("overwrite").parquet(SCRATCH)
+
+
+def _spark():
+    from wp_etl_migration_spark.session import get_spark
+    spark = get_spark("wp-etl-sf1-skew",
+                      **{"spark.driver.memory":
+                         os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                        "48g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _single_window_cap(df, id_col, key_col, max_per_key, salt):
+    """The pre-r6 cap_per_key shape (ONE window partitioned by key —
+    the hot domain lands on one task), kept here as the comparison
+    arm; semantics identical to operators/sampling.cap_per_key."""
+    draw = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(key_col).orderBy(draw.asc(),
+                                            F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= max_per_key).drop("__rk"))
+
+
+def run_op(name: str) -> dict:
+    spark = _spark()
+    build_corpus(spark)
+    corpus = spark.read.parquet(SCRATCH)
+    out: dict = {"op": name}
+    if name == "line_dedup":
+        from wp_etl_migration_spark.operators.dedup import line_dedup
+        t0 = time.monotonic()
+        res = line_dedup(corpus, "doc_id", "text", max_line_df=3,
+                         delimiter=" | ")
+        res.write.format("noop").mode("overwrite").save()
+        out["sec"] = round(time.monotonic() - t0, 3)
+    elif name == "vocab_build":
+        from wp_etl_migration_spark.operators.textstats import vocab_build
+        t0 = time.monotonic()
+        vocab_build(corpus, "text", top_k=1000) \
+            .write.format("noop").mode("overwrite").save()
+        out["sec"] = round(time.monotonic() - t0, 3)
+    elif name in ("cap_two_phase", "cap_single_window"):
+        from wp_etl_migration_spark.operators.sampling import cap_per_key
+        thin = corpus.select("doc_id", "source") \
+            .localCheckpoint(eager=True)      # same materialized input
+        t0 = time.monotonic()
+        if name == "cap_two_phase":
+            res = cap_per_key(thin, "doc_id", "source",
+                              max_per_key=100, salt="cap|")
+        else:
+            res = _single_window_cap(thin, "doc_id", "source",
+                                     100, "cap|")
+        res.write.format("noop").mode("overwrite").save()
+        out["sec"] = round(time.monotonic() - t0, 3)
+    else:
+        raise SystemExit(f"unknown op {name}")
+    return out
+
+
+OPS = ("line_dedup", "vocab_build", "cap_two_phase",
+       "cap_single_window")
+
+
+def study() -> int:
+    timings: dict[str, list[float]] = {o: [] for o in OPS}
+    for r in range(3):
+        order = OPS if r % 2 == 0 else tuple(reversed(OPS))
+        for op in order:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--op", op],
+                capture_output=True, text=True, env=dict(os.environ))
+            if proc.returncode != 0:
+                print(json.dumps({"error": proc.stderr[-500:]}))
+                return 1
+            timings[op].append(
+                json.loads(proc.stdout.strip().splitlines()[-1])["sec"])
+    print(json.dumps({
+        "metric": "sf1_skewed_corpus", "unit": "sec",
+        "docs": 5000 * REPLICAS + MIRRORS, "mirrors": MIRRORS,
+        "runs": timings,
+        "min": {o: min(t) for o, t in timings.items()},
+        "median": {o: sorted(t)[1] for o, t in timings.items()},
+        "cap_single_vs_two_phase":
+            round(min(timings["cap_single_window"])
+                  / min(timings["cap_two_phase"]), 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if "--op" in args:
+        print(json.dumps(run_op(args[args.index("--op") + 1])))
+        sys.exit(0)
+    sys.exit(study())

@@ -129,8 +129,10 @@ def main(argv: list[str]) -> int:
     for k in ("dedup", "ann"):
         if k in out:
             w = out[k]["walls"]
+            # needs batches >= 5 for disjoint early/late medians
             out[k]["late_vs_early"] = round(
-                sorted(w[-3:])[1] / sorted(w[1:4])[1], 2)
+                sorted(w[-3:])[1] / sorted(w[1:4])[1], 2) \
+                if len(w) >= 5 else None
     print(json.dumps(out))
     return 0
 

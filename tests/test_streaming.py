@@ -484,7 +484,7 @@ def test_incremental_ann_index_stream_two_batches(spark, tmp_path):
     assert rows1 <= rows2 and len(rows2) == 5
     # replaying an already-indexed batch is a no-op (foreachBatch is
     # at-least-once on retry): no duplicate index or match rows
-    idx.process_batch(b2)
+    idx.process_batch(b2, 1)
     assert len(canon(spark.read.parquet(f"{store}/ann"))) == 5
     assert spark.read.parquet(f"{store}/matches").count() == \
         len(matches)
@@ -539,6 +539,22 @@ def test_incremental_ann_replay_between_writes(spark, tmp_path):
     idx.process_batch(b2, 1)
     assert match_rows() == committed
     assert spark.read.parquet(f"{store}/ann").count() == 5
+
+    # Crash MID-append of ann/: only one of b2's index rows landed.
+    # The retry must restore the FULL match set (not just the
+    # un-indexed remainder's), with no in-batch self-matches from the
+    # partially-appended own rows, and complete ann/ without
+    # duplicating the row that did land.
+    ann = spark.read.parquet(os.path.join(store, "ann")) \
+        .localCheckpoint(eager=True)
+    partial = ann.where((F.col("vec_id") < 10) | (F.col("vec_id") == 10))
+    shutil.rmtree(os.path.join(store, "ann"))
+    partial.write.parquet(os.path.join(store, "ann"))
+    idx.process_batch(b2, 1)
+    assert match_rows() == committed
+    final = spark.read.parquet(os.path.join(store, "ann"))
+    assert final.count() == 5
+    assert final.select("vec_id").distinct().count() == 5
 
 
 def test_incremental_soak_latency_flat(spark, tmp_path):

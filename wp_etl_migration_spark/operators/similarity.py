@@ -881,22 +881,29 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
     dims = len(planes[0])
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qn = F.sqrt(unrolled_dot(F.col("__qv"), F.col("__qv"), dims))
-    qside = (queries.select(F.col(id_col).alias("query_id"),
-                            qv.alias("__qv"))
-             .withColumn("bucket",
-                         hyperplane_bucket(F.col("__qv"), planes, dims))
-             .withColumn("__qn", qn))
-    if n_probes > 1:
-        # Per-plane signed margins; flip order = |margin| asc (ties by
-        # plane index). The flipped bucket strings are built with
+    qside = queries.select(F.col(id_col).alias("query_id"),
+                           qv.alias("__qv"))
+    if n_probes == 1:
+        qside = qside.withColumn(
+            "bucket", hyperplane_bucket(F.col("__qv"), planes, dims))
+    else:
+        # Per-plane signed margins, computed ONCE into a materialized
+        # array column — both the bucket string and the flip order
+        # derive from it (hyperplane_bucket would re-fold every plane
+        # dot a second time). Flip order = |margin| asc (ties by
+        # plane index); the flipped bucket strings are built with
         # dynamic substr so the whole probe expansion stays JVM-side.
-        dots = F.array(*[
+        qside = qside.withColumn("__dots", F.array(*[
             fold_dot(F.col("__qv"),
                      F.array(*[F.lit(float(x)) for x in p]))
-            for p in planes])
+            for p in planes]))
+        # same sign convention as hyperplane_bucket: >= 0 → "1"
+        qside = qside.withColumn("bucket", F.concat(*[
+            F.when(F.element_at("__dots", i + 1) >= 0, "1")
+            .otherwise("0") for i in range(len(planes))]))
         order = F.array_sort(F.transform(
-            dots, lambda d, i: F.struct(F.abs(d).alias("m"),
-                                        i.alias("i"))))
+            F.col("__dots"),
+            lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i"))))
 
         def flip(bit_i: Column) -> Column:
             b = F.col("bucket")
@@ -910,7 +917,9 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
             F.col("bucket"),
             *[flip(F.element_at(order, j + 1)["i"])
               for j in range(n_probes - 1)])
-        qside = (qside.withColumn("bucket", F.explode(probes)))
+        qside = (qside.withColumn("bucket", F.explode(probes))
+                 .drop("__dots"))
+    qside = qside.withColumn("__qn", qn)
     deq = F.transform(F.col("qvec"),
                       lambda x: x.cast("double") * F.col("scale"))
     iside = (index.select(F.col(id_col).alias("neighbor_id"),

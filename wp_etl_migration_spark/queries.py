@@ -3368,14 +3368,15 @@ def q_wp_post_all(spark, sf_dir):
     (media dedupe/mint → post upsert → postmeta melt → terms replace
     → featured-image link) → sink tables + ledger lineage write.
 
-    Sinks land in a fresh temp dir each call (writes ARE part of the
-    measured journey); returns the written ledger read back so the
-    bench materializes it. No single SQL oracle is natural for a
-    multi-sink pipeline — the golden contract (ledger row count +
-    content hash + sink table counts, sf0.01) is pinned in
-    tests/test_wp_post_all.py."""
+    Sinks land under a fixed per-scale-factor .scratch run dir,
+    overwritten each call so repeated bench/test runs occupy bounded
+    disk (writes ARE part of the measured journey); returns the
+    written ledger read back so the bench materializes it. No single
+    SQL oracle is natural for a multi-sink pipeline — the golden
+    contract (ledger row count + content hash + sink table counts,
+    sf0.01) is pinned in tests/test_wp_post_all.py."""
     import os
-    import tempfile
+    import shutil
 
     from wp_etl_migration_spark.functions.dates import validate_date
     from wp_etl_migration_spark.functions.text import kses_post, to_slug
@@ -3434,7 +3435,11 @@ def q_wp_post_all(spark, sf_dir):
         [media_stage(), post_upsert_stage(), meta_stage(),
          terms_stage(), featured_image_stage()])
 
-    out = tempfile.mkdtemp(prefix="wp_post_all_")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "wp_post_all_run_"
+        + os.path.basename(os.path.normpath(sf_dir)))
     for tbl in ("posts", "postmeta", "term_relationships",
                 "attachments"):
         state[tbl].write.mode("overwrite").parquet(
@@ -3443,6 +3448,9 @@ def q_wp_post_all(spark, sf_dir):
         state["incoming"]
         .withColumn("ledger.post_id", F.col("`post.ID`"))
         .withColumn("ledger.slug", F.col("`post.post_name`")))
+    # write_ledger mints a timestamped run dir per call; clear prior
+    # runs so repeated bench/test invocations occupy bounded disk.
+    shutil.rmtree(os.path.join(out, "ledger"), ignore_errors=True)
     path = lsink.write_ledger(stream, os.path.join(out, "ledger"),
                               "wp-post-all")
     return spark.read.json(path)

@@ -153,11 +153,15 @@ class IncrementalAnnIndex:
     are strictly cross-batch/backward (no self-matches), mirroring the
     smallest-id-wins convention of the text loop. Replay safety: match
     rows land in a per-batch ``matches/batch_id=N`` subdir with
-    overwrite semantics and a fully-indexed batch short-circuits, so a
+    overwrite semantics, queries run against the index minus the
+    batch's own ids, and a fully-indexed batch short-circuits — so a
     foreachBatch retry (at-least-once) can neither duplicate nor lose
-    match rows; only a crash *mid-append* of the ``ann/`` store itself
-    retains the plain-parquet transactional caveat of
-    :class:`IncrementalDedup`.
+    match rows whether the crash hit before, during, or after the
+    ``ann/`` append (see :meth:`process_batch`). Store format note:
+    ``matches/`` is hive-partitioned by ``batch_id`` (readers see it
+    as an extra int column); it is not mixable with a flat
+    un-partitioned matches dir from an older layout — use a fresh
+    ``store_dir`` per format.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
@@ -184,34 +188,48 @@ class IncrementalAnnIndex:
         except AnalysisException:
             return self.spark.createDataFrame([], schema)
 
-    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
-        """The foreachBatch body: query the stored index, append the
-        matches, then append this batch's index rows. Safe to call
-        directly for batch backfills.
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """The foreachBatch body: query the stored index, overwrite
+        the batch's match partition, then append this batch's index
+        rows. Safe to call directly for batch backfills — pass each
+        backfill batch a DISTINCT ``batch_id`` (it keys the
+        ``matches/batch_id=N`` partition; reusing an id overwrites
+        that batch's match rows, which is exactly the replay
+        semantics).
 
-        Replay-idempotent the same way the dedup loop's digest index
-        is: vectors whose ids are already in the ``ann/`` store are
-        dropped before querying (a fully-indexed replay becomes a
-        no-op), and match rows overwrite the batch's own
-        ``matches/batch_id=N`` subdir, so a retry that crashed between
-        the two writes replaces its partial match rows instead of
-        appending duplicates."""
+        Replay-safe in both crash positions (foreachBatch is
+        at-least-once): the index used for QUERYING excludes the
+        batch's own ids, so a retry after a partial ``ann/`` append
+        still scores the FULL batch (strictly backward — own-batch
+        rows never match) and its overwrite restores the complete
+        match set; only ids not yet indexed append to ``ann/``, so
+        index rows never duplicate; a fully-committed replay
+        short-circuits before touching either store."""
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.similarity import (
             build_ann_index, query_ann_index)
+        # Pin before the two writes: both read frames derived from a
+        # join against the ann/ store being appended to — without the
+        # pin the index append could re-list the files of the store
+        # it is mutating.
         index = self._load_index()
-        # Pin before the two writes: the filtered batch is read twice
-        # (matches + index append) and its lineage joins against the
-        # ann/ store being appended to — without the pin the index
-        # append could re-list the files of the store it is mutating.
-        batch = pin(batch.join(index.select(self.id_col),
-                               on=self.id_col, how="left_anti"))
-        if batch.isEmpty():
-            # Every id is already indexed: this is a replay of a batch
-            # whose writes all landed. Touch nothing (an overwrite
-            # here would wipe the batch's committed match rows).
+        batch = pin(batch)
+        ids = batch.select(self.id_col)
+        # Ids not yet indexed: the append set. Empty ⇒ every write of
+        # this batch landed; touch nothing (an overwrite here would
+        # wipe the committed match rows).
+        new_rows = pin(batch.join(index.select(self.id_col),
+                                  on=self.id_col, how="left_anti"))
+        if new_rows.isEmpty():
             return
-        matches = query_ann_index(batch, index, self.id_col,
+        # Query with the FULL batch against the index minus the
+        # batch's own ids: on a retry after a partial ann/ append the
+        # already-appended own rows must neither shrink the query set
+        # nor appear as neighbors; the overwrite below then restores
+        # the batch's complete match set.
+        queryable = pin(index.join(ids, on=self.id_col,
+                                   how="left_anti"))
+        matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore)
         (matches.select(F.col("query_id").cast("long"),
@@ -219,7 +237,8 @@ class IncrementalAnnIndex:
                         "sim", F.col("rank").cast("int"))
          .write.mode("overwrite")
          .parquet(self._path(f"matches/batch_id={int(batch_id)}")))
-        (build_ann_index(batch, self.id_col, self.vec_col, self.planes)
+        (build_ann_index(new_rows, self.id_col, self.vec_col,
+                         self.planes)
          .select(F.col(self.id_col).cast("long"), "bucket",
                  F.col("qvec").cast("array<int>"), "scale")
          .write.mode("append").parquet(self._path("ann")))
