@@ -590,3 +590,66 @@ def test_incremental_soak_latency_flat(spark, tmp_path):
     # stores actually grew (the bound must not pass vacuously)
     assert d["band_rows"][-1] > d["band_rows"][0]
     assert a["index_rows"][-1] == 12 * a["batch_vectors"]
+
+
+def test_incremental_dedup_replay_between_writes(spark, tmp_path):
+    """Exactly-once store state for the dedup loop (r6): a retry of a
+    batch that crashed between (or during) its three partition writes
+    must converge to the first attempt's exact store state — no lost
+    corpus rows (the old failure mode: partially-written digests made
+    replayed docs dedup against THEMSELVES and vanish) and no
+    duplicates."""
+    import os
+    import shutil
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "store")
+    loop = IncrementalDedup(spark, store, "doc_id", "text")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")], ["doc_id", "text"])
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+         (11, "totally novel words appearing nowhere else at all"),
+         (12, "more fresh content unlike anything stored before")],
+        ["doc_id", "text"])
+    loop.process_batch(b1, 0)
+    loop.process_batch(b2, 1)
+
+    def state():
+        return {
+            "corpus": sorted(r.doc_id for r in spark.read.parquet(
+                f"{store}/corpus").collect()),
+            "digests": sorted((r.doc_id, r.digest) for r in
+                              spark.read.parquet(
+                                  f"{store}/digests").collect()),
+            "bands": sorted((r.doc_id, r.band, r.band_hash) for r in
+                            spark.read.parquet(
+                                f"{store}/bands").collect()),
+        }
+    committed = state()
+    assert committed["corpus"] == [1, 2, 11, 12]
+
+    # Crash A: corpus landed, digests PARTIAL (one row), bands absent.
+    # Under the old append layout the partial digest made doc 11
+    # dedup against itself on replay and drop from the corpus forever.
+    digests_full = spark.read.parquet(
+        os.path.join(store, "digests")).localCheckpoint(eager=True)
+    shutil.rmtree(os.path.join(store, "digests", "batch_id=1"))
+    shutil.rmtree(os.path.join(store, "bands", "batch_id=1"))
+    partial = digests_full.where(F.col("doc_id") == 11) \
+        .select("doc_id", "digest")
+    partial.write.parquet(
+        os.path.join(store, "digests", "batch_id=1"))
+    loop.process_batch(b2, 1)
+    assert state() == committed
+
+    # Crash B: everything landed except bands. Replay converges.
+    shutil.rmtree(os.path.join(store, "bands", "batch_id=1"))
+    loop.process_batch(b2, 1)
+    assert state() == committed
+
+    # Full replay of a committed batch: state unchanged.
+    loop.process_batch(b2, 1)
+    assert state() == committed

@@ -17,15 +17,18 @@ on-disk stores and then extends those stores with its survivors:
 DataFrame code (same operators, same tests), the streaming engine
 supplies exactly-once batch replay via the checkpoint, and the only
 unbounded state lives in the appendable parquet stores, not in
-executor memory. Idempotency note: foreachBatch is at-least-once on
-retry *within* a failed batch; the digest index makes the exact pass
-naturally idempotent for COMPLETED batches (replayed docs dedup
-against their own appended digests — test-proven). A crash BETWEEN
-the three appends of one batch can still duplicate store rows on
-replay (plain parquet appends are not transactional); production
-deployments should point the stores at a transactional table format
-(Delta/Iceberg via the same ``.write`` calls) or snapshot the store
-dir per batch with ``plans.janitor.snapshot_dataset``.
+executor memory. Idempotency: foreachBatch is at-least-once on retry
+*within* a failed batch, so every store is hive-partitioned by
+``batch_id`` and written with per-partition OVERWRITE, and both
+stored indexes are queried with the batch's own ids excluded — a
+retry therefore recomputes the exact survivor set of the first
+attempt (the input batch is offset-identical by the checkpoint
+contract) and replaces whatever subset of the three partition writes
+landed, wherever the crash fell. Plain parquet thus gets
+exactly-once STORE STATE; a transactional table format (Delta/
+Iceberg via the same ``.write`` calls) remains the belt-and-braces
+choice when concurrent readers must never glimpse a half-written
+partition.
 """
 
 from __future__ import annotations
@@ -37,9 +40,11 @@ from pyspark.sql import functions as F
 
 
 class IncrementalDedup:
-    """Stateful wrapper owning the three stores under ``store_dir``:
-    ``corpus/`` (surviving docs), ``digests/`` (one md5 column),
-    ``bands/`` (id, band, band_hash)."""
+    """Stateful wrapper owning the three stores under ``store_dir``,
+    each hive-partitioned by ``batch_id``: ``corpus/`` (surviving
+    docs), ``digests/`` (id, md5), ``bands/`` (id, band, band_hash).
+    Store format note: not mixable with a flat pre-partitioned layout
+    from an older version — use a fresh ``store_dir``."""
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, text_col: str,
@@ -71,27 +76,46 @@ class IncrementalDedup:
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """The foreachBatch body: dedup ``batch`` against the stores,
-        append survivors. Safe to call directly for batch backfills."""
+        write the survivors' three partitions. Safe to call directly
+        for batch backfills — give each backfill batch a DISTINCT
+        ``batch_id`` (it keys the per-store ``batch_id=N`` partition).
+
+        Replay-safe at any crash position: both stored indexes are
+        queried with the batch's OWN ids excluded, so a retry after a
+        partial write recomputes exactly the first attempt's survivor
+        set (the batch content is offset-identical under the
+        foreachBatch checkpoint contract) and the per-partition
+        overwrites replace whichever of the three writes landed —
+        store rows can neither duplicate nor be lost."""
+        from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.dedup import (
             cross_corpus_exact_dedup, incremental_lsh_pairs, lsh_bands)
         id_c, text_c = self.id_col, self.text_col
 
-        digests = self._load("digests", "digest string")
-        # Exact pass against the stored digest index (empty store ⇒
-        # pure in-batch dedup); content of the historical corpus is
-        # never re-read.
+        batch = pin(batch)
+        ids = batch.select(id_c)
+        digests = self._load(
+            "digests", f"{id_c} long, digest string, batch_id int") \
+            .join(ids, id_c, "left_anti")
+        # Exact pass against the stored digest index minus this
+        # batch's own (possibly partially-written) rows (empty store ⇒
+        # pure in-batch dedup); historical corpus text is never
+        # re-read.
         exact = cross_corpus_exact_dedup(batch, digests, id_c,
                                          [text_c],
                                          corpus_digest_col="digest")
 
-        # Near-dup pass against the band index; colliding batch docs
-        # (vs corpus, or vs a smaller-id batch doc) drop.
-        bands_schema = f"{id_c} long, band int, band_hash string"
-        band_index = self._load("bands", bands_schema)
+        # Near-dup pass against the band index, own rows excluded for
+        # the same replay reason; colliding batch docs (vs corpus, or
+        # vs a smaller-id batch doc) drop.
+        band_index = self._load(
+            "bands",
+            f"{id_c} long, band int, band_hash string, batch_id int") \
+            .join(ids, id_c, "left_anti") \
+            .select(id_c, "band", "band_hash")
         pairs = incremental_lsh_pairs(
             exact, band_index, id_c, text_c, self.n, self.num_hashes,
             self.rows_per_band, max_bucket=self.max_bucket)
-        from wp_etl_migration_spark.operators.checkpoint import pin
         # Drop convention keeps the smallest id: a batch doc colliding
         # with the corpus always drops (it IS id_new), but a new x new
         # pair arrives as (id_new < id_other), so the LARGER id_other
@@ -99,21 +123,24 @@ class IncrementalDedup:
         losers = (pairs.select(
             F.when(F.col("other_is_new"), F.col("id_other"))
             .otherwise(F.col("id_new")).alias(id_c)).distinct())
-        # Pin before the three appends: survivors is read 3x and its
-        # lineage includes the stores being appended to — without the
+        # Pin before the three writes: survivors is read 3x and its
+        # lineage includes the stores being written — without the
         # pin the later writes could re-scan a store mid-mutation.
         survivors = pin(exact.join(losers, id_c, "left_anti"))
 
-        # Extend the stores with the survivors.
-        survivors.drop("__digest").write.mode("append") \
-            .parquet(self._path("corpus"))
-        survivors.select(F.col("__digest").alias("digest")) \
-            .write.mode("append").parquet(self._path("digests"))
+        part = f"batch_id={int(batch_id)}"
+        survivors.drop("__digest").write.mode("overwrite") \
+            .parquet(self._path(f"corpus/{part}"))
+        survivors.select(F.col(id_c).cast("long"),
+                         F.col("__digest").alias("digest")) \
+            .write.mode("overwrite") \
+            .parquet(self._path(f"digests/{part}"))
         lsh_bands(survivors, id_c, text_c, self.n, self.num_hashes,
                   self.rows_per_band) \
             .select(F.col(id_c).cast("long"), F.col("band").cast("int"),
                     "band_hash") \
-            .write.mode("append").parquet(self._path("bands"))
+            .write.mode("overwrite") \
+            .parquet(self._path(f"bands/{part}"))
 
     def run_stream(self, stream: DataFrame,
                    checkpoint_dir: str | None = None,
