@@ -32,6 +32,9 @@ EXEMPT = {
     # same pattern: the corpus token total (one row) broadcast against
     # the <= top_k vocabulary rows.
     "vocab_topk": ("BroadcastNestedLoopJoin",),
+    # same pattern: the corpus doc total (one row) broadcast against
+    # the per-domain count rows (operators/urls.domain_stats).
+    "domain_stats": ("BroadcastNestedLoopJoin",),
 }
 
 

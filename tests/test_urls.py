@@ -1,0 +1,128 @@
+"""URL operator tests: parsing edge cases, normalization, registered
+domains, blocklist joins, per-domain stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.operators.urls import (
+    domain_stats, join_domain_blocklist, normalize_url,
+    registered_domain, strip_tracking_params, url_host, url_path,
+    url_port, url_query, url_scheme)
+
+
+def _one(spark, url, col):
+    return spark.createDataFrame([(url,)], ["u"]) \
+        .select(col("u").alias("v")).first().v
+
+
+def test_parse_parts(spark):
+    u = "HTTPS://Docs.Example.CO.UK:8443/a/b?x=1&y=2#frag"
+    assert _one(spark, u, url_scheme) == "https"
+    assert _one(spark, u, url_host) == "docs.example.co.uk"
+    assert _one(spark, u, url_port) == "8443"
+    assert _one(spark, u, url_path) == "/a/b"
+    assert _one(spark, u, url_query) == "x=1&y=2"
+
+
+def test_parse_no_scheme_and_bare_host(spark):
+    assert _one(spark, "not a url", url_scheme) == ""
+    assert _one(spark, "not a url", url_host) == ""
+    assert _one(spark, "http://host", url_path) == ""
+    assert _one(spark, "http://host", url_query) == ""
+    assert _one(spark, "http://host/p", url_port) == ""
+
+
+def test_registered_domain(spark):
+    cases = {
+        "docs.example.co.uk": "example.co.uk",
+        "example.co.uk": "example.co.uk",
+        "a.b.c.example.com": "example.com",
+        "example.com": "example.com",
+        "localhost": "localhost",
+        "co.uk": "co.uk",          # 2 labels: kept as-is
+        "shop.example.com.au": "example.com.au",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["h"])
+    got = {r.h: r.d for r in
+           df.select("h", registered_domain("h").alias("d")).collect()}
+    assert got == cases
+
+
+def test_strip_tracking_params(spark):
+    assert _one(spark, "a=1&utm_source=x&b=2",
+                strip_tracking_params) == "a=1&b=2"
+    assert _one(spark, "utm_campaign=y", strip_tracking_params) == ""
+    assert _one(spark, "", strip_tracking_params) == ""
+    # exact-name trackers drop; 'refresh=1' must NOT (prefix ≠ exact)
+    assert _one(spark, "ref=abc&refresh=1&gclid=9",
+                strip_tracking_params) == "refresh=1"
+
+
+def test_normalize_url(spark):
+    cases = {
+        # default ports drop, path defaults to /
+        "HTTP://WWW.Example.COM:80?utm_source=a#f":
+            "http://www.example.com/",
+        "https://example.com:443/x": "https://example.com/x",
+        # non-default port survives; param order preserved
+        "https://example.com:8080/x?b=2&a=1#frag":
+            "https://example.com:8080/x?b=2&a=1",
+        # tracking-only query drops its '?'
+        "https://example.com/p?fbclid=z": "https://example.com/p",
+        # no scheme: untouched
+        "mailto:x@example.com": "mailto:x@example.com",
+        "/relative/path?utm_source=x": "/relative/path?utm_source=x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {r.u: r.n for r in
+           df.select("u", normalize_url("u").alias("n")).collect()}
+    assert got == cases
+
+
+def test_normalize_is_dedup_key(spark):
+    """The normalization collapses click-id variants of one page."""
+    urls = ["https://Example.com/p?utm_source=a",
+            "https://example.com:443/p?utm_medium=b",
+            "https://example.com/p"]
+    df = spark.createDataFrame([(u,) for u in urls], ["u"])
+    assert df.select(normalize_url("u").alias("n")) \
+        .distinct().count() == 1
+
+
+def test_blocklist_modes(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.spam.example/x"),
+         (2, "https://ok.example.org/y"),
+         (3, "https://deep.sub.spam.example/z")], ["id", "url"])
+    blocked = spark.createDataFrame([("spam.example",)], ["domain"])
+    kept = join_domain_blocklist(df, blocked, "url", mode="block")
+    assert sorted(r.id for r in kept.collect()) == [2]
+    allowed = join_domain_blocklist(df, blocked, "url", mode="allow")
+    assert sorted(r.id for r in allowed.collect()) == [1, 3]
+    assert kept.columns == ["id", "url"]
+
+
+def test_domain_stats_shares(spark):
+    df = spark.createDataFrame(
+        [(f"https://{h}/p",) for h in
+         ["a.example.com", "b.example.com", "example.com",
+          "other.org"]], ["url"])
+    got = {r.domain: (r.n_docs, r.share)
+           for r in domain_stats(df, "url").collect()}
+    assert got == {"example.com": (3, 0.75), "other.org": (1, 0.25)}
+
+
+def test_no_python_udf_in_plans(spark):
+    """Everything stays JVM-side: no BatchEvalPython in any URL plan."""
+    df = spark.createDataFrame([("https://x.example.co.uk/p?a=1",)],
+                               ["url"])
+    plans = [
+        df.select(normalize_url("url"),
+                  registered_domain(url_host("url")))
+        ._jdf.queryExecution().executedPlan().toString(),
+        domain_stats(df, "url")
+        ._jdf.queryExecution().executedPlan().toString(),
+    ]
+    for p in plans:
+        assert "BatchEvalPython" not in p

@@ -3456,6 +3456,157 @@ def q_wp_post_all(spark, sf_dir):
     return spark.read.json(path)
 
 
+def _synthetic_urls(spark, sf_dir):
+    """Deterministic URL column over documents (the testdata carries no
+    URLs): subdomain/suffix/port/query variants cycle on doc_id so the
+    URL operators see mixed-case schemes, multi-label public suffixes,
+    default and explicit ports, tracking and real params, fragments.
+    The oracles rebuild the identical string with CASE arms."""
+    d = _t(spark, sf_dir).documents()
+    m = lambda k: F.col("doc_id") % k  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(m(3) == 0, "WWW.").when(m(3) == 1, "")
+            .otherwise("cdn."),
+            F.col("source"),
+            F.when(m(4) == 0, ".com").when(m(4) == 1, ".co.uk")
+            .when(m(4) == 2, ".org").otherwise(".com.au"),
+            F.when(m(5) == 0, ":443").when(m(5) == 1, ":8080")
+            .otherwise(""),
+            F.lit("/p/"), F.col("doc_id").cast("string"),
+            F.when(m(2) == 0, "?a=1&utm_source=feed&b=2")
+            .otherwise("?utm_campaign=x"),
+            F.lit("#s")).alias("url"))
+
+
+#: The URL construction above, verbatim in SQL (shared by both URL
+#: oracles).
+_SQL_URLS = """
+  SELECT doc_id,
+    'HTTPS://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN '' ELSE 'cdn.' END
+    || source
+    || CASE WHEN doc_id % 4 = 0 THEN '.com'
+            WHEN doc_id % 4 = 1 THEN '.co.uk'
+            WHEN doc_id % 4 = 2 THEN '.org' ELSE '.com.au' END
+    || CASE WHEN doc_id % 5 = 0 THEN ':443'
+            WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+    || '/p/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '?a=1&utm_source=feed&b=2'
+            ELSE '?utm_campaign=x' END
+    || '#s' AS url
+  FROM documents
+"""
+
+#: registered_domain in SQL over a ``host`` column (DuckDB list
+#: negative indexing ≙ element_at(-k)); suffix list must stay in sync
+#: with operators.urls.TWO_LABEL_SUFFIXES (tests assert the Spark
+#: side; the parity run catches drift).
+_SQL_REG_DOMAIN = """
+  CASE WHEN len(string_split(host, '.')) >= 3
+        AND (string_split(host, '.')[-2] || '.'
+             || string_split(host, '.')[-1]) IN
+            ('co.uk','org.uk','ac.uk','gov.uk','me.uk','com.au',
+             'net.au','org.au','co.nz','co.jp','ne.jp','or.jp',
+             'ac.jp','com.br','com.cn','com.mx','com.ar','com.tr',
+             'com.sg','co.in','co.kr','co.za','co.id','com.hk',
+             'com.tw')
+       THEN string_split(host, '.')[-3] || '.'
+            || string_split(host, '.')[-2] || '.'
+            || string_split(host, '.')[-1]
+       WHEN len(string_split(host, '.')) >= 2
+       THEN string_split(host, '.')[-2] || '.'
+            || string_split(host, '.')[-1]
+       ELSE host END
+"""
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL parsing + canonicalization over synthetic per-document URLs
+    (operators/urls.py — the pre-dedup normalization every web corpus
+    runs): scheme/host lower-cased, default ports dropped, tracking
+    params stripped with order preserved, fragment dropped, registered
+    domain extracted through the multi-label public-suffix rule. The
+    oracle reimplements the full rule chain in SQL over the identical
+    synthetic URLs."""
+    from wp_etl_migration_spark.operators.urls import (
+        normalize_url, registered_domain, strip_tracking_params,
+        url_host, url_path, url_query)
+    u = _synthetic_urls(spark, sf_dir)
+    host = url_host("url")
+    return u.select(
+        "doc_id",
+        normalize_url("url").alias("norm_url"),
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+        url_path("url").alias("path_part"),
+        strip_tracking_params(url_query("url")).alias("query_kept"))
+
+
+ORACLE_URL_NORMALIZE = rf"""
+WITH u AS ({_SQL_URLS}),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path_part,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM u),
+norm AS (
+  SELECT doc_id, scheme,
+    regexp_extract(hostport, '^([^:]*)', 1) AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path_part,
+    coalesce(array_to_string(list_filter(string_split(q, '&'),
+      p -> NOT regexp_matches(p,
+        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref|igshid)=')
+        AND p <> ''), '&'), '') AS query_kept
+  FROM parts)
+SELECT doc_id,
+  scheme || '://' || host
+  || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+           OR (scheme = 'https' AND port = '443'))
+          THEN ':' || port ELSE '' END
+  || CASE WHEN path_part = '' THEN '/' ELSE path_part END
+  || CASE WHEN query_kept = '' THEN ''
+          ELSE '?' || query_kept END AS norm_url,
+  host, {_SQL_REG_DOMAIN} AS domain, path_part, query_kept
+FROM norm
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registered-domain corpus composition (operators/urls.py
+    domain_stats — the input to domain-cap/mixture decisions): doc
+    counts and exact-ratio corpus share, grand total via broadcast
+    one-row cross join (never a single-reducer window)."""
+    from wp_etl_migration_spark.operators.urls import domain_stats
+    return domain_stats(_synthetic_urls(spark, sf_dir), "url")
+
+
+ORACLE_DOMAIN_STATS = f"""
+WITH u AS ({_SQL_URLS}),
+hosts AS (
+  SELECT regexp_extract(
+      lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
+      '^([^:]*)', 1) AS host
+  FROM u),
+counts AS (
+  SELECT {_SQL_REG_DOMAIN} AS domain, COUNT(*) AS n_docs
+  FROM hosts GROUP BY 1)
+SELECT domain, n_docs,
+  CAST(n_docs AS DOUBLE)
+    / CAST((SELECT SUM(n_docs) FROM counts) AS DOUBLE) AS share
+FROM counts
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -3626,6 +3777,12 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # test + the benched headline row).
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
     "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
+    # r6: URL operators (operators/urls.py — web-corpus normalization,
+    # registered domains, per-domain composition). New this round,
+    # never yet driver-witnessed → r7 rotation candidates alongside
+    # corpus_report/profile_diff above.
+    "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
+    "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
     # r6: the composed CSV→preset→staged-sinks→ledger journey as a
     # benched headline row (VERDICT r5 #3). Multi-sink pipelines have
     # no natural single SQL oracle; the golden contract lives in
