@@ -126,3 +126,83 @@ def test_no_python_udf_in_plans(spark):
     ]
     for p in plans:
         assert "BatchEvalPython" not in p
+
+
+# --------------------------------------------------------- properties
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_LABEL = st.text(alphabet="abcXYZ09-", min_size=1, max_size=6)
+_PARAM = st.sampled_from(
+    ["a=1", "b=2", "utm_source=x", "utm_campaign=y", "fbclid=1",
+     "gclid=z", "refresh=1", "ref=h", ""])
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "HTTPS", "ftp", ""]))
+    if not scheme:
+        # scheme-less values must pass through normalize unchanged
+        return draw(st.text(
+            alphabet=st.characters(min_codepoint=0x20,
+                                   max_codepoint=0x7E), max_size=30))
+    host = ".".join(draw(st.lists(_LABEL, min_size=1, max_size=4)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(st.sampled_from(["", "/", "/x", "/x/y.html"]))
+    q = "&".join(draw(st.lists(_PARAM, max_size=4)))
+    frag = draw(st.sampled_from(["", "#f", "#a/b?c=1"]))
+    return (scheme + "://" + host + port + path
+            + ("?" + q if q else "") + frag)
+
+
+_SETTINGS = dict(max_examples=15, deadline=None,
+                 suppress_health_check=[
+                     HealthCheck.function_scoped_fixture])
+
+#: normalize_url's rule chain as DuckDB SQL over a ``u`` column —
+#: textually mirrors ORACLE_URL_NORMALIZE in queries.py.
+_DUCK_NORM = r"""
+WITH parts AS (
+  SELECT u,
+    lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(u,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(u,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pathp,
+    regexp_extract(u, '\?([^#]*)', 1) AS q
+  FROM (SELECT ? AS u)),
+norm AS (
+  SELECT u, scheme,
+    regexp_extract(hostport, '^([^:]*)', 1) AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port, pathp,
+    coalesce(array_to_string(list_filter(string_split(q, '&'),
+      p -> NOT regexp_matches(p,
+        '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref|igshid)=')
+        AND p <> ''), '&'), '') AS qk
+  FROM parts)
+SELECT CASE WHEN scheme = '' THEN u ELSE
+  scheme || '://' || host
+  || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+           OR (scheme = 'https' AND port = '443'))
+          THEN ':' || port ELSE '' END
+  || CASE WHEN pathp = '' THEN '/' ELSE pathp END
+  || CASE WHEN qk = '' THEN '' ELSE '?' || qk END END
+FROM norm
+"""
+
+
+@given(urls=st.lists(_urls(), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_normalize_idempotent_and_matches_duckdb(spark, urls):
+    import duckdb
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        normalize_url("u").alias("once"),
+        normalize_url(normalize_url("u")).alias("twice")).collect()
+    con = duckdb.connect()
+    for (u, r) in zip(urls, rows):
+        assert r.twice == r.once, f"not idempotent: {u!r}"
+        want = con.execute(_DUCK_NORM, [u]).fetchone()[0]
+        assert r.once == want, f"engine mismatch on {u!r}"
