@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     # tracked wall time — the reference's actual end-to-end workload,
     # not just its pieces. Timing includes the sink writes.
     "wp_post_all",
+    # r6: URL toolkit — regex parse + canonicalization + registered
+    # domain (url_normalize) and the per-domain composition agg
+    # (domain_stats), the pre-dedup pass of every web corpus.
+    "url_normalize",
+    "domain_stats",
     # ann_index_topk is parity-checked + unit-tested but not benched:
     # the parity row pins the bit-exact expression rescore (the
     # operator's default is the ~3x-faster Arrow/BLAS cogroup), and

@@ -143,18 +143,29 @@ def normalize_url(col: Column | str) -> Column:
 
 def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
                           url_col: str, domain_col: str = "domain",
-                          mode: str = "block") -> DataFrame:
-    """Filter ``df`` by a (possibly large) domain list: anti-join on
-    the registered domain (``mode='block'``) or semi-join
-    (``mode='allow'``). The blocklist side is at most millions of
-    (domain) rows next to a 100 TB corpus, so it is broadcast — the
-    corpus streams through map-side, document text never shuffles."""
+                          mode: str = "block",
+                          broadcast: bool = True) -> DataFrame:
+    """Filter ``df`` by a domain list: anti-join on the registered
+    domain (``mode='block'``) or semi-join (``mode='allow'``).
+
+    ``broadcast=True`` (default) pins the list map-side — right for
+    the usual curated lists (thousands to low millions of rows):
+    document rows stream through, nothing shuffles. For a list too
+    big to broadcast (a full crawl-wide reputation table), pass
+    ``broadcast=False`` to shuffle both sides on the domain instead —
+    still only (domain) keys plus ``df``'s rows move, and the hot-key
+    skew of real domain distributions sits on the PROBE side of a
+    semi/anti join (every probe row of one key lands in one reducer
+    with a single build row), which AQE's skew-join splitting
+    handles; the blocklist side is distinct-keyed by construction."""
     if mode not in ("block", "allow"):
         raise ValueError("mode must be 'block' or 'allow'")
     tagged = df.withColumn("__dom", registered_domain(url_host(url_col)))
     right = blocklist.select(F.col(domain_col).alias("__dom")).distinct()
+    if broadcast:
+        right = F.broadcast(right)
     how = "left_anti" if mode == "block" else "left_semi"
-    return tagged.join(F.broadcast(right), "__dom", how).drop("__dom")
+    return tagged.join(right, "__dom", how).drop("__dom")
 
 
 def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
