@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     # (domain_stats), the pre-dedup pass of every web corpus.
     "url_normalize",
     "domain_stats",
+    # r6: iterative graph rank (3 pinned power steps over the
+    # customer↔supplier bipartite graph; integer fixed-point).
+    "pagerank",
     # ann_index_topk is parity-checked + unit-tested but not benched:
     # the parity row pins the bit-exact expression rescore (the
     # operator's default is the ~3x-faster Arrow/BLAS cogroup), and

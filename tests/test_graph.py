@@ -569,3 +569,65 @@ def test_fuzzy_join_two_tables(spark):
         fuzzy_join(crawl.withColumnRenamed("crawl_id", "id"),
                    users.withColumnRenamed("user_id", "id"),
                    "id", "author", "id", "name")
+
+
+# ----------------------------------------------------------- pagerank
+
+def _pagerank_py(edges, iterations, num=85, den=100, scale=10 ** 9,
+                 undirected=False):
+    """Independent driver-side reference: dict-based, same integer
+    fixed-point contract."""
+    if undirected:
+        edges = edges + [(v, u) for (u, v) in edges]
+    edges = sorted(set(edges))
+    outdeg = {}
+    nodes = set()
+    for u, v in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+        nodes.update((u, v))
+    base = (scale * (den - num)) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {n: base + (num * s[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_matches_reference(spark):
+    from wp_etl_migration_spark.operators.graph import pagerank
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 1), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for undirected in (False, True):
+        got = {r.node: r.rank for r in
+               pagerank(df, iterations=3,
+                        undirected=undirected).collect()}
+        assert got == _pagerank_py(edges, 3, undirected=undirected)
+
+
+def test_pagerank_dangling_and_hub(spark):
+    """Hub accumulates rank; a dangling node keeps base+in mass and
+    its outflow leaks (documented weak-PageRank semantics)."""
+    from wp_etl_migration_spark.operators.graph import pagerank
+    # star: everyone points at 9; 9 points nowhere (dangling)
+    edges = [(i, 9) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(df, iterations=2).collect()}
+    assert got == _pagerank_py(edges, 2)
+    assert got[9] == max(got.values())
+    # spokes have no in-edges: exactly the base mass
+    assert got[1] == (10 ** 9 * 15) // 100
+
+
+def test_pagerank_partition_invariant(spark):
+    """Integer sums commute: forced wide shuffles give the identical
+    ranks (the float version of this test would flake)."""
+    from wp_etl_migration_spark.operators.graph import pagerank
+    edges = [(i, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.node: r.rank
+         for r in pagerank(df, iterations=4).collect()}
+    b = {r.node: r.rank
+         for r in pagerank(df.repartition(16), iterations=4).collect()}
+    assert a == b == _pagerank_py(edges, 4)

@@ -3607,6 +3607,55 @@ FROM counts
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (operators/graph.pagerank — the
+    domain-quality-weighting rank of web-corpus curation) over the
+    undirected customer↔supplier interaction graph (supplier ids
+    offset into their own node range), 3 power steps. Integer
+    arithmetic makes every rank an exact BIGINT, so the oracle is a
+    bit-exact unrolled-CTE power iteration."""
+    from wp_etl_migration_spark.operators.graph import pagerank
+    t = _t(spark, sf_dir)
+    edges = (t.lineitem().join(
+        t.orders(),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1000000).alias("dst")))
+    return pagerank(edges, iterations=3, undirected=True)
+
+
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled power-iteration SQL mirroring pagerank()'s integer
+    contract (scale 1e9, damping 85/100, undirected customer↔supplier
+    edges)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+s{i} AS (SELECT e.v AS node, SUM({prev}.r // g.d) AS s
+  FROM ed e JOIN {prev} ON {prev}.node = e.u
+  JOIN deg g ON g.u = e.u GROUP BY e.v),
+r{i} AS (SELECT n.node,
+  CAST(150000000 + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{i} ON s{i}.node = n.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH raw AS (
+  SELECT o_custkey AS u, l_suppkey + 1000000 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ed AS (SELECT DISTINCT u, v FROM (
+  SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw)),
+deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY u),
+nodes AS (SELECT DISTINCT u AS node FROM ed),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT node, r AS rank FROM {prev}
+"""
+
+
+ORACLE_PAGERANK = _pagerank_oracle(3)
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -3783,6 +3832,9 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # corpus_report/profile_diff above.
     "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
     "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
+    # r6: fixed-point integer PageRank (domain-quality weighting) —
+    # also never driver-witnessed → r7 rotation candidate.
+    "pagerank": (q_pagerank, ORACLE_PAGERANK),
     # r6: the composed CSV→preset→staged-sinks→ledger journey as a
     # benched headline row (VERDICT r5 #3). Multi-sink pipelines have
     # no natural single SQL oracle; the golden contract lives in
