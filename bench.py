@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     # r6: iterative graph rank (3 pinned power steps over the
     # customer↔supplier bipartite graph; integer fixed-point).
     "pagerank",
+    # r6: the composed LLM training-prep journey (gates -> dedup
+    # recipe -> packing -> shuffled shard write -> read-back check)
+    # as ONE tracked wall time, writes included — the pretraining
+    # twin of wp_post_all.
+    "training_prep_all",
     # ann_index_topk is parity-checked + unit-tested but not benched:
     # the parity row pins the bit-exact expression rescore (the
     # operator's default is the ~3x-faster Arrow/BLAS cogroup), and

@@ -3656,6 +3656,75 @@ SELECT node, r AS rank FROM {prev}
 ORACLE_PAGERANK = _pagerank_oracle(3)
 
 
+def q_training_prep_all(spark, sf_dir):
+    """The composed LLM training-data preparation journey as ONE run —
+    the pretraining twin of q_wp_post_all: quality gates (observed
+    drop counts) → one-call dedup recipe (exact → MinHash-LSH verify →
+    components) → sequence packing at 512 tokens → deterministic
+    shuffled shard write with token manifest → read-back verification.
+
+    Returns the per-shard summary (shard, n_rows, n_tokens) read back
+    from the WRITTEN shards, cross-checked against the manifest — the
+    stable, content-addressed contract a downstream loader sees. No
+    single SQL oracle (multi-stage + filesystem sink); the golden
+    witness lives in tests/test_training_prep_all.py."""
+    import os
+    import shutil
+
+    from wp_etl_migration_spark.operators.dedup import dedup_documents
+    from wp_etl_migration_spark.operators.gates import apply_gates
+    from wp_etl_migration_spark.operators.packing import pack_sequences
+    from wp_etl_migration_spark.operators.textstats import (
+        quality_score, token_count)
+    from wp_etl_migration_spark.sinks.training import (
+        write_training_shards)
+
+    docs = _t(spark, sf_dir).documents()
+    gated, obs = apply_gates(docs, {
+        "lang": F.col("lang").isin("en", "de", "fr"),
+        "min_tokens": token_count("text") >= F.lit(8),
+        "quality": quality_score("text") >= F.lit(0.25),
+    })
+    from wp_etl_migration_spark.operators.checkpoint import pin
+    # pin: the dedup recipe's lineage (signatures, band join, verify,
+    # components) feeds BOTH the packing input and the text join-back
+    # below — without the pin it would execute twice.
+    deduped = pin(dedup_documents(gated, "doc_id", "text",
+                                  num_hashes=8, rows_per_band=2,
+                                  verify_threshold=0.7,
+                                  max_doc_freq=100))
+    packed = pack_sequences(
+        deduped.select("doc_id", token_count("text").alias("n_tokens")),
+        "doc_id", "n_tokens", seq_len=512)
+    rows = (deduped.select("doc_id", "text", "lang")
+            .join(packed, "doc_id"))
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "training_prep_run_"
+        + os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(out, ignore_errors=True)
+    manifest = write_training_shards(rows, out, "doc_id", n_shards=8,
+                                     salt="prep|",
+                                     tokens_col="n_tokens")
+    # gate observability resolved by the shard write's action
+    assert obs.get["total"] >= obs.get["kept"]
+
+    back = (spark.read.parquet(out)
+            .groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+    # the read-back MUST agree with the manifest the writer minted
+    got = {r.shard: (r.n_rows, r.n_tokens) for r in back.collect()}
+    want = {s: (m["rows"], m["tokens"])
+            for s, m in manifest["shards"].items()}
+    if got != want:
+        raise AssertionError(
+            f"shard read-back disagrees with manifest: {got} != {want}")
+    return back
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
@@ -3841,6 +3910,12 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # tests/test_wp_post_all.py (ledger count + content hash + sink
     # table counts at sf0.01).
     "wp_post_all": (q_wp_post_all, None),
+    # r6: the composed LLM training-prep journey (gates → dedup
+    # recipe → packing → shuffled shard write → read-back check) —
+    # same contract style as wp_post_all: no single SQL oracle,
+    # golden witness in tests/test_training_prep_all.py, benched
+    # headline row.
+    "training_prep_all": (q_training_prep_all, None),
     "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
     "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
