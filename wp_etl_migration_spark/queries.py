@@ -3738,22 +3738,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "media_dedupe_lookup": (q_media_dedupe_lookup, ORACLE_MEDIA_DEDUPE),
     "date_validate": (q_date_validate, ORACLE_DATE_VALIDATE),
     "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
-    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
     "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
     "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
     "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
     "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
-    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
-    "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
     "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
-    "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
     # Rotated IN from EXTRA_REGISTRY in r4 (driver-oracle coverage
     # rotation — every family gets an independent driver-verified
     # pass over time):
@@ -3814,6 +3809,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "keywords": (q_keywords, ORACLE_KEYWORDS),
     "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
+    # Second r6 rotation wave — this round's NEW queries get driver
+    # CORRECTNESS rows immediately instead of waiting for r7: the URL
+    # toolkit, integer PageRank, and the two freshly oracle-ified
+    # diagnostics. Displaced long-green rows (regional_revenue,
+    # ivf_ann_topk, text_quality, sessionization, media_decode — all
+    # green r1-r5) move to EXTRA_REGISTRY with families still
+    # driver-covered (shipping_priority/grouping_sets for TPC-H aggs,
+    # ann_lsh_topk/ann_index_topk/embedding_near_dup for ANN,
+    # script_fractions/pii_scrub/trigram_lm_score for text stats,
+    # event_window_agg for event windows, multimodal_features for
+    # multimodal).
+    "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
+    "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
+    "pagerank": (q_pagerank, ORACLE_PAGERANK),
+    "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
+    "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
 }
 
 
@@ -3886,24 +3897,20 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # five of the round's additions were promoted to REGISTRY in the
     # second rotation wave, the rest stay here):
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    # r6: the two formerly no-contract diagnostics, oracle-ified
-    # (VERDICT r5 #8): corpus_report's integer fields + lang
-    # histogram, and profile_diff's full status matrix. These are the
-    # natural r7 rotation candidates (new this round, never yet a
-    # driver CORRECTNESS row); wp_post_all below cannot take a
-    # hash-checked slot (no SQL oracle — its witness is the golden
-    # test + the benched headline row).
-    "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
-    "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
-    # r6: URL operators (operators/urls.py — web-corpus normalization,
-    # registered domains, per-domain composition). New this round,
-    # never yet driver-witnessed → r7 rotation candidates alongside
-    # corpus_report/profile_diff above.
-    "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
-    "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
-    # r6: fixed-point integer PageRank (domain-quality weighting) —
-    # also never driver-witnessed → r7 rotation candidate.
-    "pagerank": (q_pagerank, ORACLE_PAGERANK),
+    # r6 created five new parity queries here (the oracle-ified
+    # corpus_report/profile_diff diagnostics per VERDICT r5 #8, the
+    # URL toolkit's url_normalize/domain_stats, and pagerank); the
+    # second r6 rotation wave promoted ALL FIVE to REGISTRY so every
+    # r6-new query gets its driver witness this round. wp_post_all /
+    # training_prep_all cannot take hash-checked slots (no SQL oracle
+    # — their witnesses are the goldens + benched headline rows).
+    # Rotated OUT in the second r6 wave (long-green; families stay
+    # driver-covered — see the REGISTRY note):
+    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
+    "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
+    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
     # r6: the composed CSV→preset→staged-sinks→ledger journey as a
     # benched headline row (VERDICT r5 #3). Multi-sink pipelines have
     # no natural single SQL oracle; the golden contract lives in
