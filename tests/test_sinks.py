@@ -439,3 +439,44 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(path).collect()))
     b = sorted(map(tuple, spark.read.parquet(path2).collect()))
     assert a == b
+
+
+def test_write_training_shards_jsonl_gzip(spark, tmp_path):
+    """fmt='json' + gzip produces the JSONL(.gz) layout dataloader
+    stacks stream: same shard membership/order/manifest as parquet,
+    files gzip-compressed, rows JSON-parseable line by line."""
+    import glob
+    import gzip
+    import json as _json
+    from wp_etl_migration_spark.sinks.training import (
+        write_training_shards)
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id") % 5 + 1).alias("n_tokens"))
+    p_par = str(tmp_path / "par")
+    p_jl = str(tmp_path / "jl")
+    man_par = write_training_shards(df, p_par, "doc_id", n_shards=3,
+                                    salt="v1", tokens_col="n_tokens")
+    man_jl = write_training_shards(df, p_jl, "doc_id", n_shards=3,
+                                   salt="v1", tokens_col="n_tokens",
+                                   fmt="json", compression="gzip")
+    assert man_jl == man_par
+
+    back = spark.read.json(p_jl)
+    a = sorted(map(tuple, spark.read.parquet(p_par)
+                   .select("doc_id", "text", "n_tokens", "pos",
+                           "shard").collect()))
+    b = sorted(map(tuple, back
+                   .select("doc_id", "text", "n_tokens", "pos",
+                           "shard").collect()))
+    assert a == b
+    # a plain dataloader (no Spark) can stream a shard line by line
+    files = sorted(glob.glob(f"{p_jl}/shard=0/*.json.gz"))
+    assert files
+    rows = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            rows += [_json.loads(line) for line in fh]
+    assert rows and all(r["text"].startswith("doc ") for r in rows)
+    assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)

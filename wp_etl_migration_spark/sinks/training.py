@@ -27,8 +27,10 @@ from wp_etl_migration_spark.operators.sampling import global_shuffle
 
 def write_training_shards(df: DataFrame, path: str, id_col: str,
                           n_shards: int, salt: str = "",
-                          tokens_col: str | None = None) -> dict:
-    """Write ``df`` as ``path/shard=N/*.parquet`` in deterministic
+                          tokens_col: str | None = None,
+                          fmt: str = "parquet",
+                          compression: str | None = None) -> dict:
+    """Write ``df`` as ``path/shard=N/*.<fmt>`` in deterministic
     shuffled order plus a ``path/_manifest.json`` (underscore-prefixed
     so dataset readers skip it, like ``_SUCCESS``); returns the
     manifest dict: {n_shards, n_rows, shards: {N: {rows, tokens?}}}.
@@ -36,12 +38,22 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     ``tokens_col`` (e.g. the corpus pipeline's ``n_tokens``) adds
     per-shard token totals to the manifest — what a sampler needs to
     weight shards.
+
+    ``fmt`` is any Spark batch sink format: ``parquet`` (default) for
+    columnar loaders, ``json`` for the JSONL(.gz) layout most
+    tokenizer/dataloader stacks stream (pass
+    ``compression='gzip'``/'zstd'); same layout, ordering and manifest
+    either way.
     """
     shuffled = global_shuffle(df, id_col, n_shards, salt=salt)
-    (shuffled
-     .repartition(n_shards, "shard")
-     .sortWithinPartitions("shard", "pos")
-     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    writer = (shuffled
+              .repartition(n_shards, "shard")
+              .sortWithinPartitions("shard", "pos")
+              .write.mode("overwrite").partitionBy("shard")
+              .format(fmt))
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.save(path)
 
     aggs = [F.count("*").alias("rows")]
     if tokens_col is not None:
