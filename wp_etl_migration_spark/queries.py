@@ -3752,11 +3752,35 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # Rotated IN from EXTRA_REGISTRY in r4 (driver-oracle coverage
     # rotation — every family gets an independent driver-verified
     # pass over time):
-    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
-    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
-    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
     "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
+    # r7 rotation wave — the FINAL 9 never-driver-witnessed SQL-oracled
+    # queries (VERDICT r6 "Next round" #1; verified against the union
+    # of CORRECTNESS_r01..r06 keys) get driver CORRECTNESS rows. After
+    # this round the never-witnessed set is exactly the two composed
+    # journeys (wp_post_all, training_prep_all), whose contract is the
+    # pinned goldens by design. Displaced long-green rows
+    # (semantic_dedup, kmeans_centroids, rolling_window,
+    # bigram_lm_score, global_shuffle_shards, quantize_embeddings,
+    # chunk_documents, keywords, train_val_test — all green r4-r6)
+    # move to EXTRA_REGISTRY with families still driver-covered:
+    # dedup via minhash_lsh_dedup/line_dedup/cross_corpus_dedup/
+    # dedup_pipeline/simhash_near_dup/embedding_near_dup; k-means via
+    # the incoming cluster_centroids; windows via event_window_agg/
+    # range_join; LM scoring via trigram_lm_score; sampling/shards via
+    # domain_cap/quantile_band + incoming hash_sample/weighted_sample;
+    # embeddings via ann_index_topk/ann_lsh_topk; textstats via
+    # script_fractions/vocab_topk + incoming repetition_stats/
+    # gopher_quality/shared_gram_stats.
+    "array_ops": (q_array_ops, ORACLE_ARRAY_OPS),
+    "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
+    "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
+    "gopher_quality": (q_gopher_quality, ORACLE_GOPHER),
+    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     # Second r4 rotation wave: the round's new training-pipeline
     # families get driver-verified rows; displaced rows
     # (snake_scrub_rename, placeholder_subst, unpack_roundtrip,
@@ -3764,9 +3788,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     # in EXTRA_REGISTRY and their families stay driver-covered
     # (prefix_pipeline, sanitize_chain, grouping_sets, ann_lsh_topk +
     # embedding_near_dup).
-    "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
-    "global_shuffle_shards": (q_global_shuffle_shards,
-                              ORACLE_GLOBAL_SHUFFLE),
     "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
     "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
     "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY),
@@ -3782,7 +3803,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "ann_index_topk": (q_ann_index_topk, ORACLE_ANN_INDEX),
     "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
-    "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
     "script_fractions": (q_script_fractions, ORACLE_SCRIPTS_FRAC),
@@ -3805,9 +3825,6 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
     "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
     "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
-    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
-    "keywords": (q_keywords, ORACLE_KEYWORDS),
-    "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     # Second r6 rotation wave — this round's NEW queries get driver
     # CORRECTNESS rows immediately instead of waiting for r7: the URL
@@ -3876,19 +3893,23 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "split_trim": (q_split_trim, ORACLE_SPLIT),
     "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
-    "array_ops": (q_array_ops, ORACLE_ARRAY_OPS),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
-    "gopher_quality": (q_gopher_quality, ORACLE_GOPHER),
-    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
-    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
-    "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
-    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
-    "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
-    "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
-    "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
     "lang_id": (q_lang_id, ORACLE_LANG),
+    # Rotated OUT of the driver registry in r7 (green r4-r6; families
+    # stay driver-covered — see the REGISTRY r7 rotation note). Their
+    # slots went to the final 9 never-driver-witnessed queries:
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
+    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
+    "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
+    "global_shuffle_shards": (q_global_shuffle_shards,
+                              ORACLE_GLOBAL_SHUFFLE),
+    "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
+    "keywords": (q_keywords, ORACLE_KEYWORDS),
+    "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     # Rotated OUT of the driver registry in r4 (long-green; their
     # families keep driver rows: sanitize_chain covers the text
     # family, union_merge set ops, date_validate dates). Still
