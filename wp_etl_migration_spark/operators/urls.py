@@ -29,7 +29,17 @@ from pyspark.sql import functions as F
 SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 HOSTPORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+#: Everything before the first '#' — query extraction runs over THIS
+#: prefix, never the raw URL: an unanchored ``\?`` over the raw value
+#: would claim a '?' living inside the fragment (SPA routes like
+#: ``/app#/route?tab=1``) as the query, violating the fragment-dropped
+#: contract (round-6 advisory).
+PREFRAG_RE = "^([^#]*)"
 QUERY_RE = r"\?([^#]*)"
+#: Host within a hostport: a bracketed IPv6 literal ``[::1]`` wins the
+#: alternation (leftmost-preferred in both Java regex and RE2), else
+#: everything before the port colon.
+HOST_RE = r"^(\[[^\]]*\]|[^:]*)"
 
 #: Multi-label public suffixes (abridged, the high-traffic entries of
 #: the Mozilla Public Suffix List — enough for registered-domain
@@ -62,12 +72,20 @@ def url_hostport(col: Column | str) -> Column:
 
 
 def url_host(col: Column | str) -> Column:
-    """Lower-cased host without the port."""
-    return F.regexp_extract(url_hostport(col), "^([^:]*)", 1)
+    """Lower-cased host without the port.
+
+    Userinfo (``user:pw@host``) is ignored — the host is whatever
+    follows the LAST '@' of the hostport — and a bracketed IPv6
+    literal is returned brackets included (``[::1]``), never split at
+    its internal colons."""
+    after_user = F.substring_index(url_hostport(col), "@", -1)
+    return F.regexp_extract(after_user, HOST_RE, 1)
 
 
 def url_port(col: Column | str) -> Column:
-    """Explicit port as a string ('' when absent)."""
+    """Explicit port as a string ('' when absent). Safe for userinfo
+    and IPv6 literals: anchored at the end, so ``user:80@host`` has no
+    port and ``[::1]:8080`` yields ``8080``."""
     return F.regexp_extract(url_hostport(col), ":([0-9]+)$", 1)
 
 
@@ -77,8 +95,13 @@ def url_path(col: Column | str) -> Column:
 
 
 def url_query(col: Column | str) -> Column:
-    """Query string without the '?' ('' when absent)."""
-    return F.regexp_extract(_c(col), QUERY_RE, 1)
+    """Query string without the '?' ('' when absent).
+
+    Extracted from the pre-fragment prefix, so a '?' whose first
+    occurrence is inside the fragment (``/app#/route?tab=1``) is NOT
+    a query — the fragment is opaque and always dropped."""
+    prefrag = F.regexp_extract(_c(col), PREFRAG_RE, 1)
+    return F.regexp_extract(prefrag, QUERY_RE, 1)
 
 
 def registered_domain(host: Column | str) -> Column:
@@ -100,6 +123,268 @@ def registered_domain(host: Column | str) -> Column:
             .otherwise(h))
 
 
+#: Abridged snapshot of the Mozilla Public Suffix List
+#: (publicsuffix.org, MPL-2.0, public data) in the PSL's own line
+#: format: plain rules, ``*.`` wildcards, ``!`` exceptions. This is
+#: the no-download default for :func:`psl_rules`; pass
+#: ``path=/your/public_suffix_list.dat`` for the full list — the
+#: parser accepts the real file unchanged (comments, section markers,
+#: blank lines). Chosen to cover the suffixes that actually mis-group
+#: web crawls under a naive last-two-labels rule: ccSLDs (co.uk,
+#: com.pl, co.il, …), private-section hosting suffixes (github.io,
+#: blogspot.com, …), and the wildcard/exception machinery (*.ck /
+#: !www.ck).
+PSL_SNAPSHOT = """
+// ICANN section (abridged)
+com
+org
+net
+edu
+gov
+io
+ai
+dev
+app
+uk
+co.uk
+org.uk
+ac.uk
+gov.uk
+me.uk
+ltd.uk
+plc.uk
+au
+com.au
+net.au
+org.au
+edu.au
+gov.au
+nz
+co.nz
+net.nz
+org.nz
+jp
+co.jp
+ne.jp
+or.jp
+ac.jp
+go.jp
+br
+com.br
+net.br
+org.br
+gov.br
+cn
+com.cn
+net.cn
+org.cn
+gov.cn
+mx
+com.mx
+org.mx
+ar
+com.ar
+tr
+com.tr
+sg
+com.sg
+in
+co.in
+net.in
+org.in
+kr
+co.kr
+za
+co.za
+org.za
+id
+co.id
+hk
+com.hk
+tw
+com.tw
+il
+co.il
+org.il
+ac.il
+pl
+com.pl
+net.pl
+org.pl
+de
+fr
+it
+nl
+es
+ru
+com.ru
+ca
+us
+ck
+*.ck
+!www.ck
+bd
+*.bd
+kw
+*.kw
+er
+*.er
+// Private section (abridged)
+github.io
+githubusercontent.com
+gitlab.io
+blogspot.com
+blogspot.co.uk
+blogspot.com.au
+blogspot.in
+wordpress.com
+tumblr.com
+netlify.app
+vercel.app
+herokuapp.com
+web.app
+firebaseapp.com
+pages.dev
+workers.dev
+cloudfront.net
+amazonaws.com
+s3.amazonaws.com
+azurewebsites.net
+"""
+
+
+def parse_psl(text: str) -> list[tuple[str, int, int]]:
+    """Parse PSL-format text into ``(suffix, kind, labels)`` rows.
+
+    ``kind``: 0 = normal rule, 1 = wildcard (``*.foo`` stored as
+    ``foo``), 2 = exception (``!bar.foo`` stored as ``bar.foo``).
+    ``labels`` is the label count of the PUBLIC SUFFIX the rule
+    denotes when it prevails: the stored labels for normal rules, +1
+    for wildcards (the ``*`` consumes one host label), −1 for
+    exceptions (the exception's leftmost label is the registrable
+    one). Comment (``//``) and blank lines are skipped, so the real
+    ``public_suffix_list.dat`` parses unchanged."""
+    rules: list[tuple[str, int, int]] = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("//"):
+            continue
+        # the real file is one rule per line; anything after
+        # whitespace is commentary per the PSL spec
+        line = line.split()[0].lower()
+        if line.startswith("!"):
+            suffix = line[1:]
+            rules.append((suffix, 2, suffix.count(".")))
+        elif line.startswith("*."):
+            suffix = line[2:]
+            rules.append((suffix, 1, suffix.count(".") + 2))
+        else:
+            rules.append((line, 0, line.count(".") + 1))
+    return rules
+
+
+def psl_rules(spark, path: str | None = None) -> DataFrame:
+    """PSL rules as a DataFrame ``(suffix, kind, ps_labels)`` —
+    broadcast-sized (~10k rows for the full list). ``path`` reads a
+    real ``public_suffix_list.dat``; default is the embedded
+    :data:`PSL_SNAPSHOT`."""
+    if path is not None:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    else:
+        text = PSL_SNAPSHOT
+    return spark.createDataFrame(
+        parse_psl(text), "suffix string, kind int, ps_labels int")
+
+
+#: Longest host (in labels) for which PSL candidate suffixes are
+#: generated. The longest rule in the full PSL is 5 labels, so 8
+#: bounds the explode fan-out without ever missing a match.
+_PSL_MAX_DEPTH = 8
+
+
+def resolve_registered_domain(hosts: DataFrame, rules: DataFrame,
+                              host_col: str = "host",
+                              out_col: str = "domain") -> DataFrame:
+    """Registered (registrable) domain per host under the full PSL
+    algorithm: among matching rules the exception rule prevails, else
+    the one denoting the most public-suffix labels; no match falls
+    back to the implicit ``*`` rule (TLD = 1 label). The registered
+    domain is the public suffix plus one label; a host that IS a
+    public suffix (or has fewer labels) passes through unchanged —
+    same pass-through the expression path uses, so the two modes
+    disagree only where the suffix data differs.
+
+    Intended input is the DISTINCT hosts of a corpus (call through
+    :func:`with_registered_domain_psl` for the join-back): per-host
+    work is an ≤8-way candidate explode, two broadcast equi-joins
+    against the rules, and one groupBy on the host — all linear in
+    distinct hosts, never in corpus rows.
+
+    Wildcard matching note: ``*.ck`` must match host ``foo.ck``
+    itself (public suffix = the wildcard-consumed form), which in
+    candidate terms means the candidate's PARENT equals the stored
+    wildcard suffix — hence the second join keyed on the candidate
+    with its first label stripped.
+    """
+    h = F.col(host_col)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    cand = (hosts
+            .withColumn("__n", n)
+            .withColumn("__cand_k", F.explode(F.sequence(
+                F.lit(1), F.least(F.col("__n"),
+                                  F.lit(_PSL_MAX_DEPTH)))))
+            .withColumn("__cand", F.concat_ws(
+                ".", F.slice(labels, F.col("__n") - F.col("__cand_k")
+                             + 1, F.col("__cand_k")))))
+    exact = (cand.join(
+        F.broadcast(rules.filter(F.col("kind") != 1)),
+        cand["__cand"] == rules["suffix"], "inner"))
+    # wildcard: candidate (depth ≥ 2) whose parent equals the stored
+    # suffix — strip the candidate's first label to get the parent
+    wild_parent = F.expr(
+        "substring(__cand, instr(__cand, '.') + 1)")
+    wild = (cand.filter(F.col("__cand_k") >= 2)
+            .withColumn("__parent", wild_parent)
+            .join(F.broadcast(rules.filter(F.col("kind") == 1)),
+                  F.col("__parent") == rules["suffix"], "inner")
+            .drop("__parent"))
+    matched = exact.unionByName(wild)
+    # prevailing rule: exception beats everything, else most labels
+    priority = (F.when(F.col("kind") == 2, F.lit(1_000_000))
+                .otherwise(0) + F.col("ps_labels"))
+    best = (matched
+            .groupBy(host_col)
+            .agg(F.max_by("ps_labels", priority).alias("__ps")))
+    resolved = (hosts
+                .join(best, host_col, "left")
+                .withColumn("__ps", F.coalesce(F.col("__ps"),
+                                               F.lit(1))))
+    reg_n = F.col("__ps") + 1
+    reg = F.concat_ws(".", F.slice(labels, n - reg_n + 1, reg_n))
+    return (resolved
+            .withColumn(out_col,
+                        F.when(n > F.col("__ps"), reg).otherwise(h))
+            .drop("__ps"))
+
+
+def with_registered_domain_psl(df: DataFrame, url_col: str,
+                               rules: DataFrame,
+                               out_col: str = "domain") -> DataFrame:
+    """Tag every row with its PSL registered domain: resolve over the
+    DISTINCT hosts (web corpora repeat hosts massively — the rules
+    machinery runs on the small side), then join the mapping back on
+    the host. The join-back is a plain equi-join on the host; AQE
+    broadcasts it when the distinct-host set is small, and at full
+    crawl scale it shuffles on the host key only."""
+    tagged = df.withColumn("__host", url_host(url_col))
+    hosts = tagged.select("__host").distinct()
+    mapping = resolve_registered_domain(
+        hosts, rules, host_col="__host", out_col=out_col)
+    return tagged.join(mapping, "__host", "left").drop("__host")
+
+
 def strip_tracking_params(query: Column | str) -> Column:
     """Drop tracking parameters from a query string, preserving the
     order of the survivors ('' when everything was tracking)."""
@@ -119,7 +404,22 @@ def normalize_url(col: Column | str) -> Column:
     - tracking parameters removed (:data:`TRACKING_PARAM_RE`),
       remaining parameters kept in original order, '?' dropped when
       none survive;
-    - fragment always dropped.
+    - fragment always dropped — including any '?' that lives inside
+      it (``#/route?tab=1`` contributes neither query nor fragment);
+    - userinfo (``user:pw@``) dropped: it identifies a session, not
+      the resource, and normalized URLs are dedup keys.
+
+    Passed through OPAQUE, byte-for-byte (deliberate — each transform
+    below can change meaning on some server, so none is safe for a
+    generic dedup key):
+
+    - percent-encoding: neither decoded nor re-encoded (``%2F`` vs
+      ``/`` is a real distinction);
+    - the path: no ``//`` collapsing, no ``.``/``..`` dot-segment
+      resolution;
+    - IDN hosts: punycode (``xn--…``) and raw Unicode are distinct
+      keys; only ASCII lower-casing is applied, no IDNA transform;
+    - IPv6 literals: kept bracketed, internal colons untouched.
 
     Values without a ``scheme://`` pass through unchanged (opaque ids,
     relative links — nothing safe to normalize).
@@ -144,7 +444,8 @@ def normalize_url(col: Column | str) -> Column:
 def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
                           url_col: str, domain_col: str = "domain",
                           mode: str = "block",
-                          broadcast: bool = True) -> DataFrame:
+                          broadcast: bool = True,
+                          psl: DataFrame | None = None) -> DataFrame:
     """Filter ``df`` by a domain list: anti-join on the registered
     domain (``mode='block'``) or semi-join (``mode='allow'``).
 
@@ -160,7 +461,12 @@ def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
     handles; the blocklist side is distinct-keyed by construction."""
     if mode not in ("block", "allow"):
         raise ValueError("mode must be 'block' or 'allow'")
-    tagged = df.withColumn("__dom", registered_domain(url_host(url_col)))
+    if psl is not None:
+        tagged = with_registered_domain_psl(df, url_col, psl,
+                                            out_col="__dom")
+    else:
+        tagged = df.withColumn("__dom",
+                               registered_domain(url_host(url_col)))
     right = blocklist.select(F.col(domain_col).alias("__dom")).distinct()
     if broadcast:
         right = F.broadcast(right)
@@ -168,7 +474,8 @@ def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
     return tagged.join(right, "__dom", how).drop("__dom")
 
 
-def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
+def domain_stats(df: DataFrame, url_col: str,
+                 psl: DataFrame | None = None) -> DataFrame:
     """Per-registered-domain document counts: (domain, n_docs, share).
 
     ``share`` is a single exact-integer division (parity-stable).
@@ -176,10 +483,25 @@ def domain_stats(df: DataFrame, url_col: str) -> DataFrame:
     a broadcast one-row cross join (the key_skew/vocab_topk totals
     pattern — an unpartitioned window here would funnel every domain
     row through ONE reducer, the exact vocab_build regression fixed in
-    round 5), so the per-domain division stays fully parallel."""
-    counts = (df.select(registered_domain(url_host(url_col))
-                        .alias("domain"))
-              .groupBy("domain").agg(F.count("*").alias("n_docs")))
+    round 5), so the per-domain division stays fully parallel.
+
+    ``psl`` (a :func:`psl_rules` frame) switches registered-domain
+    extraction to the full PSL algorithm. Cost shape is unchanged:
+    counts aggregate by HOST first (the shuffle the default path pays
+    on the domain anyway), then the PSL resolve runs on the tiny
+    host-level frame and re-aggregates — the rules machinery never
+    touches corpus rows."""
+    if psl is not None:
+        host_counts = (df.select(url_host(url_col).alias("host"))
+                       .groupBy("host")
+                       .agg(F.count("*").alias("n_docs")))
+        counts = (resolve_registered_domain(host_counts, psl)
+                  .groupBy("domain")
+                  .agg(F.sum("n_docs").alias("n_docs")))
+    else:
+        counts = (df.select(registered_domain(url_host(url_col))
+                            .alias("domain"))
+                  .groupBy("domain").agg(F.count("*").alias("n_docs")))
     total = counts.agg(F.sum("n_docs").alias("__total"))
     return (counts.crossJoin(F.broadcast(total))
             .select("domain", "n_docs",

@@ -3556,11 +3556,13 @@ parts AS (
         '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
     regexp_extract(url,
         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path_part,
-    regexp_extract(url, '\?([^#]*)', 1) AS q
+    regexp_extract(regexp_extract(url, '^([^#]*)', 1),
+                   '\?([^#]*)', 1) AS q
   FROM u),
 norm AS (
   SELECT doc_id, scheme,
-    regexp_extract(hostport, '^([^:]*)', 1) AS host,
+    regexp_extract(string_split(hostport, '@')[-1],
+                   '^(\[[^\]]*\]|[^:]*)', 1) AS host,
     regexp_extract(hostport, ':([0-9]+)$', 1) AS port, path_part,
     coalesce(array_to_string(list_filter(string_split(q, '&'),
       p -> NOT regexp_matches(p,
@@ -3589,13 +3591,13 @@ def q_domain_stats(spark, sf_dir):
     return domain_stats(_synthetic_urls(spark, sf_dir), "url")
 
 
-ORACLE_DOMAIN_STATS = f"""
+ORACLE_DOMAIN_STATS = rf"""
 WITH u AS ({_SQL_URLS}),
 hosts AS (
   SELECT regexp_extract(
-      lower(regexp_extract(url,
-        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)),
-      '^([^:]*)', 1) AS host
+      string_split(lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '@')[-1],
+      '^(\[[^\]]*\]|[^:]*)', 1) AS host
   FROM u),
 counts AS (
   SELECT {_SQL_REG_DOMAIN} AS domain, COUNT(*) AS n_docs
