@@ -360,8 +360,9 @@ def test_incremental_dedup_stream_two_batches(spark, tmp_path):
 
 def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once on retry: replaying the SAME batch
-    must add nothing — the digest index dedups replayed docs against
-    their own appended digests (the claim in streaming/incremental.py)."""
+    must add nothing — the stores exclude the batch's own batch_id
+    partition, so the retry recomputes the first attempt's survivors
+    and overwrites in place (the claim in streaming/incremental.py)."""
     from wp_etl_migration_spark.streaming.incremental import (
         IncrementalDedup)
     store = str(tmp_path / "store")
@@ -540,16 +541,16 @@ def test_incremental_ann_replay_between_writes(spark, tmp_path):
     assert match_rows() == committed
     assert spark.read.parquet(f"{store}/ann").count() == 5
 
-    # Crash MID-append of ann/: only one of b2's index rows landed.
-    # The retry must restore the FULL match set (not just the
-    # un-indexed remainder's), with no in-batch self-matches from the
-    # partially-appended own rows, and complete ann/ without
-    # duplicating the row that did land.
+    # Crash MID-write of ann/batch_id=1: only one of b2's index rows
+    # landed in the partition. The retry must restore the FULL match
+    # set (not just the un-indexed remainder's), with no in-batch
+    # self-matches from the partially-written own partition, and a
+    # complete ann/ without duplicating the row that did land.
     ann = spark.read.parquet(os.path.join(store, "ann")) \
         .localCheckpoint(eager=True)
-    partial = ann.where((F.col("vec_id") < 10) | (F.col("vec_id") == 10))
-    shutil.rmtree(os.path.join(store, "ann"))
-    partial.write.parquet(os.path.join(store, "ann"))
+    partial = ann.where(F.col("vec_id") == 10).drop("batch_id")
+    shutil.rmtree(os.path.join(store, "ann", "batch_id=1"))
+    partial.write.parquet(os.path.join(store, "ann", "batch_id=1"))
     idx.process_batch(b2, 1)
     assert match_rows() == committed
     final = spark.read.parquet(os.path.join(store, "ann"))
@@ -653,3 +654,74 @@ def test_incremental_dedup_replay_between_writes(spark, tmp_path):
     # Full replay of a committed batch: state unchanged.
     loop.process_batch(b2, 1)
     assert state() == committed
+
+
+def test_incremental_dedup_same_id_redelivered_later_batch(spark, tmp_path):
+    """ADVICE r6: upstream re-delivers a doc under the SAME id in a
+    LATER batch (new batch_id — not a checkpoint replay). The old
+    id anti-join excluded the stored copy's digest, so the re-delivery
+    survived exact dedup and the corpus held the id twice. Partition
+    exclusion keeps the stored copy visible: identical content drops,
+    near-identical content drops, and only genuinely different content
+    may land again."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "store")
+    loop = IncrementalDedup(spark, store, "doc_id", "text")
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    loop.process_batch(spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven")],
+        ["doc_id", "text"]), 0)
+    # batch 1 re-delivers id 1 byte-identical and id 2 near-identical
+    # (a trailing edit, so the stored shingles are a subset — the
+    # LSH-catchable shape)
+    loop.process_batch(spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven extra")],
+        ["doc_id", "text"]), 1)
+    corpus = spark.read.parquet(f"{store}/corpus")
+    assert sorted((r.doc_id, r.batch_id) for r in corpus.collect()) \
+        == [(1, 0), (2, 0)]           # exactly one copy of each id
+    assert spark.read.parquet(f"{store}/digests").count() == 2
+    # and a checkpoint replay of the re-delivering batch (identical
+    # content, same batch_id) is still idempotent
+    loop.process_batch(spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven extra")],
+        ["doc_id", "text"]), 1)
+    assert spark.read.parquet(f"{store}/corpus").count() == 2
+
+
+def test_incremental_ann_same_id_redelivered_later_batch(spark, tmp_path):
+    """ADVICE r6: a later batch whose ids are ALL already indexed used
+    to short-circuit and write no matches partition at all, and a
+    partially-redelivered batch queried a shrunken index. With
+    partition-precise exclusion the batch is scored against the FULL
+    earlier index and always writes its match partition; re-delivered
+    ids are indexed under both batches (index key is (batch_id, id)).
+    Same-id self-matches stay excluded — that is query_ann_index's
+    id-identity contract, not the replay logic."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
+    store = str(tmp_path / "store")
+    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
+                              k=2)
+    idx.process_batch(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 0)
+    # batch 1: ids 1 and 2 re-delivered (old code: short-circuit,
+    # no matches partition) plus a fresh probe id near stored 1
+    idx.process_batch(spark.createDataFrame(
+        [(1, [0.95, 0.05, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (30, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 1)
+    matches = spark.read.parquet(f"{store}/matches")
+    got = {(r.query_id, r.neighbor_id) for r in
+           matches.where(F.col("batch_id") == 1).collect()}
+    # the match partition exists and the fresh probe hit the stored
+    # batch-0 vector through the full (un-shrunken) index
+    assert (30, 1) in got
+    # id identity: a re-delivered id never matches its stored self
+    assert (1, 1) not in got and (2, 2) not in got
+    ann = spark.read.parquet(f"{store}/ann")
+    assert sorted((r.vec_id, r.batch_id) for r in ann.collect()) \
+        == [(1, 0), (1, 1), (2, 0), (2, 1), (30, 1)]

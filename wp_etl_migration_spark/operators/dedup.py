@@ -345,9 +345,14 @@ def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
                                    "left_semi")
         tagged = tagged.join(cool, ["band", "band_hash"], "left_semi")
     a, b = new_bands.alias("a"), tagged.alias("b")
-    keep = (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")) & (
-        ~F.col("b.__new") |
-        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    # New×new: strictly smaller id wins (the strict < also removes the
+    # self-join of a doc with its own band rows in ``tagged``).
+    # New×corpus: ANY colliding corpus row pairs — including one with
+    # the SAME id, the re-delivery shape (upstream sends a doc again
+    # under its old id in a later batch): the new copy must drop
+    # against its stored self, so equality is deliberately allowed.
+    keep = (~F.col("b.__new")
+            | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     return (a.join(b, on=["band", "band_hash"])
             .where(keep)
             .groupBy(F.col(f"a.{id_col}").alias("id_new"),

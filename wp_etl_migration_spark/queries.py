@@ -3326,13 +3326,22 @@ FROM s
 def _wp_post_all_prepare_csv(spark, sf_dir) -> str:
     """One-time scratch CSV derived from ``part`` — the legacy export
     the composed journey ingests. Cached per scale factor (prep is
-    not part of the measured pipeline)."""
+    not part of the measured pipeline). The cache key embeds a hash
+    of THIS function's source (ADVICE r6): editing the generation
+    logic changes the path, so existing checkouts regenerate instead
+    of serving a stale fixture that keeps goldens green locally while
+    fresh environments diverge."""
+    import hashlib
+    import inspect
     import os
+    fingerprint = hashlib.md5(
+        inspect.getsource(_wp_post_all_prepare_csv).encode()
+    ).hexdigest()[:8]
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scratch",
         "wp_post_all_" + os.path.basename(os.path.normpath(sf_dir)))
-    csv_dir = os.path.join(base, "legacy_csv")
+    csv_dir = os.path.join(base, "legacy_csv_" + fingerprint)
     if not os.path.exists(os.path.join(csv_dir, "_SUCCESS")):
         p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
         legacy = p.select(

@@ -20,11 +20,14 @@ unbounded state lives in the appendable parquet stores, not in
 executor memory. Idempotency: foreachBatch is at-least-once on retry
 *within* a failed batch, so every store is hive-partitioned by
 ``batch_id`` and written with per-partition OVERWRITE, and both
-stored indexes are queried with the batch's own ids excluded — a
-retry therefore recomputes the exact survivor set of the first
-attempt (the input batch is offset-identical by the checkpoint
-contract) and replaces whatever subset of the three partition writes
-landed, wherever the crash fell. Plain parquet thus gets
+stored indexes are queried with the batch's own ``batch_id``
+partition excluded (partition-pruned, and precise: an id anti-join
+would also exclude an older batch's row sharing the id, breaking
+dedup of re-delivered docs) — a retry therefore recomputes the exact
+survivor set of the first attempt (the input batch is
+offset-identical by the checkpoint contract) and replaces whatever
+subset of the three partition writes landed, wherever the crash
+fell. Plain parquet thus gets
 exactly-once STORE STATE; a transactional table format (Delta/
 Iceberg via the same ``.write`` calls) remains the belt-and-braces
 choice when concurrent readers must never glimpse a half-written
@@ -81,37 +84,49 @@ class IncrementalDedup:
         ``batch_id`` (it keys the per-store ``batch_id=N`` partition).
 
         Replay-safe at any crash position: both stored indexes are
-        queried with the batch's OWN ids excluded, so a retry after a
-        partial write recomputes exactly the first attempt's survivor
-        set (the batch content is offset-identical under the
-        foreachBatch checkpoint contract) and the per-partition
-        overwrites replace whichever of the three writes landed —
-        store rows can neither duplicate nor be lost."""
+        queried with the batch's OWN ``batch_id=N`` partition excluded
+        (a partition-pruned filter — precise, unlike an id anti-join,
+        which would also exclude an OLDER batch's row that happens to
+        share an id), so a retry after a partial write recomputes
+        exactly the first attempt's survivor set (the batch content is
+        offset-identical under the foreachBatch checkpoint contract)
+        and the per-partition overwrites replace whichever of the
+        three writes landed — store rows can neither duplicate nor be
+        lost. Because only the batch's own partition is excluded, a
+        doc RE-DELIVERED under the same id in a later batch (new
+        ``batch_id``, not a checkpoint replay) dedups normally against
+        its stored older copy: identical content drops in the exact
+        pass, near-identical content drops in the LSH pass — the
+        corpus cannot accumulate one id per delivery. Only a same-id
+        re-delivery whose content is genuinely DIFFERENT (no exact or
+        near match) lands twice, under two batch_id partitions — an
+        upstream id-assignment bug this layer preserves rather than
+        silently merges."""
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.dedup import (
             cross_corpus_exact_dedup, incremental_lsh_pairs, lsh_bands)
         id_c, text_c = self.id_col, self.text_col
 
         batch = pin(batch)
-        ids = batch.select(id_c)
+        not_own = F.col("batch_id") != int(batch_id)
         digests = self._load(
             "digests", f"{id_c} long, digest string, batch_id int") \
-            .join(ids, id_c, "left_anti")
+            .filter(not_own).select(id_c, "digest")
         # Exact pass against the stored digest index minus this
-        # batch's own (possibly partially-written) rows (empty store ⇒
-        # pure in-batch dedup); historical corpus text is never
-        # re-read.
+        # batch's own (possibly partially-written) partition (empty
+        # store ⇒ pure in-batch dedup); historical corpus text is
+        # never re-read.
         exact = cross_corpus_exact_dedup(batch, digests, id_c,
                                          [text_c],
                                          corpus_digest_col="digest")
 
-        # Near-dup pass against the band index, own rows excluded for
-        # the same replay reason; colliding batch docs (vs corpus, or
-        # vs a smaller-id batch doc) drop.
+        # Near-dup pass against the band index, own partition excluded
+        # for the same replay reason; colliding batch docs (vs corpus,
+        # or vs a smaller-id batch doc) drop.
         band_index = self._load(
             "bands",
             f"{id_c} long, band int, band_hash string, batch_id int") \
-            .join(ids, id_c, "left_anti") \
+            .filter(not_own) \
             .select(id_c, "band", "band_hash")
         pairs = incremental_lsh_pairs(
             exact, band_index, id_c, text_c, self.n, self.num_hashes,
@@ -170,25 +185,29 @@ class IncrementalAnnIndex:
        FLOAT vectors are never touched and earlier batches are never
        re-bucketed/re-quantized; the stored (id, bucket, qvec, scale)
        rows are reused as-is;
-    2. appends the match rows (query_id, neighbor_id, sim, rank) to
-       the ``matches/`` store — the continuous near-neighbor feed a
-       semantic-dedup or retrieval loop consumes;
-    3. appends the batch's OWN index rows to the ``ann/`` store, so
-       the next batch searches this one.
+    2. writes the match rows (query_id, neighbor_id, sim, rank) to
+       its ``matches/batch_id=N`` partition — the continuous
+       near-neighbor feed a semantic-dedup or retrieval loop consumes;
+    3. writes the batch's OWN index rows to its ``ann/batch_id=N``
+       partition, so the next batch searches this one.
 
     A batch's vectors are indexed only after it is queried, so matches
     are strictly cross-batch/backward (no self-matches), mirroring the
-    smallest-id-wins convention of the text loop. Replay safety: match
-    rows land in a per-batch ``matches/batch_id=N`` subdir with
-    overwrite semantics, queries run against the index minus the
-    batch's own ids, and a fully-indexed batch short-circuits — so a
-    foreachBatch retry (at-least-once) can neither duplicate nor lose
-    match rows whether the crash hit before, during, or after the
-    ``ann/`` append (see :meth:`process_batch`). Store format note:
-    ``matches/`` is hive-partitioned by ``batch_id`` (readers see it
-    as an extra int column); it is not mixable with a flat
-    un-partitioned matches dir from an older layout — use a fresh
-    ``store_dir`` per format.
+    smallest-id-wins convention of the text loop. Replay safety: BOTH
+    stores are hive-partitioned by ``batch_id`` and written with
+    per-partition overwrite, and queries run against the index minus
+    the batch's own partition — a foreachBatch retry (at-least-once)
+    recomputes identical frames and replaces whichever partition
+    writes landed, so match and index rows can neither duplicate nor
+    be lost whatever the crash position (see :meth:`process_batch`).
+    Partition exclusion (not an id anti-join) also means a vector
+    re-delivered under the same id in a LATER batch is indexed again
+    under its new batch and still gets its match partition written —
+    the index key is ``(batch_id, id)``; consumers that assume unique
+    ids must dedupe upstream. Store format note: ``matches/`` and
+    ``ann/`` are hive-partitioned by ``batch_id`` (readers see it as
+    an extra int column); not mixable with the older flat ``ann/``
+    append layout — use a fresh ``store_dir`` per format.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
@@ -206,7 +225,7 @@ class IncrementalAnnIndex:
     def _load_index(self) -> DataFrame:
         from pyspark.errors import AnalysisException
         schema = (f"{self.id_col} long, bucket string, "
-                  "qvec array<int>, scale double")
+                  "qvec array<int>, scale double, batch_id int")
         try:
             df = self.spark.read.schema(schema).parquet(
                 self._path("ann"))
@@ -216,46 +235,37 @@ class IncrementalAnnIndex:
             return self.spark.createDataFrame([], schema)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """The foreachBatch body: query the stored index, overwrite
-        the batch's match partition, then append this batch's index
-        rows. Safe to call directly for batch backfills — pass each
-        backfill batch a DISTINCT ``batch_id`` (it keys the
-        ``matches/batch_id=N`` partition; reusing an id overwrites
-        that batch's match rows, which is exactly the replay
-        semantics).
+        """The foreachBatch body: query the stored index minus the
+        batch's own ``ann/batch_id=N`` partition, overwrite the
+        batch's match partition, then overwrite its index partition.
+        Safe to call directly for batch backfills — pass each backfill
+        batch a DISTINCT ``batch_id`` (it keys both per-batch
+        partitions; reusing an id overwrites that batch's rows, which
+        is exactly the replay semantics).
 
-        Replay-safe in both crash positions (foreachBatch is
-        at-least-once): the index used for QUERYING excludes the
-        batch's own ids, so a retry after a partial ``ann/`` append
-        still scores the FULL batch (strictly backward — own-batch
-        rows never match) and its overwrite restores the complete
-        match set; only ids not yet indexed append to ``ann/``, so
-        index rows never duplicate; a fully-committed replay
-        short-circuits before touching either store."""
+        Replay-safe at any crash position (foreachBatch is
+        at-least-once): the querying index excludes the batch's own
+        partition — precise even when a LATER batch re-delivers an
+        already-indexed id, where the old id anti-join both shrank the
+        queryable index and (when every id was already indexed)
+        short-circuited without writing the match partition at all —
+        so a retry after a partial ``ann/batch_id=N`` write still
+        scores the full batch strictly backward, and both
+        per-partition overwrites replace whatever the crashed attempt
+        left behind. No short-circuit is needed: a fully-committed
+        replay recomputes and overwrites byte-identical partitions."""
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.similarity import (
             build_ann_index, query_ann_index)
-        # Pin before the two writes: both read frames derived from a
-        # join against the ann/ store being appended to — without the
-        # pin the index append could re-list the files of the store
-        # it is mutating.
+        # Pin before the two writes: the queryable frame reads the
+        # ann/ store being written — without the pin the index
+        # overwrite could re-list the files of the store it is
+        # mutating.
         index = self._load_index()
         batch = pin(batch)
-        ids = batch.select(self.id_col)
-        # Ids not yet indexed: the append set. Empty ⇒ every write of
-        # this batch landed; touch nothing (an overwrite here would
-        # wipe the committed match rows).
-        new_rows = pin(batch.join(index.select(self.id_col),
-                                  on=self.id_col, how="left_anti"))
-        if new_rows.isEmpty():
-            return
-        # Query with the FULL batch against the index minus the
-        # batch's own ids: on a retry after a partial ann/ append the
-        # already-appended own rows must neither shrink the query set
-        # nor appear as neighbors; the overwrite below then restores
-        # the batch's complete match set.
-        queryable = pin(index.join(ids, on=self.id_col,
-                                   how="left_anti"))
+        queryable = pin(
+            index.filter(F.col("batch_id") != int(batch_id))
+            .drop("batch_id"))
         matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore)
@@ -264,11 +274,12 @@ class IncrementalAnnIndex:
                         "sim", F.col("rank").cast("int"))
          .write.mode("overwrite")
          .parquet(self._path(f"matches/batch_id={int(batch_id)}")))
-        (build_ann_index(new_rows, self.id_col, self.vec_col,
+        (build_ann_index(batch, self.id_col, self.vec_col,
                          self.planes)
          .select(F.col(self.id_col).cast("long"), "bucket",
                  F.col("qvec").cast("array<int>"), "scale")
-         .write.mode("append").parquet(self._path("ann")))
+         .write.mode("overwrite")
+         .parquet(self._path(f"ann/batch_id={int(batch_id)}")))
 
     def run_stream(self, stream: DataFrame,
                    checkpoint_dir: str | None = None,
