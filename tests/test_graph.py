@@ -631,3 +631,79 @@ def test_pagerank_partition_invariant(spark):
     b = {r.node: r.rank
          for r in pagerank(df.repartition(16), iterations=4).collect()}
     assert a == b == _pagerank_py(edges, 4)
+
+
+def _pagerank_py_redist(edges, iterations, num=85, den=100,
+                        scale=10 ** 9):
+    """Driver-side reference for dangling='redistribute': per step
+    the no-out-edge nodes' summed rank divides by N and damps into
+    every node — same integer order of operations as the engine."""
+    edges = sorted(set(edges))
+    outdeg = {}
+    nodes = set()
+    for u, v in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+        nodes.update((u, v))
+    base = (scale * (den - num)) // den
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        d_mass = sum(r[n] for n in nodes if n not in outdeg)
+        extra = (num * (d_mass // len(nodes))) // den
+        r = {n: base + extra + (num * s[n]) // den for n in nodes}
+    return r
+
+
+def test_pagerank_redistribute_matches_reference(spark):
+    from wp_etl_migration_spark.operators.graph import pagerank
+    # 4 and 5 are dangling (sinks); their mass must re-enter the graph
+    edges = [(1, 2), (2, 3), (3, 4), (3, 5), (1, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in
+           pagerank(df, iterations=3,
+                    dangling="redistribute").collect()}
+    assert got == _pagerank_py_redist(edges, 3)
+    # weak mode on the same graph is untouched (and strictly smaller
+    # wherever redistribution added mass)
+    weak = {r.node: r.rank for r in
+            pagerank(df, iterations=3).collect()}
+    assert weak == _pagerank_py(edges, 3)
+    assert all(got[n] >= weak[n] for n in got)
+    assert any(got[n] > weak[n] for n in got)
+
+
+def test_pagerank_redistribute_conserves_mass(spark):
+    """Classical PageRank conserves total mass: after every power
+    step the summed rank stays within the documented truncation slack
+    (≤1 unit per division: N for base, N for the share div, N for the
+    damped contribs — 3N is a safe envelope per step) of N·scale."""
+    from wp_etl_migration_spark.operators.graph import pagerank
+    edges = [(i, (i * 3) % 17) for i in range(40)] + [(5, 99)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = pagerank(df, iterations=4, dangling="redistribute").collect()
+    n = len(out)
+    total = sum(r.rank for r in out)
+    scale = 10 ** 9
+    slack = 4 * 3 * n * 100  # 4 steps × 3N divisions × damping den
+    assert n * scale - slack <= total <= n * scale
+    # leak mode, same graph: mass visibly below N·scale (the contrast
+    # that makes cross-subgraph comparison invalid there)
+    leak_total = sum(r.rank for r in
+                     pagerank(df, iterations=4).collect())
+    assert leak_total < total
+
+
+def test_pagerank_redistribute_equals_weak_when_no_dangling(spark):
+    """undirected=True removes dangling nodes, so both modes agree
+    bit-for-bit — redistribution of an empty set is a no-op."""
+    from wp_etl_migration_spark.operators.graph import pagerank
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r.node: r.rank for r in
+         pagerank(df, iterations=3, undirected=True).collect()}
+    b = {r.node: r.rank for r in
+         pagerank(df, iterations=3, undirected=True,
+                  dangling="redistribute").collect()}
+    assert a == b

@@ -92,7 +92,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iterations: int = 5, damping_num: int = 85,
              damping_den: int = 100, scale: int = 10 ** 9,
-             undirected: bool = False) -> DataFrame:
+             undirected: bool = False,
+             dangling: str = "leak") -> DataFrame:
     """Fixed-point integer PageRank: (node, rank) after exactly
     ``iterations`` power steps, rank an exact BIGINT on a
     per-node-initial-mass of ``scale``.
@@ -113,11 +114,21 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     loses ≤1 unit per division — pick ``scale`` for the precision you
     need (default 1e9 → per-step relative error ~1e-9·degree).
 
-    Dangling nodes (no out-edges) leak their mass instead of
-    redistributing it — the standard "weak PageRank" simplification;
-    relative ordering (all quality weighting needs) is preserved.
+    Dangling nodes (no out-edges): ``dangling="leak"`` (default)
+    drops their mass — the "weak PageRank" simplification; relative
+    ordering (all quality weighting needs) is preserved within one
+    graph, but totals are not comparable across subgraphs.
+    ``dangling="redistribute"`` is classical PageRank: per iteration
+    the dangling nodes' summed rank D is shared uniformly — every
+    node additionally receives ``num·(D div N) div den`` (N = node
+    count; still pure integer, still bit-exact, oracle-checkable with
+    a per-step scalar subquery). Total mass is then conserved up to
+    the ≤N units truncated by ``D div N``, making ranks comparable
+    across runs and subgraphs. Costs one extra aggregate per
+    iteration over the (pinned, one-row-per-node) rank state — a
+    single long per round to the driver, independent of graph size.
     ``undirected=True`` mirrors every edge, which removes dangling
-    nodes entirely.
+    nodes entirely (both modes then agree).
 
     Overflow bound: a hub's in-contribution is < N·scale, multiplied
     by ``damping_num`` — keep ``N·scale·damping_num < 2⁶³`` (default
@@ -130,6 +141,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     State between rounds is one (node, rank) row per node, pinned
     (``localCheckpoint``) so the lineage stays flat.
     """
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError("dangling must be 'leak' or 'redistribute'")
     e = pairs_e = edges.select(F.col(src).alias("u"),
                                F.col(dst).alias("v"))
     if undirected:
@@ -143,16 +156,31 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.select("node",
                          F.lit(scale).cast("long").alias("rank"))
+    if dangling == "redistribute":
+        # dangling set and node count are per-graph constants: one
+        # left-anti + one count, outside the iteration loop
+        no_out = pin(nodes.join(
+            outdeg.select(F.col("u").alias("node")), "node",
+            "left_anti"))
+        n_nodes = nodes.count()
     for _ in range(iterations):
         contrib = (e.join(ranks.withColumnRenamed("node", "u"), "u")
                    .join(outdeg, "u")
                    .select(F.col("v").alias("node"),
                            F.expr("rank div __d").alias("__c"))
                    .groupBy("node").agg(F.sum("__c").alias("__s")))
+        extra = 0
+        if dangling == "redistribute":
+            # one long to the driver per round, off the PINNED state
+            # (a cheap one-column scan, never a lineage recompute)
+            d_mass = (ranks.join(no_out, "node", "left_semi")
+                      .agg(F.sum("rank")).first()[0]) or 0
+            extra = (damping_num * (int(d_mass) // n_nodes)) \
+                // damping_den
         ranks = pin(
             nodes.join(contrib, "node", "left")
             .select("node",
-                    (F.lit(base) + F.expr(
+                    (F.lit(base + extra) + F.expr(
                         f"({damping_num} * coalesce(__s, 0)) "
                         f"div {damping_den}")).cast("long")
                     .alias("rank")))

@@ -3667,6 +3667,62 @@ SELECT node, r AS rank FROM {prev}
 ORACLE_PAGERANK = _pagerank_oracle(3)
 
 
+def q_pagerank_redistribute(spark, sf_dir):
+    """Classical (mass-conserving) integer PageRank
+    (operators/graph.pagerank dangling="redistribute", VERDICT r6 #4)
+    over the DIRECTED customer→supplier graph — suppliers have no
+    out-edges, so every iteration redistributes their summed rank
+    uniformly: rank += num·(D div N) div den, all integer, making the
+    result bit-exact against the unrolled-CTE oracle extended with a
+    per-step dangling scalar subquery."""
+    from wp_etl_migration_spark.operators.graph import pagerank
+    t = _t(spark, sf_dir)
+    edges = (t.lineitem().join(
+        t.orders(),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 1000000).alias("dst")))
+    return pagerank(edges, iterations=3, dangling="redistribute")
+
+
+def _pagerank_redistribute_oracle(iterations: int) -> str:
+    """The unrolled oracle with the dangling term: per step, the
+    summed rank of no-out-edge nodes divides by the node count and
+    damps into every node's base — mirroring pagerank()'s
+    ``(num * (D div N)) div den`` integer order of operations."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+d{i} AS (SELECT COALESCE(SUM(r), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT u FROM deg)),
+s{i} AS (SELECT e.v AS node, SUM({prev}.r // g.d) AS s
+  FROM ed e JOIN {prev} ON {prev}.node = e.u
+  JOIN deg g ON g.u = e.u GROUP BY e.v),
+r{i} AS (SELECT n.node,
+  CAST(150000000
+       + (85 * ((SELECT dm FROM d{i})
+                // (SELECT nc FROM ncount))) // 100
+       + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{i} ON s{i}.node = n.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH ed AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey + 1000000 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (SELECT u, COUNT(*) AS d FROM ed GROUP BY u),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT u AS node FROM ed UNION ALL SELECT v AS node FROM ed)),
+ncount AS (SELECT COUNT(*) AS nc FROM nodes),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+{",".join(steps)}
+SELECT node, r AS rank FROM {prev}
+"""
+
+
+ORACLE_PAGERANK_REDIST = _pagerank_redistribute_oracle(3)
+
+
 def q_training_prep_all(spark, sf_dir):
     """The composed LLM training-data preparation journey as ONE run —
     the pretraining twin of q_wp_post_all: quality gates (observed
@@ -3908,6 +3964,11 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "lang_id": (q_lang_id, ORACLE_LANG),
+    # r7: classical dangling-redistribute PageRank (VERDICT r6 #4) —
+    # strict local parity against the dangling-extended unrolled CTE;
+    # the weak-mode driver row (pagerank) is unchanged.
+    "pagerank_redistribute": (q_pagerank_redistribute,
+                              ORACLE_PAGERANK_REDIST),
     # Rotated OUT of the driver registry in r7 (green r4-r6; families
     # stay driver-covered — see the REGISTRY r7 rotation note). Their
     # slots went to the final 9 never-driver-witnessed queries:
