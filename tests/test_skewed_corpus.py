@@ -21,6 +21,7 @@ recorded in SCALE.md.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import random
 import urllib.request
@@ -260,3 +261,175 @@ def test_pagerank_hot_hub_bounded(spark, skew_docs):
     # and the pre-reduction is visible in stage totals: the smallest
     # judged exchange moved partials, not edges
     assert min(st["records"] for st in stats) < len(edges) // 4
+
+
+def test_assign_new_ids_hot_slug_bounded(spark):
+    """The composed-journey hot-slug case (VERDICT r6 #5): 10k incoming
+    rows share ONE (post_name, post_type). The range partitioner alone
+    would hand the whole hot key to a single task (measured 10,000
+    max / 1 median before the full-row-tiebreak fix); with the md5
+    tiebreak joined into the range key, equal keys split across
+    boundaries and per-task rows stay a small multiple of the fair
+    share — a constant in the hot key's multiplicity. IDs must remain
+    the exact global (cols, tiebreak) rank AND be run-to-run
+    deterministic even for the duplicated key."""
+    from tests.test_plan_equivalence import FORCED_PARTS
+    from wp_etl_migration_spark.sinks.wordpress import assign_new_ids
+
+    rows = [("hot-press-release", "post", i) for i in range(10_000)]
+    rows += [(f"slug-{i}", "post", 100_000 + i) for i in range(800)]
+    df = spark.createDataFrame(
+        rows, "name string, type string, payload long") \
+        .repartition(16).localCheckpoint(eager=True)
+    n = len(rows)
+
+    def act():
+        out = assign_new_ids(df, "ID", 1000, ["name", "type"])
+        return {(r.name, r.payload): r.ID for r in out.collect()}
+
+    got, stats = _probe_skew(spark, act)
+    # dense, unique, start-anchored
+    assert len(got) == n and len(set(got.values())) == n
+    assert min(got.values()) == 1000 and max(got.values()) == 1000 + n - 1
+    # hot-key block is contiguous in rank space (all sort before
+    # "slug-*"), uniform rows keep pure key order
+    hot_ids = sorted(v for (nm, _p), v in got.items()
+                     if nm == "hot-press-release")
+    assert hot_ids == list(range(1000, 11_000))
+    # deterministic across a fresh materialization, including ties
+    rerun, _ = _probe_skew(spark, act)
+    assert rerun == got
+    # fair share ~ n / FORCED_PARTS; range-sample boundary error is a
+    # small constant multiple of it, NOT the hot key's 10k multiplicity
+    fair = -(-n // FORCED_PARTS)
+    _assert_bounded("assign_new_ids", stats,
+                    abs_cap=6 * fair + SKEW_SLACK)
+    assert all(st["max"] < 10_000 for st in stats), \
+        "a task swallowed the whole hot key"
+
+
+@contextlib.contextmanager
+def _large_dim_regime(spark):
+    """Simulate the 100 TB regime at test scale: dimension sides too
+    big to broadcast (forced shuffle joins) and AQE skew-join
+    thresholds scaled down to test-sized partitions (production
+    defaults — 256 MB / factor 5 — are exactly right for real hot
+    partitions, which dwarf them; a 10k-row test key compresses to a
+    few KB and would never trip them)."""
+    saved = {}
+    for k, v in (("spark.sql.autoBroadcastJoinThreshold", "-1"),
+                 ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+                 # mid-pipeline joins feed further exchanges, where
+                 # OptimizeSkewedJoin declines unless forced
+                 ("spark.sql.adaptive.forceOptimizeSkewedJoin", "true"),
+                 ("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                  "2"),
+                 ("spark.sql.adaptive.skewJoin."
+                  "skewedPartitionThresholdInBytes", "1KB"),
+                 ("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                  "1KB")):
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_post_upsert_hot_slug_one_id_bounded(spark):
+    """The wp_post_all journey shape under a hot slug: 10k incoming
+    rows collide on one (post_name, post_type) with NO existing match.
+    Probe-before-insert semantics require they all resolve to ONE
+    minted id (the reference creates on first occurrence, finds it for
+    the rest — WordPressPostLoader.php:172-194) and the posts table
+    gains exactly one row per distinct new key. Run under the
+    large-dim regime (no broadcasts at all), so every probe/id join is
+    a shuffle join carrying the hot key — the bed then requires that
+    no task swallows it whole: the distinct() pre-collapses it before
+    any id work, AQE skew-join splits the one remaining hot SMJ
+    partition (measured: 10,019-row task unsplit → 1,276 max split),
+    and the final one-row-per-ID collapse arrives pre-reduced via
+    Spark's window group-limit pushdown."""
+    from wp_etl_migration_spark.sinks.wordpress import post_upsert_stage
+
+    HOT = 10_000
+    rows = [(None, "hot-press-release", "post", f"title {i}")
+            for i in range(HOT)]
+    rows += [(None, f"slug-{i}", "post", f"t{i}") for i in range(800)]
+    incoming = spark.createDataFrame(
+        rows,
+        "ID long, post_name string, post_type string, post_title string") \
+        .select(F.col("ID").alias("post.ID"),
+                F.col("post_name").alias("post.post_name"),
+                F.col("post_type").alias("post.post_type"),
+                F.col("post_title").alias("post.post_title")) \
+        .repartition(16).localCheckpoint(eager=True)
+    posts = spark.createDataFrame(
+        [(i, f"existing-{i}", "post", f"old {i}") for i in range(1, 501)],
+        "ID long, post_name string, post_type string, post_title string") \
+        .localCheckpoint(eager=True)
+    stage = post_upsert_stage()
+
+    def act():
+        st = stage({"incoming": incoming, "posts": posts})
+        # Verify through ONE unfiltered aggregate over the journey
+        # output: a `.where(post_name == hot)` inspection query would
+        # recompute the whole plan with the hot slug as its ONLY key —
+        # an all-rows-one-partition shape no journey stage ever runs —
+        # and its stages would fail the bound for reasons the journey
+        # doesn't have.  Map-side partial agg keeps this probe tiny.
+        is_hot = F.col("`post.post_name`") == "hot-press-release"
+        row = st["incoming"].agg(
+            F.count(F.when(is_hot, 1)).alias("n_hot"),
+            F.countDistinct(
+                F.when(is_hot, F.col("`post.ID`"))).alias("n_ids")
+        ).first()
+        return st["posts"].count(), row.n_hot, row.n_ids
+
+    with _large_dim_regime(spark):
+        (n_posts, n_hot, n_hot_ids), stats = _probe_skew(spark, act)
+    assert n_hot == HOT and n_hot_ids == 1     # one entity, found 9,999×
+    assert n_posts == 500 + 800 + 1            # one row per distinct key
+    # largest allowed per-task read: one 16-way input partition, or
+    # one AQE skew-split chunk of the hot SMJ partition (advisory-
+    # sized; generous ×4 headroom for compression variance) — never
+    # the whole 10k hot key on one reducer
+    _assert_bounded("post_upsert_hot_slug", stats,
+                    abs_cap=HOT // 2)
+    assert all(st["max"] < HOT for st in stats), \
+        "a task swallowed the whole hot slug"
+
+
+def test_training_shards_hot_corpus_bounded(spark, skew_docs, tmp_path):
+    """The training_prep_all journey's write under the skewed corpus:
+    shard membership is md5(id)-addressed, so the 10k mirrored docs
+    scatter uniformly regardless of their shared content, and every
+    shard-writer task reads ~N/n_shards rows — the designed unit of
+    work. A content-keyed sharder would put all mirrors in one shard;
+    this asserts the id-keyed one cannot."""
+    from wp_etl_migration_spark.sinks.training import (
+        write_training_shards)
+
+    N_SHARDS = 8
+    n = skew_docs.count()
+
+    def act():
+        return write_training_shards(
+            skew_docs, str(tmp_path / "shards"), "doc_id",
+            n_shards=N_SHARDS, salt="skewbed|")
+
+    manifest, stats = _probe_skew(spark, act)
+    assert manifest["n_rows"] == n
+    per_shard = [v["rows"] for v in manifest["shards"].values()]
+    assert len(per_shard) == N_SHARDS
+    fair = n / N_SHARDS
+    assert max(per_shard) <= 1.25 * fair, \
+        f"hot content concentrated a shard: {per_shard}"
+    assert min(per_shard) >= 0.75 * fair
+    # shard-keyed exchanges: per-task rows ~ one shard's fair share
+    _assert_bounded("write_training_shards", stats,
+                    abs_cap=int(1.25 * fair) + SKEW_SLACK)

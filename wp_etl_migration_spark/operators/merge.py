@@ -68,15 +68,44 @@ def cascaded_lookup(incoming: DataFrame, existing: DataFrame,
     i.e. the insert branch). Duplicate keys in ``existing`` resolve to the
     MIN id — deterministic, unlike an arbitrary dropDuplicates. Each probe
     is a broadcast-eligible left join.
+
+    Null-key routing: rows with a NULL in any probe key can never hit
+    an equi-join, yet a hash exchange sends every one of them to the
+    SAME partition — and "no id yet" is the COMMON case in a migration
+    load, so the id-level probe would otherwise funnel the whole batch
+    through one task (measured in the skew bed: 10,800 of 10,800 rows
+    on one reducer). They bypass the join entirely and union back with
+    a null hit.
+
+    Hot-key routing for the non-null rows relies on AQE skew-join
+    splitting, which pattern-matches ONLY ``SMJ(Sort←ShuffleStage,
+    Sort←ShuffleStage)``: with the probe's final HashAggregate fused
+    into the join stage, Spark declines to optimize EITHER side, so a
+    10k× duplicated incoming slug rode one reducer unsplit (measured
+    10,013 max vs 639 with the split). ``hint("rebalance")`` on the
+    probe breaks the fusion — the join then adds its own
+    ENSURE_REQUIREMENTS exchange, the only shuffle origin the skew
+    rule accepts (an explicit ``repartition(ks)`` does NOT qualify and
+    stays unsplit). Costs one extra shuffle of the already-reduced
+    one-row-per-key probe; the fat incoming side still shuffles once.
     """
+    import functools
+    import operator
+
+    id_type = existing.schema[id_col].dataType
     out = incoming
     hit_cols = []
     for i, ks in enumerate(key_sets):
         ks = list(ks)
         probe = (existing
                  .groupBy(*ks)
-                 .agg(F.min(id_col).alias(f"__hit{i}")))
-        out = out.join(probe, on=ks, how="left")
+                 .agg(F.min(id_col).alias(f"__hit{i}"))
+                 .hint("rebalance"))
+        key_ok = functools.reduce(
+            operator.and_, [F.col(c).isNotNull() for c in ks])
+        out = (out.where(key_ok).join(probe, on=ks, how="left")
+               .unionByName(out.where(~key_ok).withColumn(
+                   f"__hit{i}", F.lit(None).cast(id_type))))
         hit_cols.append(f"__hit{i}")
     out = out.withColumn(out_col, F.coalesce(*[F.col(h) for h in hit_cols]))
     return out.drop(*hit_cols)

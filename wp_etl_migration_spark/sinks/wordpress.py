@@ -89,10 +89,25 @@ def assign_new_ids(rows: DataFrame, id_col: str, start: int,
     counts (one tiny row per partition). The resulting id equals the
     global rank regardless of where the sampled range boundaries fall, so
     IDs stay deterministic for unique keys.
+
+    Hot-key safe: the range partitioner alone sends every row that
+    shares one ``order_cols`` value to a SINGLE partition (a 50k×
+    duplicated slug = a 50k-row task, measured in the skew bed), so a
+    full-row md5 tiebreaker joins the partition key and the rank order.
+    Equal keys then split across range boundaries by hash while the
+    rank stays the (cols, tiebreak) lexicographic position —
+    deterministic for any multiset, identical ids to before whenever
+    ``order_cols`` are unique. Rows identical in EVERY column still
+    co-locate (no content left to split on); that residual case is the
+    caller's dedup job, and `_assign_ids_per_key`'s distinct() does it
+    for the upsert paths.
     """
     cols = [_bt(c) for c in order_cols]
-    ordered = (rows.repartitionByRange(*cols)
-               .sortWithinPartitions(*cols)
+    tie = F.md5(F.concat_ws(
+        "\x1f", *[_bt(c).cast("string") for c in rows.columns]))
+    ordered = (rows.withColumn("__tie", tie)
+               .repartitionByRange(*cols, F.col("__tie"))
+               .sortWithinPartitions(*cols, F.col("__tie"))
                .withColumn("__pid", F.spark_partition_id()))
     # Pin ONE materialization: the counts job below and the returned
     # frame must read identical partitions — if the upstream plan is
@@ -112,11 +127,11 @@ def assign_new_ids(rows: DataFrame, id_col: str, start: int,
         F.create_map(*[F.lit(x) for pid in sorted(counts)
                        for x in (pid, offsets[pid])]),
         F.col("__pid")) if counts else F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(*cols)
+    w = Window.partitionBy("__pid").orderBy(*cols, F.col("__tie"))
     return (ordered.withColumn(
         id_col,
         (F.lit(start - 1) + off + F.row_number().over(w)).cast("long"))
-        .drop("__pid"))
+        .drop("__pid", "__tie"))
 
 
 def _assign_ids_per_key(rows: DataFrame, out_col: str, start: int,
@@ -135,7 +150,13 @@ def _assign_ids_per_key(rows: DataFrame, out_col: str, start: int,
     keys = named.select(*key_cols).distinct()
     key_ids = assign_new_ids(keys, out_col, start, key_cols)
     n_named = key_ids.count()
-    return (named.drop(out_col).join(key_ids, on=list(key_cols))
+    # The distinct() above pre-collapses a hot key before any id work;
+    # the fan-back join re-expands it, so its one-row-per-key build
+    # side is rebalance-hinted: with the id window fused into the join
+    # stage AQE's skew rule can't match and a 10k× duplicated key rides
+    # one reducer (see cascaded_lookup for the measured pattern).
+    return (named.drop(out_col).join(key_ids.hint("rebalance"),
+                                     on=list(key_cols))
             .unionByName(assign_new_ids(anon, out_col, start + n_named,
                                         key_cols)))
 
