@@ -113,6 +113,63 @@ def run_op(name: str) -> dict:
         vocab_build(corpus, "text", top_k=1000) \
             .write.format("noop").mode("overwrite").save()
         out["sec"] = round(time.monotonic() - t0, 3)
+    elif name == "upsert_hot_slug":
+        # The wp_post_all journey's id path under a 50k× duplicated
+        # slug: every mirrored doc maps to ONE (post_name, post_type),
+        # so probe-before-insert must mint exactly one id for the hot
+        # entity while assign_new_ids range-partitions 500k unique
+        # slugs around it.  Production config (broadcasts on, AQE
+        # defaults) — the test-scale no-broadcast bound lives in
+        # tests/test_skewed_corpus.py.
+        from wp_etl_migration_spark.sinks.wordpress import (
+            post_upsert_stage)
+        incoming = corpus.select(
+            F.lit(None).cast("long").alias("post.ID"),
+            F.when(F.col("text") == HOT_TEXT, "hot-press-release")
+             .otherwise(F.concat(F.lit("slug-"),
+                                 F.col("doc_id").cast("string")))
+             .alias("post.post_name"),
+            F.lit("post").alias("post.post_type"),
+            F.substring("text", 1, 40).alias("post.post_title"),
+        ).localCheckpoint(eager=True)
+        posts = spark.range(1, 10_001).select(
+            F.col("id").alias("ID"),
+            F.concat(F.lit("existing-"), F.col("id").cast("string"))
+             .alias("post_name"),
+            F.lit("post").alias("post_type"),
+            F.lit("old").alias("post_title")).localCheckpoint(eager=True)
+        t0 = time.monotonic()
+        st = post_upsert_stage()({"incoming": incoming, "posts": posts})
+        st["incoming"].write.format("noop").mode("overwrite").save()
+        n_posts = st["posts"].count()
+        out["sec"] = round(time.monotonic() - t0, 3)
+        n_in = incoming.count()
+        out["rows_in"] = n_in
+        out["posts_out"] = n_posts
+        # one minted entity for the hot slug, one per unique slug
+        assert n_posts == 10_000 + (n_in - MIRRORS) + 1, n_posts
+    elif name == "training_shards_hot":
+        # The training_prep_all journey's write under the hot corpus:
+        # md5(id)-addressed shard membership scatters the 50k mirrors
+        # uniformly — shard balance is asserted, not hoped for.
+        import shutil
+        from wp_etl_migration_spark.sinks.training import (
+            write_training_shards)
+        dest = os.path.join(os.path.dirname(SCRATCH),
+                            "sf1_skew_shards")
+        shutil.rmtree(dest, ignore_errors=True)
+        n_shards = 32
+        t0 = time.monotonic()
+        manifest = write_training_shards(corpus, dest, "doc_id",
+                                         n_shards=n_shards,
+                                         salt="skewbed|")
+        out["sec"] = round(time.monotonic() - t0, 3)
+        per = [v["rows"] for v in manifest["shards"].values()]
+        fair = manifest["n_rows"] / n_shards
+        out["shard_rows_max_over_fair"] = round(max(per) / fair, 3)
+        out["shard_rows_min_over_fair"] = round(min(per) / fair, 3)
+        assert max(per) <= 1.2 * fair and min(per) >= 0.8 * fair, per
+        shutil.rmtree(dest, ignore_errors=True)
     elif name in ("cap_two_phase", "cap_single_window"):
         from wp_etl_migration_spark.operators.sampling import cap_per_key
         thin = corpus.select("doc_id", "source") \
@@ -133,6 +190,35 @@ def run_op(name: str) -> dict:
 
 OPS = ("line_dedup", "vocab_build", "cap_two_phase",
        "cap_single_window")
+JOURNEY_OPS = ("upsert_hot_slug", "training_shards_hot")
+
+
+def journeys() -> int:
+    """2 alternating-order cold-session rounds of the composed-journey
+    shapes on the skewed corpus (VERDICT r6 #5)."""
+    timings: dict[str, list[dict]] = {o: [] for o in JOURNEY_OPS}
+    for r in range(2):
+        order = JOURNEY_OPS if r % 2 == 0 else tuple(
+            reversed(JOURNEY_OPS))
+        for op in order:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--op", op],
+                capture_output=True, text=True, env=dict(os.environ))
+            if proc.returncode != 0:
+                print(json.dumps({"error": proc.stderr[-500:]}))
+                return 1
+            timings[op].append(
+                json.loads(proc.stdout.strip().splitlines()[-1]))
+    print(json.dumps({
+        "metric": "sf1_skewed_journeys", "unit": "sec",
+        "docs": 5000 * REPLICAS + MIRRORS, "mirrors": MIRRORS,
+        "runs": {o: [t["sec"] for t in ts]
+                 for o, ts in timings.items()},
+        "min": {o: min(t["sec"] for t in ts)
+                for o, ts in timings.items()},
+        "detail": {o: ts[0] for o, ts in timings.items()},
+    }))
+    return 0
 
 
 def study() -> int:
@@ -166,4 +252,6 @@ if __name__ == "__main__":
     if "--op" in args:
         print(json.dumps(run_op(args[args.index("--op") + 1])))
         sys.exit(0)
+    if "--journeys" in args:
+        sys.exit(journeys())
     sys.exit(study())
