@@ -67,10 +67,13 @@ def build_corpus(spark) -> None:
         return
     docs = spark.read.parquet(
         os.path.join(SF_DIR, "documents.parquet")).select("doc_id", "text")
-    n = docs.count()
     reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    # Fresh surrogate ids: the obvious ``doc_id + rep * count`` remap is
+    # only collision-free when source ids are dense in [0, n), which the
+    # generator does not promise. train_bpe never reads doc_id, but the
+    # derived corpus must stay safe for id-sensitive reuse.
     (docs.crossJoin(F.broadcast(reps))
-     .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+     .select(F.monotonically_increasing_id().alias("doc_id"),
              F.regexp_replace(
                  F.col("text"), r"(\S+)",
                  F.concat(F.lit("$1~r"), F.col("rep").cast("string")))
@@ -154,6 +157,7 @@ def main() -> None:
     ks = [16, 64]
     if "--classic" in sys.argv:
         ks.insert(0, 1)
+    failed: list[int] = []
     for k in ks:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", str(k)],
@@ -162,10 +166,16 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")]
         if not line:
+            # Record and move on — one config's failure must not
+            # discard the remaining ks' results.
+            failed.append(k)
             print(f"batch_k={k} FAILED:\n{out.stderr[-2000:]}",
-                  file=sys.stderr)
-            sys.exit(1)
+                  file=sys.stderr, flush=True)
+            continue
         print(line[-1], flush=True)
+    if failed:
+        print(f"failed configs: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

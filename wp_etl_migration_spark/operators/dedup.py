@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -73,11 +73,19 @@ def spread_thin_input(df: DataFrame,
     return df.repartition(sc.defaultParallelism)
 
 
+def content_digest(content_cols: list[str]) -> Column:
+    """The engine's canonical 128-bit content digest: md5 over the
+    \\x1f-joined string casts of ``content_cols``. One definition so
+    batch-side digests, stored digest indexes, and store-prune keys
+    (``streaming/incremental.py``) can never drift apart."""
+    return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                       for c in content_cols]))
+
+
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str],
                 keep: str = "min") -> DataFrame:
     """Keep one row id per distinct content digest (min id by default)."""
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                         for c in content_cols]))
+    digest = content_digest(content_cols)
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (df.groupBy(digest.alias("__digest"))
             .agg(agg.alias(id_col))
@@ -106,8 +114,7 @@ def cross_corpus_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
     pass it as ``corpus_df`` with ``corpus_digest_col`` naming the
     already-computed digest column.
     """
-    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                         for c in content_cols]))
+    digest = content_digest(content_cols)
     corpus_digests = (
         corpus_df.select(F.col(corpus_digest_col).alias("__digest"))
         if corpus_digest_col is not None
@@ -306,7 +313,8 @@ def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
                           id_col: str, text_col: str,
                           n: int = 3, num_hashes: int = 16,
                           rows_per_band: int = 2,
-                          max_bucket: int | None = None) -> DataFrame:
+                          max_bucket: int | None = None,
+                          _bands: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates of an INCREMENTAL batch against a stored
     corpus band index plus itself — the production shape of continuous
     dedup: each new crawl shingles only its own documents, the
@@ -330,9 +338,16 @@ def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
     new×new pairs quadratically. The cap costs one count over the
     union; at worst it misses dups of boilerplate that exact-dedup
     catches anyway.
+
+    ``_bands`` optionally supplies the new batch's precomputed
+    :func:`lsh_bands` frame (same ``_shingles``-style convention) so a
+    caller that already materialized it — e.g. the incremental store,
+    which collects the batch's sub-bucket set from it for probe
+    pruning — doesn't pay the shingle+signature pass twice.
     """
-    new_bands = lsh_bands(new_df, id_col, text_col, n, num_hashes,
-                          rows_per_band)
+    new_bands = (_bands if _bands is not None
+                 else lsh_bands(new_df, id_col, text_col, n,
+                                num_hashes, rows_per_band))
     tagged = (new_bands.withColumn("__new", F.lit(True))
               .unionByName(
                   corpus_bands.select(F.col(id_col), "band", "band_hash")

@@ -43,26 +43,57 @@ from pyspark.sql import functions as F
 
 
 class IncrementalDedup:
-    """Stateful wrapper owning the three stores under ``store_dir``,
-    each hive-partitioned by ``batch_id``: ``corpus/`` (surviving
-    docs), ``digests/`` (id, md5), ``bands/`` (id, band, band_hash).
-    Store format note: not mixable with a flat pre-partitioned layout
-    from an older version — use a fresh ``store_dir``."""
+    """Stateful wrapper owning the three stores under ``store_dir``:
+    ``corpus/`` (surviving docs, hive-partitioned by ``batch_id``),
+    ``digests/`` (id, md5) and ``bands/`` (id, band, band_hash), both
+    hive-partitioned by ``(batch_id, sub)`` where ``sub =
+    pmod(xxhash64(join key), num_subs)`` — the probe-prune sub-bucket.
+
+    Why ``sub`` exists: the per-batch probe is an equi-join against a
+    stored index that grows with the corpus; after 10⁵ batches a full
+    index scan per batch is the bottleneck. ``sub`` is a pure function
+    of the join key, so stored rows outside the batch's own sub set
+    can never match — the probe filters to ``sub IN (batch subs)``,
+    which Spark prunes at the partition listing (PartitionFilters;
+    asserted in tests). The batch's sub set is collected driver-side,
+    bounded by the CONSTANT ``num_subs``, never by data size. The
+    pruning bites when the batch's distinct-key count is small
+    relative to ``num_subs`` (trickle batches — the steady state a
+    continuous loop converges to); a corpus-scale batch covers every
+    sub and degrades gracefully to exactly today's full-index
+    equi-join, never worse. The sub layout is also the unit a
+    compactor would merge (all ``batch_id`` partitions of one ``sub``
+    → one sorted file) to bound file counts at 10⁵ batches; per-batch
+    partitions stay authoritative for replay.
+
+    Store format note (v3): not mixable with the v2 ``batch_id``-only
+    layout or the older flat layout — use a fresh ``store_dir``."""
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, text_col: str,
                  n: int = 3, num_hashes: int = 16,
                  rows_per_band: int = 2,
-                 max_bucket: int | None = None):
+                 max_bucket: int | None = None,
+                 num_subs: int = 64):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.text_col = id_col, text_col
         self.n, self.num_hashes = n, num_hashes
         self.rows_per_band = rows_per_band
         self.max_bucket = max_bucket
+        self.num_subs = int(num_subs)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
+
+    def _sub(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.num_subs)).cast("int")
+
+    def _subs_of(self, df: DataFrame, col) -> list[int]:
+        """Distinct sub-buckets of a batch-side key column — a
+        driver collect bounded by the constant ``num_subs``."""
+        return [r[0] for r in df.select(self._sub(col).alias("__s"))
+                .distinct().collect()]
 
     def _load(self, name: str, schema: str) -> DataFrame:
         """Read a store, or an empty frame before its first append.
@@ -104,33 +135,47 @@ class IncrementalDedup:
         silently merges."""
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.dedup import (
-            cross_corpus_exact_dedup, incremental_lsh_pairs, lsh_bands)
+            content_digest, cross_corpus_exact_dedup,
+            incremental_lsh_pairs, lsh_bands)
         id_c, text_c = self.id_col, self.text_col
 
         batch = pin(batch)
         not_own = F.col("batch_id") != int(batch_id)
-        digests = self._load(
-            "digests", f"{id_c} long, digest string, batch_id int") \
-            .filter(not_own).select(id_c, "digest")
         # Exact pass against the stored digest index minus this
         # batch's own (possibly partially-written) partition (empty
         # store ⇒ pure in-batch dedup); historical corpus text is
-        # never re-read.
+        # never re-read, and the probe prunes to the batch's own
+        # digest sub-buckets — rows elsewhere cannot equi-join.
+        digest_subs = self._subs_of(batch, content_digest([text_c]))
+        digests = self._load(
+            "digests",
+            f"{id_c} long, digest string, batch_id int, sub int") \
+            .filter(not_own & F.col("sub").isin(digest_subs)) \
+            .select(id_c, "digest")
         exact = cross_corpus_exact_dedup(batch, digests, id_c,
                                          [text_c],
                                          corpus_digest_col="digest")
 
         # Near-dup pass against the band index, own partition excluded
-        # for the same replay reason; colliding batch docs (vs corpus,
-        # or vs a smaller-id batch doc) drop.
+        # for the same replay reason and sub-pruned the same way;
+        # colliding batch docs (vs corpus, or vs a smaller-id batch
+        # doc) drop. The batch's bands are materialized ONCE here —
+        # the sub collect, the candidate join, and the survivors'
+        # band write below all reuse the pinned frame instead of
+        # re-running the shingle+signature pass.
+        new_bands = pin(lsh_bands(exact, id_c, text_c, self.n,
+                                  self.num_hashes, self.rows_per_band))
+        band_subs = self._subs_of(new_bands, F.col("band_hash"))
         band_index = self._load(
             "bands",
-            f"{id_c} long, band int, band_hash string, batch_id int") \
-            .filter(not_own) \
+            f"{id_c} long, band int, band_hash string, "
+            "batch_id int, sub int") \
+            .filter(not_own & F.col("sub").isin(band_subs)) \
             .select(id_c, "band", "band_hash")
         pairs = incremental_lsh_pairs(
             exact, band_index, id_c, text_c, self.n, self.num_hashes,
-            self.rows_per_band, max_bucket=self.max_bucket)
+            self.rows_per_band, max_bucket=self.max_bucket,
+            _bands=new_bands)
         # Drop convention keeps the smallest id: a batch doc colliding
         # with the corpus always drops (it IS id_new), but a new x new
         # pair arrives as (id_new < id_other), so the LARGER id_other
@@ -146,16 +191,27 @@ class IncrementalDedup:
         part = f"batch_id={int(batch_id)}"
         survivors.drop("__digest").write.mode("overwrite") \
             .parquet(self._path(f"corpus/{part}"))
-        survivors.select(F.col(id_c).cast("long"),
-                         F.col("__digest").alias("digest")) \
-            .write.mode("overwrite") \
-            .parquet(self._path(f"digests/{part}"))
-        lsh_bands(survivors, id_c, text_c, self.n, self.num_hashes,
-                  self.rows_per_band) \
-            .select(F.col(id_c).cast("long"), F.col("band").cast("int"),
-                    "band_hash") \
-            .write.mode("overwrite") \
-            .parquet(self._path(f"bands/{part}"))
+        # Index writes carry the sub-bucket as a hive partition under
+        # the batch partition; repartition("sub") keeps the file count
+        # at ≤ num_subs per store per batch (without it every task
+        # writes every sub it holds). Static overwrite of the
+        # batch_id=N dir preserves the replay contract: a retry
+        # replaces the WHOLE batch partition, sub dirs included.
+        (survivors.select(F.col(id_c).cast("long"),
+                          F.col("__digest").alias("digest"))
+         .withColumn("sub", self._sub(F.col("digest")))
+         .repartition("sub")
+         .write.partitionBy("sub").mode("overwrite")
+         .parquet(self._path(f"digests/{part}")))
+        # Survivor bands are a subset of the pinned batch bands — a
+        # semi-join, not a second signature pass.
+        (new_bands.join(survivors.select(id_c), id_c, "left_semi")
+         .select(F.col(id_c).cast("long"), F.col("band").cast("int"),
+                 "band_hash")
+         .withColumn("sub", self._sub(F.col("band_hash")))
+         .repartition("sub")
+         .write.partitionBy("sub").mode("overwrite")
+         .parquet(self._path(f"bands/{part}")))
 
     def run_stream(self, stream: DataFrame,
                    checkpoint_dir: str | None = None,
@@ -204,28 +260,40 @@ class IncrementalAnnIndex:
     re-delivered under the same id in a LATER batch is indexed again
     under its new batch and still gets its match partition written —
     the index key is ``(batch_id, id)``; consumers that assume unique
-    ids must dedupe upstream. Store format note: ``matches/`` and
-    ``ann/`` are hive-partitioned by ``batch_id`` (readers see it as
-    an extra int column); not mixable with the older flat ``ann/``
-    append layout — use a fresh ``store_dir`` per format.
+    ids must dedupe upstream. Store format note (v3): ``ann/`` is
+    hive-partitioned by ``(batch_id, sub)`` where ``sub =
+    pmod(xxhash64(bucket), num_subs)`` — the probe-prune sub-bucket
+    (see :class:`IncrementalDedup`: a batch's query only joins stored
+    rows sharing its hyperplane buckets, so the probe filters to the
+    batch's own sub set, pruned at the partition listing; exact
+    because the class queries with ``n_probes=1``, each query touching
+    only its own bucket). ``matches/`` stays ``batch_id``-only (it is
+    a feed, never probed by key). Not mixable with the v2
+    ``batch_id``-only or older flat ``ann/`` layouts — use a fresh
+    ``store_dir`` per format.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, vec_col: str,
                  planes: list[list[float]], k: int = 5,
-                 rescore: str = "arrow"):
+                 rescore: str = "arrow", num_subs: int = 64):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
         self.planes, self.k, self.rescore = planes, k, rescore
+        self.num_subs = int(num_subs)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
 
+    def _sub(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.num_subs)).cast("int")
+
     def _load_index(self) -> DataFrame:
         from pyspark.errors import AnalysisException
         schema = (f"{self.id_col} long, bucket string, "
-                  "qvec array<int>, scale double, batch_id int")
+                  "qvec array<int>, scale double, batch_id int, "
+                  "sub int")
         try:
             df = self.spark.read.schema(schema).parquet(
                 self._path("ann"))
@@ -256,16 +324,26 @@ class IncrementalAnnIndex:
         replay recomputes and overwrites byte-identical partitions."""
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.similarity import (
-            build_ann_index, query_ann_index)
+            build_ann_index, hyperplane_bucket, query_ann_index)
         # Pin before the two writes: the queryable frame reads the
         # ann/ store being written — without the pin the index
         # overwrite could re-list the files of the store it is
         # mutating.
         index = self._load_index()
         batch = pin(batch)
+        # Probe pruning: a query (n_probes=1) joins only stored rows
+        # sharing its hyperplane bucket, so stored subs outside the
+        # batch's own bucket-sub set can never match. The collect is
+        # bounded by the constant num_subs.
+        dims = len(self.planes[0])
+        v = F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
+        batch_subs = [r[0] for r in batch.select(
+            self._sub(hyperplane_bucket(v, self.planes, dims))
+            .alias("__s")).distinct().collect()]
         queryable = pin(
-            index.filter(F.col("batch_id") != int(batch_id))
-            .drop("batch_id"))
+            index.filter((F.col("batch_id") != int(batch_id))
+                         & F.col("sub").isin(batch_subs))
+            .drop("batch_id", "sub"))
         matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore)
@@ -278,7 +356,9 @@ class IncrementalAnnIndex:
                          self.planes)
          .select(F.col(self.id_col).cast("long"), "bucket",
                  F.col("qvec").cast("array<int>"), "scale")
-         .write.mode("overwrite")
+         .withColumn("sub", self._sub(F.col("bucket")))
+         .repartition("sub")
+         .write.partitionBy("sub").mode("overwrite")
          .parquet(self._path(f"ann/batch_id={int(batch_id)}")))
 
     def run_stream(self, stream: DataFrame,
