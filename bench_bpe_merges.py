@@ -10,13 +10,14 @@ much driver memory does the per-pass top-``4k`` collect actually use?
 Corpus: the raw sf0.1 ``documents`` table has only **31 distinct
 words** (synthetic generator word pool), so classic BPE SATURATES
 after ~113 merges — every remaining pair is unique-word residue below
-``min_pair_count``. That saturation is recorded here as a finding; to
-exercise a 1,000-merge budget the rig derives a vocabulary-diversified
-corpus (same trick as ``bench_sf1_skew.py``): ``REPLICAS`` copies of
-the table with every word suffixed by a per-replica marker
-(``~r<N>``), multiplying the distinct-word count by REPLICAS while
-keeping per-word frequencies in the thousands. Scratch parquet under
-``.scratch/`` (gitignored).
+``min_pair_count``. That saturation is recorded as a finding in
+BASELINE.md; to exercise a 1,000-merge budget the rig trains on the
+SHARED diversified corpus (``bench_corpus.diversified_corpus``, also
+used by ``bench_sf1_text.py``): ``REPLICAS`` copies of the table with
+every word suffixed by a per-replica marker (``~r<N>``), multiplying
+the distinct-word count by REPLICAS while keeping per-word
+frequencies in the thousands. Scratch parquet under ``.scratch/``
+(gitignored).
 
 Methodology (matches the other bench rigs): each timed config runs in
 a FRESH interpreter + SparkSession (in-session repeats are invalid —
@@ -50,36 +51,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 NUM_MERGES = 1_000
 REPLICAS = 32
-#: Replica count is part of the cache path — a bare _SUCCESS check
-#: with a fixed name would serve a stale corpus after a REPLICAS edit
-#: (the round-6 advisory's fixture-cache lesson).
-SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".scratch", f"bpe_diverse_r{REPLICAS}.parquet")
 
 
-def build_corpus(spark) -> None:
-    """REPLICAS copies of sf0.1 documents, each replica's words
-    suffixed ``~r<N>`` — 31 base words become 31×REPLICAS distinct
-    words (plus digit characters), enough pair capacity for a
-    1,000-merge budget while frequencies stay realistic."""
-    from pyspark.sql import functions as F
-    if os.path.exists(os.path.join(SCRATCH, "_SUCCESS")):
-        return
-    docs = spark.read.parquet(
-        os.path.join(SF_DIR, "documents.parquet")).select("doc_id", "text")
-    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
-    # Fresh surrogate ids: the obvious ``doc_id + rep * count`` remap is
-    # only collision-free when source ids are dense in [0, n), which the
-    # generator does not promise. train_bpe never reads doc_id, but the
-    # derived corpus must stay safe for id-sensitive reuse.
-    (docs.crossJoin(F.broadcast(reps))
-     .select(F.monotonically_increasing_id().alias("doc_id"),
-             F.regexp_replace(
-                 F.col("text"), r"(\S+)",
-                 F.concat(F.lit("$1~r"), F.col("rep").cast("string")))
-             .alias("text"))
-     .repartition(int(CPUS))
-     .write.mode("overwrite").parquet(SCRATCH))
+def build_corpus(spark) -> str:
+    """The shared diversified corpus (``bench_corpus`` — 32 replicas
+    of sf0.1 documents, every word ``~r<N>``-suffixed: 31 base words
+    become ~1k distinct, enough pair capacity for a 1,000-merge budget
+    while frequencies stay realistic). The r8 BASELINE.md table was
+    measured on this exact transform (the rig's then-inline builder
+    produced the identical corpus up to surrogate doc_ids, which
+    train_bpe never reads)."""
+    from bench_corpus import diversified_corpus
+    return diversified_corpus(spark, replicas=REPLICAS, sf_dir=SF_DIR,
+                              cpus=int(CPUS))
 
 
 def _deep_bytes(rows) -> int:
@@ -113,8 +97,7 @@ def run_one(batch_k: int) -> None:
              .config("spark.driver.memory", "8g")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    build_corpus(spark)
-    docs = spark.read.parquet(SCRATCH)
+    docs = spark.read.parquet(build_corpus(spark))
 
     stats = {"passes": 0, "peak_collect_bytes": 0, "peak_collect_rows": 0}
     orig_collect = DataFrame.collect

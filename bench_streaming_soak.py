@@ -16,6 +16,14 @@ with a per-batch suffix token. ANN batches perturb the embedding by a
 per-batch deterministic offset, so every batch has true near-neighbors
 in earlier batches.
 
+r8 addition: every 5th dedup batch runs compact() (folding the index
+tails into the sub-bucketed base) and then a 10-doc TRICKLE batch
+(the steady-state shape of a continuous loop), recording the
+sub-pruned probe's listable bytes vs the full index size — the r8
+tail+base store layout's bounded-probe claim, measured as the store
+grows. rows_per_sub is demo-sized (16) so the soak-scale base fans
+out; production keeps the 1M default.
+
 Run:  python bench_streaming_soak.py [--soak dedup|ann] [--batches 20]
       [--sf-dir /root/testdata/sf0.1]
 Prints ONE JSON line with per-batch walls + store row counts.
@@ -40,17 +48,50 @@ def _spark():
     return spark
 
 
+def _store_bytes(path: str, subs: list[int] | None = None) -> int:
+    """On-disk data bytes under ``path``; with ``subs`` given, only
+    the matching sub= dirs — i.e. exactly the files a sub-pruned
+    probe scan lists."""
+    want = None if subs is None else {f"sub={s}" for s in subs}
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        if want is not None and os.path.basename(root) not in want:
+            continue
+        total += sum(os.path.getsize(os.path.join(root, f))
+                     for f in files if not f.startswith("_"))
+    return total
+
+
+def _index_bytes(store, subs: list[int] | None) -> int:
+    """Bytes an index probe lists: the (optionally sub-pruned)
+    compacted base plus the full tail."""
+    total = _store_bytes(store.root)                    # tail
+    ptr = store.pointer()
+    if ptr is not None:
+        gen = ptr[0]
+        total += _store_bytes(
+            os.path.join(store.root + "_base", f"gen-{gen}"), subs)
+    return total
+
+
 def soak_dedup(spark, sf_dir: str, batches: int,
                store: str) -> dict:
+    from wp_etl_migration_spark.operators.dedup import (
+        content_digest, lsh_bands)
     from wp_etl_migration_spark.streaming.incremental import (
         IncrementalDedup)
     docs = spark.read.parquet(os.path.join(sf_dir,
                                            "documents.parquet")) \
         .select("doc_id", "text").localCheckpoint(eager=True)
     n = docs.count()
+    # rows_per_sub sized so the soak-scale base fans out enough for
+    # the 10-doc trickle probe (80 band hashes) to prune; at 100 TB
+    # the default (1M rows/sub) reaches the num_subs cap on its own.
     loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            max_bucket=64)
+                            max_bucket=64, num_subs=256,
+                            rows_per_sub=16)
     walls, corpus_rows, band_rows = [], [], []
+    trickle = []
     for b in range(batches):
         # 10% exact repeats of batch-0 text (digest index hits every
         # batch); the rest interleave a per-batch token between every
@@ -68,9 +109,46 @@ def soak_dedup(spark, sf_dir: str, batches: int,
         walls.append(round(time.monotonic() - t0, 3))
         corpus_rows.append(
             spark.read.parquet(f"{store}/corpus").count())
-        band_rows.append(spark.read.parquet(f"{store}/bands").count())
+        # base + tail (the tail dir may be empty right after compact)
+        band_rows.append(loop._band_store.probe(-1, None).count())
+        # Maintenance + trickle probe (every 5th batch): compact the
+        # index tails through batch b (the r8 tail+base layout), then
+        # run a 10-doc trickle batch — the steady-state shape of a
+        # continuous loop — recording the sub-pruned probe's LISTABLE
+        # bytes vs the full index. Probe bytes are bounded by the
+        # trickle batch's own key spread plus the compaction-bounded
+        # tail; the base keeps growing underneath — that gap is the
+        # r8 layout's claim, measured.
+        if (b + 1) % 5 == 0:
+            t0 = time.monotonic()
+            loop.compact(b)
+            compact_wall = round(time.monotonic() - t0, 3)
+            tb = 1000 + b
+            small = docs.where(F.col("doc_id") % 500 == 0).select(
+                (F.col("doc_id") + tb * n).alias("doc_id"),
+                F.regexp_replace(F.col("text"), " ",
+                                 f" t{b} ").alias("text"))
+            dstore, bstore = loop._digest_store, loop._band_store
+            d_subs = dstore.base_subs_of(small,
+                                         content_digest(["text"]))
+            b_subs = bstore.base_subs_of(
+                lsh_bands(small, "doc_id", "text", loop.n,
+                          loop.num_hashes, loop.rows_per_band),
+                F.col("band_hash"))
+            t0 = time.monotonic()
+            loop.process_batch(small, tb)
+            trickle.append({
+                "after_batch": b + 1,
+                "compact_wall": compact_wall,
+                "wall": round(time.monotonic() - t0, 3),
+                "digest_probe_bytes": _index_bytes(dstore, d_subs),
+                "digest_store_bytes": _index_bytes(dstore, None),
+                "band_probe_bytes": _index_bytes(bstore, b_subs),
+                "band_store_bytes": _index_bytes(bstore, None),
+            })
     return {"walls": walls, "corpus_rows": corpus_rows,
-            "band_rows": band_rows, "batch_docs": n}
+            "band_rows": band_rows, "batch_docs": n,
+            "num_subs": loop.num_subs, "trickle": trickle}
 
 
 def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
@@ -98,7 +176,9 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
         t0 = time.monotonic()
         loop.process_batch(batch, b)
         walls.append(round(time.monotonic() - t0, 3))
-        index_rows.append(spark.read.parquet(f"{store}/ann").count())
+        if (b + 1) % 5 == 0:
+            loop.compact(b)
+        index_rows.append(loop._ann_store.probe(-1, None).count())
         match_rows.append(
             spark.read.parquet(f"{store}/matches").count())
     return {"walls": walls, "index_rows": index_rows,

@@ -725,3 +725,134 @@ def test_incremental_ann_same_id_redelivered_later_batch(spark, tmp_path):
     ann = spark.read.parquet(f"{store}/ann")
     assert sorted((r.vec_id, r.batch_id) for r in ann.collect()) \
         == [(1, 0), (1, 1), (2, 0), (2, 1), (30, 1)]
+
+
+def test_incremental_store_compaction_and_pruned_probe(spark, tmp_path):
+    """r8 index layout (VERDICT r7 #3): per-batch tail partitions stay
+    flat (v2 — no per-batch small-file tax); compact(up_to) folds them
+    into a sub-bucketed base whose probe prunes at the partition
+    LISTING (PartitionFilters on sub), with the batch's sub set a
+    bounded driver collect. Pruning is exact: a base row outside the
+    batch's subs cannot equi-join any batch key."""
+    import os
+
+    from wp_etl_migration_spark.operators.dedup import content_digest
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "store")
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            num_subs=64, rows_per_sub=1)
+    b0 = spark.createDataFrame(
+        [(i, f"document body {i} with words aa{i} bb{i} cc{i} dd{i}")
+         for i in range(40)], ["doc_id", "text"])
+    loop.process_batch(b0, 0)
+    # tail partitions are flat — no sub dirs, no extra files
+    assert not any(
+        d.startswith("sub=") for d in
+        os.listdir(os.path.join(store, "digests", "batch_id=0")))
+
+    loop.compact(0)
+    dstore = loop._digest_store
+    gen, folded, nsubs = dstore.pointer()
+    assert (gen, folded) == (0, 0) and 1 < nsubs <= 64
+    base_dir = os.path.join(store, "digests_base", f"gen-{gen}")
+    assert any(d.startswith("sub=") for d in os.listdir(base_dir))
+    # folded tail dir is gone; the store's content lives in the base
+    assert not os.path.exists(
+        os.path.join(store, "digests", "batch_id=0"))
+
+    # Trickle batch: ONE doc, an exact dup of stored doc 7. The probe
+    # prunes the base to its single digest sub.
+    trickle = spark.createDataFrame(
+        [(100, "document body 7 with words aa7 bb7 cc7 dd7")],
+        ["doc_id", "text"])
+    subs = dstore.base_subs_of(trickle, content_digest(["text"]))
+    assert len(subs) == 1
+    probe = dstore.probe(1, subs)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert any("sub" in seg[:300]
+               for seg in plan.split("PartitionFilters")[1:])
+    # the base genuinely spans more subs than the probe touches
+    stored_subs = {int(d.split("=", 1)[1])
+                   for d in os.listdir(base_dir) if d.startswith("sub=")}
+    assert len(stored_subs) > len(subs)
+    # and the pruned probe still catches the duplicate end-to-end
+    loop.process_batch(trickle, 1)
+    ids = sorted(r.doc_id for r in
+                 spark.read.parquet(f"{store}/corpus").collect())
+    assert 100 not in ids and len(ids) == 40
+    # second compact folds the new tail into gen-1 and keeps all rows
+    loop.compact(1)
+    gen2, folded2, _ = loop._digest_store.pointer()
+    assert (gen2, folded2) == (1, 1)
+    assert loop._digest_store.probe(99, None).count() == 40
+
+
+def test_incremental_compaction_crash_after_pointer_flip(spark,
+                                                         tmp_path):
+    """Crash between the pointer flip and the folded-dir deletes:
+    the lingering tail dirs are already invisible to probes (tail
+    filters batch_id > folded_up_to), so no row is ever read twice;
+    the next compact sweeps the garbage."""
+    import os
+    import shutil
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "store")
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            num_subs=16)
+    loop.process_batch(spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")], ["doc_id", "text"]), 0)
+    tail0 = os.path.join(store, "digests", "batch_id=0")
+    saved = str(tmp_path / "saved_batch0")
+    shutil.copytree(tail0, saved)
+    loop.compact(0)
+    # simulate the unfinished delete: the folded dir reappears
+    shutil.copytree(saved, tail0)
+    probe = loop._digest_store.probe(5, None)
+    assert probe.count() == 2          # not 4 — garbage is invisible
+    # a later batch still dedups exactly once against the store
+    loop.process_batch(spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),
+         (11, "totally novel words appearing nowhere else at all")],
+        ["doc_id", "text"]), 1)
+    ids = sorted(r.doc_id for r in
+                 spark.read.parquet(f"{store}/corpus").collect())
+    assert ids == [1, 2, 11]
+    # the next compact sweeps the garbage dir and folds batch 1
+    loop.compact(1)
+    assert not os.path.exists(tail0)
+    assert loop._digest_store.probe(99, None).count() == 3
+
+
+def test_incremental_ann_compaction_and_pruned_match(spark, tmp_path):
+    """ANN twin: compact folds ann tail partitions into the
+    sub-bucketed base; a single-vector trickle query still finds its
+    stored neighbor through the sub-pruned probe (the neighbor shares
+    the query's bucket, hence its sub)."""
+    import os
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
+    store = str(tmp_path / "store")
+    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
+                              k=2, num_subs=16, rows_per_sub=1)
+    idx.process_batch(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.0, 0.0, 1.0, 0.0]), (4, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, emb array<double>"), 0)
+    idx.compact(0)
+    gen, folded, _ = idx._ann_store.pointer()
+    base_dir = os.path.join(store, "ann_base", f"gen-{gen}")
+    assert any(d.startswith("sub=") for d in os.listdir(base_dir))
+    assert not os.path.exists(os.path.join(store, "ann", "batch_id=0"))
+    idx.process_batch(spark.createDataFrame(
+        [(10, [0.95, 0.05, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 1)
+    got = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
+        f"{store}/matches").where(F.col("batch_id") == 1).collect()}
+    assert (10, 1) in got

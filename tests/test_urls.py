@@ -413,3 +413,48 @@ def test_psl_blocklist_mode(spark):
         df, bl, "url", psl=rules).orderBy("url").collect()]
     assert kept == ["https://fine.example.com/c",
                     "https://ok.github.io/b"]
+
+
+def test_psl_env_knob_defaults_domain_stats(spark, tmp_path,
+                                            monkeypatch):
+    """The one-knob PSL default (VERDICT r7 #5): with
+    $SPARK_GRAFT_PSL_PATH naming a PSL file, domain_stats (psl=None)
+    groups through the full PSL join path — github.io-style private
+    suffixes split per user site — and with the knob unset it keeps
+    the expression path the SQL oracles replicate."""
+    from wp_etl_migration_spark.operators.urls import (
+        default_psl_rules, domain_stats)
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text("com\nio\ngithub.io\n", encoding="utf-8")
+    df = spark.createDataFrame(
+        [("https://alice.github.io/post",),
+         ("https://alice.github.io/other",),
+         ("https://bob.github.io/post",),
+         ("https://www.example.com/x",)], ["url"])
+
+    monkeypatch.delenv("SPARK_GRAFT_PSL_PATH", raising=False)
+    assert default_psl_rules(spark) is None
+    plain = {r.domain: r.n_docs
+             for r in domain_stats(df, "url").collect()}
+    # Expression path (TWO_LABEL_SUFFIXES has no private-section
+    # suffixes): every user site collapses into github.io — exactly
+    # the real-crawl mis-grouping the knob exists to fix.
+    assert plain["github.io"] == 3
+
+    monkeypatch.setenv("SPARK_GRAFT_PSL_PATH", str(dat))
+    got = {r.domain: r.n_docs for r in domain_stats(df, "url").collect()}
+    assert got == {"alice.github.io": 2, "bob.github.io": 1,
+                   "example.com": 1}
+
+    # And a suffix ONLY the configured file knows: a custom private
+    # suffix groups per tenant under the knob, but collapses to the
+    # last-two-labels guess on the expression path.
+    dat.write_text("com\nio\nsites.example.com\n", encoding="utf-8")
+    df2 = spark.createDataFrame(
+        [("https://t1.sites.example.com/a",),
+         ("https://t2.sites.example.com/b",)], ["url"])
+    got2 = {r.domain for r in domain_stats(df2, "url").collect()}
+    assert got2 == {"t1.sites.example.com", "t2.sites.example.com"}
+    monkeypatch.delenv("SPARK_GRAFT_PSL_PATH")
+    plain2 = {r.domain for r in domain_stats(df2, "url").collect()}
+    assert plain2 == {"example.com"}

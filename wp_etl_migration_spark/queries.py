@@ -902,7 +902,7 @@ toks AS (
 #: h_s = (A[s]·w[s mod 4] + B[s]) mod P (1-based list indexing in SQL).
 _A_SQL = "[" + ", ".join(map(str, MINHASH_A)) + "]"
 _B_SQL = "[" + ", ".join(map(str, MINHASH_B)) + "]"
-def _duck_minhash_sig(src: str = "sh") -> str:
+def _duck_minhash_sig(src: str = "sh", num_hashes: int = 16) -> str:
     """MinHash signature CTEs reading (doc_id, shingle) from ``src``."""
     return f"""mw AS (
   SELECT doc_id,
@@ -915,7 +915,7 @@ def _duck_minhash_sig(src: str = "sh") -> str:
   SELECT doc_id, seed,
     min(({_A_SQL}[seed + 1] * w[(seed % 4) + 1]
          + {_B_SQL}[seed + 1]) % {MINHASH_P}) AS minhash
-  FROM mw, UNNEST(range(0, 16)) AS s(seed)
+  FROM mw, UNNEST(range(0, {num_hashes})) AS s(seed)
   GROUP BY doc_id, seed
 )"""
 
@@ -3792,235 +3792,345 @@ def q_training_prep_all(spark, sf_dir):
     return back
 
 
+def q_training_prep_contract(spark, sf_dir):
+    """Driver-witnessable terminal contract of the composed
+    training-prep journey (VERDICT r7 #6): runs the FULL
+    q_training_prep_all journey — gates, dedup recipe, packing, shard
+    WRITE, manifest cross-check — and returns the per-shard summary
+    read back from the written shards. The oracle reproduces the
+    terminal projection end-to-end in SQL (quality gates → exact →
+    MinHash-LSH verify → recursive-CTE components → content-addressed
+    shard assignment), so a green hash row witnesses the whole
+    composed path, not just its stages. (Packing assigns bins but
+    neither drops nor duplicates docs, so the shard summary is
+    invariant to it — the oracle needs no packing CTE; packing itself
+    is hash-checked by the pack_sequences row.)"""
+    return q_training_prep_all(spark, sf_dir)
+
+
+ORACLE_TRAINING_PREP = rf"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text, lang,
+    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      AS n_tok,
+    CAST(length(trim(text)) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         t -> list_contains(['the','a','of','and','to'], t))) AS BIGINT)
+      AS hits
+  FROM documents
+), g AS (
+  SELECT doc_id, text, n_tok FROM q
+  WHERE lang IN ('en', 'de', 'fr') AND n_tok >= 8
+    AND (least(1.0, CAST(n_tok AS DOUBLE) / 64.0)
+         + (CASE WHEN CAST(n_chars - (n_tok - 1) AS DOUBLE)
+                      / CAST(n_tok AS DOUBLE) >= 3.0
+                  AND CAST(n_chars - (n_tok - 1) AS DOUBLE)
+                      / CAST(n_tok AS DOUBLE) <= 10.0
+            THEN 1.0 ELSE 0.0 END)
+         + least(1.0, 4.0 * CAST(hits AS DOUBLE)
+                 / CAST(n_tok AS DOUBLE))) / 3.0 >= 0.25
+), ex AS (
+  SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(CAST(text AS VARCHAR))
+), base AS (
+  SELECT g.doc_id, g.text, g.n_tok FROM g JOIN ex USING (doc_id)
+), ptoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM base
+), psh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM ptoks, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), shc AS (
+  SELECT doc_id, shingle FROM psh
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+), {_duck_minhash_sig("shc", num_hashes=8)}, bands AS (
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY minhash))
+           AS band_hash
+  FROM sig GROUP BY doc_id, band
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), sets AS (
+  SELECT doc_id, list(shingle) AS s, count(*) AS n FROM shc GROUP BY 1
+), ver AS (
+  SELECT id_a, id_b FROM cand
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      >= 0.7
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM ver
+  UNION
+  SELECT id_b, id_a FROM ver
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+), keepc AS (
+  SELECT min(node) AS doc_id FROM comp GROUP BY component
+), kept AS (
+  SELECT b.doc_id, b.n_tok FROM base b
+  WHERE b.doc_id NOT IN (SELECT node FROM comp)
+     OR b.doc_id IN (SELECT doc_id FROM keepc)
+)
+SELECT CAST(('0x' || substr(md5('prep|' || CAST(doc_id AS VARCHAR)),
+                            1, 8))::BIGINT % 8 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM kept GROUP BY 1
+"""
+
+
+def q_wp_post_all_contract(spark, sf_dir):
+    """Driver-witnessable terminal contract of the composed WP journey
+    (VERDICT r7 #6, the wp twin of q_training_prep_contract): runs the
+    FULL q_wp_post_all journey — CSV scan, preset chain, media
+    dedupe/mint, post upsert with slug-collision collapse and id
+    minting, meta melt+merge, terms replace, featured-image link,
+    ledger write — then reads the written sink tables back and
+    returns one row per FINAL post: (ID, post_name, post_title,
+    post_status, n_meta, n_terms, legacy_id). The oracle reproduces
+    the projection from the `part` table: the legacy-CSV derivation,
+    slug/status/title transforms, min-id slug probe, deterministic
+    id minting (max existing id + rank over unmatched slugs), the
+    one-row-per-key winner (status DESC — publish beats draft), the
+    melt's update-mode collapse (legacy_id = max-string source id per
+    group), and the terms explode count. The kses/date/GMT transforms
+    flow through the journey but land only in the ledger, witnessed
+    by their own hash rows (sanitize_chain, date_validate) and the
+    pinned journey goldens; the _thumbnail_id VALUE (media mint) is
+    counted here and value-witnessed by media_dedupe_lookup."""
+    import os
+    q_wp_post_all(spark, sf_dir)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "wp_post_all_run_" + os.path.basename(os.path.normpath(sf_dir)))
+    posts = spark.read.parquet(os.path.join(out, "posts"))
+    meta = spark.read.parquet(os.path.join(out, "postmeta"))
+    rel = spark.read.parquet(os.path.join(out, "term_relationships"))
+    n_meta = meta.groupBy("post_id").agg(
+        F.count("*").cast("long").alias("n_meta"))
+    n_terms = rel.groupBy("post_id").agg(
+        F.count("*").cast("long").alias("n_terms"))
+    legacy = (meta.where(F.col("meta_key") == "legacy_id")
+              .select("post_id",
+                      F.col("meta_value").alias("legacy_id")))
+    return (posts
+            .join(n_meta, posts["ID"] == n_meta["post_id"], "left")
+            .drop("post_id")
+            .join(n_terms, posts["ID"] == n_terms["post_id"], "left")
+            .drop("post_id")
+            .join(legacy, posts["ID"] == legacy["post_id"], "left")
+            .drop("post_id")
+            .select(F.col("ID").cast("long").alias("post_id"),
+                    "post_name", "post_title", "post_status",
+                    F.coalesce("n_meta", F.lit(0)).cast("long")
+                    .alias("n_meta"),
+                    F.coalesce("n_terms", F.lit(0)).cast("long")
+                    .alias("n_terms"),
+                    "legacy_id"))
+
+
+ORACLE_WP_POST_CONTRACT = """
+WITH src AS (
+  SELECT p_partkey AS pk, p_name, p_type,
+    regexp_replace(regexp_replace(lower(trim(p_name)),
+                                  '[^a-z0-9]+', '-', 'g'),
+                   '^-+|-+$', '', 'g') AS slug
+  FROM part
+), existing AS (
+  SELECT pk // 10 AS id, slug, p_name AS title FROM src
+  WHERE pk % 10 = 0
+), hit AS (
+  SELECT slug, min(id) AS hit_id FROM existing GROUP BY slug
+), groups AS (
+  SELECT slug,
+    any_value(p_name) AS title,
+    CASE WHEN bool_or(pk % 3 = 0) THEN 'publish' ELSE 'draft' END
+      AS status,
+    max(CAST(pk AS VARCHAR)) AS legacy_id,
+    CAST(sum(1 + len(string_split(replace(p_type, ' ', ','), ',')))
+         AS BIGINT) AS n_terms
+  FROM src GROUP BY slug
+), minted AS (
+  SELECT g.slug,
+    (SELECT COALESCE(max(id), 0) FROM existing)
+      + CAST(dense_rank() OVER (ORDER BY g.slug) AS BIGINT) AS new_id
+  FROM groups g LEFT JOIN hit USING (slug)
+  WHERE hit.hit_id IS NULL
+), touched AS (
+  SELECT COALESCE(hit.hit_id, minted.new_id) AS post_id,
+         g.slug AS post_name, g.title AS post_title,
+         g.status AS post_status,
+         CAST(3 AS BIGINT) AS n_meta, g.n_terms, g.legacy_id
+  FROM groups g
+  LEFT JOIN hit USING (slug)
+  LEFT JOIN minted USING (slug)
+), untouched AS (
+  SELECT e.id AS post_id, e.slug AS post_name, e.title AS post_title,
+         'publish' AS post_status, CAST(0 AS BIGINT) AS n_meta,
+         CAST(0 AS BIGINT) AS n_terms, NULL AS legacy_id
+  FROM existing e LEFT JOIN hit ON e.slug = hit.slug
+                                AND e.id = hit.hit_id
+  WHERE hit.hit_id IS NULL
+)
+SELECT * FROM touched UNION ALL SELECT * FROM untouched
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 #: name → (spark callable, oracle SQL or None for rows-only checks)
+#:
+#: r8 rotation (VERDICT r7 #7, staleness computed from the union of
+#: CORRECTNESS_r01..r07, not annotations): every query whose last
+#: driver witness is r5 or older rotates IN (42 queries), plus
+#: pagerank_redistribute (strict local parity since r7 but never a
+#: driver row) and the new training_prep_contract (the composed
+#: journey's SQL-oracled terminal projection, VERDICT r7 #6). The
+#: remaining six slots hold this round's changed code paths —
+#: content_digest refactor + _bands reuse (dedup_exact is already in;
+#: cross_corpus_dedup, minhash_lsh_dedup, dedup_pipeline,
+#: incremental_lsh), the PSL default knob (domain_stats), and the
+#: perf-flagged meta_melt; cross-corpus exact dedup stays covered by
+#: dedup_exact/dedup_pipeline/line_dedup plus local parity. Displaced rows (all green r6/r7) move to
+#: EXTRA_REGISTRY with strict local parity; after this rotation no
+#: query's last driver witness predates r6.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                           str | None]] = {
-    "scan_filter_sort_limit": (q_scan_filter_sort_limit, ORACLE_SCAN),
-    "prefix_pipeline": (q_prefix_pipeline, ORACLE_PREFIX),
-    "meta_melt": (q_meta_melt, ORACLE_MELT),
-    "upsert_merge": (q_upsert_merge, ORACLE_UPSERT),
-    "hierarchy_resolve": (q_hierarchy_resolve, ORACLE_HIERARCHY),
-    "media_dedupe_lookup": (q_media_dedupe_lookup, ORACLE_MEDIA_DEDUPE),
-    "date_validate": (q_date_validate, ORACLE_DATE_VALIDATE),
-    "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
-    "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
-    "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
-    "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
-    "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
-    "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
-    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
-    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
-    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
-    "range_join": (q_range_join, ORACLE_RANGE_JOIN),
-    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
-    "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
-    # Rotated IN from EXTRA_REGISTRY in r4 (driver-oracle coverage
-    # rotation — every family gets an independent driver-verified
-    # pass over time):
-    "pack_sequences": (q_pack_sequences, ORACLE_PACK),
-    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
-    # r7 rotation wave — the FINAL 9 never-driver-witnessed SQL-oracled
-    # queries (VERDICT r6 "Next round" #1; verified against the union
-    # of CORRECTNESS_r01..r06 keys) get driver CORRECTNESS rows. After
-    # this round the never-witnessed set is exactly the two composed
-    # journeys (wp_post_all, training_prep_all), whose contract is the
-    # pinned goldens by design. Displaced long-green rows
-    # (semantic_dedup, kmeans_centroids, rolling_window,
-    # bigram_lm_score, global_shuffle_shards, quantize_embeddings,
-    # chunk_documents, keywords, train_val_test — all green r4-r6)
-    # move to EXTRA_REGISTRY with families still driver-covered:
-    # dedup via minhash_lsh_dedup/line_dedup/cross_corpus_dedup/
-    # dedup_pipeline/simhash_near_dup/embedding_near_dup; k-means via
-    # the incoming cluster_centroids; windows via event_window_agg/
-    # range_join; LM scoring via trigram_lm_score; sampling/shards via
-    # domain_cap/quantile_band + incoming hash_sample/weighted_sample;
-    # embeddings via ann_index_topk/ann_lsh_topk; textstats via
-    # script_fractions/vocab_topk + incoming repetition_stats/
-    # gopher_quality/shared_gram_stats.
-    "array_ops": (q_array_ops, ORACLE_ARRAY_OPS),
-    "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
-    "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
-    "gopher_quality": (q_gopher_quality, ORACLE_GOPHER),
-    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
-    "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
-    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
-    "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
-    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
-    # Second r4 rotation wave: the round's new training-pipeline
-    # families get driver-verified rows; displaced rows
-    # (snake_scrub_rename, placeholder_subst, unpack_roundtrip,
-    # rollup_status, embedding_near_dup_lsh) keep strict local parity
-    # in EXTRA_REGISTRY and their families stay driver-covered
-    # (prefix_pipeline, sanitize_chain, grouping_sets, ann_lsh_topk +
-    # embedding_near_dup).
-    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
-    "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
-    "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY),
-    # r5 rotation wave — burn down the driver-witness backlog
-    # (VERDICT r4 "Next round" #2): eight queries that had only local
-    # parity get driver CORRECTNESS rows. Displaced long-green rows
-    # (author_embed, meta_embed, window_funcs, cascaded_lookup,
-    # percentile_stats, top_customers, asof_join, pivot_wide) move to
-    # EXTRA_REGISTRY with families still driver-covered
-    # (entity_embed_full, meta_melt, rolling_window/topk_per_group,
-    # upsert_merge/media_dedupe_lookup, quantile_band,
-    # regional_revenue/shipping_priority, range_join, grouping_sets).
-    "ann_index_topk": (q_ann_index_topk, ORACLE_ANN_INDEX),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
+    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
+    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
+    "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
+    "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
+    "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "token_stats": (q_token_stats, ORACLE_TOKEN),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
+    "union_merge": (q_union_merge, ORACLE_UNION),
+    "asof_join": (q_asof_join, ORACLE_ASOF),
+    "author_embed": (q_author_embed, ORACLE_AUTHOR),
+    "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
+    "meta_embed": (q_meta_embed, ORACLE_META_EMBED),
+    "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
+    "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "window_funcs": (q_window_funcs, ORACLE_WINDOW),
+    "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
+                               ORACLE_EMB_LSH_NEAR_DUP),
+    "json_extract": (q_json_extract, ORACLE_JSON),
+    "placeholder_subst": (q_placeholder_subst, ORACLE_PLACEHOLDER),
+    "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
+    "set_ops": (q_set_ops, ORACLE_SET_OPS),
+    "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
+    "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
+    "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
+    "unpack_roundtrip": (q_unpack_roundtrip, ORACLE_UNPACK),
+    "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
+    "cube_agg": (q_cube_agg, ORACLE_CUBE),
+    "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
+    "lang_id": (q_lang_id, ORACLE_LANG),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
+    "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
+    "slugify": (q_slugify, ORACLE_SLUG),
+    "split_trim": (q_split_trim, ORACLE_SPLIT),
+    "pagerank_redistribute": (q_pagerank_redistribute,
+                              ORACLE_PAGERANK_REDIST),
+    "training_prep_contract": (q_training_prep_contract,
+                               ORACLE_TRAINING_PREP),
+    "wp_post_all_contract": (q_wp_post_all_contract,
+                             ORACLE_WP_POST_CONTRACT),
     "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
-    "contamination": (q_contamination, ORACLE_CONTAMINATION),
-    "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
-    "pii_scrub": (q_pii_scrub, ORACLE_PII),
-    "script_fractions": (q_script_fractions, ORACLE_SCRIPTS_FRAC),
-    "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
-    # r6 rotation wave — the final 8 never-driver-witnessed queries
-    # (VERDICT r5 "Next round" #1) get driver CORRECTNESS rows; after
-    # this every operator family has had an independent driver witness
-    # at least once. Displaced rows (pricing_summary, union_merge,
-    # dedup_exact, token_stats, sketch_distinct, topk_per_group,
-    # numeric_preserve, ngram_jaccard_dedup — all green r1-r5) move to
-    # EXTRA_REGISTRY with families still driver-covered
-    # (regional_revenue/shipping_priority for TPC-H aggs, set-ops via
-    # long-green rot, line_dedup/minhash_lsh_dedup/dedup_pipeline +
-    # cross_corpus_dedup for dedup, text_quality/script_fractions +
-    # vocab_topk/trigram_lm_score for text stats, table_profile for
-    # profiling, rolling_window/quantile_band for windows,
-    # date_validate for casts, minhash_lsh_dedup/incremental_lsh for
-    # shingle-LSH).
-    "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
-    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
-    "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
-    "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
-    "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
-    # Second r6 rotation wave — this round's NEW queries get driver
-    # CORRECTNESS rows immediately instead of waiting for r7: the URL
-    # toolkit, integer PageRank, and the two freshly oracle-ified
-    # diagnostics. Displaced long-green rows (regional_revenue,
-    # ivf_ann_topk, text_quality, sessionization, media_decode — all
-    # green r1-r5) move to EXTRA_REGISTRY with families still
-    # driver-covered (shipping_priority/grouping_sets for TPC-H aggs,
-    # ann_lsh_topk/ann_index_topk/embedding_near_dup for ANN,
-    # script_fractions/pii_scrub/trigram_lm_score for text stats,
-    # event_window_agg for event windows, multimodal_features for
-    # multimodal).
-    "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
+    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
     "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
-    "pagerank": (q_pagerank, ORACLE_PAGERANK),
-    "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
-    "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
+    "meta_melt": (q_meta_melt, ORACLE_MELT),
 }
 
 
 # Local-only parity coverage: the driver's CORRECTNESS gate records at
 # most 50 rows (observed r1: 58 registered -> exactly the first 50 got
-# rows), so the overlapping/fine-grained variants below are excluded
-# from the driver registry and kept here.  tests/test_oracle_parity.py
+# rows), so everything else lives here. tests/test_oracle_parity.py
 # runs REGISTRY | EXTRA_REGISTRY, so every one of these still gets the
-# strict local Spark-vs-DuckDB value + dtype check each round.
+# strict local Spark-vs-DuckDB value + dtype check each round. All of
+# them have held a green driver CORRECTNESS row in r6 or r7 (see the
+# REGISTRY r8 rotation note), except the two composed journeys
+# (wp_post_all / training_prep_all), whose driver-facing contract is
+# training_prep_contract + the pinned goldens (multi-sink pipelines
+# have no single SQL oracle).
 EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                                 str | None]] = {
-    "slugify": (q_slugify, ORACLE_SLUG),
-    # Rotated OUT of the driver registry in r6 (green r1-r5; families
-    # stay driver-covered — see REGISTRY r6 rotation note). With this
-    # wave the driver-witness backlog is zero: every query below has
-    # held a green driver CORRECTNESS row in some round.
-    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
-    "union_merge": (q_union_merge, ORACLE_UNION),
-    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "token_stats": (q_token_stats, ORACLE_TOKEN),
-    "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
-    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
-    "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
-    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
-    # Rotated OUT of the driver registry in r5 (long-green; families
-    # stay driver-covered — see REGISTRY r5 rotation note):
-    "author_embed": (q_author_embed, ORACLE_AUTHOR),
-    "meta_embed": (q_meta_embed, ORACLE_META_EMBED),
-    "window_funcs": (q_window_funcs, ORACLE_WINDOW),
-    "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
-    "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
-    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
-    "asof_join": (q_asof_join, ORACLE_ASOF),
-    "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
-    # Rotated OUT of the driver registry in the second r4 wave
-    # (long-green; families stay driver-covered — see REGISTRY note):
-    "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
-    "placeholder_subst": (q_placeholder_subst, ORACLE_PLACEHOLDER),
-    "unpack_roundtrip": (q_unpack_roundtrip, ORACLE_UNPACK),
-    "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
-    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
-                               ORACLE_EMB_LSH_NEAR_DUP),
-    # cube_agg's grouping-set family stays driver-gated via
-    # rollup_status + grouping_sets; media_decode took its slot.
-    "cube_agg": (q_cube_agg, ORACLE_CUBE),
-    # exact ANN family stays driver-gated via ivf_ann_topk/ann_lsh_topk/
-    # embedding_near_dup; dedup_clusters took this slot.
-    "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
-    "split_trim": (q_split_trim, ORACLE_SPLIT),
-    "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
-    "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
-    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
-    "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
-    "quality_score": (q_quality_score, ORACLE_QUALITY),
-    "lang_id": (q_lang_id, ORACLE_LANG),
-    # r7: classical dangling-redistribute PageRank (VERDICT r6 #4) —
-    # strict local parity against the dangling-extended unrolled CTE;
-    # the weak-mode driver row (pagerank) is unchanged.
-    "pagerank_redistribute": (q_pagerank_redistribute,
-                              ORACLE_PAGERANK_REDIST),
-    # Rotated OUT of the driver registry in r7 (green r4-r6; families
-    # stay driver-covered — see the REGISTRY r7 rotation note). Their
-    # slots went to the final 9 never-driver-witnessed queries:
-    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
-    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
-    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
+    "ann_index_topk": (q_ann_index_topk, ORACLE_ANN_INDEX),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "array_ops": (q_array_ops, ORACLE_ARRAY_OPS),
+    "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
     "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
+    "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
+    "contamination": (q_contamination, ORACLE_CONTAMINATION),
+    "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
+    "cross_corpus_dedup": (q_cross_corpus_dedup,
+                           ORACLE_CROSS_CORPUS),
+    "date_validate": (q_date_validate, ORACLE_DATE_VALIDATE),
+    "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
+    "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
+    "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
+    "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
+    "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY),
     "global_shuffle_shards": (q_global_shuffle_shards,
                               ORACLE_GLOBAL_SHUFFLE),
-    "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
-    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
+    "gopher_quality": (q_gopher_quality, ORACLE_GOPHER),
+    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "hierarchy_resolve": (q_hierarchy_resolve, ORACLE_HIERARCHY),
+    "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
+    "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
     "keywords": (q_keywords, ORACLE_KEYWORDS),
+    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
+    "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+    "media_dedupe_lookup": (q_media_dedupe_lookup, ORACLE_MEDIA_DEDUPE),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK),
+    "pagerank": (q_pagerank, ORACLE_PAGERANK),
+    "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII),
+    "prefix_pipeline": (q_prefix_pipeline, ORACLE_PREFIX),
+    "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
+    "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
+    "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
+    "range_join": (q_range_join, ORACLE_RANGE_JOIN),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
+    "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
+    "scan_filter_sort_limit": (q_scan_filter_sort_limit, ORACLE_SCAN),
+    "script_fractions": (q_script_fractions, ORACLE_SCRIPTS_FRAC),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
+    "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
+    "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
+    "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
     "train_val_test": (q_train_val_test, ORACLE_SPLITS),
-    # Rotated OUT of the driver registry in r4 (long-green; their
-    # families keep driver rows: sanitize_chain covers the text
-    # family, union_merge set ops, date_validate dates). Still
-    # strict-parity-checked here every round:
-    # r4 additions — training-pipeline breadth (local parity;
-    # five of the round's additions were promoted to REGISTRY in the
-    # second rotation wave, the rest stay here):
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    # r6 created five new parity queries here (the oracle-ified
-    # corpus_report/profile_diff diagnostics per VERDICT r5 #8, the
-    # URL toolkit's url_normalize/domain_stats, and pagerank); the
-    # second r6 rotation wave promoted ALL FIVE to REGISTRY so every
-    # r6-new query gets its driver witness this round. wp_post_all /
-    # training_prep_all cannot take hash-checked slots (no SQL oracle
-    # — their witnesses are the goldens + benched headline rows).
-    # Rotated OUT in the second r6 wave (long-green; families stay
-    # driver-covered — see the REGISTRY note):
-    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
-    "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
-    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
-    # r6: the composed CSV→preset→staged-sinks→ledger journey as a
-    # benched headline row (VERDICT r5 #3). Multi-sink pipelines have
-    # no natural single SQL oracle; the golden contract lives in
-    # tests/test_wp_post_all.py (ledger count + content hash + sink
-    # table counts at sf0.01).
-    "wp_post_all": (q_wp_post_all, None),
-    # r6: the composed LLM training-prep journey (gates → dedup
-    # recipe → packing → shuffled shard write → read-back check) —
-    # same contract style as wp_post_all: no single SQL oracle,
-    # golden witness in tests/test_training_prep_all.py, benched
-    # headline row.
     "training_prep_all": (q_training_prep_all, None),
-    "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
-    "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
-    "set_ops": (q_set_ops, ORACLE_SET_OPS),
-    "json_extract": (q_json_extract, ORACLE_JSON),
-    "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
+    "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
+    "upsert_merge": (q_upsert_merge, ORACLE_UPSERT),
+    "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
+    "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "wp_post_all": (q_wp_post_all, None),
+    "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
 }
 
 

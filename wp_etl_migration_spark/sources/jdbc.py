@@ -88,15 +88,24 @@ def from_jdbc(spark: SparkSession, url: str, table: str,
     return reader.load()
 
 
+def bounds_probe_sql(table: str, column: str) -> str:
+    """The dbtable subquery the bounds probe issues — ANSI kept to the
+    dialect-portable intersection: a DERIVED TABLE WITH AN ALIAS
+    (MySQL rejects an unaliased derived table: error 1248), plain
+    MIN/MAX (pushed down on MySQL, Derby, Postgres alike), and
+    unquoted identifiers (the WP schema's column names are unreserved
+    in both MySQL's backtick and ANSI double-quote regimes)."""
+    return (f"(SELECT MIN({column}) AS lo, MAX({column}) AS hi "
+            f"FROM {table}) bounds_probe")
+
+
 def _probe_bounds(spark: SparkSession, url: str, table: str,
                   column: str, **options) -> tuple[int, int] | None:
     """min/max of the partition column via one pushed-down aggregate
     (a 1-row JDBC round-trip, never a scan); None for an empty table."""
     probe = (spark.read.format("jdbc")
              .option("url", url)
-             .option("dbtable",
-                     f"(SELECT MIN({column}) AS lo, MAX({column}) AS hi "
-                     f"FROM {table}) bounds_probe"))
+             .option("dbtable", bounds_probe_sql(table, column)))
     for k, v in options.items():
         probe = probe.option(k, v)
     # Positional access: engines disagree on alias case (Derby uppercases

@@ -27,54 +27,291 @@ dedup of re-delivered docs) — a retry therefore recomputes the exact
 survivor set of the first attempt (the input batch is
 offset-identical by the checkpoint contract) and replaces whatever
 subset of the three partition writes landed, wherever the crash
-fell. Plain parquet thus gets
-exactly-once STORE STATE; a transactional table format (Delta/
-Iceberg via the same ``.write`` calls) remains the belt-and-braces
-choice when concurrent readers must never glimpse a half-written
-partition.
+fell. Plain parquet thus gets exactly-once STORE STATE; a
+transactional table format (Delta/Iceberg via the same ``.write``
+calls) remains the belt-and-braces choice when concurrent readers
+must never glimpse a half-written partition.
+
+Index layout — tail + compacted base (r8, VERDICT r7 #3)
+--------------------------------------------------------
+
+The per-batch probe is an equi-join against an index that grows with
+the corpus; after 10⁵ batches both the full-index scan and the
+per-batch partition listing become the bottleneck. Each probe-able
+index therefore has TWO parts, managed by :class:`_IndexStore`:
+
+- the **tail**: one plain ``<root>/batch_id=N/`` partition per batch,
+  exactly the v2 layout — cheap to write (no extra files per batch),
+  authoritative for replay (a retry overwrites its own partition);
+- the **base**: a compacted snapshot ``<root>_base/gen-K/sub=S/``,
+  hive-partitioned by ``sub = pmod(xxhash64(join key), num_subs)``,
+  named by the atomic pointer file ``<root>_base/_CURRENT``
+  (``{"gen": K, "folded_up_to": W, "num_subs": M}``). The sub COUNT
+  is adaptive: each compaction sizes it to ``ceil(rows /
+  rows_per_sub)`` capped at ``num_subs``, and records the generation's
+  value in the pointer — a small store gets one fat file per sub (no
+  small-file tax), a corpus-scale store fans out to the cap, and the
+  probe always hashes with the BASE'S recorded modulus, so pruning
+  stays exact across recompactions.
+
+``compact(up_to)`` folds tail partitions with ``batch_id <= up_to``
+into a new base generation: write ``gen-(K+1)``, flip the pointer,
+then delete the old generation and the folded tail dirs. The pointer
+flip is the commit point — a crash before it leaves the old pointer
+and all sources intact (a rerun redoes the work idempotently); a
+crash after it leaves folded tail dirs as garbage that the probe
+already ignores (the tail read filters ``batch_id > W``) and the next
+``compact`` deletes. Rows can never be read twice or lost at any
+crash position.
+
+The probe then reads ``base.filter(sub IN batch_subs) ∪ tail``: the
+``sub`` filter is a pure function of the join key, so pruned-away
+base rows could never equi-join a batch key — Spark prunes them at
+the partition LISTING (PartitionFilters, asserted in tests). The
+batch's sub set is a driver collect bounded by the CONSTANT
+``num_subs``, never by data size. Probe cost is therefore
+``|batch subs|/num_subs`` of the base plus the (compaction-bounded)
+tail — sublinear in store size for trickle batches, and never worse
+than the full scan for corpus-scale batches that cover every sub.
+At 100 TB the single-base design generalizes the obvious way
+(leveled generations, or swap the parquet stores for Delta/Iceberg
+and let its OPTIMIZE do the folding); the probe contract is
+unchanged.
+
+Batch ids must be non-negative and, for compaction correctness,
+monotone: ``compact(up_to)`` assumes no FUTURE batch will use an id
+``<= up_to`` (foreachBatch ids are monotone by contract; backfills
+must follow suit).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, uri: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath, jvm
+
+
+def _write_text(spark: SparkSession, uri: str, text: str) -> None:
+    """Small text file through the Hadoop FileSystem API (same-FS as
+    the stores — HDFS/S3/local). create(overwrite=True) of a one-block
+    file is the manifest-grade atomicity the pointer needs: readers
+    see the old or the new content, never a mix."""
+    fs, jpath, _ = _hadoop_fs(spark, uri)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, uri: str) -> str | None:
+    fs, jpath, jvm = _hadoop_fs(spark, uri)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # Java-side drain: a py4j byte[] argument is COPIED into the
+        # JVM, so a Python-side read(buf) loop would never see the
+        # bytes; commons-io ships with Spark.
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _delete(spark: SparkSession, uri: str) -> None:
+    fs, jpath, _ = _hadoop_fs(spark, uri)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+class _IndexStore:
+    """One probe-able incremental index: per-batch tail partitions
+    plus an optional compacted sub-bucketed base (module docstring).
+
+    ``columns`` is the stored schema WITHOUT batch_id/sub (e.g.
+    ``"doc_id long, digest string"``); ``key_col`` names the join-key
+    column whose hash defines the base's ``sub`` partition."""
+
+    def __init__(self, spark: SparkSession, root: str, columns: str,
+                 key_col: str, num_subs: int,
+                 rows_per_sub: int = 1_000_000):
+        self.spark = spark
+        self.root = root
+        self.columns = columns
+        self.key_col = key_col
+        self.num_subs = int(num_subs)          # cap
+        self.rows_per_sub = int(rows_per_sub)  # adaptive target
+
+    # -- sub bucketing -------------------------------------------------
+    def sub(self, col, num_subs: int) -> Column:
+        return F.pmod(F.xxhash64(col), F.lit(int(num_subs))).cast("int")
+
+    def base_subs_of(self, df: DataFrame, col) -> list[int] | None:
+        """Distinct sub-buckets of a batch-side key column under the
+        CURRENT BASE's modulus — a driver collect bounded by that
+        constant. None when no base exists (nothing to prune)."""
+        ptr = self.pointer()
+        if ptr is None:
+            return None
+        return [r[0] for r in
+                df.select(self.sub(col, ptr[2]).alias("__s"))
+                .distinct().collect()]
+
+    # -- pointer -------------------------------------------------------
+    @property
+    def _base_root(self) -> str:
+        return self.root + "_base"
+
+    def pointer(self) -> tuple[int, int, int] | None:
+        """(generation, folded_up_to, num_subs) of the current base,
+        or None."""
+        text = _read_text(self.spark,
+                          os.path.join(self._base_root, "_CURRENT"))
+        if text is None:
+            return None
+        p = json.loads(text)
+        return int(p["gen"]), int(p["folded_up_to"]), int(p["num_subs"])
+
+    # -- read paths ----------------------------------------------------
+    def _read_tail(self) -> DataFrame:
+        """All tail partitions (schema + batch_id), or empty before the
+        first append. Probed by attempting the read (not os.path) so
+        the stores can live on any Hadoop filesystem."""
+        from pyspark.errors import AnalysisException
+        schema = self.columns + ", batch_id int"
+        try:
+            df = self.spark.read.schema(schema).parquet(self.root)
+            df.schema  # force path resolution now, inside the try
+            return df
+        except AnalysisException:
+            return self.spark.createDataFrame([], schema)
+
+    def probe(self, own_batch_id: int,
+              subs: list[int] | None) -> DataFrame:
+        """The queryable index for a batch: base (sub-pruned when
+        ``subs`` given) ∪ tail, with the batch's OWN partition and all
+        folded-into-base partitions excluded from the tail. Returns
+        ``columns`` only."""
+        cols = [c.split()[0] for c in self.columns.split(",")]
+        ptr = self.pointer()
+        tail = self._read_tail() \
+            .filter(F.col("batch_id") != int(own_batch_id))
+        if ptr is not None:
+            gen, folded, _ = ptr
+            tail = tail.filter(F.col("batch_id") > folded)
+            base = self.spark.read \
+                .schema(self.columns + ", sub int") \
+                .parquet(os.path.join(self._base_root, f"gen-{gen}"))
+            if subs is not None:
+                base = base.filter(F.col("sub").isin(subs))
+            return base.select(*cols).unionByName(tail.select(*cols))
+        return tail.select(*cols)
+
+    # -- write paths -----------------------------------------------------
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Overwrite this batch's tail partition (the replay unit)."""
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"batch_id={int(batch_id)}"))
+
+    def compact(self, up_to: int) -> None:
+        """Fold tail partitions with ``batch_id <= up_to`` into a new
+        base generation (module docstring: pointer flip = commit
+        point; idempotent at any crash position). No future batch may
+        use an id <= ``up_to``."""
+        ptr = self.pointer()
+        gen_old, folded_old = (ptr[0], ptr[1]) if ptr else (None, -1)
+        if up_to <= folded_old:
+            return
+        # Garbage from a crashed prior run (pointer flipped, deletes
+        # not finished): tail dirs at or below the CURRENT high-water
+        # are already invisible to probes — remove them first so the
+        # fold below cannot double-read them.
+        self._sweep_folded(folded_old)
+        tail = self._read_tail() \
+            .filter((F.col("batch_id") > folded_old)
+                    & (F.col("batch_id") <= int(up_to)))
+        cols = [c.split()[0] for c in self.columns.split(",")]
+        new = tail.select(*cols)
+        if ptr is not None:
+            base_old = self.spark.read \
+                .schema(self.columns + ", sub int") \
+                .parquet(os.path.join(self._base_root,
+                                      f"gen-{gen_old}")) \
+                .select(*cols)
+            new = new.unionByName(base_old)
+        gen_new = (gen_old + 1) if ptr else 0
+        # Adaptive sub count: one ~rows_per_sub-row file per sub, up
+        # to the cap — a small base stays a handful of fat files, a
+        # corpus-scale base fans out for pruning.
+        from wp_etl_migration_spark.operators.checkpoint import pin
+        new = pin(new)
+        n_rows = new.count()
+        subs_new = max(1, min(self.num_subs,
+                              -(-n_rows // self.rows_per_sub)))
+        (new.withColumn("sub", self.sub(F.col(self.key_col), subs_new))
+         .repartition("sub")
+         .write.partitionBy("sub").mode("overwrite")
+         .parquet(os.path.join(self._base_root, f"gen-{gen_new}")))
+        _write_text(self.spark,
+                    os.path.join(self._base_root, "_CURRENT"),
+                    json.dumps({"gen": gen_new,
+                                "folded_up_to": int(up_to),
+                                "num_subs": int(subs_new)}))
+        # Post-commit cleanup; a crash here leaves garbage the next
+        # compact (or this sweep on rerun) removes.
+        if ptr is not None:
+            _delete(self.spark,
+                    os.path.join(self._base_root, f"gen-{gen_old}"))
+        self._sweep_folded(int(up_to))
+
+    def _sweep_folded(self, up_to: int) -> None:
+        fs, jroot, jvm = _hadoop_fs(self.spark, self.root)
+        if not fs.exists(jroot):
+            return
+        for status in fs.listStatus(jroot):
+            name = status.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid <= up_to:
+                fs.delete(status.getPath(), True)
 
 
 class IncrementalDedup:
     """Stateful wrapper owning the three stores under ``store_dir``:
-    ``corpus/`` (surviving docs, hive-partitioned by ``batch_id``),
-    ``digests/`` (id, md5) and ``bands/`` (id, band, band_hash), both
-    hive-partitioned by ``(batch_id, sub)`` where ``sub =
-    pmod(xxhash64(join key), num_subs)`` — the probe-prune sub-bucket.
+    ``corpus/`` (surviving docs, hive-partitioned by ``batch_id``)
+    and the two probe-able indexes ``digests/`` (id, md5) and
+    ``bands/`` (id, band, band_hash), each a tail of per-batch
+    partitions plus an optional compacted sub-bucketed base — see the
+    module docstring for the layout, probe-pruning, and compaction
+    contract. ``compact(up_to)`` folds both indexes (call it
+    periodically from a maintenance hook with the last
+    checkpoint-committed batch id).
 
-    Why ``sub`` exists: the per-batch probe is an equi-join against a
-    stored index that grows with the corpus; after 10⁵ batches a full
-    index scan per batch is the bottleneck. ``sub`` is a pure function
-    of the join key, so stored rows outside the batch's own sub set
-    can never match — the probe filters to ``sub IN (batch subs)``,
-    which Spark prunes at the partition listing (PartitionFilters;
-    asserted in tests). The batch's sub set is collected driver-side,
-    bounded by the CONSTANT ``num_subs``, never by data size. The
-    pruning bites when the batch's distinct-key count is small
-    relative to ``num_subs`` (trickle batches — the steady state a
-    continuous loop converges to); a corpus-scale batch covers every
-    sub and degrades gracefully to exactly today's full-index
-    equi-join, never worse. The sub layout is also the unit a
-    compactor would merge (all ``batch_id`` partitions of one ``sub``
-    → one sorted file) to bound file counts at 10⁵ batches; per-batch
-    partitions stay authoritative for replay.
-
-    Store format note (v3): not mixable with the v2 ``batch_id``-only
-    layout or the older flat layout — use a fresh ``store_dir``."""
+    Store format note: tail partitions are v2-compatible; the base is
+    new in r8. Not mixable with the older flat append layout — use a
+    fresh ``store_dir``."""
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, text_col: str,
                  n: int = 3, num_hashes: int = 16,
                  rows_per_band: int = 2,
                  max_bucket: int | None = None,
-                 num_subs: int = 64):
+                 num_subs: int = 256,
+                 rows_per_sub: int = 1_000_000):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.text_col = id_col, text_col
@@ -82,37 +319,38 @@ class IncrementalDedup:
         self.rows_per_band = rows_per_band
         self.max_bucket = max_bucket
         self.num_subs = int(num_subs)
+        self.rows_per_sub = int(rows_per_sub)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
 
-    def _sub(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.num_subs)).cast("int")
+    @property
+    def _digest_store(self) -> _IndexStore:
+        return _IndexStore(self.spark, self._path("digests"),
+                           f"{self.id_col} long, digest string",
+                           "digest", self.num_subs,
+                           self.rows_per_sub)
 
-    def _subs_of(self, df: DataFrame, col) -> list[int]:
-        """Distinct sub-buckets of a batch-side key column — a
-        driver collect bounded by the constant ``num_subs``."""
-        return [r[0] for r in df.select(self._sub(col).alias("__s"))
-                .distinct().collect()]
+    @property
+    def _band_store(self) -> _IndexStore:
+        return _IndexStore(
+            self.spark, self._path("bands"),
+            f"{self.id_col} long, band int, band_hash string",
+            "band_hash", self.num_subs, self.rows_per_sub)
 
-    def _load(self, name: str, schema: str) -> DataFrame:
-        """Read a store, or an empty frame before its first append.
-        Probed by attempting the read (not os.path) so the stores can
-        live on any Hadoop filesystem (HDFS/S3), not just local disk."""
-        from pyspark.errors import AnalysisException
-        path = self._path(name)
-        try:
-            df = self.spark.read.schema(schema).parquet(path)
-            df.schema  # force path resolution now, inside the try
-            return df
-        except AnalysisException:
-            return self.spark.createDataFrame([], schema)
+    def compact(self, up_to: int) -> None:
+        """Fold both index tails through ``up_to`` into their bases.
+        Only pass batch ids the checkpoint has committed; no future
+        batch may reuse an id <= ``up_to``."""
+        self._digest_store.compact(up_to)
+        self._band_store.compact(up_to)
 
     def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """The foreachBatch body: dedup ``batch`` against the stores,
         write the survivors' three partitions. Safe to call directly
-        for batch backfills — give each backfill batch a DISTINCT
-        ``batch_id`` (it keys the per-store ``batch_id=N`` partition).
+        for batch backfills — give each backfill batch a DISTINCT,
+        monotone ``batch_id`` (it keys the per-store ``batch_id=N``
+        partition).
 
         Replay-safe at any crash position: both stored indexes are
         queried with the batch's OWN ``batch_id=N`` partition excluded
@@ -140,38 +378,30 @@ class IncrementalDedup:
         id_c, text_c = self.id_col, self.text_col
 
         batch = pin(batch)
-        not_own = F.col("batch_id") != int(batch_id)
-        # Exact pass against the stored digest index minus this
-        # batch's own (possibly partially-written) partition (empty
-        # store ⇒ pure in-batch dedup); historical corpus text is
-        # never re-read, and the probe prunes to the batch's own
-        # digest sub-buckets — rows elsewhere cannot equi-join.
-        digest_subs = self._subs_of(batch, content_digest([text_c]))
-        digests = self._load(
-            "digests",
-            f"{id_c} long, digest string, batch_id int, sub int") \
-            .filter(not_own & F.col("sub").isin(digest_subs)) \
-            .select(id_c, "digest")
+        # Exact pass against the stored digest index (empty store ⇒
+        # pure in-batch dedup); historical corpus text is never
+        # re-read. When a compacted base exists the probe prunes to
+        # the batch's own digest sub-buckets — rows elsewhere cannot
+        # equi-join. The subs collect is skipped entirely in the
+        # tail-only regime (it would prune nothing).
+        dstore = self._digest_store
+        d_subs = dstore.base_subs_of(batch, content_digest([text_c]))
+        digests = dstore.probe(batch_id, d_subs)
         exact = cross_corpus_exact_dedup(batch, digests, id_c,
                                          [text_c],
                                          corpus_digest_col="digest")
 
-        # Near-dup pass against the band index, own partition excluded
-        # for the same replay reason and sub-pruned the same way;
-        # colliding batch docs (vs corpus, or vs a smaller-id batch
-        # doc) drop. The batch's bands are materialized ONCE here —
+        # Near-dup pass against the band index, same exclusions and
+        # pruning; colliding batch docs (vs corpus, or vs a smaller-id
+        # batch doc) drop. The batch's bands are materialized ONCE —
         # the sub collect, the candidate join, and the survivors'
         # band write below all reuse the pinned frame instead of
         # re-running the shingle+signature pass.
+        bstore = self._band_store
         new_bands = pin(lsh_bands(exact, id_c, text_c, self.n,
                                   self.num_hashes, self.rows_per_band))
-        band_subs = self._subs_of(new_bands, F.col("band_hash"))
-        band_index = self._load(
-            "bands",
-            f"{id_c} long, band int, band_hash string, "
-            "batch_id int, sub int") \
-            .filter(not_own & F.col("sub").isin(band_subs)) \
-            .select(id_c, "band", "band_hash")
+        b_subs = bstore.base_subs_of(new_bands, F.col("band_hash"))
+        band_index = bstore.probe(batch_id, b_subs)
         pairs = incremental_lsh_pairs(
             exact, band_index, id_c, text_c, self.n, self.num_hashes,
             self.rows_per_band, max_bucket=self.max_bucket,
@@ -188,30 +418,19 @@ class IncrementalDedup:
         # pin the later writes could re-scan a store mid-mutation.
         survivors = pin(exact.join(losers, id_c, "left_anti"))
 
-        part = f"batch_id={int(batch_id)}"
         survivors.drop("__digest").write.mode("overwrite") \
-            .parquet(self._path(f"corpus/{part}"))
-        # Index writes carry the sub-bucket as a hive partition under
-        # the batch partition; repartition("sub") keeps the file count
-        # at ≤ num_subs per store per batch (without it every task
-        # writes every sub it holds). Static overwrite of the
-        # batch_id=N dir preserves the replay contract: a retry
-        # replaces the WHOLE batch partition, sub dirs included.
-        (survivors.select(F.col(id_c).cast("long"),
-                          F.col("__digest").alias("digest"))
-         .withColumn("sub", self._sub(F.col("digest")))
-         .repartition("sub")
-         .write.partitionBy("sub").mode("overwrite")
-         .parquet(self._path(f"digests/{part}")))
+            .parquet(self._path(f"corpus/batch_id={int(batch_id)}"))
+        dstore.write_batch(
+            survivors.select(F.col(id_c).cast("long"),
+                             F.col("__digest").alias("digest")),
+            batch_id)
         # Survivor bands are a subset of the pinned batch bands — a
         # semi-join, not a second signature pass.
-        (new_bands.join(survivors.select(id_c), id_c, "left_semi")
-         .select(F.col(id_c).cast("long"), F.col("band").cast("int"),
-                 "band_hash")
-         .withColumn("sub", self._sub(F.col("band_hash")))
-         .repartition("sub")
-         .write.partitionBy("sub").mode("overwrite")
-         .parquet(self._path(f"bands/{part}")))
+        bstore.write_batch(
+            new_bands.join(survivors.select(id_c), id_c, "left_semi")
+            .select(F.col(id_c).cast("long"),
+                    F.col("band").cast("int"), "band_hash"),
+            batch_id)
 
     def run_stream(self, stream: DataFrame,
                    checkpoint_dir: str | None = None,
@@ -260,56 +479,55 @@ class IncrementalAnnIndex:
     re-delivered under the same id in a LATER batch is indexed again
     under its new batch and still gets its match partition written —
     the index key is ``(batch_id, id)``; consumers that assume unique
-    ids must dedupe upstream. Store format note (v3): ``ann/`` is
-    hive-partitioned by ``(batch_id, sub)`` where ``sub =
-    pmod(xxhash64(bucket), num_subs)`` — the probe-prune sub-bucket
-    (see :class:`IncrementalDedup`: a batch's query only joins stored
-    rows sharing its hyperplane buckets, so the probe filters to the
-    batch's own sub set, pruned at the partition listing; exact
-    because the class queries with ``n_probes=1``, each query touching
-    only its own bucket). ``matches/`` stays ``batch_id``-only (it is
-    a feed, never probed by key). Not mixable with the v2
-    ``batch_id``-only or older flat ``ann/`` layouts — use a fresh
-    ``store_dir`` per format.
+    ids must dedupe upstream.
+
+    The ``ann/`` index is a tail + compacted sub-bucketed base like
+    the text indexes (module docstring) with ``sub =
+    pmod(xxhash64(bucket), num_subs)``; the probe prunes the base to
+    the batch's own bucket subs — exact because the class queries
+    with ``n_probes=1``, each query touching only its own bucket.
+    ``matches/`` stays ``batch_id``-only (it is a feed, never probed
+    by key). Not mixable with the older flat ``ann/`` append layout —
+    use a fresh ``store_dir`` per format.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, vec_col: str,
                  planes: list[list[float]], k: int = 5,
-                 rescore: str = "arrow", num_subs: int = 64):
+                 rescore: str = "arrow", num_subs: int = 256,
+                 rows_per_sub: int = 1_000_000):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
         self.planes, self.k, self.rescore = planes, k, rescore
         self.num_subs = int(num_subs)
+        self.rows_per_sub = int(rows_per_sub)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
 
-    def _sub(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.num_subs)).cast("int")
+    @property
+    def _ann_store(self) -> _IndexStore:
+        return _IndexStore(
+            self.spark, self._path("ann"),
+            f"{self.id_col} long, bucket string, qvec array<int>, "
+            "scale double",
+            "bucket", self.num_subs, self.rows_per_sub)
 
-    def _load_index(self) -> DataFrame:
-        from pyspark.errors import AnalysisException
-        schema = (f"{self.id_col} long, bucket string, "
-                  "qvec array<int>, scale double, batch_id int, "
-                  "sub int")
-        try:
-            df = self.spark.read.schema(schema).parquet(
-                self._path("ann"))
-            df.schema
-            return df
-        except AnalysisException:
-            return self.spark.createDataFrame([], schema)
+    def compact(self, up_to: int) -> None:
+        """Fold the ann tail through ``up_to`` into its base. Only
+        pass checkpoint-committed batch ids; no future batch may
+        reuse an id <= ``up_to``."""
+        self._ann_store.compact(up_to)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """The foreachBatch body: query the stored index minus the
         batch's own ``ann/batch_id=N`` partition, overwrite the
         batch's match partition, then overwrite its index partition.
         Safe to call directly for batch backfills — pass each backfill
-        batch a DISTINCT ``batch_id`` (it keys both per-batch
-        partitions; reusing an id overwrites that batch's rows, which
-        is exactly the replay semantics).
+        batch a DISTINCT, monotone ``batch_id`` (it keys both
+        per-batch partitions; reusing an id overwrites that batch's
+        rows, which is exactly the replay semantics).
 
         Replay-safe at any crash position (foreachBatch is
         at-least-once): the querying index excludes the batch's own
@@ -325,25 +543,22 @@ class IncrementalAnnIndex:
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.similarity import (
             build_ann_index, hyperplane_bucket, query_ann_index)
+        store = self._ann_store
+        batch = pin(batch)
+        # Probe pruning: a query (n_probes=1) joins only stored rows
+        # sharing its hyperplane bucket, so compacted-base subs
+        # outside the batch's own bucket-sub set can never match.
+        # Skipped in the tail-only regime (nothing to prune).
+        dims = len(self.planes[0])
+        v = F.transform(F.col(self.vec_col),
+                        lambda x: x.cast("double"))
+        subs = store.base_subs_of(
+            batch, hyperplane_bucket(v, self.planes, dims))
         # Pin before the two writes: the queryable frame reads the
         # ann/ store being written — without the pin the index
         # overwrite could re-list the files of the store it is
         # mutating.
-        index = self._load_index()
-        batch = pin(batch)
-        # Probe pruning: a query (n_probes=1) joins only stored rows
-        # sharing its hyperplane bucket, so stored subs outside the
-        # batch's own bucket-sub set can never match. The collect is
-        # bounded by the constant num_subs.
-        dims = len(self.planes[0])
-        v = F.transform(F.col(self.vec_col), lambda x: x.cast("double"))
-        batch_subs = [r[0] for r in batch.select(
-            self._sub(hyperplane_bucket(v, self.planes, dims))
-            .alias("__s")).distinct().collect()]
-        queryable = pin(
-            index.filter((F.col("batch_id") != int(batch_id))
-                         & F.col("sub").isin(batch_subs))
-            .drop("batch_id", "sub"))
+        queryable = pin(store.probe(batch_id, subs))
         matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore)
@@ -352,14 +567,12 @@ class IncrementalAnnIndex:
                         "sim", F.col("rank").cast("int"))
          .write.mode("overwrite")
          .parquet(self._path(f"matches/batch_id={int(batch_id)}")))
-        (build_ann_index(batch, self.id_col, self.vec_col,
-                         self.planes)
-         .select(F.col(self.id_col).cast("long"), "bucket",
-                 F.col("qvec").cast("array<int>"), "scale")
-         .withColumn("sub", self._sub(F.col("bucket")))
-         .repartition("sub")
-         .write.partitionBy("sub").mode("overwrite")
-         .parquet(self._path(f"ann/batch_id={int(batch_id)}")))
+        store.write_batch(
+            build_ann_index(batch, self.id_col, self.vec_col,
+                            self.planes)
+            .select(F.col(self.id_col).cast("long"), "bucket",
+                    F.col("qvec").cast("array<int>"), "scale"),
+            batch_id)
 
     def run_stream(self, stream: DataFrame,
                    checkpoint_dir: str | None = None,
