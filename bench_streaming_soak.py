@@ -84,12 +84,15 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                                            "documents.parquet")) \
         .select("doc_id", "text").localCheckpoint(eager=True)
     n = docs.count()
-    # rows_per_sub sized so the soak-scale base fans out enough for
-    # the 10-doc trickle probe (80 band hashes) to prune; at 100 TB
-    # the default (1M rows/sub) reaches the num_subs cap on its own.
+    # rows_per_sub=16 (demo default) sizes the soak-scale base to fan
+    # out enough for the 10-doc trickle probe (80 band hashes) to
+    # prune; at 100 TB the production default (1M rows/sub) reaches
+    # the num_subs cap on its own. --rows-per-sub overrides (pass
+    # 1000000 to measure the production file layout at soak scale).
     loop = IncrementalDedup(spark, store, "doc_id", "text",
                             max_bucket=64, num_subs=256,
-                            rows_per_sub=16)
+                            rows_per_sub=int(os.environ.get(
+                                "SOAK_ROWS_PER_SUB", "16")))
     walls, corpus_rows, band_rows = [], [], []
     trickle = []
     for b in range(batches):
@@ -190,6 +193,9 @@ def main(argv: list[str]) -> int:
         else "both"
     batches = int(argv[argv.index("--batches") + 1]) \
         if "--batches" in argv else 20
+    if "--rows-per-sub" in argv:
+        os.environ["SOAK_ROWS_PER_SUB"] = \
+            argv[argv.index("--rows-per-sub") + 1]
     sf_dir = argv[argv.index("--sf-dir") + 1] if "--sf-dir" in argv \
         else os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")

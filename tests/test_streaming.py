@@ -856,3 +856,47 @@ def test_incremental_ann_compaction_and_pruned_match(spark, tmp_path):
     got = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
         f"{store}/matches").where(F.col("batch_id") == 1).collect()}
     assert (10, 1) in got
+
+
+def test_incremental_ann_multi_probe_prunes_to_probed_buckets(
+        spark, tmp_path):
+    """n_probes>1 on the incremental ANN store: the base sub-prune
+    must cover every PROBED bucket, not just the query's own — a
+    neighbor one flipped sign bit away lives in a different bucket
+    (usually a different sub), and forgetting the expansion would
+    prune it out of the probe read."""
+    import os
+
+    from wp_etl_migration_spark.operators.similarity import (
+        plane_dots, probe_buckets_from_dots)
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    store = str(tmp_path / "store")
+    # neighbor [0.9, -0.05]: bucket "10"; query [0.95, 0.05]: bucket
+    # "11" with plane 2 the lowest |margin| — probe 2 flips to "10".
+    corpus = spark.createDataFrame(
+        [(1, [0.9, -0.05, 0.0, 0.0]),
+         (2, [-1.0, 1.0, 0.0, 0.0]), (3, [-1.0, -1.0, 0.0, 0.0]),
+         (4, [0.3, 0.9, 0.0, 0.0]), (5, [-0.2, -0.9, 0.1, 0.0]),
+         (6, [-0.9, 0.2, 0.3, 0.0]), (7, [0.1, -0.8, 0.0, 0.2]),
+         (8, [-0.5, -0.5, 0.5, 0.0])],
+        "vec_id long, emb array<double>")
+    query = spark.createDataFrame([(10, [0.95, 0.05, 0.0, 0.0])],
+                                  "vec_id long, emb array<double>")
+    # unit: the expansion really is own-bucket-then-flip
+    v = F.transform(F.col("emb"), lambda x: x.cast("double"))
+    probes = query.select(probe_buckets_from_dots(
+        plane_dots(v, planes), 2, 2).alias("p")).first()["p"]
+    assert probes == ["11", "10"]
+
+    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
+                              k=2, n_probes=2, num_subs=64,
+                              rows_per_sub=1)
+    idx.process_batch(corpus, 0)
+    idx.compact(0)
+    assert not os.path.exists(os.path.join(store, "ann", "batch_id=0"))
+    idx.process_batch(query, 1)
+    got = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
+        f"{store}/matches").where(F.col("batch_id") == 1).collect()}
+    assert (10, 1) in got    # found across the flipped-bit bucket

@@ -600,6 +600,47 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]],
     return F.concat(*bits)
 
 
+def plane_dots(vec: Column, planes: list[list[float]]) -> Column:
+    """Per-plane signed margins as one array column. Materialize it
+    with ``withColumn`` BEFORE deriving buckets/flip order from it —
+    both :func:`probe_buckets_from_dots` references would otherwise
+    re-fold every plane dot."""
+    return F.array(*[
+        fold_dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+        for p in planes])
+
+
+def probe_buckets_from_dots(dots: Column, n_planes: int,
+                            n_probes: int) -> Column:
+    """The ``n_probes`` hyperplane buckets a query searches, from its
+    materialized :func:`plane_dots` column: its own bucket first, then
+    the buckets reached by flipping its lowest-|margin| sign bits in
+    margin order (multi-probe LSH, Lv et al. 2007 — public). Same
+    sign convention as :func:`hyperplane_bucket` (>= 0 → "1"); the
+    flipped strings are built with dynamic substr so the whole
+    expansion stays JVM-side."""
+    bucket = F.concat(*[
+        F.when(F.element_at(dots, i + 1) >= 0, "1").otherwise("0")
+        for i in range(n_planes)])
+    if n_probes == 1:
+        return F.array(bucket)
+    order = F.array_sort(F.transform(
+        dots, lambda d, i: F.struct(F.abs(d).alias("m"),
+                                    i.alias("i"))))
+
+    def flip(b: Column, bit_i: Column) -> Column:
+        ch = b.substr(bit_i + F.lit(1), F.lit(1))
+        return F.concat(
+            b.substr(F.lit(1), bit_i),
+            F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+            b.substr(bit_i + F.lit(2), F.lit(n_planes)))
+
+    return F.array(
+        bucket,
+        *[flip(bucket, F.element_at(order, j + 1)["i"])
+          for j in range(n_probes - 1)])
+
+
 def cosine_topk_lsh(emb: DataFrame, id_col: str, vec_col: str,
                     planes: list[list[float]], k: int = 5,
                     dims: int | None = None) -> DataFrame:
@@ -888,36 +929,16 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
             "bucket", hyperplane_bucket(F.col("__qv"), planes, dims))
     else:
         # Per-plane signed margins, computed ONCE into a materialized
-        # array column — both the bucket string and the flip order
-        # derive from it (hyperplane_bucket would re-fold every plane
-        # dot a second time). Flip order = |margin| asc (ties by
-        # plane index); the flipped bucket strings are built with
-        # dynamic substr so the whole probe expansion stays JVM-side.
-        qside = qside.withColumn("__dots", F.array(*[
-            fold_dot(F.col("__qv"),
-                     F.array(*[F.lit(float(x)) for x in p]))
-            for p in planes]))
-        # same sign convention as hyperplane_bucket: >= 0 → "1"
-        qside = qside.withColumn("bucket", F.concat(*[
-            F.when(F.element_at("__dots", i + 1) >= 0, "1")
-            .otherwise("0") for i in range(len(planes))]))
-        order = F.array_sort(F.transform(
-            F.col("__dots"),
-            lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i"))))
-
-        def flip(bit_i: Column) -> Column:
-            b = F.col("bucket")
-            ch = b.substr(bit_i + F.lit(1), F.lit(1))
-            return F.concat(
-                b.substr(F.lit(1), bit_i),
-                F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
-                b.substr(bit_i + F.lit(2), F.lit(len(planes))))
-
-        probes = F.array(
-            F.col("bucket"),
-            *[flip(F.element_at(order, j + 1)["i"])
-              for j in range(n_probes - 1)])
-        qside = (qside.withColumn("bucket", F.explode(probes))
+        # array column — the probe expansion's bucket string and flip
+        # order both derive from it (re-folding every plane dot per
+        # reference would multiply the cost). Flip order = |margin|
+        # asc (ties by plane index). Shared with the incremental ANN
+        # store's sub-prune path via plane_dots/probe_buckets_from_dots.
+        qside = (qside
+                 .withColumn("__dots", plane_dots(F.col("__qv"), planes))
+                 .withColumn("bucket", F.explode(
+                     probe_buckets_from_dots(F.col("__dots"),
+                                             len(planes), n_probes)))
                  .drop("__dots"))
     qside = qside.withColumn("__qn", qn)
     deq = F.transform(F.col("qvec"),

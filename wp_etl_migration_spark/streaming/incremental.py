@@ -484,24 +484,27 @@ class IncrementalAnnIndex:
     The ``ann/`` index is a tail + compacted sub-bucketed base like
     the text indexes (module docstring) with ``sub =
     pmod(xxhash64(bucket), num_subs)``; the probe prunes the base to
-    the batch's own bucket subs — exact because the class queries
-    with ``n_probes=1``, each query touching only its own bucket.
-    ``matches/`` stays ``batch_id``-only (it is a feed, never probed
-    by key). Not mixable with the older flat ``ann/`` append layout —
-    use a fresh ``store_dir`` per format.
+    the subs of the batch's PROBED buckets — with ``n_probes > 1``
+    (the multi-probe recall lever, same knob as ``query_ann_index``)
+    the sub set expands to cover every flipped-bit bucket each query
+    searches, so pruning stays exact at any probe count. ``matches/``
+    stays ``batch_id``-only (it is a feed, never probed by key). Not
+    mixable with the older flat ``ann/`` append layout — use a fresh
+    ``store_dir`` per format.
     """
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, vec_col: str,
                  planes: list[list[float]], k: int = 5,
                  rescore: str = "arrow", num_subs: int = 256,
-                 rows_per_sub: int = 1_000_000):
+                 rows_per_sub: int = 1_000_000, n_probes: int = 1):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
         self.planes, self.k, self.rescore = planes, k, rescore
         self.num_subs = int(num_subs)
         self.rows_per_sub = int(rows_per_sub)
+        self.n_probes = int(n_probes)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
@@ -542,18 +545,23 @@ class IncrementalAnnIndex:
         replay recomputes and overwrites byte-identical partitions."""
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.similarity import (
-            build_ann_index, hyperplane_bucket, query_ann_index)
+            build_ann_index, plane_dots, probe_buckets_from_dots,
+            query_ann_index)
         store = self._ann_store
         batch = pin(batch)
-        # Probe pruning: a query (n_probes=1) joins only stored rows
-        # sharing its hyperplane bucket, so compacted-base subs
-        # outside the batch's own bucket-sub set can never match.
-        # Skipped in the tail-only regime (nothing to prune).
-        dims = len(self.planes[0])
+        # Probe pruning: a query joins only stored rows sharing one of
+        # its PROBED buckets (own bucket + n_probes−1 flipped-bit
+        # buckets — the same expansion query_ann_index applies), so
+        # compacted-base subs outside that set can never match. The
+        # probed buckets are exploded batch-side before hashing; the
+        # collect stays bounded by the base's sub modulus. Skipped in
+        # the tail-only regime (nothing to prune).
         v = F.transform(F.col(self.vec_col),
                         lambda x: x.cast("double"))
-        subs = store.base_subs_of(
-            batch, hyperplane_bucket(v, self.planes, dims))
+        probed = batch.select(F.explode(probe_buckets_from_dots(
+            plane_dots(v, self.planes), len(self.planes),
+            self.n_probes)).alias("__bucket"))
+        subs = store.base_subs_of(probed, F.col("__bucket"))
         # Pin before the two writes: the queryable frame reads the
         # ann/ store being written — without the pin the index
         # overwrite could re-list the files of the store it is
@@ -561,7 +569,8 @@ class IncrementalAnnIndex:
         queryable = pin(store.probe(batch_id, subs))
         matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
-                                  k=self.k, rescore=self.rescore)
+                                  k=self.k, rescore=self.rescore,
+                                  n_probes=self.n_probes)
         (matches.select(F.col("query_id").cast("long"),
                         F.col("neighbor_id").cast("long"),
                         "sim", F.col("rank").cast("int"))
