@@ -33,3 +33,11 @@ def test_wp_migration_pipeline_example(tmp_path):
     out = _run("wp_migration_pipeline.py", str(tmp_path / "mig"))
     assert "migrated: posts=3 users=2" in out
     assert "after snapshot restore: 1 posts" in out
+
+
+def test_continuous_dedup_loop_example(tmp_path):
+    out = _run("continuous_dedup_loop.py", "/root/testdata/sf0.001",
+               str(tmp_path / "stores"))
+    assert "base=gen-" in out          # compaction really folded
+    assert "base=<tail only>" in out   # and the pre-compaction regime ran
+    assert "ann matches:" in out
