@@ -62,15 +62,19 @@ def _store_bytes(path: str, subs: list[int] | None = None) -> int:
     return total
 
 
-def _index_bytes(store, subs: list[int] | None) -> int:
-    """Bytes an index probe lists: the (optionally sub-pruned)
-    compacted base plus the full tail."""
+def _index_bytes(store, key_df, key_col) -> int:
+    """Bytes an index probe lists: each compacted run pruned to the
+    probe keys' sub-buckets under that run's modulus, plus the full
+    tail. key_df=None measures the whole store."""
     total = _store_bytes(store.root)                    # tail
-    ptr = store.pointer()
-    if ptr is not None:
-        gen = ptr[0]
+    for run in store.runs():
+        subs = None
+        if key_df is not None:
+            subs = store._subs_of(key_df, key_col,
+                                  int(run["num_subs"]))
         total += _store_bytes(
-            os.path.join(store.root + "_base", f"gen-{gen}"), subs)
+            os.path.join(store.root + "_base", f"gen-{run['gen']}"),
+            subs)
     return total
 
 
@@ -113,7 +117,7 @@ def soak_dedup(spark, sf_dir: str, batches: int,
         corpus_rows.append(
             spark.read.parquet(f"{store}/corpus").count())
         # base + tail (the tail dir may be empty right after compact)
-        band_rows.append(loop._band_store.probe(-1, None).count())
+        band_rows.append(loop._band_store.probe(-1).count())
         # Maintenance + trickle probe (every 5th batch): compact the
         # index tails through batch b (the r8 tail+base layout), then
         # run a 10-doc trickle batch — the steady-state shape of a
@@ -132,22 +136,21 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                 F.regexp_replace(F.col("text"), " ",
                                  f" t{b} ").alias("text"))
             dstore, bstore = loop._digest_store, loop._band_store
-            d_subs = dstore.base_subs_of(small,
-                                         content_digest(["text"]))
-            b_subs = bstore.base_subs_of(
-                lsh_bands(small, "doc_id", "text", loop.n,
-                          loop.num_hashes, loop.rows_per_band),
-                F.col("band_hash"))
+            small_bands = lsh_bands(small, "doc_id", "text", loop.n,
+                                    loop.num_hashes,
+                                    loop.rows_per_band)
             t0 = time.monotonic()
             loop.process_batch(small, tb)
             trickle.append({
                 "after_batch": b + 1,
                 "compact_wall": compact_wall,
                 "wall": round(time.monotonic() - t0, 3),
-                "digest_probe_bytes": _index_bytes(dstore, d_subs),
-                "digest_store_bytes": _index_bytes(dstore, None),
-                "band_probe_bytes": _index_bytes(bstore, b_subs),
-                "band_store_bytes": _index_bytes(bstore, None),
+                "digest_probe_bytes": _index_bytes(
+                    dstore, small, content_digest(["text"])),
+                "digest_store_bytes": _index_bytes(dstore, None, None),
+                "band_probe_bytes": _index_bytes(
+                    bstore, small_bands, F.col("band_hash")),
+                "band_store_bytes": _index_bytes(bstore, None, None),
             })
     return {"walls": walls, "corpus_rows": corpus_rows,
             "band_rows": band_rows, "batch_docs": n,
@@ -181,7 +184,7 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
         walls.append(round(time.monotonic() - t0, 3))
         if (b + 1) % 5 == 0:
             loop.compact(b)
-        index_rows.append(loop._ann_store.probe(-1, None).count())
+        index_rows.append(loop._ann_store.probe(-1).count())
         match_rows.append(
             spark.read.parquet(f"{store}/matches").count())
     return {"walls": walls, "index_rows": index_rows,

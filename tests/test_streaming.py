@@ -753,8 +753,11 @@ def test_incremental_store_compaction_and_pruned_probe(spark, tmp_path):
 
     loop.compact(0)
     dstore = loop._digest_store
-    gen, folded, nsubs = dstore.pointer()
-    assert (gen, folded) == (0, 0) and 1 < nsubs <= 64
+    ptr = dstore.pointer()
+    assert ptr["folded_up_to"] == 0 and len(ptr["runs"]) == 1
+    run = ptr["runs"][0]
+    gen, nsubs = run["gen"], run["num_subs"]
+    assert gen == 0 and 1 < nsubs <= 64
     base_dir = os.path.join(store, "digests_base", f"gen-{gen}")
     assert any(d.startswith("sub=") for d in os.listdir(base_dir))
     # folded tail dir is gone; the store's content lives in the base
@@ -766,9 +769,9 @@ def test_incremental_store_compaction_and_pruned_probe(spark, tmp_path):
     trickle = spark.createDataFrame(
         [(100, "document body 7 with words aa7 bb7 cc7 dd7")],
         ["doc_id", "text"])
-    subs = dstore.base_subs_of(trickle, content_digest(["text"]))
+    subs = dstore._subs_of(trickle, content_digest(["text"]), nsubs)
     assert len(subs) == 1
-    probe = dstore.probe(1, subs)
+    probe = dstore.probe(1, trickle, content_digest(["text"]))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert any("sub" in seg[:300]
@@ -782,11 +785,12 @@ def test_incremental_store_compaction_and_pruned_probe(spark, tmp_path):
     ids = sorted(r.doc_id for r in
                  spark.read.parquet(f"{store}/corpus").collect())
     assert 100 not in ids and len(ids) == 40
-    # second compact folds the new tail into gen-1 and keeps all rows
+    # second compact: batch 1's survivors are EMPTY (the trickle doc
+    # was a dup), so the fold adds NO run — just the high-water bump.
     loop.compact(1)
-    gen2, folded2, _ = loop._digest_store.pointer()
-    assert (gen2, folded2) == (1, 1)
-    assert loop._digest_store.probe(99, None).count() == 40
+    ptr2 = loop._digest_store.pointer()
+    assert ptr2["folded_up_to"] == 1 and len(ptr2["runs"]) == 1
+    assert loop._digest_store.probe(99).count() == 40
 
 
 def test_incremental_compaction_crash_after_pointer_flip(spark,
@@ -812,7 +816,7 @@ def test_incremental_compaction_crash_after_pointer_flip(spark,
     loop.compact(0)
     # simulate the unfinished delete: the folded dir reappears
     shutil.copytree(saved, tail0)
-    probe = loop._digest_store.probe(5, None)
+    probe = loop._digest_store.probe(5)
     assert probe.count() == 2          # not 4 — garbage is invisible
     # a later batch still dedups exactly once against the store
     loop.process_batch(spark.createDataFrame(
@@ -825,7 +829,7 @@ def test_incremental_compaction_crash_after_pointer_flip(spark,
     # the next compact sweeps the garbage dir and folds batch 1
     loop.compact(1)
     assert not os.path.exists(tail0)
-    assert loop._digest_store.probe(99, None).count() == 3
+    assert loop._digest_store.probe(99).count() == 3
 
 
 def test_incremental_ann_compaction_and_pruned_match(spark, tmp_path):
@@ -846,7 +850,7 @@ def test_incremental_ann_compaction_and_pruned_match(spark, tmp_path):
          (3, [0.0, 0.0, 1.0, 0.0]), (4, [0.0, 0.0, 0.0, 1.0])],
         "vec_id long, emb array<double>"), 0)
     idx.compact(0)
-    gen, folded, _ = idx._ann_store.pointer()
+    gen = idx._ann_store.runs()[0]["gen"]
     base_dir = os.path.join(store, "ann_base", f"gen-{gen}")
     assert any(d.startswith("sub=") for d in os.listdir(base_dir))
     assert not os.path.exists(os.path.join(store, "ann", "batch_id=0"))
@@ -900,3 +904,43 @@ def test_incremental_ann_multi_probe_prunes_to_probed_buckets(
     got = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
         f"{store}/matches").where(F.col("batch_id") == 1).collect()}
     assert (10, 1) in got    # found across the flipped-bit bucket
+
+
+def test_incremental_compaction_levels_and_merges(spark, tmp_path):
+    """Leveling: each compact folds only the tail into a NEW run
+    (no base rewrite) until max_runs would be exceeded, then all runs
+    merge into one. Data is preserved across every transition and
+    swept gens/tails are gone."""
+    import os
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "store")
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            num_subs=8, rows_per_sub=1, max_runs=2)
+    def doc(i):
+        # fully distinct word sets per doc — no accidental near-dups
+        return " ".join(f"w{i}{c}" for c in "abcdefgh")
+
+    for b in range(4):
+        loop.process_batch(spark.createDataFrame(
+            [(b * 10 + j, doc(b * 10 + j)) for j in range(3)],
+            ["doc_id", "text"]), b)
+        loop.compact(b)
+        runs = loop._digest_store.runs()
+        # runs count cycles 1 → 2 → merge back to 1 → 2
+        assert len(runs) == (b % 2) + 1, (b, runs)
+        assert loop._digest_store.probe(99).count() == 3 * (b + 1)
+    # only the pointer-listed gens remain on disk
+    gens = {d for d in os.listdir(os.path.join(store, "digests_base"))
+            if d.startswith("gen-")}
+    assert gens == {f"gen-{r['gen']}"
+                    for r in loop._digest_store.runs()}
+    # and the dedup semantics still hold through the leveled base
+    loop.process_batch(spark.createDataFrame(
+        [(100, doc(0)),                        # exact dup of doc 0
+         (101, "completely novel words nothing shared anywhere")],
+        ["doc_id", "text"]), 4)
+    ids = sorted(r.doc_id for r in
+                 spark.read.parquet(f"{store}/corpus").collect())
+    assert 100 not in ids and 101 in ids

@@ -43,40 +43,42 @@ index therefore has TWO parts, managed by :class:`_IndexStore`:
 - the **tail**: one plain ``<root>/batch_id=N/`` partition per batch,
   exactly the v2 layout — cheap to write (no extra files per batch),
   authoritative for replay (a retry overwrites its own partition);
-- the **base**: a compacted snapshot ``<root>_base/gen-K/sub=S/``,
-  hive-partitioned by ``sub = pmod(xxhash64(join key), num_subs)``,
-  named by the atomic pointer file ``<root>_base/_CURRENT``
-  (``{"gen": K, "folded_up_to": W, "num_subs": M}``). The sub COUNT
-  is adaptive: each compaction sizes it to ``ceil(rows /
-  rows_per_sub)`` capped at ``num_subs``, and records the generation's
-  value in the pointer — a small store gets one fat file per sub (no
-  small-file tax), a corpus-scale store fans out to the cap, and the
-  probe always hashes with the BASE'S recorded modulus, so pruning
-  stays exact across recompactions.
+- the **base**: a LEVELED list of compacted runs
+  ``<root>_base/gen-K/sub=S/``, each hive-partitioned by ``sub =
+  pmod(xxhash64(join key), num_subs)`` and named by the atomic
+  pointer file ``<root>_base/_CURRENT``
+  (``{"folded_up_to": W, "runs": [{"gen": K, "num_subs": M}, …]}``).
+  Each run's sub COUNT is adaptive: ``ceil(rows / rows_per_sub)``
+  capped at ``num_subs``, recorded per run — a small run stays a
+  handful of fat files (no small-file tax), a corpus-scale run fans
+  out to the cap, and the probe always hashes with each RUN'S
+  recorded modulus, so pruning stays exact across recompactions.
 
 ``compact(up_to)`` folds tail partitions with ``batch_id <= up_to``
-into a new base generation: write ``gen-(K+1)``, flip the pointer,
-then delete the old generation and the folded tail dirs. The pointer
-flip is the commit point — a crash before it leaves the old pointer
-and all sources intact (a rerun redoes the work idempotently); a
-crash after it leaves folded tail dirs as garbage that the probe
-already ignores (the tail read filters ``batch_id > W``) and the next
-``compact`` deletes. Rows can never be read twice or lost at any
-crash position.
+into a NEW run — O(folded tail), not O(store) — and merges all runs
+into one only when more than ``max_runs`` would accumulate: the
+LSM-style leveling trade (frequent cheap folds, rare full rewrites;
+total compaction work O(N·max_runs + N²/(K·max_runs)) over N rows at
+cadence K instead of the single-base O(N²/K)). The pointer flip is
+the commit point — a crash before it leaves the old pointer and all
+sources intact (a rerun redoes the work idempotently); a crash after
+it leaves folded tail dirs / unlisted gen dirs as garbage the probe
+already ignores (the tail read filters ``batch_id > W``; runs are
+read only off the pointer) and the next ``compact`` sweeps. Rows can
+never be read twice or lost at any crash position.
 
-The probe then reads ``base.filter(sub IN batch_subs) ∪ tail``: the
-``sub`` filter is a pure function of the join key, so pruned-away
-base rows could never equi-join a batch key — Spark prunes them at
-the partition LISTING (PartitionFilters, asserted in tests). The
-batch's sub set is a driver collect bounded by the CONSTANT
-``num_subs``, never by data size. Probe cost is therefore
-``|batch subs|/num_subs`` of the base plus the (compaction-bounded)
-tail — sublinear in store size for trickle batches, and never worse
-than the full scan for corpus-scale batches that cover every sub.
-At 100 TB the single-base design generalizes the obvious way
-(leveled generations, or swap the parquet stores for Delta/Iceberg
-and let its OPTIMIZE do the folding); the probe contract is
-unchanged.
+The probe then reads ``⋃ runs.filter(sub IN batch_subs) ∪ tail``:
+the ``sub`` filter is a pure function of the join key, so pruned-away
+run rows could never equi-join a batch key — Spark prunes them at the
+partition LISTING (PartitionFilters, asserted in tests). The batch's
+per-run sub sets are driver collects bounded by the CONSTANT
+``num_subs`` (× at most ``max_runs`` runs), never by data size. Probe
+cost is therefore ``|batch subs|/num_subs`` of each run plus the
+(compaction-bounded) tail — sublinear in store size for trickle
+batches, and never worse than the full scan for corpus-scale batches
+that cover every sub. The same layout maps 1:1 onto Delta/Iceberg
+(runs = data files, pointer = table log, merge = OPTIMIZE) when a
+transactional format is preferred; the probe contract is unchanged.
 
 Batch ids must be non-negative and, for compaction correctness,
 monotone: ``compact(up_to)`` assumes no FUTURE batch will use an id
@@ -136,53 +138,55 @@ def _delete(spark: SparkSession, uri: str) -> None:
 
 class _IndexStore:
     """One probe-able incremental index: per-batch tail partitions
-    plus an optional compacted sub-bucketed base (module docstring).
+    plus a LEVELED list of compacted sub-bucketed runs (module
+    docstring).
 
     ``columns`` is the stored schema WITHOUT batch_id/sub (e.g.
     ``"doc_id long, digest string"``); ``key_col`` names the join-key
-    column whose hash defines the base's ``sub`` partition."""
+    column whose hash defines each run's ``sub`` partition;
+    ``max_runs`` bounds how many compacted runs may accumulate before
+    they merge into one."""
 
     def __init__(self, spark: SparkSession, root: str, columns: str,
                  key_col: str, num_subs: int,
-                 rows_per_sub: int = 1_000_000):
+                 rows_per_sub: int = 1_000_000, max_runs: int = 4):
         self.spark = spark
         self.root = root
         self.columns = columns
         self.key_col = key_col
-        self.num_subs = int(num_subs)          # cap
+        self.num_subs = int(num_subs)          # per-run sub cap
         self.rows_per_sub = int(rows_per_sub)  # adaptive target
+        self.max_runs = int(max_runs)
 
-    # -- sub bucketing -------------------------------------------------
+    # -- sub bucketing ---------------------------------------------------
     def sub(self, col, num_subs: int) -> Column:
         return F.pmod(F.xxhash64(col), F.lit(int(num_subs))).cast("int")
 
-    def base_subs_of(self, df: DataFrame, col) -> list[int] | None:
-        """Distinct sub-buckets of a batch-side key column under the
-        CURRENT BASE's modulus — a driver collect bounded by that
-        constant. None when no base exists (nothing to prune)."""
-        ptr = self.pointer()
-        if ptr is None:
-            return None
+    def _subs_of(self, df: DataFrame, col, num_subs: int) -> list[int]:
+        """Distinct sub-buckets of a batch-side key column under one
+        run's modulus — a driver collect bounded by that constant."""
         return [r[0] for r in
-                df.select(self.sub(col, ptr[2]).alias("__s"))
+                df.select(self.sub(col, num_subs).alias("__s"))
                 .distinct().collect()]
 
-    # -- pointer -------------------------------------------------------
+    # -- pointer -----------------------------------------------------------
     @property
     def _base_root(self) -> str:
         return self.root + "_base"
 
-    def pointer(self) -> tuple[int, int, int] | None:
-        """(generation, folded_up_to, num_subs) of the current base,
-        or None."""
+    def pointer(self) -> dict | None:
+        """``{"folded_up_to": W, "runs": [{"gen": K, "num_subs": M},
+        ...]}`` — the committed base state, or None before the first
+        compaction."""
         text = _read_text(self.spark,
                           os.path.join(self._base_root, "_CURRENT"))
-        if text is None:
-            return None
-        p = json.loads(text)
-        return int(p["gen"]), int(p["folded_up_to"]), int(p["num_subs"])
+        return None if text is None else json.loads(text)
 
-    # -- read paths ----------------------------------------------------
+    def runs(self) -> list[dict]:
+        ptr = self.pointer()
+        return list(ptr["runs"]) if ptr else []
+
+    # -- read paths --------------------------------------------------------
     def _read_tail(self) -> DataFrame:
         """All tail partitions (schema + batch_id), or empty before the
         first append. Probed by attempting the read (not os.path) so
@@ -196,98 +200,131 @@ class _IndexStore:
         except AnalysisException:
             return self.spark.createDataFrame([], schema)
 
-    def probe(self, own_batch_id: int,
-              subs: list[int] | None) -> DataFrame:
-        """The queryable index for a batch: base (sub-pruned when
-        ``subs`` given) ∪ tail, with the batch's OWN partition and all
-        folded-into-base partitions excluded from the tail. Returns
-        ``columns`` only."""
+    def _read_run(self, run: dict) -> DataFrame:
+        return self.spark.read.schema(self.columns + ", sub int") \
+            .parquet(os.path.join(self._base_root,
+                                  f"gen-{int(run['gen'])}"))
+
+    def probe(self, own_batch_id: int, key_df: DataFrame | None = None,
+              key_col=None) -> DataFrame:
+        """The queryable index for a batch: every compacted run ∪ the
+        tail, with the batch's OWN partition and all folded-into-base
+        partitions excluded from the tail. With ``(key_df, key_col)``
+        given, each run is pruned to the batch keys' sub-buckets under
+        THAT RUN'S recorded modulus (one bounded driver collect per
+        run; runs ≤ max_runs) — exact, since ``sub`` is a pure
+        function of the join key. Returns ``columns`` only."""
         cols = [c.split()[0] for c in self.columns.split(",")]
         ptr = self.pointer()
         tail = self._read_tail() \
             .filter(F.col("batch_id") != int(own_batch_id))
-        if ptr is not None:
-            gen, folded, _ = ptr
-            tail = tail.filter(F.col("batch_id") > folded)
-            base = self.spark.read \
-                .schema(self.columns + ", sub int") \
-                .parquet(os.path.join(self._base_root, f"gen-{gen}"))
-            if subs is not None:
+        if ptr is None:
+            return tail.select(*cols)
+        out = tail.filter(F.col("batch_id") > int(ptr["folded_up_to"])) \
+            .select(*cols)
+        for run in ptr["runs"]:
+            base = self._read_run(run)
+            if key_df is not None and int(run["num_subs"]) > 1:
+                subs = self._subs_of(key_df, key_col,
+                                     int(run["num_subs"]))
                 base = base.filter(F.col("sub").isin(subs))
-            return base.select(*cols).unionByName(tail.select(*cols))
-        return tail.select(*cols)
+            out = out.unionByName(base.select(*cols))
+        return out
 
-    # -- write paths -----------------------------------------------------
+    # -- write paths ---------------------------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """Overwrite this batch's tail partition (the replay unit)."""
         df.write.mode("overwrite").parquet(
             os.path.join(self.root, f"batch_id={int(batch_id)}"))
 
     def compact(self, up_to: int) -> None:
-        """Fold tail partitions with ``batch_id <= up_to`` into a new
-        base generation (module docstring: pointer flip = commit
-        point; idempotent at any crash position). No future batch may
-        use an id <= ``up_to``."""
+        """Fold tail partitions with ``batch_id <= up_to`` into a NEW
+        compacted run — O(folded tail), not O(store) — and, when that
+        would leave more than ``max_runs`` runs, merge everything into
+        one (the amortized leveling trade: frequent cheap folds, rare
+        full rewrites). Pointer flip = commit point; idempotent at any
+        crash position (module docstring). No future batch may use an
+        id <= ``up_to``."""
+        from wp_etl_migration_spark.operators.checkpoint import pin
         ptr = self.pointer()
-        gen_old, folded_old = (ptr[0], ptr[1]) if ptr else (None, -1)
+        runs_old = list(ptr["runs"]) if ptr else []
+        folded_old = int(ptr["folded_up_to"]) if ptr else -1
         if up_to <= folded_old:
             return
         # Garbage from a crashed prior run (pointer flipped, deletes
-        # not finished): tail dirs at or below the CURRENT high-water
-        # are already invisible to probes — remove them first so the
-        # fold below cannot double-read them.
-        self._sweep_folded(folded_old)
-        tail = self._read_tail() \
-            .filter((F.col("batch_id") > folded_old)
-                    & (F.col("batch_id") <= int(up_to)))
+        # not finished): folded tail dirs and unlisted gen dirs are
+        # already invisible to probes — remove them first so the fold
+        # below cannot double-read them.
+        self._sweep(folded_old, {int(r["gen"]) for r in runs_old})
         cols = [c.split()[0] for c in self.columns.split(",")]
-        new = tail.select(*cols)
-        if ptr is not None:
-            base_old = self.spark.read \
-                .schema(self.columns + ", sub int") \
-                .parquet(os.path.join(self._base_root,
-                                      f"gen-{gen_old}")) \
-                .select(*cols)
-            new = new.unionByName(base_old)
-        gen_new = (gen_old + 1) if ptr else 0
-        # Adaptive sub count: one ~rows_per_sub-row file per sub, up
-        # to the cap — a small base stays a handful of fat files, a
-        # corpus-scale base fans out for pruning.
-        from wp_etl_migration_spark.operators.checkpoint import pin
+        new = self._read_tail() \
+            .filter((F.col("batch_id") > folded_old)
+                    & (F.col("batch_id") <= int(up_to))) \
+            .select(*cols)
+        merge = len(runs_old) + 1 > self.max_runs
+        if merge:
+            for run in runs_old:
+                new = new.unionByName(self._read_run(run).select(*cols))
         new = pin(new)
         n_rows = new.count()
-        subs_new = max(1, min(self.num_subs,
-                              -(-n_rows // self.rows_per_sub)))
-        (new.withColumn("sub", self.sub(F.col(self.key_col), subs_new))
-         .repartition("sub")
-         .write.partitionBy("sub").mode("overwrite")
-         .parquet(os.path.join(self._base_root, f"gen-{gen_new}")))
+        if n_rows == 0 and not merge:
+            # Nothing to fold: just advance the high-water mark.
+            runs_new = runs_old
+        else:
+            # Adaptive sub count: one ~rows_per_sub-row file per sub,
+            # up to the cap — a small run stays a handful of fat files
+            # (no small-file tax), a corpus-scale run fans out for
+            # pruning. (A single hot join key concentrates in one sub
+            # whatever the modulus; stored-index hot keys are bounded
+            # upstream — survivors are deduped and hot candidate
+            # buckets are capped — so the residual skew is one
+            # modest-straggler write task, not a plan hazard.)
+            subs_new = max(1, min(self.num_subs,
+                                  -(-n_rows // self.rows_per_sub)))
+            gen_new = max((int(r["gen"]) for r in runs_old),
+                          default=-1) + 1
+            (new.withColumn("sub",
+                            self.sub(F.col(self.key_col), subs_new))
+             .repartition("sub")
+             .write.partitionBy("sub").mode("overwrite")
+             .parquet(os.path.join(self._base_root, f"gen-{gen_new}")))
+            added = {"gen": gen_new, "num_subs": int(subs_new)}
+            runs_new = [added] if merge else runs_old + [added]
         _write_text(self.spark,
                     os.path.join(self._base_root, "_CURRENT"),
-                    json.dumps({"gen": gen_new,
-                                "folded_up_to": int(up_to),
-                                "num_subs": int(subs_new)}))
+                    json.dumps({"folded_up_to": int(up_to),
+                                "runs": runs_new}))
         # Post-commit cleanup; a crash here leaves garbage the next
         # compact (or this sweep on rerun) removes.
-        if ptr is not None:
-            _delete(self.spark,
-                    os.path.join(self._base_root, f"gen-{gen_old}"))
-        self._sweep_folded(int(up_to))
+        self._sweep(int(up_to), {int(r["gen"]) for r in runs_new})
 
-    def _sweep_folded(self, up_to: int) -> None:
-        fs, jroot, jvm = _hadoop_fs(self.spark, self.root)
-        if not fs.exists(jroot):
-            return
-        for status in fs.listStatus(jroot):
-            name = status.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            try:
-                bid = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if bid <= up_to:
-                fs.delete(status.getPath(), True)
+    def _sweep(self, up_to: int, keep_gens: set[int]) -> None:
+        """Delete folded tail partitions (batch_id <= up_to) and base
+        generation dirs the pointer no longer lists."""
+        fs, jroot, _ = _hadoop_fs(self.spark, self.root)
+        if fs.exists(jroot):
+            for status in fs.listStatus(jroot):
+                name = status.getPath().getName()
+                if not name.startswith("batch_id="):
+                    continue
+                try:
+                    bid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid <= up_to:
+                    fs.delete(status.getPath(), True)
+        fs, jbase, _ = _hadoop_fs(self.spark, self._base_root)
+        if fs.exists(jbase):
+            for status in fs.listStatus(jbase):
+                name = status.getPath().getName()
+                if not name.startswith("gen-"):
+                    continue
+                try:
+                    gen = int(name[len("gen-"):])
+                except ValueError:
+                    continue
+                if gen not in keep_gens:
+                    fs.delete(status.getPath(), True)
 
 
 class IncrementalDedup:
@@ -311,7 +348,7 @@ class IncrementalDedup:
                  rows_per_band: int = 2,
                  max_bucket: int | None = None,
                  num_subs: int = 256,
-                 rows_per_sub: int = 1_000_000):
+                 rows_per_sub: int = 1_000_000, max_runs: int = 4):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.text_col = id_col, text_col
@@ -320,6 +357,7 @@ class IncrementalDedup:
         self.max_bucket = max_bucket
         self.num_subs = int(num_subs)
         self.rows_per_sub = int(rows_per_sub)
+        self.max_runs = int(max_runs)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
@@ -329,14 +367,15 @@ class IncrementalDedup:
         return _IndexStore(self.spark, self._path("digests"),
                            f"{self.id_col} long, digest string",
                            "digest", self.num_subs,
-                           self.rows_per_sub)
+                           self.rows_per_sub, self.max_runs)
 
     @property
     def _band_store(self) -> _IndexStore:
         return _IndexStore(
             self.spark, self._path("bands"),
             f"{self.id_col} long, band int, band_hash string",
-            "band_hash", self.num_subs, self.rows_per_sub)
+            "band_hash", self.num_subs, self.rows_per_sub,
+            self.max_runs)
 
     def compact(self, up_to: int) -> None:
         """Fold both index tails through ``up_to`` into their bases.
@@ -384,9 +423,8 @@ class IncrementalDedup:
         # the batch's own digest sub-buckets — rows elsewhere cannot
         # equi-join. The subs collect is skipped entirely in the
         # tail-only regime (it would prune nothing).
-        dstore = self._digest_store
-        d_subs = dstore.base_subs_of(batch, content_digest([text_c]))
-        digests = dstore.probe(batch_id, d_subs)
+        digests = self._digest_store.probe(
+            batch_id, batch, content_digest([text_c]))
         exact = cross_corpus_exact_dedup(batch, digests, id_c,
                                          [text_c],
                                          corpus_digest_col="digest")
@@ -400,8 +438,8 @@ class IncrementalDedup:
         bstore = self._band_store
         new_bands = pin(lsh_bands(exact, id_c, text_c, self.n,
                                   self.num_hashes, self.rows_per_band))
-        b_subs = bstore.base_subs_of(new_bands, F.col("band_hash"))
-        band_index = bstore.probe(batch_id, b_subs)
+        band_index = bstore.probe(batch_id, new_bands,
+                                  F.col("band_hash"))
         pairs = incremental_lsh_pairs(
             exact, band_index, id_c, text_c, self.n, self.num_hashes,
             self.rows_per_band, max_bucket=self.max_bucket,
@@ -420,7 +458,7 @@ class IncrementalDedup:
 
         survivors.drop("__digest").write.mode("overwrite") \
             .parquet(self._path(f"corpus/batch_id={int(batch_id)}"))
-        dstore.write_batch(
+        self._digest_store.write_batch(
             survivors.select(F.col(id_c).cast("long"),
                              F.col("__digest").alias("digest")),
             batch_id)
@@ -497,7 +535,8 @@ class IncrementalAnnIndex:
                  id_col: str, vec_col: str,
                  planes: list[list[float]], k: int = 5,
                  rescore: str = "arrow", num_subs: int = 256,
-                 rows_per_sub: int = 1_000_000, n_probes: int = 1):
+                 rows_per_sub: int = 1_000_000, n_probes: int = 1,
+                 max_runs: int = 4):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
@@ -505,6 +544,7 @@ class IncrementalAnnIndex:
         self.num_subs = int(num_subs)
         self.rows_per_sub = int(rows_per_sub)
         self.n_probes = int(n_probes)
+        self.max_runs = int(max_runs)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
@@ -515,7 +555,8 @@ class IncrementalAnnIndex:
             self.spark, self._path("ann"),
             f"{self.id_col} long, bucket string, qvec array<int>, "
             "scale double",
-            "bucket", self.num_subs, self.rows_per_sub)
+            "bucket", self.num_subs, self.rows_per_sub,
+            self.max_runs)
 
     def compact(self, up_to: int) -> None:
         """Fold the ann tail through ``up_to`` into its base. Only
@@ -561,12 +602,12 @@ class IncrementalAnnIndex:
         probed = batch.select(F.explode(probe_buckets_from_dots(
             plane_dots(v, self.planes), len(self.planes),
             self.n_probes)).alias("__bucket"))
-        subs = store.base_subs_of(probed, F.col("__bucket"))
         # Pin before the two writes: the queryable frame reads the
         # ann/ store being written — without the pin the index
         # overwrite could re-list the files of the store it is
         # mutating.
-        queryable = pin(store.probe(batch_id, subs))
+        queryable = pin(store.probe(batch_id, probed,
+                                    F.col("__bucket")))
         matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore,
