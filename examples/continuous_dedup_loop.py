@@ -69,10 +69,11 @@ def main() -> int:
             loop.compact(b)           # fold committed tails → base
         corpus_rows = spark.read.parquet(
             f"{store_root}/dedup/corpus").count()
-        ptr = loop._band_store.pointer()
+        runs = loop._band_store.runs()
         print(f"batch {b}: corpus={corpus_rows}"
-              + (f" base=gen-{ptr[0]} (subs={ptr[2]})" if ptr else
-                 " base=<tail only>"))
+              + (" base=" + "+".join(
+                  f"gen-{r['gen']}(subs={r['num_subs']})"
+                  for r in runs) if runs else " base=<tail only>"))
 
     # --- embedding twin: each batch scored against all earlier ones ---
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")) \
