@@ -445,6 +445,12 @@ def test_psl_env_knob_defaults_domain_stats(spark, tmp_path,
     got = {r.domain: r.n_docs for r in domain_stats(df, "url").collect()}
     assert got == {"alice.github.io": 2, "bob.github.io": 1,
                    "example.com": 1}
+    # psl=False pins the expression path even under the env knob —
+    # the driver-gate / oracle-parity queries pass it so a configured
+    # environment cannot flip their results (ADVICE r8).
+    pinned = {r.domain: r.n_docs
+              for r in domain_stats(df, "url", psl=False).collect()}
+    assert pinned["github.io"] == 3
 
     # And a suffix ONLY the configured file knows: a custom private
     # suffix groups per tenant under the knob, but collapses to the

@@ -467,7 +467,8 @@ def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
                           url_col: str, domain_col: str = "domain",
                           mode: str = "block",
                           broadcast: bool = True,
-                          psl: DataFrame | None = None) -> DataFrame:
+                          psl: DataFrame | None | bool = None
+                          ) -> DataFrame:
     """Filter ``df`` by a domain list: anti-join on the registered
     domain (``mode='block'``) or semi-join (``mode='allow'``).
 
@@ -485,6 +486,11 @@ def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
         raise ValueError("mode must be 'block' or 'allow'")
     if psl is None:
         psl = default_psl_rules(df.sparkSession)
+    elif psl is False:
+        # Explicitly pinned expression path: ignore the env knob —
+        # oracle-parity callers need results that cannot change with
+        # the environment.
+        psl = None
     if psl is not None:
         tagged = with_registered_domain_psl(df, url_col, psl,
                                             out_col="__dom")
@@ -499,7 +505,7 @@ def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
 
 
 def domain_stats(df: DataFrame, url_col: str,
-                 psl: DataFrame | None = None) -> DataFrame:
+                 psl: DataFrame | None | bool = None) -> DataFrame:
     """Per-registered-domain document counts: (domain, n_docs, share).
 
     ``share`` is a single exact-integer division (parity-stable).
@@ -516,9 +522,14 @@ def domain_stats(df: DataFrame, url_col: str,
     host-level frame and re-aggregates — the rules machinery never
     touches corpus rows. With ``psl=None`` the configured default
     applies (:func:`default_psl_rules` — the ``$SPARK_GRAFT_PSL_PATH``
-    knob), falling back to the expression path when unconfigured."""
+    knob), falling back to the expression path when unconfigured.
+    ``psl=False`` PINS the expression path, ignoring the env knob —
+    what the driver-gate / oracle-parity queries pass so a configured
+    environment cannot silently change their results."""
     if psl is None:
         psl = default_psl_rules(df.sparkSession)
+    elif psl is False:
+        psl = None
     if psl is not None:
         host_counts = (df.select(url_host(url_col).alias("host"))
                        .groupBy("host")

@@ -3595,9 +3595,13 @@ def q_domain_stats(spark, sf_dir):
     """Per-registered-domain corpus composition (operators/urls.py
     domain_stats — the input to domain-cap/mixture decisions): doc
     counts and exact-ratio corpus share, grand total via broadcast
-    one-row cross join (never a single-reducer window)."""
+    one-row cross join (never a single-reducer window). ``psl=False``
+    pins the expression path the DuckDB oracle replicates — a
+    $SPARK_GRAFT_PSL_PATH set where the driver gate runs must not
+    change this query's results."""
     from wp_etl_migration_spark.operators.urls import domain_stats
-    return domain_stats(_synthetic_urls(spark, sf_dir), "url")
+    return domain_stats(_synthetic_urls(spark, sf_dir), "url",
+                        psl=False)
 
 
 ORACLE_DOMAIN_STATS = rf"""
