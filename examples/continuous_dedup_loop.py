@@ -7,9 +7,13 @@ incremental stores (``streaming/incremental.py``):
         exact pass   (stored digest index — corpus text never re-read)
         near-dup pass(stored LSH band index — corpus never re-shingled)
         survivors    → corpus/ + index tail partitions (replay-safe)
-    every K batches ──► compact(last_committed_batch)
-        index tails fold into the sub-bucketed base (atomic pointer
-        flip); later probes prune to their own key sub-buckets
+        auto-compact (end of batch): once the tail exceeds
+            auto_compact_tail partitions, the committed tails fold
+            into the sub-bucketed base (atomic versioned-pointer
+            flip); later probes prune to their own key sub-buckets
+    takedowns ──► delete(ids, batch_id): tombstoned out of every
+        probe immediately, physically purged as compaction rewrites
+        runs; corpus() reads the live (masked) corpus
     parallel ──► IncrementalAnnIndex (embedding twin): each batch is
         scored against the stored int8 index (multi-probe recall
         lever), then indexed for the batches after it
@@ -19,10 +23,11 @@ Run:  python examples/continuous_dedup_loop.py [sf_dir] [store_dir]
 The same ``process_batch`` body attaches to a real stream via
 ``run_stream`` (foreachBatch + checkpoint = exactly-once store state);
 this example drives it in backfill mode so it completes in seconds on
-the test data. Compaction cadence is the one operational knob: fold
-often enough that the unfolded tail stays a small fraction of the
-base — here every 3 batches, at 100 TB whatever keeps the tail under
-a few hundred partitions.
+the test data. Compaction is automatic and serialized with the batch
+body; ``auto_compact_tail`` is the one operational knob — fold often
+enough that the unfolded tail stays a small fraction of the base
+(here 2 partitions so the demo folds visibly; at 100 TB whatever
+keeps the tail under a few hundred partitions).
 """
 
 from __future__ import annotations
@@ -38,8 +43,6 @@ from pyspark.sql import functions as F
 from wp_etl_migration_spark.session import get_spark
 from wp_etl_migration_spark.streaming.incremental import (
     IncrementalAnnIndex, IncrementalDedup)
-
-COMPACT_EVERY = 3
 
 
 def main() -> int:
@@ -57,23 +60,41 @@ def main() -> int:
 
     # --- text loop: 6 batches; ~20% of each repeats earlier content ---
     loop = IncrementalDedup(spark, os.path.join(store_root, "dedup"),
-                            "doc_id", "text", max_bucket=64)
+                            "doc_id", "text", max_bucket=64,
+                            auto_compact_tail=2)
     for b in range(6):
         batch = docs.select(
             (F.col("doc_id") + b * n).alias("doc_id"),
             F.when(F.col("doc_id") % 5 == 0, F.col("text"))   # dup of b0
             .otherwise(F.regexp_replace(F.col("text"), " ",
                                         f" w{b} ")).alias("text"))
-        loop.process_batch(batch, b)
-        if (b + 1) % COMPACT_EVERY == 0:
-            loop.compact(b)           # fold committed tails → base
-        corpus_rows = spark.read.parquet(
-            f"{store_root}/dedup/corpus").count()
-        runs = loop._band_store.runs()
+        loop.process_batch(batch, b)   # auto-compacts when tail > 2
+        corpus_rows = loop.corpus().count()
+        ptr = loop._band_store.pointer()
+        runs = (ptr or {}).get("runs", [])
+        auto = (ptr or {}).get("auto")
         print(f"batch {b}: corpus={corpus_rows}"
               + (" base=" + "+".join(
                   f"gen-{r['gen']}(subs={r['num_subs']})"
-                  for r in runs) if runs else " base=<tail only>"))
+                  for r in runs) if runs else " base=<tail only>")
+              + (f" auto-compacted@{auto['at_batch']}" if auto else ""))
+
+    # --- takedown: tombstone two docs, show the live corpus shrink,
+    #     then re-ingest one of them at a later batch (re-admitted) ---
+    unique = spark.createDataFrame(
+        [(990001, "takedown demo document with entirely unique "
+                  "wording shared by no crawl batch")],
+        ["doc_id", "text"])
+    loop.process_batch(unique, 6)
+    before = loop.corpus().count()
+    loop.delete([990001], 7)
+    print(f"deleted [990001]: corpus {before} -> "
+          f"{loop.corpus().count()} (masked immediately; purged as "
+          "compaction rewrites runs)")
+    loop.process_batch(unique, 8)   # same content, later batch
+    print(f"re-ingested 990001 at batch 8: "
+          f"corpus={loop.corpus().count()} (re-admitted — its "
+          "tombstone scopes to batches <= 7)")
 
     # --- embedding twin: each batch scored against all earlier ones ---
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")) \
@@ -84,7 +105,7 @@ def main() -> int:
               for p in range(8)]
     ann = IncrementalAnnIndex(spark, os.path.join(store_root, "ann"),
                               "vec_id", "embedding", planes, k=3,
-                              n_probes=2)
+                              n_probes=2, auto_compact_tail=2)
     for b in range(3):
         batch = emb.select(
             (F.col("vec_id") + b * m).alias("vec_id"),
@@ -93,8 +114,6 @@ def main() -> int:
                             2.0 * F.lit(float(b))
                             + 0.3 * i.cast("double"))).alias("embedding"))
         ann.process_batch(batch, b)
-        if (b + 1) % COMPACT_EVERY == 0:
-            ann.compact(b)
     matches = spark.read.parquet(f"{store_root}/ann/matches").count()
     print(f"ann matches: {matches} rows across "
           f"{3 * m} vectors (strictly backward, no self-matches)")
