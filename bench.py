@@ -19,7 +19,78 @@ import time
 from wp_etl_migration_spark.session import get_spark
 from wp_etl_migration_spark.queries import REGISTRY, EXTRA_REGISTRY
 
-ALL_QUERIES = {**REGISTRY, **EXTRA_REGISTRY}
+# ---------------------------------------------------------------- div corpus
+# Diversified-corpus text rows (VERDICT r8 #1): the raw documents
+# table has ~31 distinct words, so its text-op rows regression-proof
+# an unrealistically narrow vocabulary (the r8 study measured up to
+# 60x understatement for trigram_lm). These rows run the same
+# operators on bench_corpus.diversified_corpus — replica-suffixed
+# copies of the sf table (8 replicas here: ~8x docs, ~8x vocabulary,
+# Zipf-ish head; deterministic and fingerprint-cached) — sized for the
+# headline budget; the full 32-replica study numbers live in
+# BASELINE.md (bench_sf1_text.py / bench_bpe_merges.py). They are
+# bench-only (the generated corpus is not a driver-oracle table).
+
+DIV_REPLICAS = 8
+DIV_BOILER_EVERY = 3
+
+
+def _div_corpus(spark, sf_dir):
+    from bench_corpus import diversified_corpus
+    path = diversified_corpus(spark, replicas=DIV_REPLICAS,
+                              sf_dir=sf_dir,
+                              boiler_every=DIV_BOILER_EVERY)
+    return spark.read.parquet(path)
+
+
+def q_vocab_topk_div(spark, sf_dir):
+    from wp_etl_migration_spark.operators.textstats import vocab_build
+    return vocab_build(_div_corpus(spark, sf_dir), "text", top_k=1000)
+
+
+def q_trigram_lm_div(spark, sf_dir):
+    """Pruned trigram-LM build (min_count=2, pre_total — VERDICT r8
+    #4) + held-out scoring on the diversified corpus; the unpruned
+    32-replica wall is the BASELINE.md one-off study."""
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.operators.lm import (
+        lm_score_ngram, ngram_counts)
+    corpus = _div_corpus(spark, sf_dir)
+    lm = ngram_counts(corpus.where(F.col("doc_id") % 5 != 0), "text",
+                      n=3, min_count=2, prune="pre_total")
+    return lm_score_ngram(corpus.where(F.col("doc_id") % 5 == 0), lm,
+                          "doc_id", "text", n=3)
+
+
+def q_keywords_div(spark, sf_dir):
+    from wp_etl_migration_spark.operators.textstats import (
+        extract_keywords)
+    return extract_keywords(_div_corpus(spark, sf_dir), "doc_id",
+                            "text", top_k=5)
+
+
+def q_bpe_train_div(spark, sf_dir):
+    """Batched BPE training (128 merges, batch_k=16) on the
+    diversified corpus; the training loop runs eagerly inside the
+    timed window, the returned frame is just the learned merge
+    table."""
+    from wp_etl_migration_spark.operators.bpe import train_bpe
+    merges = train_bpe(_div_corpus(spark, sf_dir), "text",
+                       num_merges=128, batch_k=16)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string")
+
+
+DIV_QUERIES = {
+    "vocab_topk_div": (q_vocab_topk_div, None),
+    "trigram_lm_div": (q_trigram_lm_div, None),
+    "keywords_div": (q_keywords_div, None),
+    "bpe_train_div": (q_bpe_train_div, None),
+}
+
+ALL_QUERIES = {**REGISTRY, **EXTRA_REGISTRY, **DIV_QUERIES}
 
 #: Headline subset: one per plan family (scan/agg, sort+limit, joins,
 #: window, generator, merge, iterative, dedup, LSH, ANN, text, windows).
@@ -99,6 +170,13 @@ BENCH_QUERIES = [
     # as ONE tracked wall time, writes included — the pretraining
     # twin of wp_post_all.
     "training_prep_all",
+    # r9: diversified-corpus text rows (VERDICT r8 #1) — the honest
+    # vocabulary-width regression guards for the text family; raw
+    # rows above stay as the narrow-vocab twins.
+    "vocab_topk_div",
+    "trigram_lm_div",
+    "keywords_div",
+    "bpe_train_div",
     # ann_index_topk is parity-checked + unit-tested but not benched:
     # the parity row pins the bit-exact expression rescore (the
     # operator's default is the ~3x-faster Arrow/BLAS cogroup), and
@@ -229,6 +307,10 @@ def main() -> int:
         .mode("overwrite").save()
     warm.mapInPandas(lambda it: it, schema=warm.schema) \
         .write.format("noop").mode("overwrite").save()
+    # Pre-build the diversified-corpus fixture (fingerprint-cached) so
+    # the first _div row times its OPERATOR, not the fixture write.
+    if any(n in DIV_QUERIES for n in BENCH_QUERIES):
+        _div_corpus(spark, sf_dir)
 
     def run_one(name: str) -> float:
         fn, _ = ALL_QUERIES[name]

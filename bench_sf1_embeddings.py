@@ -45,6 +45,15 @@ PLANES = [[__import__("math").sin(0.37 + p * 5.1 + i * 0.83)
            for i in range(64)] for p in range(8)]
 
 
+def plane_tables(t: int) -> list:
+    """T independent seeded 8-plane sets; table 0 IS the single-set
+    PLANES (so tables=1 reproduces the committed curve exactly)."""
+    import math
+    return [[[math.sin(0.37 + p * 5.1 + i * 0.83 + tt * 2.17)
+              for i in range(64)] for p in range(8)]
+            for tt in range(t)]
+
+
 def build_corpus(spark) -> None:
     if os.path.exists(os.path.join(SCRATCH, "_SUCCESS")):
         return
@@ -107,6 +116,21 @@ def run_op(name: str) -> float:
         idx = build_ann_index(corpus, "vec_id", "embedding", PLANES)
         out = query_ann_index(corpus, idx, "vec_id", "embedding",
                               PLANES, k=K, rescore="arrow")
+    elif name.startswith("ann_batch_tables_"):
+        # multi-table stored index (VERDICT r8 #7): build-included
+        # would distort the query cost, so the T-table index is built
+        # untimed here (cached corpus scan) and only the query is
+        # timed — matching ann_batch_query's stored-snapshot scenario.
+        t = int(name.rsplit("_t", 1)[1])
+        sets = plane_tables(t)
+        idx = build_ann_index(corpus, "vec_id", "embedding",
+                              sets if t > 1 else sets[0], tables=t)
+        idx.write.mode("overwrite").parquet(IDX_STORE + f".t{t}")
+        idx = spark.read.parquet(IDX_STORE + f".t{t}")
+        start = time.monotonic()
+        out = query_ann_index(batch, idx, "vec_id", "embedding",
+                              sets if t > 1 else sets[0], k=K,
+                              rescore="arrow", tables=t)
     elif name.startswith("ann_batch_query"):
         # "ann_batch_query" or "ann_batch_query_pN" (multi-probe)
         probes = int(name.rsplit("_p", 1)[1]) if "_p" in name[15:] \
@@ -148,6 +172,93 @@ def recall(n_probes: int = 1) -> dict:
     hit = truth.join(got, ["query_id", "neighbor_id"]).count()
     return {"queries": qs.count(), "k": K, "n_probes": n_probes,
             "recall_at_5": round(hit / n_truth, 4)}
+
+
+def recall_tables(t: int) -> dict:
+    """recall@5 of the T-table stored index vs brute-force truth,
+    same 2k-query sample as :func:`recall` — plus ROUTING recall
+    (the fraction of true top-5 pairs whose neighbor lands in the
+    candidate set, i.e. shares a bucket in >= 1 table). Routing is
+    what ``tables`` controls; end-to-end recall is additionally
+    capped by the int8 rescore (the index deliberately carries no
+    float vectors), a ceiling measured independently in
+    BASELINE.md §r9."""
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, cosine_topk, hyperplane_bucket,
+        query_ann_index)
+    spark = _spark()
+    build_corpus(spark)
+    corpus = spark.read.parquet(SCRATCH)
+    qs = corpus.where(F.col("vec_id") % REPLICAS == 0)
+    truth = cosine_topk(corpus, "vec_id", "embedding", k=K,
+                        queries=qs).select("query_id", "neighbor_id") \
+        .localCheckpoint()
+    sets = plane_tables(t)
+    idx = build_ann_index(corpus, "vec_id", "embedding",
+                          sets if t > 1 else sets[0], tables=t)
+    got = query_ann_index(qs, idx, "vec_id", "embedding",
+                          sets if t > 1 else sets[0], k=K,
+                          rescore="arrow", tables=t) \
+        .select("query_id", "neighbor_id")
+    n_truth = truth.count()
+    hit = truth.join(got, ["query_id", "neighbor_id"]).count()
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bk = corpus.select(
+        "vec_id", *[hyperplane_bucket(v, s, 64).alias(f"b{i}")
+                    for i, s in enumerate(sets)]).localCheckpoint()
+    a = bk.select(F.col("vec_id").alias("query_id"),
+                  *[F.col(f"b{i}").alias(f"qa{i}") for i in range(t)])
+    b = bk.select(F.col("vec_id").alias("neighbor_id"),
+                  *[F.col(f"b{i}").alias(f"qb{i}") for i in range(t)])
+    cond = None
+    for i in range(t):
+        c = F.col(f"qa{i}") == F.col(f"qb{i}")
+        cond = c if cond is None else (cond | c)
+    routed = truth.join(a, "query_id").join(b, "neighbor_id") \
+        .where(cond).count()
+    return {"queries": qs.count(), "k": K, "tables": t,
+            "recall_at_5": round(hit / n_truth, 4),
+            "routing_recall_at_5": round(routed / n_truth, 4)}
+
+
+def table_study() -> int:
+    """Multi-table recall/cost points (VERDICT r8 #7): per T tables,
+    a COLD-session timed batch query (2k queries vs the 50k stored
+    T-table index) + recall@5 vs brute truth; brute batch cost for
+    reference. The regime this exists for: single-set multi-probe
+    plateaus at ~0.975 (misses >= 2 sign flips away), independent
+    tables route those pairs together in SOME table."""
+    out = {"metric": "sf1_ann_multi_table", "unit": "sec",
+           "vectors": 2000 * REPLICAS, "planes_per_table": len(PLANES),
+           "curve": []}
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--op",
+         "brute_batch_query"],
+        capture_output=True, text=True, env=dict(os.environ))
+    if proc.returncode == 0:
+        out["brute_batch_sec"] = json.loads(
+            proc.stdout.strip().splitlines()[-1])["sec"]
+    for t in (1, 2, 3):
+        tt = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--op",
+             f"ann_batch_tables_t{t}"],
+            capture_output=True, text=True, env=dict(os.environ))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--recall-tables", str(t)],
+            capture_output=True, text=True, env=dict(os.environ))
+        if tt.returncode != 0 or r.returncode != 0:
+            print(json.dumps({"error": (tt.stderr + r.stderr)[-500:]}))
+            return 1
+        rr = json.loads(r.stdout.strip().splitlines()[-1])
+        out["curve"].append({
+            "tables": t,
+            "sec": json.loads(
+                tt.stdout.strip().splitlines()[-1])["sec"],
+            "recall_at_5": rr["recall_at_5"],
+            "routing_recall_at_5": rr["routing_recall_at_5"]})
+    print(json.dumps(out))
+    return 0
 
 
 def probe_study() -> int:
@@ -232,6 +343,12 @@ if __name__ == "__main__":
         sys.exit(study())
     if "--probe-study" in args:
         sys.exit(probe_study())
+    if "--table-study" in args:
+        sys.exit(table_study())
+    if "--recall-tables" in args:
+        print(json.dumps(recall_tables(
+            int(args[args.index("--recall-tables") + 1]))))
+        sys.exit(0)
     if "--recall-probes" in args:
         print(json.dumps(recall(
             int(args[args.index("--recall-probes") + 1]))))

@@ -80,6 +80,23 @@ def run_op(name: str) -> None:
             return lm_score_ngram(
                 corpus.where(F.col("doc_id") % 5 == 0), lm,
                 "doc_id", "text", n=3)
+    elif name == "trigram_lm_pruned":
+        # VERDICT r8 #4: same split, but the LM build prunes
+        # singleton (ctx, w) grams BEFORE the context-totals shuffle
+        # and the counts⋈totals join (min_count=2, prune='pre_total')
+        # — on this Zipf-ish corpus the singleton tail is most of the
+        # ~1e6 distinct keys, so the second shuffle and the join
+        # shrink accordingly. Before/after pair for BASELINE.md §r9.
+        from wp_etl_migration_spark.operators.lm import (
+            lm_score_ngram, ngram_counts)
+
+        def out():
+            lm = ngram_counts(corpus.where(F.col("doc_id") % 5 != 0),
+                              "text", n=3, min_count=2,
+                              prune="pre_total")
+            return lm_score_ngram(
+                corpus.where(F.col("doc_id") % 5 == 0), lm,
+                "doc_id", "text", n=3)
     elif name == "keywords":
         from wp_etl_migration_spark.operators.textstats import (
             extract_keywords)
@@ -99,7 +116,8 @@ def run_op(name: str) -> None:
     spark.stop()
 
 
-OPS = ("vocab_build", "trigram_lm", "keywords", "line_dedup")
+OPS = ("vocab_build", "trigram_lm", "trigram_lm_pruned", "keywords",
+       "line_dedup")
 
 
 def main() -> int:

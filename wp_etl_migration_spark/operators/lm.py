@@ -49,20 +49,44 @@ def _bigrams(df: DataFrame, text_col: str, *keep_cols: str) -> DataFrame:
 
 
 def bigram_counts(df: DataFrame, text_col: str,
-                  min_count: int = 1) -> DataFrame:
+                  min_count: int = 1,
+                  prune: str = "post_total") -> DataFrame:
     """Train the bigram LM: (w1, w2, n, n_w1) — bigram count and
     left-context total, the two numbers P(w2|w1) = n/n_w1 needs.
 
-    ``min_count`` prunes rare bigrams AFTER the context totals are
-    taken, so probabilities stay calibrated against the full corpus
-    while the shipped table shrinks to broadcast size. One wide
-    groupBy + one narrow re-aggregation; both map-side combinable.
+    ``min_count`` prunes rare bigrams; ``prune`` picks WHERE
+    (VERDICT r8 #4):
+
+    - ``"post_total"`` (default): context totals are taken over the
+      FULL corpus, then rare bigrams drop — probabilities stay
+      calibrated against everything seen, but the totals aggregation
+      and the counts⋈totals join run at full vocabulary width.
+    - ``"pre_total"``: the ``n >= min_count`` filter runs straight
+      after the first aggregation, so the totals shuffle and the join
+      only carry the SURVIVING bigrams — on Zipf-shaped text the
+      singleton tail is most of the distinct keys, so this is the
+      cheap build. Probabilities renormalize over survivors (the
+      standard count-pruned-LM semantics). Both modes keep the same
+      surviving (w1, w2) set; only ``n_w1`` differs.
+
+    Either way the filter is on FINAL counts — filtering map-side
+    partial counts would cut the first shuffle too but makes the
+    result depend on the physical partitioning (a pair can clear
+    ``min_count`` globally while every partial stays under it), which
+    no SQL oracle can reproduce; rejected.
+
+    One wide groupBy + one narrow re-aggregation; both map-side
+    combinable.
     """
+    if prune not in ("post_total", "pre_total"):
+        raise ValueError("prune must be 'post_total' or 'pre_total'")
     bg = _bigrams(df, text_col)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    if min_count > 1 and prune == "pre_total":
+        counts = counts.where(F.col("n") >= min_count)
     totals = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
     out = counts.join(totals, "w1")
-    if min_count > 1:
+    if min_count > 1 and prune == "post_total":
         out = out.where(F.col("n") >= min_count)
     return out.select("w1", "w2",
                       F.col("n").cast("long").alias("n"),
@@ -89,20 +113,33 @@ def _ngrams(df: DataFrame, text_col: str, n: int,
 
 
 def ngram_counts(df: DataFrame, text_col: str, n: int = 3,
-                 min_count: int = 1) -> DataFrame:
+                 min_count: int = 1,
+                 prune: str = "post_total") -> DataFrame:
     """Train an order-``n`` LM: (ctx, w, n_gram, n_ctx) — the CCNet
     recipe uses 5-grams; :func:`bigram_counts` is the n=2 shape with
-    split context columns. Same two map-side-combinable aggregations
-    and post-total pruning as the bigram build; context strings are
-    (n−1)-token — larger shuffle keys, same uniform distribution.
+    split context columns, and its docstring explains the
+    ``min_count`` × ``prune`` matrix: ``"pre_total"`` filters the
+    first aggregation's output before the context totals, so the
+    totals shuffle and the counts⋈totals join carry only surviving
+    n-grams (the cheap build on Zipf text, where singletons dominate
+    the distinct keys — measured on the diversified corpus in
+    BASELINE.md §r9); ``"post_total"`` (default) keeps totals
+    calibrated over the full corpus. The filter is always on FINAL
+    counts — partial-count filtering would be partitioning-dependent
+    and unoracleable. Context strings are (n−1)-token — larger
+    shuffle keys, same uniform distribution.
     """
     if n < 2:
         raise ValueError("n must be >= 2 (an order-1 LM has no context)")
+    if prune not in ("post_total", "pre_total"):
+        raise ValueError("prune must be 'post_total' or 'pre_total'")
     g = _ngrams(df, text_col, n)
     counts = g.groupBy("ctx", "w").agg(F.count("*").alias("n_gram"))
+    if min_count > 1 and prune == "pre_total":
+        counts = counts.where(F.col("n_gram") >= min_count)
     totals = counts.groupBy("ctx").agg(F.sum("n_gram").alias("n_ctx"))
     out = counts.join(totals, "ctx")
-    if min_count > 1:
+    if min_count > 1 and prune == "post_total":
         out = out.where(F.col("n_gram") >= min_count)
     return out.select("ctx", "w",
                       F.col("n_gram").cast("long").alias("n_gram"),

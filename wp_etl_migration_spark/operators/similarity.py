@@ -857,8 +857,25 @@ def embedding_contamination(corpus: DataFrame, eval_df: DataFrame,
         score, schema=f"{id_col} long, max_sim double, n_matches long")
 
 
+def _plane_tables(planes, tables: int) -> list:
+    """Normalize the ``planes``×``tables`` contract: tables=1 keeps
+    the single-set API (planes = list of plane vectors); tables=T>1
+    takes planes as a list of T INDEPENDENT plane sets. All sets must
+    share the vector dimensionality."""
+    if tables == 1:
+        return [planes]
+    if len(planes) != tables:
+        raise ValueError(
+            f"tables={tables} needs planes to be a list of {tables} "
+            f"plane sets, got {len(planes)}")
+    dims = {len(p[0]) for p in planes}
+    if len(dims) != 1:
+        raise ValueError("all plane sets must share dimensionality")
+    return list(planes)
+
+
 def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
-                    planes: list[list[float]]) -> DataFrame:
+                    planes: list, tables: int = 1) -> DataFrame:
     """Storable ANN index: (id, bucket, qvec, scale) — hyperplane
     bucket for candidate routing plus the int8-quantized vector for
     in-bucket rescoring. Write it to parquet once per corpus snapshot;
@@ -869,21 +886,45 @@ def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
 
     ``planes`` must be the same fixed (seeded, driver-provided) list
     at build and query time.
-    """
-    dims = len(planes[0])
+
+    ``tables=T > 1`` (VERDICT r8 #7) stores T INDEPENDENT plane sets
+    side by side — ``planes`` becomes a list of T sets, the output
+    gains a ``table`` int column, and each vector is routed into one
+    bucket PER table (one corpus scan; the per-table rows explode
+    from an array literal). Independent tables are the recall lever
+    for neighbors ≥ 2 sign-flips away, where single-set multi-probe
+    plateaus (the r6 multi-probe curve tops out at 0.9746 recall@5) —
+    a neighbor split from its query by several planes in one table is
+    usually on the same side of another table's independent planes.
+    Index size scales ×T (the qvec repeats per table — kept
+    deliberately so the query join stays a single equi-join on
+    (table, bucket) with no second lookup)."""
+    sets = _plane_tables(planes, tables)
+    dims = len(sets[0][0])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = quantize_embeddings(emb, id_col, vec_col)
-    buckets = emb.select(
+    if tables == 1:
+        buckets = emb.select(
+            F.col(id_col),
+            hyperplane_bucket(v, sets[0], dims).alias("bucket"))
+        return buckets.join(q.select(id_col, "qvec", "scale"), id_col)
+    routed = emb.select(
         F.col(id_col),
-        hyperplane_bucket(v, planes, dims).alias("bucket"))
-    return buckets.join(q.select(id_col, "qvec", "scale"), id_col)
+        F.explode(F.array(*[
+            F.struct(F.lit(t).cast("int").alias("table"),
+                     hyperplane_bucket(v, s, dims).alias("bucket"))
+            for t, s in enumerate(sets)])).alias("__tb")) \
+        .select(id_col, F.col("__tb.table").alias("table"),
+                F.col("__tb.bucket").alias("bucket"))
+    return routed.join(q.select(id_col, "qvec", "scale"), id_col)
 
 
 def query_ann_index(queries: DataFrame, index: DataFrame,
                     id_col: str, vec_col: str,
-                    planes: list[list[float]], k: int = 5,
+                    planes: list, k: int = 5,
                     rescore: str = "arrow",
-                    n_probes: int = 1) -> DataFrame:
+                    n_probes: int = 1,
+                    tables: int = 1) -> DataFrame:
     """Top-k neighbors of a query batch against a stored
     :func:`build_ann_index` index. Returns (query_id, neighbor_id,
     sim, rank) — ``sim`` is cosine against the DEQUANTIZED neighbor
@@ -911,23 +952,36 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
     (sim desc, neighbor id) rank. A corpus vector lives in exactly one
     bucket, so probes never produce duplicate candidates. Recall vs
     cost is measured at the 50k corpus in BASELINE.md (§ round 6).
+
+    ``tables=T > 1`` (VERDICT r8 #7) queries an index built with the
+    same ``tables``/``planes`` (a list of T independent plane sets):
+    the query fans out into one bucket per table (× ``n_probes``), the
+    candidate join keys on (table, bucket), and candidates are
+    DEDUPLICATED across tables before the global rank merge (unlike
+    probes within one table, independent tables CAN route the same
+    corpus vector to a query twice). Independent tables recover the
+    recall that single-set multi-probe leaves on the table — the
+    misses ≥ 2 sign-flips away; measured at the 50k rig in
+    BASELINE.md §r9.
     """
     if rescore not in ("arrow", "expr"):
         raise ValueError("rescore must be 'arrow' or 'expr'")
-    if not 1 <= n_probes <= len(planes) + 1:
+    sets = _plane_tables(planes, tables)
+    if not all(1 <= n_probes <= len(s) + 1 for s in sets):
         raise ValueError(
-            f"n_probes must be in [1, n_planes + 1] — probe 1 is the "
-            f"query's own bucket, probes 2..{len(planes) + 1} flip "
-            "one sign bit each")
-    dims = len(planes[0])
+            "n_probes must be in [1, n_planes + 1] — probe 1 is the "
+            "query's own bucket, further probes flip one sign bit "
+            "each")
+    dims = len(sets[0][0])
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     qn = F.sqrt(unrolled_dot(F.col("__qv"), F.col("__qv"), dims))
     qside = queries.select(F.col(id_col).alias("query_id"),
                            qv.alias("__qv"))
-    if n_probes == 1:
+    join_key = ["bucket"] if tables == 1 else ["table", "bucket"]
+    if tables == 1 and n_probes == 1:
         qside = qside.withColumn(
-            "bucket", hyperplane_bucket(F.col("__qv"), planes, dims))
-    else:
+            "bucket", hyperplane_bucket(F.col("__qv"), sets[0], dims))
+    elif tables == 1:
         # Per-plane signed margins, computed ONCE into a materialized
         # array column — the probe expansion's bucket string and flip
         # order both derive from it (re-folding every plane dot per
@@ -935,16 +989,48 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
         # asc (ties by plane index). Shared with the incremental ANN
         # store's sub-prune path via plane_dots/probe_buckets_from_dots.
         qside = (qside
-                 .withColumn("__dots", plane_dots(F.col("__qv"), planes))
+                 .withColumn("__dots", plane_dots(F.col("__qv"),
+                                                  sets[0]))
                  .withColumn("bucket", F.explode(
                      probe_buckets_from_dots(F.col("__dots"),
-                                             len(planes), n_probes)))
+                                             len(sets[0]), n_probes)))
                  .drop("__dots"))
+    else:
+        # Multi-table fan-out: per table, the same probe expansion
+        # over a MATERIALIZED per-table dots column (the plane_dots
+        # contract — inlining would re-fold every dot per bucket bit),
+        # tagged with the table id; one explode over the flattened
+        # (table, bucket) pairs.
+        if n_probes > 1:
+            for t, s in enumerate(sets):
+                qside = qside.withColumn(
+                    f"__dots{t}", plane_dots(F.col("__qv"), s))
+        def _tag(table_id: int):
+            # MUST be a one-arg lambda: a second (defaulted) arg would
+            # make F.transform bind it to the element INDEX.
+            return lambda b: F.struct(
+                F.lit(table_id).cast("int").alias("table"),
+                b.alias("bucket"))
+
+        per_table = []
+        for t, s in enumerate(sets):
+            buckets_t = (probe_buckets_from_dots(F.col(f"__dots{t}"),
+                                                 len(s), n_probes)
+                         if n_probes > 1
+                         else F.array(hyperplane_bucket(
+                             F.col("__qv"), s, dims)))
+            per_table.append(F.transform(buckets_t, _tag(t)))
+        qside = (qside
+                 .withColumn("__tb", F.explode(
+                     F.flatten(F.array(*per_table))))
+                 .select("query_id", "__qv",
+                         F.col("__tb.table").alias("table"),
+                         F.col("__tb.bucket").alias("bucket")))
     qside = qside.withColumn("__qn", qn)
     deq = F.transform(F.col("qvec"),
                       lambda x: x.cast("double") * F.col("scale"))
     iside = (index.select(F.col(id_col).alias("neighbor_id"),
-                          "bucket", "qvec", "scale")
+                          *join_key, "qvec", "scale")
              .withColumn("__cv", deq)
              .withColumn("__cn", F.sqrt(
                  unrolled_dot(F.col("__cv"), F.col("__cv"), dims)))
@@ -956,12 +1042,18 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
     iside = iside.where(F.col("__cn") > 0)
 
     if rescore == "expr":
-        joined = (qside.join(iside, "bucket")
+        joined = (qside.join(iside, join_key)
                   .where(F.col("query_id") != F.col("neighbor_id"))
                   .withColumn("sim",
                               unrolled_dot(F.col("__qv"),
                                            F.col("__cv"), dims)
                               / (F.col("__qn") * F.col("__cn"))))
+        if tables > 1:
+            # The same (query, neighbor) pair can arrive via several
+            # tables (identical sim — same dequantized vector);
+            # dedupe before ranking so rank positions stay unique.
+            joined = (joined.groupBy("query_id", "neighbor_id")
+                      .agg(F.max("sim").alias("sim")))
         w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                    "neighbor_id")
         return (joined.withColumn("rank", F.row_number().over(w))
@@ -1005,17 +1097,22 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
             "sim": cand_sims[keep],
             "rank": ranks[keep].astype("int32")})
 
-    cand = (qside.groupby("bucket")
-            .cogroup(iside.groupby("bucket"))
+    cand = (qside.groupby(*join_key)
+            .cogroup(iside.groupby(*join_key))
             .applyInPandas(
                 cell,
                 schema="query_id long, neighbor_id long, sim double, "
                        "rank int"))
-    if n_probes == 1:
+    if n_probes == 1 and tables == 1:
         return cand                 # one bucket per query: rank final
-    # Multi-probe: merge the probed buckets' per-bucket top-k under
-    # one global rank (no duplicates possible — each corpus vector is
-    # indexed in exactly one bucket).
+    if tables > 1:
+        # Cross-table duplicates carry identical sims (same
+        # dequantized vector); collapse before the global rank.
+        cand = (cand.groupBy("query_id", "neighbor_id")
+                .agg(F.max("sim").alias("sim")))
+    # Merge the probed buckets' / tables' per-bucket top-k under one
+    # global rank (within ONE table probes cannot duplicate — each
+    # corpus vector is indexed in exactly one bucket per table).
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
                                                "neighbor_id")
     return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
