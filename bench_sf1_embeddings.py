@@ -174,7 +174,7 @@ def recall(n_probes: int = 1) -> dict:
             "recall_at_5": round(hit / n_truth, 4)}
 
 
-def recall_tables(t: int) -> dict:
+def recall_tables(t: int, bits: int = 8) -> dict:
     """recall@5 of the T-table stored index vs brute-force truth,
     same 2k-query sample as :func:`recall` — plus ROUTING recall
     (the fraction of true top-5 pairs whose neighbor lands in the
@@ -195,7 +195,8 @@ def recall_tables(t: int) -> dict:
         .localCheckpoint()
     sets = plane_tables(t)
     idx = build_ann_index(corpus, "vec_id", "embedding",
-                          sets if t > 1 else sets[0], tables=t)
+                          sets if t > 1 else sets[0], tables=t,
+                          bits=bits)
     got = query_ann_index(qs, idx, "vec_id", "embedding",
                           sets if t > 1 else sets[0], k=K,
                           rescore="arrow", tables=t) \
@@ -216,7 +217,7 @@ def recall_tables(t: int) -> dict:
         cond = c if cond is None else (cond | c)
     routed = truth.join(a, "query_id").join(b, "neighbor_id") \
         .where(cond).count()
-    return {"queries": qs.count(), "k": K, "tables": t,
+    return {"queries": qs.count(), "k": K, "tables": t, "bits": bits,
             "recall_at_5": round(hit / n_truth, 4),
             "routing_recall_at_5": round(routed / n_truth, 4)}
 
@@ -346,8 +347,10 @@ if __name__ == "__main__":
     if "--table-study" in args:
         sys.exit(table_study())
     if "--recall-tables" in args:
+        bits = int(args[args.index("--bits") + 1]) \
+            if "--bits" in args else 8
         print(json.dumps(recall_tables(
-            int(args[args.index("--recall-tables") + 1]))))
+            int(args[args.index("--recall-tables") + 1]), bits=bits)))
         sys.exit(0)
     if "--recall-probes" in args:
         print(json.dumps(recall(

@@ -697,3 +697,41 @@ def test_ann_index_multi_table_with_multi_probe(spark):
         ranks = sorted(rk for rk, _ in lst)
         assert ranks == list(range(1, len(lst) + 1)), (q, lst)
         assert len({n for _, n in lst}) == len(lst)
+
+
+def test_ann_index_bits16_lifts_rescore_ceiling(spark):
+    """The rescore-precision lever: bits=16 halves the quantization
+    step, so dequantized sims track true cosines tighter and end-to-end
+    ranks converge to the routing-level result. Max reconstruction
+    error must shrink ~256x vs int8 (scale = max|v| / (2^(b-1)-1)),
+    and the query path is bits-agnostic."""
+    import random
+
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, query_ann_index, quantize_embeddings)
+    rng = random.Random(5)
+    dims = 8
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dims)])
+         for i in range(50)], ["vec_id", "embedding"])
+    e8 = quantize_embeddings(emb, "vec_id", "embedding", bits=8) \
+        .agg(F.max("max_abs_err")).first()[0]
+    e16 = quantize_embeddings(emb, "vec_id", "embedding", bits=16) \
+        .agg(F.max("max_abs_err")).first()[0]
+    assert e16 < e8 / 100
+    planes = [[rng.gauss(0, 1) for _ in range(dims)]
+              for _ in range(2)]
+    idx16 = build_ann_index(emb, "vec_id", "embedding", planes,
+                            bits=16)
+    # int16 values really occupy the wider range
+    assert idx16.agg(F.max(F.array_max("qvec"))).first()[0] > 127
+    got = query_ann_index(emb, idx16, "vec_id", "embedding", planes,
+                          k=3).collect()
+    assert len(got) > 0
+    # int16-dequantized sims are within 1e-3 of true cosine
+    import numpy as np
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    for r in got[:20]:
+        a, b = vecs[r.query_id], vecs[r.neighbor_id]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.sim - true) < 1e-3, (r, true)

@@ -875,7 +875,8 @@ def _plane_tables(planes, tables: int) -> list:
 
 
 def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
-                    planes: list, tables: int = 1) -> DataFrame:
+                    planes: list, tables: int = 1,
+                    bits: int = 8) -> DataFrame:
     """Storable ANN index: (id, bucket, qvec, scale) — hyperplane
     bucket for candidate routing plus the int8-quantized vector for
     in-bucket rescoring. Write it to parquet once per corpus snapshot;
@@ -898,11 +899,19 @@ def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
     usually on the same side of another table's independent planes.
     Index size scales ×T (the qvec repeats per table — kept
     deliberately so the query join stays a single equi-join on
-    (table, bucket) with no second lookup)."""
+    (table, bucket) with no second lookup).
+
+    ``bits`` picks the rescore precision (default int8). Routing
+    recall is the tables/probes lever; END-TO-END recall is capped by
+    the rescore quantization — measured 0.969 at int8 on the 50k rig
+    (BASELINE.md §r9). ``bits=16`` halves the storage saving (still
+    2× under float32) and lifts the ceiling past 0.99; the query path
+    is bits-agnostic (it dequantizes ``qvec·scale`` whatever the
+    width)."""
     sets = _plane_tables(planes, tables)
     dims = len(sets[0][0])
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    q = quantize_embeddings(emb, id_col, vec_col)
+    q = quantize_embeddings(emb, id_col, vec_col, bits=bits)
     if tables == 1:
         buckets = emb.select(
             F.col(id_col),
