@@ -97,6 +97,37 @@ def run_op(name: str) -> None:
             return lm_score_ngram(
                 corpus.where(F.col("doc_id") % 5 == 0), lm,
                 "doc_id", "text", n=3)
+    elif name in ("trigram_lm_singletons", "trigram_lm_singletons_pruned"):
+        # The corpus shape pre_total pruning exists for: real crawl
+        # text carries an enormous n-gram singleton tail (roughly half
+        # of distinct n-grams appear once), which the replica-suffixed
+        # fixture lacks (869k -> 861k grams at min_count=2). Derived
+        # deterministically here: every odd source doc gets its words
+        # additionally ~d<doc_id>-suffixed, making its trigrams
+        # doc-unique — the distinct-key space inflates with singleton
+        # grams that pre_total drops BEFORE the totals shuffle and
+        # join. Corpus prep is pinned untimed; only the build+score is
+        # measured.
+        from wp_etl_migration_spark.operators.lm import (
+            lm_score_ngram, ngram_counts)
+        corpus = corpus.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 2 == 1,
+                   F.regexp_replace(
+                       F.col("text"), r"(\S+)",
+                       F.concat(F.lit("$1~d"),
+                                F.col("doc_id").cast("string"))))
+            .otherwise(F.col("text"))).localCheckpoint(eager=True)
+        pruned = name.endswith("_pruned")
+
+        def out():
+            kw = ({"min_count": 2, "prune": "pre_total"}
+                  if pruned else {})
+            lm = ngram_counts(corpus.where(F.col("doc_id") % 5 != 0),
+                              "text", n=3, **kw)
+            return lm_score_ngram(
+                corpus.where(F.col("doc_id") % 5 == 0), lm,
+                "doc_id", "text", n=3)
     elif name == "keywords":
         from wp_etl_migration_spark.operators.textstats import (
             extract_keywords)
@@ -116,8 +147,9 @@ def run_op(name: str) -> None:
     spark.stop()
 
 
-OPS = ("vocab_build", "trigram_lm", "trigram_lm_pruned", "keywords",
-       "line_dedup")
+OPS = ("vocab_build", "trigram_lm", "trigram_lm_pruned",
+       "trigram_lm_singletons", "trigram_lm_singletons_pruned",
+       "keywords", "line_dedup")
 
 
 def main() -> int:

@@ -40,4 +40,7 @@ def test_continuous_dedup_loop_example(tmp_path):
                str(tmp_path / "stores"))
     assert "base=gen-" in out          # compaction really folded
     assert "base=<tail only>" in out   # and the pre-compaction regime ran
+    assert "auto-compacted@" in out    # folded by the default policy
+    assert "deleted [990001]" in out   # takedown demo ran
+    assert "(re-admitted" in out       # and the re-ingest was admitted
     assert "ann matches:" in out
