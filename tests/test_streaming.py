@@ -1226,3 +1226,135 @@ def test_incremental_ann_delete_tombstones(spark, tmp_path):
     got5 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
         f"{store}/matches").where(F.col("batch_id") == 5).collect()}
     assert (12, 1) in got5
+
+
+def test_incremental_ann_multi_table_and_bits(spark, tmp_path):
+    """Multi-table + rescore-precision knobs reach the continuous
+    loop: a neighbor on the far side of BOTH table-1 planes (2 sign
+    flips — invisible to the single-table n_probes=1 probe) is found
+    through table 2's independent planes; the stored rows carry the
+    table column and int16-range qvecs; compaction + sub-pruned
+    probing still work with the widened schema."""
+    import os
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    t0 = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    t1 = [[0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [(1, [-0.9, -0.05, 0.1, 0.1]),   # t0 "00" (2 flips), t1 "11"
+         (2, [0.5, 0.5, -1.0, -1.0])],   # t0 "11", t1 "00"
+        "vec_id long, emb array<double>")
+    query = spark.createDataFrame(
+        [(10, [0.95, 0.05, 0.1, 0.1])],  # t0 "11", t1 "11"
+        "vec_id long, emb array<double>")
+
+    # single table, single probe: only vec 2 shares the t0 bucket
+    single = IncrementalAnnIndex(spark, str(tmp_path / "s1"),
+                                 "vec_id", "emb", t0, k=2,
+                                 auto_compact_tail=None)
+    single.process_batch(corpus, 0)
+    single.process_batch(query, 1)
+    got1 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
+        str(tmp_path / "s1" / "matches"))
+        .where(F.col("batch_id") == 1).collect()}
+    assert (10, 1) not in got1 and (10, 2) in got1
+
+    # two tables + int16: vec 1 arrives via table 2's shared bucket
+    idx = IncrementalAnnIndex(spark, str(tmp_path / "s2"),
+                              "vec_id", "emb", [t0, t1], k=3,
+                              tables=2, bits=16, num_subs=16,
+                              rows_per_sub=1, auto_compact_tail=None)
+    idx.process_batch(corpus, 0)
+    stored = spark.read.parquet(
+        str(tmp_path / "s2" / "ann" / "batch_id=0"))
+    assert "table" in stored.columns
+    assert stored.count() == 4            # 2 vectors x 2 tables
+    assert stored.agg(F.max(F.array_max("qvec"))).first()[0] > 127
+    idx.process_batch(query, 1)
+    got2 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
+        str(tmp_path / "s2" / "matches"))
+        .where(F.col("batch_id") == 1).collect()}
+    assert (10, 1) in got2 and (10, 2) in got2
+
+    # compaction folds the widened schema; the sub-pruned probe still
+    # routes the cross-table match
+    idx.compact(1)
+    assert not os.path.exists(
+        str(tmp_path / "s2" / "ann" / "batch_id=0"))
+    idx.process_batch(spark.createDataFrame(
+        [(11, [0.95, 0.05, 0.1, 0.1])],
+        "vec_id long, emb array<double>"), 2)
+    got3 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
+        str(tmp_path / "s2" / "matches"))
+        .where(F.col("batch_id") == 2).collect()}
+    assert (11, 1) in got3
+
+
+def test_incremental_dedup_in_band_deletes(spark, tmp_path):
+    """CDC-shaped takedown feed: rows marked op='delete' in the batch
+    tombstone their ids before the dedup probes run, so deleted
+    content neither blocks nor matches the SAME batch's ingests;
+    same-batch delete + re-ingest of the same id resolves delete-wins;
+    a replay of the delete-carrying batch is idempotent; and the
+    op-marked path works end-to-end through run_stream."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "store")
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            auto_compact_tail=None)
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight"
+    loop.process_batch(spark.createDataFrame(
+        [(1, t1, "upsert"), (2, t2, None)],
+        "doc_id long, text string, op string"), 0, op_col="op")
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [1, 2]
+
+    # batch 1: delete doc 1 AND ingest its exact text under a new id —
+    # the tombstone lands first, so 30 is admitted, not deduped away
+    b1 = spark.createDataFrame(
+        [(1, None, "delete"), (30, t1, "upsert")],
+        "doc_id long, text string, op string")
+    loop.process_batch(b1, 1, op_col="op")
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 30]
+    # replay of batch 1 (crash-retry): byte-identical outcome
+    loop.process_batch(b1, 1, op_col="op")
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 30]
+
+    # same-batch delete + re-ingest of the SAME id: delete wins
+    loop.process_batch(spark.createDataFrame(
+        [(30, None, "delete"), (30, t1, "upsert")],
+        "doc_id long, text string, op string"), 2, op_col="op")
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
+    # ...and a LATER batch re-admits the id
+    loop.process_batch(spark.createDataFrame(
+        [(30, t1, None)], "doc_id long, text string, op string"),
+        3, op_col="op")
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 30]
+
+    # end-to-end through run_stream(op_col=...) on a FRESH store:
+    # two microbatches (maxFilesPerTrigger=1) — batch 0 ingests,
+    # batch 1 deletes one id and ingests another
+    sdir = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(50, t1, "upsert"), (51, t2, None)],
+        "doc_id long, text string, op string") \
+        .coalesce(1).write.parquet(sdir + "/f0")
+    spark.createDataFrame(
+        [(50, None, "delete"),
+         (60, "totally novel words appearing nowhere else", "upsert")],
+        "doc_id long, text string, op string") \
+        .coalesce(1).write.parquet(sdir + "/f1")
+    stream = (spark.readStream
+              .schema("doc_id long, text string, op string")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(sdir + "/f*"))
+    store2 = str(tmp_path / "store2")
+    loop2 = IncrementalDedup(spark, store2, "doc_id", "text",
+                             auto_compact_tail=None)
+    q = loop2.run_stream(stream, op_col="op",
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in loop2.corpus().collect())
+    assert 51 in got and 60 in got and 50 not in got, got

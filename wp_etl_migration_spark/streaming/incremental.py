@@ -113,7 +113,12 @@ tombstone. Committed tombstones ride along in the pointer as a
 folded ``tombs-gen-G`` dir and are PURGED at the full merge — the
 only moment every stored row is guaranteed rewritten-filtered.
 Probes on a store with no deletes pay nothing (the tombstone
-anti-join is only planned when tombstone files exist).
+anti-join is only planned when tombstone files exist). Deletes can
+also arrive IN-BAND with the crawl feed (CDC shape):
+``process_batch(..., op_col=...)`` / ``run_stream(op_col=...)``
+tombstone rows marked ``"delete"`` before the dedup probes run —
+same-batch delete+re-ingest of one id resolves delete-wins, later
+batches re-admit.
 
 The corpus content store is NOT physically rewritten by ``delete``
 (an in-place parquet partition rewrite has no atomic commit to hide
@@ -763,12 +768,26 @@ class IncrementalDedup:
                          _note={"at_batch": int(batch_id),
                                 "tail_parts": int(n)})
 
-    def process_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+    def process_batch(self, batch: DataFrame, batch_id: int = 0,
+                      op_col: str | None = None) -> None:
         """The foreachBatch body: dedup ``batch`` against the stores,
         write the survivors' three partitions. Safe to call directly
         for batch backfills — give each backfill batch a DISTINCT,
         monotone ``batch_id`` (it keys the per-store ``batch_id=N``
         partition).
+
+        ``op_col`` enables IN-BAND deletes (a CDC-shaped takedown
+        feed): rows whose ``op_col`` equals ``"delete"`` tombstone
+        their ids (exactly :meth:`delete` at this ``batch_id``) and
+        every other row ingests. Tombstones land BEFORE the dedup
+        probes run, so content deleted in this batch neither blocks
+        nor matches this batch's ingests. Contract: a delete applies
+        to content ingested at or before ITS OWN batch — same-batch
+        delete+re-ingest of the same id resolves to DELETE WINS
+        (there is no intra-batch ordering); re-ingest in any LATER
+        batch is re-admitted. Replay-safe: an identical replayed
+        batch re-derives the identical delete set and overwrites the
+        same tombstone partitions.
 
         Replay-safe at any crash position: both stored indexes are
         queried with the batch's OWN ``batch_id=N`` rows excluded
@@ -801,6 +820,15 @@ class IncrementalDedup:
         id_c, text_c = self.id_col, self.text_col
 
         batch = pin(batch)
+        if op_col is not None:
+            dels = batch.where(F.col(op_col) == "delete") \
+                .select(id_c)
+            if dels.head(1):
+                self.delete(dels, batch_id)
+            batch = pin(batch
+                        .where(F.col(op_col).isNull()
+                               | (F.col(op_col) != "delete"))
+                        .drop(op_col))
         # Exact pass against the stored digest index (empty store ⇒
         # pure in-batch dedup); historical corpus text is never
         # re-read. When a compacted base exists the probe prunes to
@@ -857,11 +885,16 @@ class IncrementalDedup:
 
     def run_stream(self, stream: DataFrame,
                    checkpoint_dir: str | None = None,
-                   available_now: bool = True):
+                   available_now: bool = True,
+                   op_col: str | None = None):
         """Attach to a streaming frame via foreachBatch. Returns the
-        started query (caller awaits/stops)."""
+        started query (caller awaits/stops). ``op_col`` routes rows
+        marked ``"delete"`` to in-band tombstones (see
+        :meth:`process_batch`)."""
+        body = self.process_batch if op_col is None else (
+            lambda df, bid: self.process_batch(df, bid, op_col=op_col))
         writer = (stream.writeStream
-                  .foreachBatch(self.process_batch)
+                  .foreachBatch(body)
                   .option("checkpointLocation",
                           checkpoint_dir
                           or self._path("_checkpoint")))
@@ -924,11 +957,12 @@ class IncrementalAnnIndex:
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, vec_col: str,
-                 planes: list[list[float]], k: int = 5,
+                 planes: list, k: int = 5,
                  rescore: str = "arrow", num_subs: int = 256,
                  rows_per_sub: int = 1_000_000, n_probes: int = 1,
                  max_runs: int = 4,
-                 auto_compact_tail: int | None = 8):
+                 auto_compact_tail: int | None = 8,
+                 tables: int = 1, bits: int = 8):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
@@ -938,16 +972,29 @@ class IncrementalAnnIndex:
         self.n_probes = int(n_probes)
         self.max_runs = int(max_runs)
         self.auto_compact_tail = auto_compact_tail
+        #: tables > 1 stores T independent plane sets side by side
+        #: (``planes`` becomes a list of T sets; the stored rows gain
+        #: a ``table`` column) — the ROUTING recall lever for
+        #: neighbors >= 2 sign flips away, where multi-probe plateaus;
+        #: bits=16 lifts the int8 RESCORE ceiling (the two recall
+        #: caps are measured separately in BASELINE.md §r9).
+        self.tables = int(tables)
+        self.bits = int(bits)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
 
     @property
     def _ann_store(self) -> _IndexStore:
+        table_col = "table int, " if self.tables > 1 else ""
+        # key_col stays the bucket STRING: `sub` is a pure function of
+        # the join key's bucket part, so pruning to the probed-bucket
+        # subs (unioned across tables) remains exact — a row outside
+        # them cannot equi-join on (table, bucket) either.
         return _IndexStore(
             self.spark, self._path("ann"),
-            f"{self.id_col} long, bucket string, qvec array<int>, "
-            "scale double",
+            f"{self.id_col} long, {table_col}bucket string, "
+            "qvec array<int>, scale double",
             "bucket", self.num_subs, self.rows_per_sub,
             self.max_runs)
 
@@ -1002,28 +1049,34 @@ class IncrementalAnnIndex:
         compaction serialized with the batch body."""
         from wp_etl_migration_spark.operators.checkpoint import pin
         from wp_etl_migration_spark.operators.similarity import (
-            build_ann_index, plane_dots, probe_buckets_from_dots,
-            query_ann_index)
+            _plane_tables, build_ann_index, plane_dots,
+            probe_buckets_from_dots, query_ann_index)
         store = self._ann_store
         batch = pin(batch)
+        sets = _plane_tables(self.planes, self.tables)
         # Probe pruning: a query joins only stored rows sharing one of
         # its PROBED buckets (own bucket + n_probes−1 flipped-bit
-        # buckets — the same expansion query_ann_index applies), so
-        # compacted-base subs outside that set can never match. The
-        # probed buckets are exploded batch-side before hashing; the
-        # collect stays bounded by the base's sub modulus. Skipped in
-        # the tail-only regime (nothing to prune). The plane dots are
-        # materialized in a column FIRST (ADVICE r8) — inlining
-        # plane_dots into probe_buckets_from_dots would re-fold the
-        # whole dot product per bucket bit and per flip-sort key,
-        # exactly what plane_dots' docstring warns against.
+        # buckets per table — the same expansion query_ann_index
+        # applies), so compacted-base subs outside that set can never
+        # match; with tables > 1 the probed-bucket set is the UNION
+        # over tables (sub hashes the bucket string only — exact,
+        # slightly over-inclusive across tables). The probed buckets
+        # are exploded batch-side before hashing; the collect stays
+        # bounded by the base's sub modulus. Skipped in the tail-only
+        # regime (nothing to prune). The plane dots are materialized
+        # in columns FIRST (ADVICE r8) — inlining plane_dots into
+        # probe_buckets_from_dots would re-fold the whole dot product
+        # per bucket bit and per flip-sort key.
         v = F.transform(F.col(self.vec_col),
                         lambda x: x.cast("double"))
-        probed = (batch
-                  .withColumn("__dots", plane_dots(v, self.planes))
-                  .select(F.explode(probe_buckets_from_dots(
-                      F.col("__dots"), len(self.planes),
-                      self.n_probes)).alias("__bucket")))
+        dotted = batch
+        for t, s in enumerate(sets):
+            dotted = dotted.withColumn(f"__dots{t}",
+                                       plane_dots(v, s))
+        probed = dotted.select(F.explode(F.flatten(F.array(*[
+            probe_buckets_from_dots(F.col(f"__dots{t}"), len(s),
+                                    self.n_probes)
+            for t, s in enumerate(sets)]))).alias("__bucket"))
         # Pin before the two writes: the queryable frame reads the
         # ann/ store being written — without the pin the index
         # overwrite could re-list the files of the store it is
@@ -1033,16 +1086,19 @@ class IncrementalAnnIndex:
         matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore,
-                                  n_probes=self.n_probes)
+                                  n_probes=self.n_probes,
+                                  tables=self.tables)
         (matches.select(F.col("query_id").cast("long"),
                         F.col("neighbor_id").cast("long"),
                         "sim", F.col("rank").cast("int"))
          .write.mode("overwrite")
          .parquet(self._path(f"matches/batch_id={int(batch_id)}")))
+        idx_cols = (["table"] if self.tables > 1 else []) + ["bucket"]
         store.write_batch(
             build_ann_index(batch, self.id_col, self.vec_col,
-                            self.planes)
-            .select(F.col(self.id_col).cast("long"), "bucket",
+                            self.planes, tables=self.tables,
+                            bits=self.bits)
+            .select(F.col(self.id_col).cast("long"), *idx_cols,
                     F.col("qvec").cast("array<int>"), "scale"),
             batch_id)
         self._maybe_auto_compact(batch_id)
