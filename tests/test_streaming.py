@@ -1358,3 +1358,74 @@ def test_incremental_dedup_in_band_deletes(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(r.doc_id for r in loop2.corpus().collect())
     assert 51 in got and 60 in got and 50 not in got, got
+
+
+def test_incremental_store_model_based_random_ops(spark, tmp_path):
+    """Model check for the r9 store: a seeded random interleaving of
+    ingest / delete / compact ops against a bare _IndexStore must
+    match a dict-based reference model at EVERY step — probe(own) =
+    rows whose batch differs from own, minus ids tombstoned at a
+    batch >= the row's ingest batch. Compaction (folds, merges,
+    tombstone purges, sweeps, pointer versioning) must be INVISIBLE
+    to probes; this drives all of them in combination, including
+    fold-with-pending-tombstones and post-merge re-ingest."""
+    import random
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        _IndexStore)
+    rng = random.Random(20260815)
+    store = _IndexStore(spark, str(tmp_path / "idx"),
+                        "doc_id long, key string", "key",
+                        num_subs=8, rows_per_sub=2, max_runs=2)
+
+    model_rows = []     # (id, key, batch)
+    model_tombs = []    # (id, tbatch)
+    next_id = 0
+
+    def model_probe(own):
+        out = set()
+        for i, k, b in model_rows:
+            if b == own:
+                continue
+            if any(i == ti and b <= tb for ti, tb in model_tombs):
+                continue
+            out.add((i, k))
+        return out
+
+    live_ids = []
+    for batch in range(14):
+        op = rng.random()
+        if op < 0.55 or not live_ids:
+            # ingest 1-3 docs (some keys collide across batches)
+            rows = []
+            for _ in range(rng.randint(1, 3)):
+                did = next_id
+                next_id += 1
+                key = f"k{rng.randint(0, 9)}"
+                rows.append((did, key))
+                model_rows.append((did, key, batch))
+                live_ids.append(did)
+            store.write_batch(
+                spark.createDataFrame(rows, "doc_id long, key string"),
+                batch)
+        elif op < 0.85:
+            # delete 1-2 live ids at this batch
+            victims = rng.sample(live_ids,
+                                 min(len(live_ids), rng.randint(1, 2)))
+            store.delete(
+                spark.createDataFrame([(v,) for v in victims],
+                                      "doc_id long"), batch)
+            for v in victims:
+                model_tombs.append((v, batch))
+                live_ids.remove(v)
+        else:
+            # compact everything committed so far (serialized here)
+            store.compact(batch - 1)
+        got = {(r.doc_id, r.key)
+               for r in store.probe(batch).collect()}
+        assert got == model_probe(batch), (
+            batch, sorted(got), sorted(model_probe(batch)))
+    # final full compact, then probe from a fresh future batch
+    store.compact(13)
+    got = {(r.doc_id, r.key) for r in store.probe(99).collect()}
+    assert got == model_probe(99)
