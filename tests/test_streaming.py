@@ -1429,3 +1429,16 @@ def test_incremental_store_model_based_random_ops(spark, tmp_path):
     store.compact(13)
     got = {(r.doc_id, r.key) for r in store.probe(99).collect()}
     assert got == model_probe(99)
+
+
+def test_incremental_dedup_corpus_empty_store(spark, tmp_path):
+    """corpus() on an untouched store returns an empty typed frame
+    instead of raising — monitoring can poll a loop that has not seen
+    its first batch."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    loop = IncrementalDedup(spark, str(tmp_path / "none"),
+                            "doc_id", "text")
+    df = loop.corpus()
+    assert df.count() == 0
+    assert df.columns == ["doc_id", "text"]

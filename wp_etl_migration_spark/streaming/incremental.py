@@ -741,9 +741,16 @@ class IncrementalDedup:
         (which also retires the ``corpus_tombs/`` record). Masking
         uses the corpus's OWN tombstone record — index-store
         tombstones purge at the full merge, corpus content does
-        not."""
+        not. An untouched store reads as an empty two-column frame
+        (id, text) rather than raising."""
+        from pyspark.errors import AnalysisException
         dstore = self._digest_store
-        df = self.spark.read.parquet(self._path("corpus"))
+        try:
+            df = self.spark.read.parquet(self._path("corpus"))
+            df.schema
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [], f"{self.id_col} long, {self.text_col} string")
         troot = self._path("corpus_tombs")
         fs, jt, _ = _hadoop_fs(self.spark, troot)
         if not fs.exists(jt):
