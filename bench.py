@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "trigram_lm_div",
     "keywords_div",
     "bpe_train_div",
+    # r9: token-budget corpus selection (two-phase global prefix sum)
+    "token_budget",
     # ann_index_topk is parity-checked + unit-tested but not benched:
     # the parity row pins the bit-exact expression rescore (the
     # operator's default is the ~3x-faster Arrow/BLAS cogroup), and

@@ -457,3 +457,75 @@ def test_script_fractions_multilingual(spark):
     assert abs(s["latin"] + s["cyrillic"] + s["han"] + s["arabic"]
                + s["devanagari"] + s["other"] - 1.0) < 1e-12
     assert got[4]["n_letters"] == 0 and got[4]["latin"] == 0.0
+
+
+def test_select_token_budget_global(spark):
+    """Priority-ordered take-until-budget: rows keep while the
+    cumulative tokens BEFORE them are under budget (first row always
+    kept; overshoot < one doc); NULL priorities fill last, NULL token
+    counts are zero-length."""
+    from wp_etl_migration_spark.operators.sampling import (
+        select_token_budget)
+    df = spark.createDataFrame(
+        [(1, 40, 0.9), (2, 40, 0.8), (3, 40, 0.7), (4, 40, None),
+         (5, None, 0.95)],
+        "doc_id long, n int, q double")
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens) for r in
+           select_token_budget(df, "doc_id", "n", 100,
+                               priority_col="q").collect()}
+    # order: 5 (0.95, 0 tokens), 1, 2, 3, then NULL-priority 4
+    assert got == {5: (0, 0), 1: (40, 40), 2: (40, 80),
+                   3: (40, 120)}          # 3 kept: before=80 < 100
+    # a single over-budget doc still keeps the first row
+    one = select_token_budget(df.where("doc_id = 1"), "doc_id", "n",
+                              10, priority_col="q").collect()
+    assert [(r.doc_id, r.cum_tokens) for r in one] == [(1, 40)]
+    # budget 0 selects nothing
+    assert select_token_budget(df, "doc_id", "n", 0,
+                               priority_col="q").count() == 0
+
+
+def test_select_token_budget_matches_single_window(spark):
+    """The two-phase global prefix sum equals the one-window form on
+    a larger shuffled input (the pack_sequences equivalence, replayed
+    for the selection operator)."""
+    from pyspark.sql import Window
+
+    from wp_etl_migration_spark.operators.sampling import (
+        select_token_budget)
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(50)) + 1).alias("n"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000))
+        .cast("double").alias("q")).repartition(13)
+    budget = 3000
+    got = {(r.doc_id, r.cum_tokens) for r in
+           select_token_budget(df, "doc_id", "n", budget,
+                               priority_col="q").collect()}
+    w = (Window.orderBy(F.col("q").desc(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ref = {(r.doc_id, r.cum) for r in
+           df.withColumn("__b", F.coalesce(F.sum("n").over(w),
+                                           F.lit(0)))
+           .where(F.col("__b") < budget)
+           .select("doc_id", (F.col("__b") + F.col("n")).alias("cum"))
+           .collect()}
+    assert got == ref and len(got) > 50
+
+
+def test_select_token_budget_per_key(spark):
+    """per_key mode: every key gets its own budget (token-weighted
+    domain cap), selections independent and parallel."""
+    from wp_etl_migration_spark.operators.sampling import (
+        select_token_budget)
+    df = spark.createDataFrame(
+        [(1, "a", 60, 3.0), (2, "a", 60, 2.0), (3, "a", 60, 1.0),
+         (4, "b", 10, 1.0), (5, "b", 10, 2.0)],
+        "doc_id long, dom string, n int, q double")
+    got = {r.doc_id: r.cum_tokens for r in
+           select_token_budget(df, "doc_id", "n", 100,
+                               priority_col="q",
+                               per_key="dom").collect()}
+    # a: 1 (60), 2 (before=60 < 100 -> kept, cum 120), 3 dropped
+    # b: both fit
+    assert got == {1: 60, 2: 120, 5: 10, 4: 20}

@@ -293,3 +293,90 @@ def cap_per_key(df: DataFrame, id_col: str, key_col: str,
     w2 = Window.partitionBy(key_col).orderBy(*ordering)
     return (cand.withColumn("__rk", F.row_number().over(w2))
             .where(F.col("__rk") <= max_per_key).drop("__rk"))
+
+
+def select_token_budget(df: DataFrame, id_col: str, tokens_col: str,
+                        budget: int,
+                        priority_col: Column | str | None = None,
+                        per_key: str | None = None) -> DataFrame:
+    """Take documents in priority order until a TOKEN budget is
+    reached — the "best N tokens" selection every pretraining mix ends
+    with (quality-ranked corpus truncation), and with ``per_key`` the
+    token-weighted domain cap (each key gets its own budget).
+
+    Order: (priority_col DESC, id ASC); ``priority_col=None`` falls
+    back to a content-addressed uniform draw (md5 of the id — a
+    deterministic random sample by tokens). Keep rule: a row survives
+    iff the cumulative token count of all rows STRICTLY BEFORE it is
+    under ``budget`` — so the selection always makes progress (the
+    first row is kept even if it alone exceeds the budget) and the
+    kept total overshoots by less than one document. Deterministic on
+    any engine/partitioning. Returns (id, n_tokens, cum_tokens
+    [, per_key]) with ``cum_tokens`` the inclusive running total —
+    callers join back on the id for content.
+
+    Scale shape:
+
+    - ``per_key`` mode: ONE window per key (shuffle on the key, keys
+      process in parallel) — the token-weighted twin of
+      :func:`cap_per_key`.
+    - global mode: a global ordered prefix sum, done as the classic
+      two-phase scan (the ``pack_sequences`` / ID-minting pattern):
+      range-partition by the order key, cumsum within partitions,
+      collect only the ~numPartitions partition totals, add per-
+      partition offsets. No single-reducer global window, no
+      driver-side data.
+
+    NULL token counts select as zero-length (kept by order, consume
+    no budget); NULL priorities sort LAST (they fill only leftover
+    budget).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    if priority_col is None:
+        prio = F.md5(F.col(id_col).cast("string"))
+    else:
+        prio = (F.col(priority_col)
+                if isinstance(priority_col, str) else priority_col)
+    if per_key is not None:
+        w = (Window.partitionBy(per_key)
+             .orderBy(prio.desc_nulls_last(), F.col(id_col).asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        before = F.coalesce(F.sum(n).over(w), F.lit(0))
+        return (df.select(F.col(id_col), F.col(per_key),
+                          n.alias("n_tokens"),
+                          before.alias("__before"))
+                .where(F.col("__before") < budget)
+                .select(id_col, per_key, "n_tokens",
+                        (F.col("__before")
+                         + F.col("n_tokens")).alias("cum_tokens")))
+
+    from wp_etl_migration_spark.operators.checkpoint import pin
+    ordered = pin(df.select(F.col(id_col), n.alias("__n"),
+                            prio.alias("__p"))
+                  .repartitionByRange(F.col("__p").desc_nulls_last(),
+                                      F.col(id_col).asc())
+                  .sortWithinPartitions(F.col("__p").desc_nulls_last(),
+                                        F.col(id_col).asc())
+                  .withColumn("__pid", F.spark_partition_id()))
+    part_totals = dict(ordered.groupBy("__pid")
+                       .agg(F.sum("__n").alias("s"))
+                       .select("__pid", "s").collect())
+    offsets, acc = {}, 0
+    for pid in sorted(part_totals):
+        offsets[pid] = acc
+        acc += part_totals[pid]
+    prefix = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]) \
+        if offsets else F.create_map()
+    w = (Window.partitionBy("__pid")
+         .orderBy(F.col("__p").desc_nulls_last(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = (F.coalesce(F.sum("__n").over(w), F.lit(0))
+              + F.coalesce(prefix[F.col("__pid")], F.lit(0)))
+    return (ordered.withColumn("__before", before)
+            .where(F.col("__before") < budget)
+            .select(F.col(id_col), F.col("__n").alias("n_tokens"),
+                    (F.col("__before") + F.col("__n"))
+                    .alias("cum_tokens")))

@@ -3052,6 +3052,43 @@ FROM (SELECT doc_id, lang,
 """
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget corpus selection (operators/sampling.py
+    select_token_budget): take documents in priority order until the
+    cumulative token count crosses 40k — the 'best N tokens'
+    truncation every pretraining mix ends with, as a two-phase
+    distributed prefix sum (no single-reducer global window).
+    Priority is a synthetic deterministic score (doc_id % 97) so the
+    oracle replays the exact order; ties break on doc_id."""
+    from wp_etl_migration_spark.operators import textstats as ts
+    from wp_etl_migration_spark.operators.sampling import (
+        select_token_budget)
+    d = _t(spark, sf_dir).documents() \
+        .withColumn("__n", ts.token_count("text")) \
+        .withColumn("__q", (F.col("doc_id") % 97).cast("double"))
+    return select_token_budget(d, "doc_id", "__n", 40_000,
+                               priority_col="__q")
+
+
+ORACLE_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+      AS n_tokens,
+    CAST(doc_id % 97 AS DOUBLE) AS q
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(sum(n_tokens) OVER (
+      ORDER BY q DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(b + n_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE b < 40000
+"""
+
+
 def q_dedup_pipeline(spark, sf_dir):
     """The one-call dedup recipe end-to-end (exact → verified
     MinHash-LSH → transitive keep-list — operators/dedup.py
@@ -4127,8 +4164,11 @@ SELECT * FROM touched UNION ALL SELECT * FROM untouched
 #: kmeans_centroids, quantize_embeddings, rolling_window,
 #: semantic_dedup, train_val_test), plus this round's NEW oracled
 #: queries — trigram_lm_pruned (the pre_total count-pruned LM build,
-#: VERDICT r8 #4) and ann_multi_topk (the multi-table stored ANN
-#: index, VERDICT r8 #7). Eleven rows displace to EXTRA_REGISTRY —
+#: VERDICT r8 #4), ann_multi_topk (the multi-table stored ANN
+#: index, VERDICT r8 #7), and token_budget (the 'best N tokens'
+#: selection operator, new r9 — sketch_distinct, stable and
+#: r8-witnessed, makes room). Eleven further rows displace to
+#: EXTRA_REGISTRY —
 #: all TPC-H-plan-family basics green r8 with code untouched since r1
 #: (asof_join, author_embed, date_parts, json_extract,
 #: percentile_stats, pivot_wide, rollup_status, set_ops,
@@ -4148,7 +4188,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
     "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
-    "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
+    "token_budget": (q_token_budget, ORACLE_TOKEN_BUDGET),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "token_stats": (q_token_stats, ORACLE_TOKEN),
     "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
@@ -4250,6 +4290,7 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
     "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
+    "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
     "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
     "training_prep_all": (q_training_prep_all, None),
     "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
