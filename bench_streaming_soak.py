@@ -109,7 +109,7 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                                 "SOAK_ROWS_PER_SUB", "16")),
                             auto_compact_tail=5)
     walls, corpus_rows, band_rows = [], [], []
-    trickle, autos = [], []
+    trickle, autos, data_ids = [], [], []
     next_id = 0
     for b in range(batches):
         # 10% exact repeats of batch-0 text (digest index hits every
@@ -125,6 +125,7 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                                         f" w{b} ")).alias("text"))
         bid = next_id
         next_id += 1
+        data_ids.append(bid)
         folded_before = (loop._digest_store.pointer()
                          or {}).get("folded_up_to", -1)
         t0 = time.monotonic()
@@ -172,7 +173,7 @@ def soak_dedup(spark, sf_dir: str, batches: int,
     return {"walls": walls, "corpus_rows": corpus_rows,
             "band_rows": band_rows, "batch_docs": n,
             "num_subs": loop.num_subs, "trickle": trickle,
-            "auto_compactions": autos}
+            "auto_compactions": autos, "data_batch_ids": data_ids}
 
 
 def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
@@ -212,7 +213,8 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
             spark.read.parquet(f"{store}/matches").count())
     return {"walls": walls, "index_rows": index_rows,
             "match_rows": match_rows, "batch_vectors": n,
-            "auto_compactions": autos}
+            "auto_compactions": autos,
+            "data_batch_ids": list(range(batches))}
 
 
 def main(argv: list[str]) -> int:

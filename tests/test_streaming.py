@@ -583,11 +583,26 @@ def test_incremental_soak_latency_flat(spark, tmp_path):
     def med(xs):
         return sorted(xs)[len(xs) // 2]
 
+    def fold_free(r):
+        # Auto-compaction folds run INSIDE the triggering batch's wall
+        # (r9 default) — a known, amortized, separately-measured spike
+        # (BASELINE.md §r9), not store-growth drift; the flatness
+        # bound compares fold-free batches so a fold landing in the
+        # late window can't fail the growth check.
+        trig = {x.get("at_batch") for x in r.get("auto_compactions",
+                                                 [])}
+        ids = r.get("data_batch_ids", list(range(len(r["walls"]))))
+        return [w for w, i in zip(r["walls"], ids) if i not in trig]
+
     for name, r in (("dedup", d), ("ann", a)):
-        late, early = med(r["walls"][-3:]), med(r["walls"][1:4])
+        walls = fold_free(r)
+        late, early = med(walls[-3:]), med(walls[1:4])
         assert late <= 2.0 * early, (
             f"{name}: batch latency grew with store size "
             f"({r['walls']}) — the loop is recomputing the corpus")
+        assert r["auto_compactions"], (
+            f"{name}: auto-compaction never fired — the soak no "
+            "longer exercises the default policy")
     # stores actually grew (the bound must not pass vacuously)
     assert d["band_rows"][-1] > d["band_rows"][0]
     assert a["index_rows"][-1] == 12 * a["batch_vectors"]
