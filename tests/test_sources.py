@@ -139,3 +139,45 @@ def test_csv_quarantine_split(spark, tmp_path):
     assert sorted((r.id, r.name) for r in clean.collect()) == \
         [(1, "a"), (2, "c")]
     assert [r.raw for r in corrupt.collect()] == ["not-a-number,b"]
+
+
+def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path):
+    """ORC source/sink: round-trip fidelity, predicate pushdown +
+    column pruning reaching the scan, and hive-partitioned writes
+    pruned at the listing — the same Catalyst treatment the parquet
+    path gets."""
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.files import write_orc
+    from wp_etl_migration_spark.sources.files import from_orc
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("bucket"),
+        F.concat(F.lit("row-"), F.col("id").cast("string"))
+        .alias("name"))
+    path = str(tmp_path / "plain")
+    write_orc(df, path)
+    back = from_orc(spark, path)
+    assert back.count() == 100
+    assert {tuple(r) for r in back.collect()} == \
+        {tuple(r) for r in df.collect()}
+
+    scan = from_orc(spark, path).where(F.col("id") > 90).select("id")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "GreaterThan(id,90" in plan
+    assert "name" not in plan        # column pruning reached the scan
+    assert scan.count() == 9
+
+    part = str(tmp_path / "parts")
+    write_orc(df, part, partition_by=["bucket"])
+    pruned = from_orc(spark, part).where(F.col("bucket") == 2)
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in pplan and "bucket" in \
+        pplan.split("PartitionFilters")[1][:200]
+    assert pruned.count() == 25
+
+    # explicit schema read (the quarantine-style typed contract)
+    typed = from_orc(spark, path, schema="id long, bucket long, "
+                                         "name string")
+    assert typed.schema.simpleString() == \
+        "struct<id:bigint,bucket:bigint,name:string>"

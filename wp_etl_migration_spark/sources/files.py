@@ -130,3 +130,19 @@ def from_csv_with_quarantine(spark: SparkSession, path: str,
     clean = df.where(~bad).drop(CORRUPT_COL)
     corrupt = df.where(bad).withColumnRenamed(CORRUPT_COL, "raw")
     return clean, corrupt
+
+
+def from_orc(spark: SparkSession, path: str,
+             schema: str | None = None, **options) -> DataFrame:
+    """ORC scan — no reference counterpart (file inputs there are
+    CSV/JSON/XML); included because ORC is the other major columnar
+    warehouse format corpora arrive in, and Spark's native reader
+    gives it the same Catalyst treatment as parquet: predicate
+    pushdown, column pruning, partition discovery (PushedFilters
+    asserted in tests/test_sources.py)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
