@@ -158,8 +158,15 @@ def soak_dedup(spark, sf_dir: str, batches: int,
             small_bands = lsh_bands(small, "doc_id", "text", loop.n,
                                     loop.num_hashes,
                                     loop.rows_per_band)
+            folded_before = (dstore.pointer()
+                             or {}).get("folded_up_to", -1)
             t0 = time.monotonic()
             loop.process_batch(small, tb)
+            ptr = dstore.pointer() or {}
+            if ptr.get("folded_up_to", -1) != folded_before:
+                autos.append(dict(ptr.get("auto") or {},
+                                  folded_up_to=ptr.get("folded_up_to"),
+                                  trickle=True))
             trickle.append({
                 "after_batch": b + 1,
                 "wall": round(time.monotonic() - t0, 3),

@@ -1457,3 +1457,35 @@ def test_incremental_dedup_corpus_empty_store(spark, tmp_path):
     df = loop.corpus()
     assert df.count() == 0
     assert df.columns == ["doc_id", "text"]
+
+
+def test_incremental_dedup_stats(spark, tmp_path):
+    """stats() surfaces the store state a monitoring hook needs:
+    tail partition counts, committed pointer, live tombstones,
+    corpus rows — before any batch, mid-stream, and after deletes
+    and compaction."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    loop = IncrementalDedup(spark, str(tmp_path / "s"),
+                            "doc_id", "text", num_subs=8,
+                            rows_per_sub=1, auto_compact_tail=None)
+    s0 = loop.stats()
+    assert s0["corpus_rows"] == 0
+    assert s0["digests"]["tail_partitions"] == 0
+    assert s0["digests"]["pointer"] is None
+
+    loop.process_batch(spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        ["doc_id", "text"]), 0)
+    loop.delete([1], 1)
+    s1 = loop.stats()
+    assert s1["corpus_rows"] == 1
+    assert s1["digests"]["tail_partitions"] == 1
+    assert s1["digests"]["live_tombstones"] == 1
+
+    loop.compact(1)
+    s2 = loop.stats()
+    assert s2["digests"]["tail_partitions"] == 0
+    assert s2["digests"]["pointer"]["folded_up_to"] == 1
+    assert s2["digests"]["pointer"]["tomb_gen"] == 0
+    assert s2["corpus_rows"] == 1

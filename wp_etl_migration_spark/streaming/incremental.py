@@ -762,6 +762,26 @@ class IncrementalDedup:
                          F.col("batch_id").alias("__tomb_batch")))
         return dstore._anti_tombs(df, tombs)
 
+    def stats(self) -> dict:
+        """Operational snapshot of the three stores: per-index tail
+        partition count, committed pointer state (folded high-water,
+        run list, tombstone gen, last auto-compaction note), live
+        tombstone count, and live corpus rows. Directory listings +
+        one count job per index — cheap enough for a monitoring
+        hook."""
+        out: dict = {"corpus_rows": self.corpus().count()}
+        for name, store in (("digests", self._digest_store),
+                            ("bands", self._band_store)):
+            ptr = store.pointer()
+            tombs = store._tombstones(ptr)
+            out[name] = {
+                "tail_partitions": store.tail_batch_count(),
+                "pointer": ptr,
+                "live_tombstones":
+                    0 if tombs is None else tombs.count(),
+            }
+        return out
+
     def _maybe_auto_compact(self, batch_id: int) -> None:
         k = self.auto_compact_tail
         if not k or batch_id <= 0:
