@@ -7,7 +7,8 @@ engine's operators — the kind of job this engine exists for at 100 TB:
               near-dup pairs ──ž connected-component keep-list
               ──ž bigram-LM fluency gate ──ž benchmark-contamination
               gate ──ž domain caps ──ž stratified sampling ──ž quality-weighted
-              downsampling ──ž token accounting ──ž train/val/test
+              downsampling ──ž token-budget truncation ──ž token
+              accounting ──ž train/val/test
               splits ──ž shuffled training shards + manifest
               ──ž per-shard sequence packing
     embeddings ─ž SemDeDup keep-list ─ž k-means-fitted IVF ANN audit
@@ -36,8 +37,8 @@ from wp_etl_migration_spark.operators.lm import bigram_counts, lm_score
 from wp_etl_migration_spark.operators.packing import pack_sequences
 from wp_etl_migration_spark.operators.profile import corpus_report
 from wp_etl_migration_spark.operators.sampling import (
-    assign_splits, cap_per_key, stratified_hash_sample,
-    weighted_hash_sample)
+    assign_splits, cap_per_key, select_token_budget,
+    stratified_hash_sample, weighted_hash_sample)
 from wp_etl_migration_spark.operators.similarity import (
     ivf_topk, kmeans_centroids, quantize_embeddings, semantic_dedup)
 from wp_etl_migration_spark.sinks.training import write_training_shards
@@ -128,11 +129,25 @@ def build_corpus(spark: SparkSession, sf_dir: str,
 
     # Importance resampling: longer/better documents keep a higher
     # probability (clamped to 1); same content-addressed determinism.
-    return weighted_hash_sample(
+    resampled = weighted_hash_sample(
         balanced, "doc_id",
         F.col("quality") + F.least(F.col("n_tokens") / F.lit(256.0),
                                    F.lit(0.5)),
-        salt="corpus-v1-w"), gate_obs
+        salt="corpus-v1-w")
+
+    # Token-budget truncation: every mix ends with "the best N
+    # tokens" — keep the highest-quality documents until ~80% of the
+    # surviving token mass is spent (two-phase distributed prefix
+    # sum, no single-reducer window; ties break on doc_id so re-runs
+    # agree).
+    total = resampled.agg(F.sum("n_tokens")).first()[0] or 0
+    kept = select_token_budget(resampled, "doc_id", "n_tokens",
+                               int(total * 0.8),
+                               priority_col="quality")
+    print(f"token budget: kept {kept.count()} docs / "
+          f"{int(total * 0.8)} of {total} tokens")
+    return resampled.join(kept.select("doc_id"), "doc_id",
+                          "left_semi"), gate_obs
 
 
 def nearest_neighbor_audit(spark: SparkSession, sf_dir: str,
