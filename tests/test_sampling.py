@@ -480,9 +480,11 @@ def test_select_token_budget_global(spark):
     one = select_token_budget(df.where("doc_id = 1"), "doc_id", "n",
                               10, priority_col="q").collect()
     assert [(r.doc_id, r.cum_tokens) for r in one] == [(1, 40)]
-    # budget 0 selects nothing
-    assert select_token_budget(df, "doc_id", "n", 0,
-                               priority_col="q").count() == 0
+    # budget 0 would select nothing under the strictly-before rule,
+    # contradicting the documented first-row progress guarantee — it
+    # is rejected loudly (ADVICE r9)
+    with pytest.raises(ValueError, match="budget must be >= 1"):
+        select_token_budget(df, "doc_id", "n", 0, priority_col="q")
 
 
 def test_select_token_budget_matches_single_window(spark):

@@ -735,3 +735,32 @@ def test_ann_index_bits16_lifts_rescore_ceiling(spark):
         a, b = vecs[r.query_id], vecs[r.neighbor_id]
         true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.sim - true) < 1e-3, (r, true)
+
+
+def test_plane_tables_validation(spark):
+    """ADVICE r9: _plane_tables rejects ragged plane sets (planes of
+    differing lengths would make fold_dot silently truncate dot
+    products) and empty sets, with descriptive errors — for the
+    single-set and multi-table forms alike."""
+    import pytest as _pytest
+
+    from wp_etl_migration_spark.operators.similarity import (
+        _plane_tables)
+    # well-formed: single set and T=2
+    assert _plane_tables([[1.0, 0.0], [0.0, 1.0]], 1) == \
+        [[[1.0, 0.0], [0.0, 1.0]]]
+    assert len(_plane_tables([[[1.0, 0.0]], [[0.0, 1.0]]], 2)) == 2
+    # ragged within one set
+    with _pytest.raises(ValueError, match="dimensionality"):
+        _plane_tables([[1.0, 0.0], [0.0, 1.0, 2.0]], 1)
+    # ragged across sets
+    with _pytest.raises(ValueError, match="dimensionality"):
+        _plane_tables([[[1.0, 0.0]], [[0.0, 1.0, 2.0]]], 2)
+    # empty set
+    with _pytest.raises(ValueError, match=">= 1 plane"):
+        _plane_tables([[[1.0, 0.0]], []], 2)
+    with _pytest.raises(ValueError, match=">= 1 plane"):
+        _plane_tables([], 1)
+    # wrong set count for tables
+    with _pytest.raises(ValueError, match="tables=3"):
+        _plane_tables([[[1.0]], [[1.0]]], 3)

@@ -1094,13 +1094,15 @@ def test_incremental_delete_crash_at_flip_pending_tombstones(
     # double-applied tombstone could not mask the batch-2 re-ingest
     # anyway (scoped on row batch id)
     tomb_dir = os.path.join(store, "digests_tombs", "batch_id=1")
-    os.makedirs(os.path.dirname(tomb_dir), exist_ok=True)
-    src = os.path.join(store, "bands_tombs")
-    # rebuild a tombstone partition from the band store's (pre-sweep
-    # identical) delete — simplest stand-in: re-issue the delete
-    loop._digest_store.delete(
-        spark.createDataFrame([(1,)], "doc_id long"), 1)
-    assert os.path.exists(tomb_dir), src
+    # delete() itself refuses a below-fold batch id (ADVICE r9 guard),
+    # so the resurrection is simulated the way a crash produces it —
+    # the partition files reappear without any API call
+    with _pytest.raises(ValueError, match="folded_up_to"):
+        loop._digest_store.delete(
+            spark.createDataFrame([(1,)], "doc_id long"), 1)
+    (spark.createDataFrame([(1,)], "doc_id long")
+     .write.mode("overwrite").parquet(tomb_dir))
+    assert os.path.exists(tomb_dir)
     assert {r.doc_id for r in
             loop._digest_store.probe(99).collect()} == {2, 20}
     loop.compact(3)  # high-water bump sweeps the garbage
@@ -1492,3 +1494,58 @@ def test_incremental_dedup_stats(spark, tmp_path):
     assert s2["digests"]["pointer"]["folded_up_to"] == 1
     assert s2["digests"]["pointer"]["tomb_gen"] == 0
     assert s2["corpus_rows"] == 1
+
+
+def test_incremental_delete_below_fold_rejected(spark, tmp_path):
+    """ADVICE r9 (medium): a tombstone written with batch_id <= the
+    pointer's folded_up_to is invisible to probes (the tomb tail only
+    reads past the fold high-water mark) and the next sweep removes
+    its partition outright — for a takedown that is a silent no-op.
+    delete() now validates against the pointer and fails loudly; a
+    delete past the fold still works."""
+    import pytest as _pytest
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    loop = IncrementalDedup(spark, str(tmp_path / "s"),
+                            "doc_id", "text", num_subs=8,
+                            rows_per_sub=1, auto_compact_tail=None)
+    loop.process_batch(spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        ["doc_id", "text"]), 0)
+    loop.compact(0)
+    assert loop._digest_store.pointer()["folded_up_to"] == 0
+
+    # at the fold mark: rejected (would be silently swept)
+    with _pytest.raises(ValueError, match="folded_up_to"):
+        loop.delete([1], 0)
+    with _pytest.raises(ValueError, match="folded_up_to"):
+        loop._digest_store.delete(
+            spark.createDataFrame([(1,)], ["doc_id"]), 0)
+    # no tombstone partition was left behind by the failed calls
+    import os
+    assert not os.path.exists(str(tmp_path / "s" / "digests_tombs"))
+
+    # past the fold: the takedown applies normally
+    loop.delete([1], 1)
+    assert {r.doc_id for r in
+            loop._digest_store.probe(99).collect()} == {2}
+
+
+def test_incremental_corpus_schema_consistent(spark, tmp_path):
+    """ADVICE r9: corpus() returns exactly (id, text) in every store
+    state — untouched, live, and live-with-tombstones — so consumers
+    never see the batch_id partition column leak through."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    loop = IncrementalDedup(spark, str(tmp_path / "s"),
+                            "doc_id", "text", num_subs=8,
+                            rows_per_sub=1, auto_compact_tail=None)
+    assert loop.corpus().columns == ["doc_id", "text"]
+    loop.process_batch(spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        ["doc_id", "text"]), 0)
+    assert loop.corpus().columns == ["doc_id", "text"]
+    loop.delete([1], 1)
+    assert loop.corpus().columns == ["doc_id", "text"]
+    assert [r.doc_id for r in loop.corpus().collect()] == [2]

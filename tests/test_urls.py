@@ -3,6 +3,7 @@ domains, blocklist joins, per-domain stats."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from wp_etl_migration_spark.operators.urls import (
@@ -464,3 +465,16 @@ def test_psl_env_knob_defaults_domain_stats(spark, tmp_path,
     monkeypatch.delenv("SPARK_GRAFT_PSL_PATH")
     plain2 = {r.domain for r in domain_stats(df2, "url").collect()}
     assert plain2 == {"example.com"}
+
+
+def test_psl_true_rejected(spark):
+    """ADVICE r9: psl=True is not a rules frame — both entry points
+    reject it at the top with a descriptive error instead of passing
+    a bool into the PSL join machinery."""
+    df = spark.createDataFrame([("https://a.example.com/x",)],
+                               ["url"])
+    bl = spark.createDataFrame([("example.com",)], ["domain"])
+    with pytest.raises(ValueError, match="psl must be"):
+        domain_stats(df, "url", psl=True)
+    with pytest.raises(ValueError, match="psl must be"):
+        join_domain_blocklist(df, bl, "url", psl=True)

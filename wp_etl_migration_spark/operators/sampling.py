@@ -308,10 +308,14 @@ def select_token_budget(df: DataFrame, id_col: str, tokens_col: str,
     back to a content-addressed uniform draw (md5 of the id — a
     deterministic random sample by tokens). Keep rule: a row survives
     iff the cumulative token count of all rows STRICTLY BEFORE it is
-    under ``budget`` — so the selection always makes progress (the
-    first row is kept even if it alone exceeds the budget) and the
-    kept total overshoots by less than one document. Deterministic on
-    any engine/partitioning. Returns (id, n_tokens, cum_tokens
+    under ``budget`` — so the selection always makes progress (with
+    any positive budget the first row is kept even if it alone exceeds
+    the budget) and the kept total overshoots by less than one
+    document. ``budget`` must be >= 1; a zero budget would select
+    nothing under the strictly-before rule, contradicting the
+    progress guarantee, so it is rejected rather than silently
+    returning an empty frame. Deterministic on any
+    engine/partitioning. Returns (id, n_tokens, cum_tokens
     [, per_key]) with ``cum_tokens`` the inclusive running total —
     callers join back on the id for content.
 
@@ -331,8 +335,11 @@ def select_token_budget(df: DataFrame, id_col: str, tokens_col: str,
     no budget); NULL priorities sort LAST (they fill only leftover
     budget).
     """
-    if budget < 0:
-        raise ValueError("budget must be >= 0")
+    if budget < 1:
+        raise ValueError(
+            "budget must be >= 1 (a zero budget keeps nothing under "
+            "the strictly-before rule, contradicting the documented "
+            "first-row progress guarantee)")
     n = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
     if priority_col is None:
         prio = F.md5(F.col(id_col).cast("string"))

@@ -860,18 +860,23 @@ def embedding_contamination(corpus: DataFrame, eval_df: DataFrame,
 def _plane_tables(planes, tables: int) -> list:
     """Normalize the ``planes``×``tables`` contract: tables=1 keeps
     the single-set API (planes = list of plane vectors); tables=T>1
-    takes planes as a list of T INDEPENDENT plane sets. All sets must
-    share the vector dimensionality."""
-    if tables == 1:
-        return [planes]
-    if len(planes) != tables:
+    takes planes as a list of T INDEPENDENT plane sets. Every plane in
+    every set must share one vector dimensionality (a ragged set would
+    make ``fold_dot`` silently truncate the dot product) and no set may
+    be empty."""
+    sets = [planes] if tables == 1 else list(planes)
+    if tables != 1 and len(sets) != tables:
         raise ValueError(
             f"tables={tables} needs planes to be a list of {tables} "
-            f"plane sets, got {len(planes)}")
-    dims = {len(p[0]) for p in planes}
+            f"plane sets, got {len(sets)}")
+    dims = {len(plane) for pset in sets for plane in pset}
+    if any(not pset for pset in sets):
+        raise ValueError("every plane set must contain >= 1 plane")
     if len(dims) != 1:
-        raise ValueError("all plane sets must share dimensionality")
-    return list(planes)
+        raise ValueError(
+            "all planes in all sets must share one dimensionality; "
+            f"saw lengths {sorted(dims)}")
+    return sets
 
 
 def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,

@@ -484,6 +484,10 @@ def join_domain_blocklist(df: DataFrame, blocklist: DataFrame,
     handles; the blocklist side is distinct-keyed by construction."""
     if mode not in ("block", "allow"):
         raise ValueError("mode must be 'block' or 'allow'")
+    if psl is True:
+        raise ValueError(
+            "psl must be a rules DataFrame, None (use the configured "
+            "default), or False (pin the expression path) — not True")
     if psl is None:
         psl = default_psl_rules(df.sparkSession)
     elif psl is False:
@@ -526,6 +530,10 @@ def domain_stats(df: DataFrame, url_col: str,
     ``psl=False`` PINS the expression path, ignoring the env knob —
     what the driver-gate / oracle-parity queries pass so a configured
     environment cannot silently change their results."""
+    if psl is True:
+        raise ValueError(
+            "psl must be a rules DataFrame, None (use the configured "
+            "default), or False (pin the expression path) — not True")
     if psl is None:
         psl = default_psl_rules(df.sparkSession)
     elif psl is False:

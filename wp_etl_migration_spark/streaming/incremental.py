@@ -421,7 +421,22 @@ class _IndexStore:
         >= the ingest batches it targets; a re-ingest of a deleted id
         must use a LATER batch id and is then re-admitted.
         Per-partition overwrite = the replay unit, exactly the
-        ``write_batch`` protocol."""
+        ``write_batch`` protocol.
+
+        Raises ``ValueError`` when ``batch_id`` is at or below the
+        pointer's ``folded_up_to``: tombstones there are invisible to
+        probes (``_tombstones`` only reads the tail past the fold
+        high-water mark) and the next sweep would remove the partition
+        outright — for a takedown that would be a silent no-op, so
+        misuse fails loudly instead."""
+        ptr = self.pointer()
+        folded = int(ptr["folded_up_to"]) if ptr else -1
+        if int(batch_id) <= folded:
+            raise ValueError(
+                f"delete batch_id={int(batch_id)} is <= the store's "
+                f"folded_up_to={folded}; tombstones must use a batch id "
+                "past the fold high-water mark (same monotone id space "
+                "as write_batch) or the takedown silently no-ops")
         (ids.selectExpr(f"cast({ids.columns[0]} as long) "
                         f"as {self.id_col}")
          .distinct().write.mode("overwrite")
@@ -741,10 +756,13 @@ class IncrementalDedup:
         (which also retires the ``corpus_tombs/`` record). Masking
         uses the corpus's OWN tombstone record — index-store
         tombstones purge at the full merge, corpus content does
-        not. An untouched store reads as an empty two-column frame
-        (id, text) rather than raising."""
+        not. Always returns exactly the two columns (id, text) — the
+        ``batch_id`` partition column is projected away so consumers
+        see one schema regardless of store state; an untouched store
+        reads as an empty two-column frame rather than raising."""
         from pyspark.errors import AnalysisException
         dstore = self._digest_store
+        cols = [self.id_col, self.text_col]
         try:
             df = self.spark.read.parquet(self._path("corpus"))
             df.schema
@@ -754,13 +772,13 @@ class IncrementalDedup:
         troot = self._path("corpus_tombs")
         fs, jt, _ = _hadoop_fs(self.spark, troot)
         if not fs.exists(jt):
-            return df
+            return df.select(*cols)
         tombs = (self.spark.read
                  .schema(f"{self.id_col} long, batch_id int")
                  .parquet(troot)
                  .select(F.col(self.id_col).alias("__tomb_id"),
                          F.col("batch_id").alias("__tomb_batch")))
-        return dstore._anti_tombs(df, tombs)
+        return dstore._anti_tombs(df, tombs).select(*cols)
 
     def stats(self) -> dict:
         """Operational snapshot of the three stores: per-index tail
