@@ -192,22 +192,43 @@ BENCH_QUERIES = [
 ]
 
 
+def canary_sec() -> float:
+    """Machine-speed canary (VERDICT r9 #1): a fixed CPU-bound
+    calibration task — sha256 over 384 MiB of deterministic bytes,
+    best of 3 samples — whose wall depends only on this box's
+    effective single-core speed, never on Spark or the code under
+    test. Recorded as ``canary_sec`` in every bench JSON so a drifting
+    ``vs_baseline`` can be attributed: canary at its committed
+    reference → the code changed; canary inflated by the same factor →
+    the machine did (the r8→r9 lesson, where untouched round-1 queries
+    slowed a uniform ~20% and the 2x gate measured ambience)."""
+    import hashlib
+    buf = bytes(range(256)) * 4096          # 1 MiB, deterministic
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        h = hashlib.sha256()
+        for _ in range(384):
+            h.update(buf)
+        h.digest()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 4)
+
+
 def merge_baseline(queries: dict[str, float],
                    fresh: dict[str, float],
                    names: list[str] | None) -> tuple[list[str],
                                                      list[str]]:
     """Merge freshly-measured minimums into the committed baseline map
     (mutates ``queries``). Queries in ``names`` are REPLACED (their
-    code changed; the old minimum no longer describes the plan); with
-    ``names=None`` every query keeps the historical minimum
-    ``min(existing, new)`` so a re-commit can never quietly raise an
-    unchanged query's bar. Returns (replaced, lowered)."""
+    code changed; the old minimum no longer describes the plan); every
+    OTHER query keeps the historical minimum ``min(existing, new)`` so
+    a re-commit can never quietly raise an unchanged query's bar.
+    Returns (replaced, lowered)."""
     replaced, lowered = [], []
     for n, t in fresh.items():
-        if names is not None and n not in names:
-            continue
         old = queries.get(n)
-        if names is not None:
+        if names is not None and n in names:
             queries[n] = t                  # changed code: replace
             replaced.append(n)
         elif old is None or t < old:
@@ -227,7 +248,9 @@ def paired(argv: list[str]) -> int:
     Merge policy: queries named in ``--only`` are REPLACED (their code
     changed; the old minimum no longer describes the plan); all other
     queries keep the historical minimum ``min(existing, new)`` so a
-    re-commit can never quietly raise an unchanged query's bar.
+    re-commit can never quietly raise an unchanged query's bar (and a
+    ``--only`` run still min-merges the rest — lowering is always
+    safe).
     """
     import subprocess
 
@@ -283,6 +306,11 @@ def paired(argv: list[str]) -> int:
                       "fresh interpreter + SparkSession each "
                       "(bench.py --paired); --only names replace, "
                       "others keep the historical minimum")
+    # The canary reference is the quiet-box speed the committed
+    # minimums correspond to — always the historical minimum, so one
+    # slow re-baseline round can never corrupt it.
+    can = canary_sec()
+    base["canary_sec"] = round(min(base.get("canary_sec", can), can), 4)
     with open(base_path, "w") as fh:
         json.dump(base, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -293,6 +321,7 @@ def paired(argv: list[str]) -> int:
         "replaced": sorted(replaced),
         "lowered": sorted(lowered),
         "baseline_total": round(sum(base["queries"].values()), 3),
+        "canary_sec": can,
     }))
     return 0
 
@@ -338,6 +367,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        # Machine-speed canary (VERDICT r9 #1): fixed CPU work, timed
+        # after the query loop. canary_vs_baseline ≈ vs_baseline →
+        # ambient machine drift, not a code regression.
+        "canary_sec": canary_sec(),
     }
     if errors:
         out["errors"] = errors
@@ -381,6 +414,9 @@ def main() -> int:
                 out["vs_baseline"] = round(
                     sum(timings[n] for n in both)
                     / sum(base["queries"][n] for n in both), 3)
+            if base.get("canary_sec"):
+                out["canary_vs_baseline"] = round(
+                    out["canary_sec"] / base["canary_sec"], 3)
             out["regressions"] = {
                 name: round(t / base["queries"][name], 2)
                 for name, t in timings.items()

@@ -499,8 +499,9 @@ def test_bench_paired_merge_policy():
     base = {"a": 1.0, "b": 2.0, "c": 3.0}
     fresh = {"a": 5.0, "b": 1.5, "d": 4.0}
     rep, low = bench.merge_baseline(base, fresh, names=["a"])
-    assert rep == ["a"] and low == []
-    assert base == {"a": 5.0, "b": 2.0, "c": 3.0}   # b untouched
+    assert rep == ["a"] and sorted(low) == ["b", "d"]
+    assert base == {"a": 5.0, "b": 1.5, "c": 3.0, "d": 4.0}
+    # named entries replace (even upward); the rest still min-merge
 
     base = {"a": 1.0, "b": 2.0}
     rep, low = bench.merge_baseline(base, fresh, names=None)
