@@ -3297,7 +3297,11 @@ def _mt_bucket_sql(planes: list) -> str:
         for p in planes)
 
 
-ORACLE_ANN_MULTI = f"""
+def _oracle_ann_multi(qmax: float) -> str:
+    """Two-table stored-ANN oracle, parameterized on the quantizer
+    half-range (127 = int8, 32767 = int16) — the ONLY thing that
+    differs between the ann_multi_topk and ann_index16_topk rows."""
+    return f"""
 WITH pv AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
@@ -3307,7 +3311,7 @@ WITH pv AS (
   FROM pv
 ), qz AS (
   SELECT vec_id,
-    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale, e
+    list_max(list_transform(e, x -> abs(x))) / {qmax} AS scale, e
   FROM pv
 ), dq AS (
   SELECT vec_id,
@@ -3335,6 +3339,29 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
                        ORDER BY sim DESC, neighbor_id) AS rank
   FROM sims) WHERE rank <= 5
 """
+
+
+ORACLE_ANN_MULTI = _oracle_ann_multi(127.0)
+ORACLE_ANN_INDEX16 = _oracle_ann_multi(32767.0)
+
+
+def q_ann_index16_topk(spark, sf_dir):
+    """The headline stored-ANN recipe (VERDICT r9 #6), pinned
+    bit-exactly end to end: TWO independent plane tables × int16
+    rescore — the configuration measured at >= 0.99 recall@5 on the
+    50k rig (BASELINE.md §r9; int8's rescore ceiling is 0.969).
+    build(bits=16) → (table, bucket) candidate join → dequantized
+    expression rescore; ranks only (see q_ann_index_topk)."""
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, query_ann_index)
+    e = _t(spark, sf_dir).embeddings()
+    idx = build_ann_index(e, "vec_id", "embedding", ANN_MT_TABLES,
+                          tables=2, bits=16)
+    return query_ann_index(e, idx, "vec_id", "embedding",
+                           ANN_MT_TABLES, k=5, rescore="expr",
+                           tables=2) \
+        .select("query_id", "neighbor_id",
+                F.col("rank").cast("int").alias("rank"))
 
 
 def q_script_fractions(spark, sf_dir):
@@ -4156,161 +4183,208 @@ SELECT * FROM touched UNION ALL SELECT * FROM untouched
 
 # ------------------------------------------------------------------ registry
 
-#: name → (spark callable, oracle SQL or None for rows-only checks)
-#:
-#: r9 rotation (VERDICT r8 #6, staleness from the CORRECTNESS_r01..r08
-#: union): the nine queries last witnessed r6 rotate IN
-#: (bigram_lm_score, chunk_documents, global_shuffle_shards, keywords,
-#: kmeans_centroids, quantize_embeddings, rolling_window,
-#: semantic_dedup, train_val_test), plus this round's NEW oracled
-#: queries — trigram_lm_pruned (the pre_total count-pruned LM build,
-#: VERDICT r8 #4), ann_multi_topk (the multi-table stored ANN
-#: index, VERDICT r8 #7), and token_budget (the 'best N tokens'
-#: selection operator, new r9 — sketch_distinct, stable and
-#: r8-witnessed, makes room). Eleven further rows displace to
-#: EXTRA_REGISTRY —
-#: all TPC-H-plan-family basics green r8 with code untouched since r1
-#: (asof_join, author_embed, date_parts, json_extract,
-#: percentile_stats, pivot_wide, rollup_status, set_ops,
-#: top_customers, union_merge, window_funcs); they keep strict local
-#: parity every round. This round's CHANGED code paths stay/arrive
-#: in REGISTRY: domain_stats (psl=False pin), trigram_lm_pruned,
-#: ann_multi_topk; the incremental-store changes are witnessed by
-#: incremental_lsh + the streaming test suite. After this rotation no
-#: query's last driver witness predates r7.
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
-                          str | None]] = {
-    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
-    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
-    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
-    "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
-    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
-    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
-    "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
-    "token_budget": (q_token_budget, ORACLE_TOKEN_BUDGET),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "token_stats": (q_token_stats, ORACLE_TOKEN),
-    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
-    "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
-    "meta_embed": (q_meta_embed, ORACLE_META_EMBED),
-    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
-    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
-                               ORACLE_EMB_LSH_NEAR_DUP),
-    "placeholder_subst": (q_placeholder_subst, ORACLE_PLACEHOLDER),
-    "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
-    "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
-    "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
-    "unpack_roundtrip": (q_unpack_roundtrip, ORACLE_UNPACK),
-    "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
-    "cube_agg": (q_cube_agg, ORACLE_CUBE),
-    "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
-    "lang_id": (q_lang_id, ORACLE_LANG),
-    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
-    "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
-    "quality_score": (q_quality_score, ORACLE_QUALITY),
-    "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
-    "slugify": (q_slugify, ORACLE_SLUG),
-    "split_trim": (q_split_trim, ORACLE_SPLIT),
-    "pagerank_redistribute": (q_pagerank_redistribute,
-                              ORACLE_PAGERANK_REDIST),
-    "training_prep_contract": (q_training_prep_contract,
-                               ORACLE_TRAINING_PREP),
-    "wp_post_all_contract": (q_wp_post_all_contract,
-                             ORACLE_WP_POST_CONTRACT),
-    "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
-    "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
-    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
-    "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
-    "meta_melt": (q_meta_melt, ORACLE_MELT),
-    "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
-    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
-    "global_shuffle_shards": (q_global_shuffle_shards,
-                              ORACLE_GLOBAL_SHUFFLE),
-    "keywords": (q_keywords, ORACLE_KEYWORDS),
-    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
-    "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
-    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
-    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
-    "train_val_test": (q_train_val_test, ORACLE_SPLITS),
-    "trigram_lm_pruned": (q_trigram_lm_pruned,
-                          ORACLE_TRIGRAM_LM_PRUNED),
-    "ann_multi_topk": (q_ann_multi_topk, ORACLE_ANN_MULTI),
-}
-
-
-# Local-only parity coverage: the driver's CORRECTNESS gate records at
-# most 50 rows (observed r1: 58 registered -> exactly the first 50 got
-# rows), so everything else lives here. tests/test_oracle_parity.py
-# runs REGISTRY | EXTRA_REGISTRY, so every one of these still gets the
-# strict local Spark-vs-DuckDB value + dtype check each round. All of
-# them have held a green driver CORRECTNESS row in r7 or r8 (see the
-# REGISTRY r9 rotation note), except the two composed journeys
-# (wp_post_all / training_prep_all), whose driver-facing contract is
-# wp_post_all_contract / training_prep_contract + the pinned goldens
-# (multi-sink pipelines have no single SQL oracle).
-EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
-                                str | None]] = {
+#: The full query surface: every oracled query the engine ships, one
+#: (callable, DuckDB-oracle-SQL) pair per name. REGISTRY /
+#: EXTRA_REGISTRY below are VIEWS of this dict — rotation is an edit
+#: to _DRIVER_ROWS only, so a query can never be dropped by a rotation
+#: mistake (tests/test_oracle_parity.py iterates the union = this
+#: whole dict; a None oracle marks the two composed multi-sink
+#: journeys, parity-checked through their *_contract twins instead).
+_ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
+                              str | None]] = {
+    "ann_index16_topk": (q_ann_index16_topk, ORACLE_ANN_INDEX16),
     "ann_index_topk": (q_ann_index_topk, ORACLE_ANN_INDEX),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "ann_multi_topk": (q_ann_multi_topk, ORACLE_ANN_MULTI),
     "array_ops": (q_array_ops, ORACLE_ARRAY_OPS),
+    "asof_join": (q_asof_join, ORACLE_ASOF),
     "asof_nearest": (q_asof_nearest, ORACLE_ASOF_NEAREST),
+    "author_embed": (q_author_embed, ORACLE_AUTHOR),
+    "bigram_lm_score": (q_bigram_lm_score, ORACLE_BIGRAM_LM),
+    "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
+    "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
+    "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
     "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
-    "cross_corpus_dedup": (q_cross_corpus_dedup,
-                           ORACLE_CROSS_CORPUS),
+    "cross_corpus_dedup": (q_cross_corpus_dedup, ORACLE_CROSS_CORPUS),
+    "cube_agg": (q_cube_agg, ORACLE_CUBE),
+    "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
     "date_validate": (q_date_validate, ORACLE_DATE_VALIDATE),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_pipeline": (q_dedup_pipeline, ORACLE_DEDUP_PIPELINE),
     "domain_cap": (q_domain_cap, ORACLE_DOMAIN_CAP),
+    "domain_stats": (q_domain_stats, ORACLE_DOMAIN_STATS),
     "embedding_near_dup": (q_embedding_near_dup, ORACLE_EMB_NEAR_DUP),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh,
+                               ORACLE_EMB_LSH_NEAR_DUP),
+    "embedding_topk": (q_embedding_topk, ORACLE_TOPK),
     "entity_embed_full": (q_entity_embed_full, ORACLE_ENTITY_EMBED),
     "event_window_agg": (q_event_window_agg, ORACLE_EVENT_WINDOW),
     "fuzzy_match": (q_fuzzy_match, ORACLE_FUZZY),
+    "global_shuffle_shards": (q_global_shuffle_shards,
+                              ORACLE_GLOBAL_SHUFFLE),
     "gopher_quality": (q_gopher_quality, ORACLE_GOPHER),
     "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "hierarchy_resolve": (q_hierarchy_resolve, ORACLE_HIERARCHY),
     "html_blocks": (q_html_blocks, ORACLE_HTML_BLOCKS),
+    "incremental_lsh": (q_incremental_lsh, ORACLE_INCREMENTAL_LSH),
+    "ivf_ann_topk": (q_ivf_ann_topk, ORACLE_IVF),
+    "json_extract": (q_json_extract, ORACLE_JSON),
     "key_skew": (q_key_skew, ORACLE_KEY_SKEW),
+    "keywords": (q_keywords, ORACLE_KEYWORDS),
+    "kmeans_centroids": (q_kmeans_centroids, ORACLE_KMEANS),
+    "lang_id": (q_lang_id, ORACLE_LANG),
     "line_dedup": (q_line_dedup, ORACLE_LINE_DEDUP),
+    "media_decode": (q_media_decode, ORACLE_MEDIA_DECODE),
     "media_dedupe_lookup": (q_media_dedupe_lookup, ORACLE_MEDIA_DEDUPE),
+    "meta_embed": (q_meta_embed, ORACLE_META_EMBED),
+    "meta_melt": (q_meta_melt, ORACLE_MELT),
+    "minhash_lsh_dedup": (q_minhash_lsh_dedup, ORACLE_LSH_DEDUP),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL),
+    "ngram_jaccard_dedup": (q_ngram_jaccard_dedup, ORACLE_JACCARD),
+    "nullif_sentinel": (q_nullif_sentinel, ORACLE_NULLIF),
+    "numeric_preserve": (q_numeric_preserve, ORACLE_NUMERIC_PRESERVE),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK),
     "pagerank": (q_pagerank, ORACLE_PAGERANK),
+    "pagerank_redistribute": (q_pagerank_redistribute,
+                              ORACLE_PAGERANK_REDIST),
     "passage_removal": (q_passage_removal, ORACLE_PASSAGE_REMOVAL),
+    "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
     "pii_scrub": (q_pii_scrub, ORACLE_PII),
+    "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
+    "placeholder_subst": (q_placeholder_subst, ORACLE_PLACEHOLDER),
     "prefix_pipeline": (q_prefix_pipeline, ORACLE_PREFIX),
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
     "profile_diff": (q_profile_diff, ORACLE_PROFILE_DIFF),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
     "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
+    "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
+    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "rolling_window": (q_rolling_window, ORACLE_ROLLING),
+    "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
     "sanitize_chain": (q_sanitize_chain, ORACLE_SANITIZE),
     "scan_filter_sort_limit": (q_scan_filter_sort_limit, ORACLE_SCAN),
     "script_fractions": (q_script_fractions, ORACLE_SCRIPTS_FRAC),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "sessionization": (q_sessionization, ORACLE_SESSIONIZATION),
+    "set_ops": (q_set_ops, ORACLE_SET_OPS),
     "shared_gram_stats": (q_shared_gram_stats, ORACLE_SHARED_GRAMS),
     "shipping_priority": (q_shipping_priority, ORACLE_SHIPPING),
     "simhash_near_dup": (q_simhash_near_dup, ORACLE_SIMHASH_PAIRS),
+    "simhash_signatures": (q_simhash_signatures, ORACLE_SIMHASH),
     "sketch_distinct": (q_sketch_distinct, ORACLE_SKETCH),
+    "slugify": (q_slugify, ORACLE_SLUG),
+    "snake_scrub_rename": (q_snake_scrub_rename, ORACLE_SNAKE),
+    "split_trim": (q_split_trim, ORACLE_SPLIT),
+    "string_to_null": (q_string_to_null, ORACLE_STR2NULL),
     "table_profile": (q_table_profile, ORACLE_TABLE_PROFILE),
+    "text_functions": (q_text_functions, ORACLE_TEXT_FUNCTIONS),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "token_budget": (q_token_budget, ORACLE_TOKEN_BUDGET),
+    "token_stats": (q_token_stats, ORACLE_TOKEN),
+    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK_GROUP),
+    "train_val_test": (q_train_val_test, ORACLE_SPLITS),
     "training_prep_all": (q_training_prep_all, None),
+    "training_prep_contract": (q_training_prep_contract,
+                               ORACLE_TRAINING_PREP),
+    "trigram_lm_pruned": (q_trigram_lm_pruned, ORACLE_TRIGRAM_LM_PRUNED),
     "trigram_lm_score": (q_trigram_lm_score, ORACLE_TRIGRAM_LM),
+    "union_merge": (q_union_merge, ORACLE_UNION),
+    "unpack_roundtrip": (q_unpack_roundtrip, ORACLE_UNPACK),
     "upsert_merge": (q_upsert_merge, ORACLE_UPSERT),
     "url_normalize": (q_url_normalize, ORACLE_URL_NORMALIZE),
     "vocab_topk": (q_vocab_topk, ORACLE_VOCAB),
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
-    "wp_post_all": (q_wp_post_all, None),
-    "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
-    "asof_join": (q_asof_join, ORACLE_ASOF),
-    "author_embed": (q_author_embed, ORACLE_AUTHOR),
-    "date_parts": (q_date_parts, ORACLE_DATE_PARTS),
-    "json_extract": (q_json_extract, ORACLE_JSON),
-    "percentile_stats": (q_percentile_stats, ORACLE_PERCENTILE),
-    "pivot_wide": (q_pivot_wide, ORACLE_PIVOT),
-    "rollup_status": (q_rollup_status, ORACLE_ROLLUP),
-    "set_ops": (q_set_ops, ORACLE_SET_OPS),
-    "top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
-    "union_merge": (q_union_merge, ORACLE_UNION),
     "window_funcs": (q_window_funcs, ORACLE_WINDOW),
+    "wp_post_all": (q_wp_post_all, None),
+    "wp_post_all_contract": (q_wp_post_all_contract,
+                             ORACLE_WP_POST_CONTRACT),
+    "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
+}
+
+#: r10 driver rotation (VERDICT r9 #4, staleness from the
+#: CORRECTNESS_r01..r09 union): the 45 queries last witnessed r7 — at
+#: the age-2 limit — all rotate IN, plus the new ann_index16_topk row
+#: (the >= 0.99-recall two-table int16 stored-ANN recipe, VERDICT r9
+#: #6) and four of the twelve r8-witnessed rows (asof_join,
+#: author_embed, date_parts, json_extract) to spread the r11 rotation
+#: load. Everything witnessed r9 cycles out to EXTRA_REGISTRY (age 1
+#: after r10); the eight remaining r8 rows reach age 2 and rotate in
+#: r11. After this rotation no query's last driver witness predates
+#: r8.
+_DRIVER_ROWS: list[str] = [
+    "ann_index_topk",
+    "ann_lsh_topk",
+    "array_ops",
+    "asof_nearest",
+    "cluster_centroids",
+    "contamination",
+    "corpus_report",
+    "cross_corpus_dedup",
+    "date_validate",
+    "domain_cap",
+    "embedding_near_dup",
+    "entity_embed_full",
+    "event_window_agg",
+    "fuzzy_match",
+    "gopher_quality",
+    "grouping_sets",
+    "hash_sample",
+    "hierarchy_resolve",
+    "html_blocks",
+    "key_skew",
+    "line_dedup",
+    "media_dedupe_lookup",
+    "multimodal_features",
+    "pack_sequences",
+    "pagerank",
+    "passage_removal",
+    "pii_scrub",
+    "prefix_pipeline",
+    "profile_diff",
+    "quantile_band",
+    "range_join",
+    "repetition_stats",
+    "sanitize_chain",
+    "scan_filter_sort_limit",
+    "script_fractions",
+    "shared_gram_stats",
+    "shipping_priority",
+    "simhash_near_dup",
+    "table_profile",
+    "trigram_lm_score",
+    "upsert_merge",
+    "url_normalize",
+    "vocab_topk",
+    "weighted_sample",
+    "wp_post_preset",
+    "ann_index16_topk",
+    "asof_join",
+    "author_embed",
+    "date_parts",
+    "json_extract",
+]
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
+                          str | None]] = {
+    name: _ALL_QUERIES[name] for name in _DRIVER_ROWS
+}
+
+#: Local-only parity coverage (everything not in this round's driver
+#: window): the driver CORRECTNESS gate records at most 50 rows, so
+#: the rest live here; tests/test_oracle_parity.py runs the union, so
+#: every query still gets the strict Spark-vs-DuckDB value + dtype
+#: check each round.
+EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str],
+                                         DataFrame], str | None]] = {
+    name: t for name, t in _ALL_QUERIES.items() if name not in REGISTRY
 }
 
 
