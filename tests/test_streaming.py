@@ -1380,7 +1380,9 @@ def test_incremental_dedup_in_band_deletes(spark, tmp_path):
     assert 51 in got and 60 in got and 50 not in got, got
 
 
-def test_incremental_store_model_based_random_ops(spark, tmp_path):
+@pytest.mark.parametrize("proto", ["versioned", "actionlog"])
+def test_incremental_store_model_based_random_ops(spark, tmp_path,
+                                                  proto):
     """Model check for the r9 store: a seeded random interleaving of
     ingest / delete / compact ops against a bare _IndexStore must
     match a dict-based reference model at EVERY step — probe(own) =
@@ -1388,15 +1390,23 @@ def test_incremental_store_model_based_random_ops(spark, tmp_path):
     batch >= the row's ingest batch. Compaction (folds, merges,
     tombstone purges, sweeps, pointer versioning) must be INVISIBLE
     to probes; this drives all of them in combination, including
-    fold-with-pending-tombstones and post-merge re-ingest."""
+    fold-with-pending-tombstones and post-merge re-ingest.
+
+    Parametrized over BOTH pointer protocols (VERDICT r9 #3): the
+    same matrix must hold under the default versioned pointer and the
+    Delta-log-emulating action log — proving the commit protocol is
+    the only format-specific piece of the store."""
     import random
 
     from wp_etl_migration_spark.streaming.incremental import (
-        _IndexStore)
+        ActionLogPointer, VersionedPointer, _IndexStore)
+    protocol = (VersionedPointer() if proto == "versioned"
+                else ActionLogPointer(checkpoint_every=3))
     rng = random.Random(20260815)
     store = _IndexStore(spark, str(tmp_path / "idx"),
                         "doc_id long, key string", "key",
-                        num_subs=8, rows_per_sub=2, max_runs=2)
+                        num_subs=8, rows_per_sub=2, max_runs=2,
+                        pointer_protocol=protocol)
 
     model_rows = []     # (id, key, batch)
     model_tombs = []    # (id, tbatch)
@@ -1654,3 +1664,114 @@ def test_purge_corpus_crash_recovery(spark, tmp_path):
     assert raw.where(F.col("doc_id") == 1).count() == 0
     assert not os.path.exists(f"{store}/corpus_purge_trash")
     assert not os.path.exists(f"{store}/corpus_purge_staging")
+
+
+def test_action_log_pointer_protocol(spark, tmp_path):
+    """The Delta-log-emulating protocol in isolation: commits write
+    numbered action files (diffs between states, snapshot every
+    checkpoint_every-th), read folds them in order, a torn newest
+    file degrades to the previous commit, a diff the fold cannot
+    reproduce falls back to a snapshot action, and sweep retains
+    everything back to the second-newest snapshot."""
+    import json as _json
+    import os
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        ActionLogPointer)
+    base = str(tmp_path / "base")
+    p = ActionLogPointer(checkpoint_every=4)
+    assert p.read(spark, base) is None
+
+    s0 = {"folded_up_to": 0, "runs": [{"gen": 0, "num_subs": 2}],
+          "tomb_gen": None}
+    p.commit(spark, base, s0)                 # v0: first => snapshot
+    assert p.read(spark, base) == s0
+    a0 = _json.loads(open(
+        os.path.join(base, "_log", f"{0:020d}.json")).read())
+    assert a0 == [{"snapshot": s0}]
+
+    s1 = {"folded_up_to": 3,
+          "runs": [{"gen": 0, "num_subs": 2}, {"gen": 1, "num_subs": 1}],
+          "tomb_gen": 0}
+    p.commit(spark, base, s1)                 # v1: pure diff
+    assert p.read(spark, base) == s1
+    a1 = _json.loads(open(
+        os.path.join(base, "_log", f"{1:020d}.json")).read())
+    assert {"add_run": {"gen": 1, "num_subs": 1}} in a1
+    assert not any("snapshot" in a for a in a1)
+
+    s2 = {"folded_up_to": 5, "runs": [{"gen": 2, "num_subs": 4}],
+          "tomb_gen": None}                   # the merge = OPTIMIZE
+    p.commit(spark, base, s2)                 # v2: removes + add
+    assert p.read(spark, base) == s2
+    a2 = _json.loads(open(
+        os.path.join(base, "_log", f"{2:020d}.json")).read())
+    assert {"remove_run": 0} in a2 and {"remove_run": 1} in a2
+
+    # a run-list ORDER change a diff cannot express => snapshot
+    s3 = {"folded_up_to": 6,
+          "runs": [{"gen": 3, "num_subs": 1}, {"gen": 2, "num_subs": 4}],
+          "tomb_gen": None}
+    p.commit(spark, base, s3)                 # v3
+    assert p.read(spark, base) == s3
+    a3 = _json.loads(open(
+        os.path.join(base, "_log", f"{3:020d}.json")).read())
+    assert any("snapshot" in a for a in a3)
+
+    # torn newest file (crashed commit): read degrades to s3
+    with open(os.path.join(base, "_log", f"{4:020d}.json"), "w") as fh:
+        fh.write('[{"snapshot": {"folded_up')
+    assert p.read(spark, base) == s3
+
+    s4 = dict(s3, folded_up_to=9)
+    # the torn v4 occupies the version number; the next commit must
+    # land past it, not overwrite it silently -- emulate by removing
+    # the garbage the way a real recovery would and recommitting
+    os.remove(os.path.join(base, "_log", f"{4:020d}.json"))
+    p.commit(spark, base, s4)                 # v4 again, checkpoint
+    a4 = _json.loads(open(
+        os.path.join(base, "_log", f"{4:020d}.json")).read())
+    assert any("snapshot" in a for a in a4)   # every 4th = checkpoint
+    assert p.read(spark, base) == s4
+
+    # sweep: keeps back to the SECOND-newest snapshot (v0 is older)
+    p.sweep(spark, base)
+    names = sorted(os.listdir(os.path.join(base, "_log")))
+    assert f"{0:020d}.json" not in names      # before 2nd-newest snap
+    assert f"{3:020d}.json" in names and f"{4:020d}.json" in names
+    assert p.read(spark, base) == s4
+
+
+def test_incremental_dedup_on_action_log(spark, tmp_path):
+    """IncrementalDedup end-to-end (ingest -> dedup -> delete ->
+    compact -> re-ingest) on the ActionLogPointer backend: results
+    identical to the default protocol, and the base dirs carry a
+    _log/ commit directory instead of _CURRENT.v files."""
+    import os
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        ActionLogPointer, IncrementalDedup)
+    store = str(tmp_path / "s")
+    loop = IncrementalDedup(
+        spark, store, "doc_id", "text", num_subs=8, rows_per_sub=1,
+        max_runs=1, auto_compact_tail=None,
+        pointer_protocol=ActionLogPointer(checkpoint_every=3))
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    loop.process_batch(spark.createDataFrame(
+        [(1, t1), (2, "one two three four five six seven")],
+        ["doc_id", "text"]), 0)
+    loop.process_batch(spark.createDataFrame(
+        [(10, t1)], ["doc_id", "text"]), 1)     # exact dup drops
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [1, 2]
+    loop.delete([1], 2)
+    loop.process_batch(spark.createDataFrame(
+        [(20, t1)], ["doc_id", "text"]), 3)     # re-admitted
+    loop.compact(3)
+    assert {r.doc_id for r in
+            loop._digest_store.probe(99).collect()} == {2, 20}
+    ptr = loop._digest_store.pointer()
+    assert ptr["folded_up_to"] == 3
+    assert os.path.isdir(os.path.join(store, "digests_base", "_log"))
+    assert not [n for n in os.listdir(
+        os.path.join(store, "digests_base"))
+        if n.startswith("_CURRENT")]

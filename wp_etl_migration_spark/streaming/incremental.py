@@ -210,6 +210,247 @@ def _delete(spark: SparkSession, uri: str) -> None:
         fs.delete(jpath, True)
 
 
+class PointerProtocol:
+    """The commit protocol behind a store's base state — the piece a
+    transactional table format (Delta, Iceberg) provides natively.
+    BASELINE.md §r8 claims the store layout "maps 1:1 onto
+    Delta/Iceberg (runs = files, pointer = log, merge = OPTIMIZE)";
+    this interface is that claim as code (VERDICT r9 #3): the runs are
+    already immutable generation dirs (= data files), the ONLY
+    format-specific piece is how the base state commits, and the store
+    test matrix passes under both shipped protocols. A deployment on a
+    real transactional format implements these three methods with the
+    format's own commit primitive and changes nothing else.
+
+    Contract (single writer, serialized with the batch body):
+
+    - ``read`` returns the last COMMITTED state or None; a commit that
+      crashed mid-write must degrade to the previous state, never
+      raise or return torn bytes;
+    - ``commit`` atomically publishes ``ptr`` as the new state;
+    - ``sweep`` garbage-collects protocol files a racing reader can no
+      longer need (data-file GC is the store's own job)."""
+
+    def read(self, spark: SparkSession, base_root: str) -> dict | None:
+        raise NotImplementedError
+
+    def commit(self, spark: SparkSession, base_root: str,
+               ptr: dict) -> None:
+        raise NotImplementedError
+
+    def sweep(self, spark: SparkSession, base_root: str) -> None:
+        raise NotImplementedError
+
+
+class VersionedPointer(PointerProtocol):
+    """The default protocol (r9, ADVICE r8): each commit writes the
+    FULL state JSON to a tmp name and renames it to the next fresh
+    ``_CURRENT.v<N>`` (atomic on HDFS/local); readers take the highest
+    parseable version, so a torn newest file degrades to the previous
+    commit. In Delta terms every commit is a checkpoint."""
+
+    def _versions(self, spark, base_root: str) -> list[int]:
+        fs, jbase, _ = _hadoop_fs(spark, base_root)
+        if not fs.exists(jbase):
+            return []
+        out = []
+        for status in fs.listStatus(jbase):
+            name = status.getPath().getName()
+            if name.startswith("_CURRENT.v"):
+                try:
+                    out.append(int(name[len("_CURRENT.v"):]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def read(self, spark, base_root):
+        for v in sorted(self._versions(spark, base_root), reverse=True):
+            text = _read_text(
+                spark, os.path.join(base_root, f"_CURRENT.v{v}"))
+            if not text:
+                continue
+            try:
+                return json.loads(text)
+            except ValueError:
+                continue
+        return None
+
+    def commit(self, spark, base_root, ptr):
+        vs = self._versions(spark, base_root)
+        v = (vs[-1] + 1) if vs else 0
+        tmp = os.path.join(base_root, f"_CURRENT.tmp-{v}")
+        _write_text(spark, tmp, json.dumps(ptr))
+        dst = os.path.join(base_root, f"_CURRENT.v{v}")
+        if not _rename(spark, tmp, dst):
+            raise IOError(f"pointer commit rename failed: {dst}")
+
+    def sweep(self, spark, base_root):
+        """Stale versions (all but the newest TWO, so a racing
+        reader's listed choice outlives one full compaction cycle)
+        and leftover tmp files."""
+        fs, jbase, _ = _hadoop_fs(spark, base_root)
+        if not fs.exists(jbase):
+            return
+        keep = set(self._versions(spark, base_root)[-2:])
+        for status in fs.listStatus(jbase):
+            name = status.getPath().getName()
+            if name.startswith("_CURRENT.v"):
+                try:
+                    v = int(name[len("_CURRENT.v"):])
+                except ValueError:
+                    continue
+                if v not in keep:
+                    fs.delete(status.getPath(), True)
+            elif name.startswith("_CURRENT.tmp-"):
+                fs.delete(status.getPath(), True)
+
+
+class ActionLogPointer(PointerProtocol):
+    """Delta-log-emulating protocol: commits are numbered JSON files
+    ``_log/<%020d>.json`` each holding a list of ACTIONS —
+    ``add_run`` / ``remove_run`` / ``set`` (scalars) / ``snapshot``
+    (a full-state checkpoint) — and the state is the in-order FOLD of
+    the actions since the latest snapshot, exactly Delta's
+    add/remove-file log with periodic checkpoints (runs = files,
+    commit diff = AddFile/RemoveFile actions, the full merge =
+    OPTIMIZE: remove every old run, add one). Every
+    ``checkpoint_every``-th commit is a snapshot so the fold — and
+    the log the sweep must retain — stays bounded.
+
+    Commit computes the action diff old→new and VERIFIES the fold of
+    (old state + diff) reproduces the new state bit-for-bit, falling
+    back to a snapshot action when it cannot (e.g. a run-list
+    reordering a diff can't express) — correctness never depends on
+    the diff heuristic. Same crash contract as VersionedPointer:
+    tmp+rename per log file; a torn newest file is ignored."""
+
+    def __init__(self, checkpoint_every: int = 10):
+        self.checkpoint_every = int(checkpoint_every)
+
+    def _log_dir(self, base_root: str) -> str:
+        return os.path.join(base_root, "_log")
+
+    def _versions(self, spark, base_root: str) -> list[int]:
+        fs, jlog, _ = _hadoop_fs(spark, self._log_dir(base_root))
+        if not fs.exists(jlog):
+            return []
+        out = []
+        for status in fs.listStatus(jlog):
+            name = status.getPath().getName()
+            if name.endswith(".json") and not name.startswith("tmp-"):
+                try:
+                    out.append(int(name[:-len(".json")]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _read_actions(self, spark, base_root: str,
+                      v: int) -> list | None:
+        text = _read_text(spark, os.path.join(
+            self._log_dir(base_root), f"{v:020d}.json"))
+        if not text:
+            return None
+        try:
+            acts = json.loads(text)
+            return acts if isinstance(acts, list) else None
+        except ValueError:
+            return None
+
+    @staticmethod
+    def _fold(state: dict | None, actions: list) -> dict | None:
+        for act in actions:
+            if "snapshot" in act:
+                state = (None if act["snapshot"] is None
+                         else dict(act["snapshot"]))
+                continue
+            if state is None:
+                state = {"folded_up_to": -1, "runs": [],
+                         "tomb_gen": None}
+            if "add_run" in act:
+                state["runs"] = list(state["runs"]) + [act["add_run"]]
+            elif "remove_run" in act:
+                state["runs"] = [r for r in state["runs"]
+                                 if int(r["gen"]) != int(act["remove_run"])]
+            elif "set" in act:
+                state = {**state, **act["set"]}
+        return state
+
+    def read(self, spark, base_root):
+        vs = self._versions(spark, base_root)
+        # a torn/unparseable file can only be the newest (single
+        # writer, tmp+rename) — drop it and degrade
+        parsed: list[tuple[int, list]] = []
+        for v in vs:
+            acts = self._read_actions(spark, base_root, v)
+            if acts is not None:
+                parsed.append((v, acts))
+        if parsed and parsed[-1][0] != vs[-1]:
+            pass  # torn newest already excluded by parse failure
+        # fold from the latest snapshot commit
+        start = 0
+        for i in range(len(parsed) - 1, -1, -1):
+            if any("snapshot" in a for a in parsed[i][1]):
+                start = i
+                break
+        state: dict | None = None
+        for _, acts in parsed[start:]:
+            state = self._fold(state, acts)
+        return state
+
+    def commit(self, spark, base_root, ptr):
+        vs = self._versions(spark, base_root)
+        v = (vs[-1] + 1) if vs else 0
+        old = self.read(spark, base_root)
+        if old is None or v % self.checkpoint_every == 0:
+            actions: list = [{"snapshot": ptr}]
+        else:
+            old_gens = {int(r["gen"]): r for r in old["runs"]}
+            new_gens = {int(r["gen"]): r for r in ptr["runs"]}
+            actions = [{"remove_run": g} for g in old_gens
+                       if g not in new_gens]
+            actions += [{"add_run": r} for g, r in new_gens.items()
+                        if g not in old_gens]
+            scalars = {k: val for k, val in ptr.items() if k != "runs"}
+            actions.append({"set": scalars})
+            if self._fold(dict(old, runs=list(old["runs"])),
+                          actions) != ptr:
+                actions = [{"snapshot": ptr}]     # diff can't express it
+        log_dir = self._log_dir(base_root)
+        fs, jlog, _ = _hadoop_fs(spark, log_dir)
+        fs.mkdirs(jlog)
+        tmp = os.path.join(log_dir, f"tmp-{v:020d}.json")
+        _write_text(spark, tmp, json.dumps(actions))
+        dst = os.path.join(log_dir, f"{v:020d}.json")
+        if not _rename(spark, tmp, dst):
+            raise IOError(f"log commit rename failed: {dst}")
+
+    def sweep(self, spark, base_root):
+        """Drop log files older than the SECOND-newest snapshot (the
+        newest-two retention of VersionedPointer, applied to
+        checkpoint boundaries) and leftover tmp files."""
+        fs, jlog, _ = _hadoop_fs(spark, self._log_dir(base_root))
+        if not fs.exists(jlog):
+            return
+        snaps = []
+        for v in self._versions(spark, base_root):
+            acts = self._read_actions(spark, base_root, v)
+            if acts is not None and any("snapshot" in a for a in acts):
+                snaps.append(v)
+        floor = snaps[-2] if len(snaps) >= 2 else (
+            snaps[-1] if snaps else None)
+        for status in fs.listStatus(jlog):
+            name = status.getPath().getName()
+            if name.startswith("tmp-"):
+                fs.delete(status.getPath(), True)
+            elif name.endswith(".json") and floor is not None:
+                try:
+                    v = int(name[:-len(".json")])
+                except ValueError:
+                    continue
+                if v < floor:
+                    fs.delete(status.getPath(), True)
+
+
 class _IndexStore:
     """One probe-able incremental index: per-batch tail partitions
     plus a LEVELED list of compacted sub-bucketed runs, plus an
@@ -224,7 +465,8 @@ class _IndexStore:
 
     def __init__(self, spark: SparkSession, root: str, columns: str,
                  key_col: str, num_subs: int,
-                 rows_per_sub: int = 1_000_000, max_runs: int = 4):
+                 rows_per_sub: int = 1_000_000, max_runs: int = 4,
+                 pointer_protocol: PointerProtocol | None = None):
         self.spark = spark
         self.root = root
         self.columns = columns
@@ -233,6 +475,7 @@ class _IndexStore:
         self.num_subs = int(num_subs)          # per-run sub cap
         self.rows_per_sub = int(rows_per_sub)  # adaptive target
         self.max_runs = int(max_runs)
+        self._proto = pointer_protocol or VersionedPointer()
 
     # -- sub bucketing ---------------------------------------------------
     def sub(self, col, num_subs: int) -> Column:
@@ -254,52 +497,19 @@ class _IndexStore:
     def _tombs_root(self) -> str:
         return self.root + "_tombs"
 
-    def _pointer_versions(self) -> list[int]:
-        fs, jbase, _ = _hadoop_fs(self.spark, self._base_root)
-        if not fs.exists(jbase):
-            return []
-        out = []
-        for status in fs.listStatus(jbase):
-            name = status.getPath().getName()
-            if name.startswith("_CURRENT.v"):
-                try:
-                    out.append(int(name[len("_CURRENT.v"):]))
-                except ValueError:
-                    pass
-        return sorted(out)
-
     def pointer(self) -> dict | None:
         """``{"folded_up_to": W, "runs": [{"gen": K, "num_subs": M},
         ...], "tomb_gen": G|None}`` — the committed base state, or
-        None before the first compaction. Reads the highest PARSEABLE
-        ``_CURRENT.v<N>``: an empty or truncated newest version (a
-        commit that crashed mid-write on an FS without atomic rename)
-        degrades to the previous committed state instead of raising."""
-        for v in sorted(self._pointer_versions(), reverse=True):
-            text = _read_text(
-                self.spark,
-                os.path.join(self._base_root, f"_CURRENT.v{v}"))
-            if not text:
-                continue
-            try:
-                return json.loads(text)
-            except ValueError:
-                continue
-        return None
+        None before the first compaction, read through the store's
+        :class:`PointerProtocol` (default :class:`VersionedPointer`;
+        a crashed commit degrades to the previous committed state
+        instead of raising under every protocol)."""
+        return self._proto.read(self.spark, self._base_root)
 
     def _write_pointer(self, ptr: dict) -> None:
-        """Atomic pointer commit (ADVICE r8): write the JSON to a tmp
-        name, then rename to the next fresh ``_CURRENT.v<N>`` —
-        readers see the previous version or the complete new one,
-        never truncated bytes. Single-writer by the compact
-        contract."""
-        vs = self._pointer_versions()
-        v = (vs[-1] + 1) if vs else 0
-        tmp = os.path.join(self._base_root, f"_CURRENT.tmp-{v}")
-        _write_text(self.spark, tmp, json.dumps(ptr))
-        dst = os.path.join(self._base_root, f"_CURRENT.v{v}")
-        if not _rename(self.spark, tmp, dst):
-            raise IOError(f"pointer commit rename failed: {dst}")
+        """Atomic pointer commit through the protocol (single-writer
+        by the compact contract)."""
+        self._proto.commit(self.spark, self._base_root, ptr)
 
     def runs(self) -> list[dict]:
         ptr = self.pointer()
@@ -592,10 +802,10 @@ class _IndexStore:
     def _sweep(self, up_to: int, keep_gens: set[int],
                tomb_keep_gen: int | None) -> None:
         """Delete folded tail partitions (batch_id <= up_to), base and
-        tombstone generation dirs the pointer no longer lists, stale
-        pointer versions (the newest TWO are kept so a racing reader's
-        listed choice outlives one full compaction cycle), and
-        leftover pointer tmp files."""
+        tombstone generation dirs the pointer no longer lists, and —
+        via the protocol's own ``sweep`` — stale pointer/log files
+        (each protocol keeps enough history that a racing reader's
+        listed choice outlives one full compaction cycle)."""
         fs, jroot, _ = _hadoop_fs(self.spark, self.root)
         if fs.exists(jroot):
             for status in fs.listStatus(jroot):
@@ -629,7 +839,6 @@ class _IndexStore:
                 fs.delete(jtombs, True)
         fs, jbase, _ = _hadoop_fs(self.spark, self._base_root)
         if fs.exists(jbase):
-            keep_versions = set(self._pointer_versions()[-2:])
             for status in fs.listStatus(jbase):
                 name = status.getPath().getName()
                 if name.startswith("gen-"):
@@ -646,15 +855,7 @@ class _IndexStore:
                         continue
                     if tomb_keep_gen is None or gen != int(tomb_keep_gen):
                         fs.delete(status.getPath(), True)
-                elif name.startswith("_CURRENT.v"):
-                    try:
-                        v = int(name[len("_CURRENT.v"):])
-                    except ValueError:
-                        continue
-                    if v not in keep_versions:
-                        fs.delete(status.getPath(), True)
-                elif name.startswith("_CURRENT.tmp-"):
-                    fs.delete(status.getPath(), True)
+            self._proto.sweep(self.spark, self._base_root)
 
 
 def _ids_frame(spark: SparkSession, ids, id_col: str) -> DataFrame:
@@ -690,7 +891,8 @@ class IncrementalDedup:
                  max_bucket: int | None = None,
                  num_subs: int = 256,
                  rows_per_sub: int = 1_000_000, max_runs: int = 4,
-                 auto_compact_tail: int | None = 8):
+                 auto_compact_tail: int | None = 8,
+                 pointer_protocol: PointerProtocol | None = None):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.text_col = id_col, text_col
@@ -701,6 +903,7 @@ class IncrementalDedup:
         self.rows_per_sub = int(rows_per_sub)
         self.max_runs = int(max_runs)
         self.auto_compact_tail = auto_compact_tail
+        self.pointer_protocol = pointer_protocol
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
@@ -710,7 +913,8 @@ class IncrementalDedup:
         return _IndexStore(self.spark, self._path("digests"),
                            f"{self.id_col} long, digest string",
                            "digest", self.num_subs,
-                           self.rows_per_sub, self.max_runs)
+                           self.rows_per_sub, self.max_runs,
+                           pointer_protocol=self.pointer_protocol)
 
     @property
     def _band_store(self) -> _IndexStore:
@@ -718,7 +922,7 @@ class IncrementalDedup:
             self.spark, self._path("bands"),
             f"{self.id_col} long, band int, band_hash string",
             "band_hash", self.num_subs, self.rows_per_sub,
-            self.max_runs)
+            self.max_runs, pointer_protocol=self.pointer_protocol)
 
     def compact(self, up_to: int, _note: dict | None = None) -> None:
         """Fold both index tails through ``up_to`` into their bases.
@@ -1135,7 +1339,8 @@ class IncrementalAnnIndex:
                  rows_per_sub: int = 1_000_000, n_probes: int = 1,
                  max_runs: int = 4,
                  auto_compact_tail: int | None = 8,
-                 tables: int = 1, bits: int = 8):
+                 tables: int = 1, bits: int = 8,
+                 pointer_protocol: PointerProtocol | None = None):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
@@ -1145,6 +1350,7 @@ class IncrementalAnnIndex:
         self.n_probes = int(n_probes)
         self.max_runs = int(max_runs)
         self.auto_compact_tail = auto_compact_tail
+        self.pointer_protocol = pointer_protocol
         #: tables > 1 stores T independent plane sets side by side
         #: (``planes`` becomes a list of T sets; the stored rows gain
         #: a ``table`` column) — the ROUTING recall lever for
@@ -1169,7 +1375,7 @@ class IncrementalAnnIndex:
             f"{self.id_col} long, {table_col}bucket string, "
             "qvec array<int>, scale double",
             "bucket", self.num_subs, self.rows_per_sub,
-            self.max_runs)
+            self.max_runs, pointer_protocol=self.pointer_protocol)
 
     def compact(self, up_to: int, _note: dict | None = None) -> None:
         """Fold the ann tail through ``up_to`` into its base. Only
