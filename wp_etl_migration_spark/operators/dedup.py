@@ -113,6 +113,12 @@ def cross_corpus_exact_dedup(new_df: DataFrame, corpus_df: DataFrame,
     (parquet of one column) substitutes for re-reading corpus text:
     pass it as ``corpus_df`` with ``corpus_digest_col`` naming the
     already-computed digest column.
+
+    Takedowns against a STORED index: mask deleted ids with
+    :func:`tombstone_index` before passing it here (a re-crawl of the
+    deleted content is then re-admitted), and physically rewrite the
+    table with :func:`purge_index` — the batch twin of the streaming
+    stores' tombstone contract.
     """
     digest = content_digest(content_cols)
     corpus_digests = (
@@ -344,6 +350,13 @@ def incremental_lsh_pairs(new_df: DataFrame, corpus_bands: DataFrame,
     caller that already materialized it — e.g. the incremental store,
     which collects the batch's sub-bucket set from it for probe
     pruning — doesn't pay the shingle+signature pass twice.
+
+    Takedowns against a STORED band index: mask deleted ids with
+    :func:`tombstone_index` before passing ``corpus_bands`` (deleted
+    docs stop producing candidates, so re-crawled copies are
+    re-admitted), and physically rewrite the table with
+    :func:`purge_index` — the batch twin of the streaming stores'
+    tombstone contract.
     """
     new_bands = (_bands if _bands is not None
                  else lsh_bands(new_df, id_col, text_col, n,
@@ -560,3 +573,45 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str,
                     (F.col("n_lines")
                      - F.coalesce("__n_kept", F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+def tombstone_index(index: DataFrame, ids, id_col: str) -> DataFrame:
+    """Mask a takedown id set out of a stored batch-mode index
+    (VERDICT r9 #7) — the digest table :func:`cross_corpus_exact_dedup`
+    probes or the band table :func:`incremental_lsh_pairs` joins.
+
+    The streaming stores (:mod:`..streaming.incremental`) carry their
+    own tombstone lifecycle; the BATCH indexes are plain stored tables,
+    so their delete story is this pair: pass the index through
+    ``tombstone_index`` before every probe (deleted content stops
+    matching immediately, so a re-ingest of it is re-admitted —
+    identical semantics to the streaming stores), and physically
+    rewrite the stored table with :func:`purge_index` on the
+    deployment's compliance schedule.
+
+    ``ids`` is a one-column DataFrame or a plain id list. Scale: one
+    broadcast anti-join (takedown sets are delete-bounded — the same
+    premise as the streaming stores' ``_anti_tombs``); the index never
+    shuffles."""
+    spark = index.sparkSession
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids],
+                                    f"{id_col} long")
+    tombs = (ids.selectExpr(f"cast({ids.columns[0]} as long) "
+                            f"as __tomb_id").distinct())
+    return index.join(F.broadcast(tombs),
+                      F.col(id_col) == F.col("__tomb_id"), "left_anti")
+
+
+def purge_index(spark, path: str, ids, id_col: str,
+                fmt: str = "parquet") -> None:
+    """Physically rewrite a stored batch-mode index minus a takedown
+    id set — the bytes-gone half of :func:`tombstone_index`, composed
+    from the janitor's staging-swap rewrite (``plans/janitor.py``
+    ``rewrite_dataset``: survivors land in a staging dir first, then
+    overwrite the live path, so a crash mid-rewrite leaves a complete
+    staging copy rather than a half-written index)."""
+    from wp_etl_migration_spark.plans.janitor import rewrite_dataset
+    index = spark.read.format(fmt).load(path)
+    rewrite_dataset(spark, path, tombstone_index(index, ids, id_col),
+                    fmt=fmt)
