@@ -765,3 +765,35 @@ def test_plane_tables_validation(spark):
     # wrong set count for tables
     with _pytest.raises(ValueError, match="tables=3"):
         _plane_tables([[[1.0]], [[1.0]]], 3)
+
+
+def test_api_md_current():
+    """API.md is generated (tools/gen_api.py) and committed; this
+    regenerates it in memory and compares byte-for-byte, so the
+    reference can never drift from the code — and every public
+    top-level symbol of every module must appear (VERDICT r9 #8)."""
+    import ast
+    import importlib.util
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_api", os.path.join(repo, "tools", "gen_api.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    want = gen.render()
+    with open(os.path.join(repo, "API.md")) as fh:
+        got = fh.read()
+    assert got == want, (
+        "API.md is stale — run `python tools/gen_api.py` and commit")
+
+    # completeness: every public top-level symbol appears
+    for path in gen.module_files():
+        with open(path) as fh:
+            tree = ast.parse(fh.read())
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)) \
+                    and not node.name.startswith("_"):
+                assert f"`{node.name}" in want, (
+                    f"{path}: public symbol {node.name} missing "
+                    "from API.md")

@@ -27,6 +27,9 @@ def _split(s: str | None) -> list[str] | None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """CLI dispatcher: process / extract / transform / config /
+    janitor subcommands (≙ the reference's `wp etl` command family,
+    SURVEY §3)."""
     ap = argparse.ArgumentParser(prog="wp_etl_migration_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

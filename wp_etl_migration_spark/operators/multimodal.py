@@ -113,6 +113,10 @@ def encode_bmp(width: int, height: int, bpp: int = 24) -> bytes:
 
 
 def decode_bmp(data: bytes) -> dict:
+    """Parse a BMP header to typed metadata (format/width/height/bpp)
+    — the deterministic stand-in decode for the image-bytes column
+    family (container ships no image libs; the Spark-side plumbing is
+    real)."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     width, height = struct.unpack_from("<ii", data, 18)
@@ -135,6 +139,8 @@ def encode_wav(channels: int, sample_rate: int, n_samples: int,
 
 
 def decode_wav(data: bytes) -> dict:
+    """Parse RIFF/WAVE chunks to typed audio metadata (channels, rate,
+    duration) — the audio twin of :func:`decode_bmp`."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, fmt, data_size = 12, None, None

@@ -70,6 +70,8 @@ def url_scheme(col: Column | str) -> Column:
 
 
 def url_hostport(col: Column | str) -> Column:
+    """Lower-cased host INCLUDING any explicit port (→ :func:`url_host`
+    strips it)."""
     return F.lower(F.regexp_extract(_c(col), HOSTPORT_RE, 1))
 
 

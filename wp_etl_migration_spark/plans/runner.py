@@ -66,6 +66,8 @@ class TransformPipeline:
 
 
 def register_pipeline(name: str):
+    """Class decorator: register a TransformPipeline under a config
+    name (the plugin hook YAML plans resolve pipelines through)."""
     def deco(cls: type[TransformPipeline]) -> type[TransformPipeline]:
         _PIPELINES[name] = cls
         return cls
@@ -73,6 +75,8 @@ def register_pipeline(name: str):
 
 
 def register_transform(name: str):
+    """Decorator: register a row/frame transform for YAML plans — the
+    F12 simple_transformer plugin hook."""
     def deco(fn: Transform) -> Transform:
         _TRANSFORMS[name] = fn
         return fn
@@ -80,6 +84,8 @@ def register_transform(name: str):
 
 
 def register_loader(name: str):
+    """Decorator: register a custom loader (sink) for YAML plans — the
+    L14 custom-loader plugin hook."""
     def deco(fn: Loader) -> Loader:
         _LOADERS[name] = fn
         return fn

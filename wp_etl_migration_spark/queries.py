@@ -4389,9 +4389,13 @@ EXTRA_REGISTRY: dict[str, tuple[Callable[[SparkSession, str],
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-contract view of REGISTRY: name → (spark, sf_dir) →
+    DataFrame."""
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    """The matching DuckDB oracle SQL per driver query (identical
+    column aliases — the hash-compare contract)."""
     return {name: sql for name, (_, sql) in REGISTRY.items()
             if sql is not None}
