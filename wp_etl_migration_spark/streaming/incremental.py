@@ -378,14 +378,13 @@ class ActionLogPointer(PointerProtocol):
     def read(self, spark, base_root):
         vs = self._versions(spark, base_root)
         # a torn/unparseable file can only be the newest (single
-        # writer, tmp+rename) — drop it and degrade
+        # writer, tmp+rename) — the parse filter drops it, degrading
+        # to the previous commit
         parsed: list[tuple[int, list]] = []
         for v in vs:
             acts = self._read_actions(spark, base_root, v)
             if acts is not None:
                 parsed.append((v, acts))
-        if parsed and parsed[-1][0] != vs[-1]:
-            pass  # torn newest already excluded by parse failure
         # fold from the latest snapshot commit
         start = 0
         for i in range(len(parsed) - 1, -1, -1):
