@@ -95,6 +95,14 @@ def main() -> int:
     print(f"re-ingested 990001 at batch 8: "
           f"corpus={loop.corpus().count()} (re-admitted — its "
           "tombstone scopes to batches <= 7)")
+    # physical purge: the deleted copy's BYTES leave the corpus store
+    # (the re-ingested batch-8 copy is out of the tombstone's scope
+    # and survives the rewrite untouched)
+    purged = loop.purge_corpus()
+    print(f"purge_corpus: rewrote {purged['partitions_rewritten']} "
+          f"partition(s), {purged['rows_purged']} row(s) gone from "
+          f"disk, {purged['tombs_retired']} tombstone record(s) "
+          f"retired; corpus={loop.corpus().count()} (unchanged)")
 
     # --- embedding twin: each batch scored against all earlier ones ---
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")) \

@@ -44,4 +44,6 @@ def test_continuous_dedup_loop_example(tmp_path):
     assert "auto-compacted@" in out    # folded by the default policy
     assert "deleted [990001]" in out   # takedown demo ran
     assert "(re-admitted" in out       # and the re-ingest was admitted
+    assert "purge_corpus: rewrote 1 partition(s), 1 row(s)" in out
+    assert "(unchanged)" in out        # purge is storage-only
     assert "ann matches:" in out
