@@ -1775,3 +1775,46 @@ def test_incremental_dedup_on_action_log(spark, tmp_path):
     assert not [n for n in os.listdir(
         os.path.join(store, "digests_base"))
         if n.startswith("_CURRENT")]
+
+
+def test_ann_purge_matches(spark, tmp_path):
+    """purge_matches (r10): a takedown id disappears from the
+    append-only matches feed on BOTH sides, surviving feed rows and
+    untouched partitions are intact, and a second call is a no-op.
+    The embedding twin of purge_corpus."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
+    store = str(tmp_path / "store")
+    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
+                              k=2, num_subs=8, rows_per_sub=1,
+                              auto_compact_tail=None)
+    idx.process_batch(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 0)
+    # batch 1: 10 matches 1 (query side keeps 10, neighbor side = 1)
+    idx.process_batch(spark.createDataFrame(
+        [(10, [0.95, 0.05, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 1)
+    # batch 2: 20 matches 2 only — partition must NOT be rewritten
+    idx.process_batch(spark.createDataFrame(
+        [(20, [0.05, 0.95, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 2)
+    feed = spark.read.parquet(f"{store}/matches")
+    assert feed.where("query_id = 1 or neighbor_id = 1").count() > 0
+    import os
+    mtime2 = os.path.getmtime(f"{store}/matches/batch_id=2")
+
+    res = idx.purge_matches([1])
+    assert res["partitions_rewritten"] >= 1
+    assert res["rows_purged"] >= 1
+    feed2 = spark.read.parquet(f"{store}/matches")
+    assert feed2.where("query_id = 1 or neighbor_id = 1").count() == 0
+    # the id-2 matches survive, and batch 2's partition was untouched
+    assert feed2.where("neighbor_id = 2").count() > 0
+    assert os.path.getmtime(f"{store}/matches/batch_id=2") == mtime2
+    assert not os.path.exists(f"{store}/matches_purge_trash")
+    assert not os.path.exists(f"{store}/matches_purge_staging")
+    # idempotent
+    assert idx.purge_matches([1]) == {"partitions_rewritten": 0,
+                                      "rows_purged": 0}

@@ -210,6 +210,60 @@ def _delete(spark: SparkSession, uri: str) -> None:
         fs.delete(jpath, True)
 
 
+def _recover_swaps(spark: SparkSession, live_root: str,
+                   stag_root: str, trash_root: str) -> None:
+    """Finish or roll back partition swaps a crashed purge left
+    behind (shared by the corpus and matches-feed purges). Invariants
+    the swap protocol guarantees: a trash entry exists only after its
+    staging write completed OR its swap completed, so — trash + live
+    partition → the swap finished, drop the trash; trash + no
+    partition + complete staging → finish the swap; trash + no
+    partition + incomplete staging → roll the original back. Stale
+    staging dirs (no trash peer) are always safe to drop: the rewrite
+    re-derives them."""
+    fs, jtrash, jvm = _hadoop_fs(spark, trash_root)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(jtrash):
+        for st in fs.listStatus(jtrash):
+            name = st.getPath().getName()
+            part = f"{live_root}/{name}"
+            stag = f"{stag_root}/{name}"
+            if fs.exists(jpath(part)):
+                fs.delete(st.getPath(), True)
+            elif fs.exists(jpath(f"{stag}/_SUCCESS")):
+                _rename(spark, stag, part)
+                fs.delete(st.getPath(), True)
+            else:
+                _rename(spark, f"{trash_root}/{name}", part)
+    _delete(spark, stag_root)
+
+
+def _swap_partition(spark: SparkSession, survivors: DataFrame,
+                    part: str, stag: str, trash_root: str,
+                    trash: str) -> None:
+    """One crash-safe partition rewrite: survivors land in staging
+    (the write's ``_SUCCESS`` marker witnesses completeness), the
+    live partition renames to trash (atomic), staging renames into
+    place (atomic), trash deletes. Any crash position is healed by
+    :func:`_recover_swaps` on the next call."""
+    survivors.write.mode("overwrite").parquet(stag)
+    fs, _, jvm = _hadoop_fs(spark, stag)
+    jpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(jpath(f"{stag}/_SUCCESS")):
+        raise RuntimeError(
+            f"purge staging write for {part} left no _SUCCESS "
+            "marker; aborting before the swap")
+    # Hadoop rename needs the destination parent and reports failure
+    # as False — surface both loudly (a silent false would delete
+    # nothing and loop forever believing it had).
+    fs.mkdirs(jpath(trash_root))
+    if not _rename(spark, part, trash):
+        raise RuntimeError(f"purge: rename {part} -> trash failed")
+    if not _rename(spark, stag, part):
+        raise RuntimeError(f"purge: rename staging -> {part} failed")
+    _delete(spark, trash)
+
+
 class PointerProtocol:
     """The commit protocol behind a store's base state — the piece a
     transactional table format (Delta, Iceberg) provides natively.
@@ -989,32 +1043,11 @@ class IncrementalDedup:
 
     # -- physical corpus purge (VERDICT r9 #2) ---------------------------
     def _purge_recover(self) -> None:
-        """Finish or roll back any swap a crashed purge left behind.
-        Invariants the protocol guarantees: a trash entry exists only
-        after its staging write completed OR its swap completed, so —
-        trash + live partition → the swap finished, drop the trash;
-        trash + no partition + complete staging → finish the swap;
-        trash + no partition + incomplete staging → roll the original
-        partition back. Stale staging dirs (no trash peer) are always
-        safe to drop: the rewrite re-derives them."""
-        corpus_root = self._path("corpus")
-        stag_root = self._path("corpus_purge_staging")
-        trash_root = self._path("corpus_purge_trash")
-        fs, jtrash, jvm = _hadoop_fs(self.spark, trash_root)
-        jpath = jvm.org.apache.hadoop.fs.Path
-        if fs.exists(jtrash):
-            for st in fs.listStatus(jtrash):
-                name = st.getPath().getName()
-                part = f"{corpus_root}/{name}"
-                stag = f"{stag_root}/{name}"
-                if fs.exists(jpath(part)):
-                    fs.delete(st.getPath(), True)
-                elif fs.exists(jpath(f"{stag}/_SUCCESS")):
-                    _rename(self.spark, stag, part)
-                    fs.delete(st.getPath(), True)
-                else:
-                    _rename(self.spark, f"{trash_root}/{name}", part)
-        _delete(self.spark, stag_root)
+        """Crash-recovery sweep for :meth:`purge_corpus`
+        (:func:`_recover_swaps` over the corpus swap roots)."""
+        _recover_swaps(self.spark, self._path("corpus"),
+                       self._path("corpus_purge_staging"),
+                       self._path("corpus_purge_trash"))
 
     def purge_corpus(self) -> dict:
         """Physical takedown (VERDICT r9 #2): rewrite every corpus
@@ -1080,26 +1113,13 @@ class IncrementalDedup:
             trash = self._path(f"corpus_purge_trash/batch_id={p}")
             scoped = (tombs.where(F.col("__tomb_batch") >= p)
                       .select("__tomb_id").distinct())
-            (self.spark.read.parquet(part)
-             .join(F.broadcast(scoped),
-                   F.col(self.id_col) == F.col("__tomb_id"),
-                   "left_anti")
-             .write.mode("overwrite").parquet(stag))
-            if not fs.exists(jpath(f"{stag}/_SUCCESS")):
-                raise RuntimeError(
-                    f"purge staging write for batch_id={p} left no "
-                    "_SUCCESS marker; aborting before the swap")
-            # Hadoop rename needs the destination parent and reports
-            # failure as False — surface both loudly (a silent false
-            # would delete nothing and loop forever believing it had).
-            fs.mkdirs(jpath(self._path("corpus_purge_trash")))
-            if not _rename(self.spark, part, trash):
-                raise RuntimeError(f"purge: rename {part} -> trash "
-                                   "failed")
-            if not _rename(self.spark, stag, part):
-                raise RuntimeError(f"purge: rename staging -> {part} "
-                                   "failed")
-            _delete(self.spark, trash)
+            _swap_partition(
+                self.spark,
+                self.spark.read.parquet(part)
+                .join(F.broadcast(scoped),
+                      F.col(self.id_col) == F.col("__tomb_id"),
+                      "left_anti"),
+                part, stag, self._path("corpus_purge_trash"), trash)
             out["partitions_rewritten"] += 1
             out["rows_purged"] += int(row["n"])
         # every snapshotted tombstone is now fully applied (it targets
@@ -1388,9 +1408,70 @@ class IncrementalAnnIndex:
         batches stop matching them immediately; physical purge at
         compaction. A re-ingest of the id at a later batch is indexed
         and matchable again. Historical ``matches/`` feed rows are
-        not rewritten — consumers filter."""
+        not rewritten by this call — consumers filter until
+        :meth:`purge_matches` rewrites them on the compliance
+        schedule."""
         self._ann_store.delete(
             _ids_frame(self.spark, ids, self.id_col), batch_id)
+
+    def purge_matches(self, ids) -> dict:
+        """Physically rewrite every ``matches/`` feed partition that
+        references a deleted vector id on EITHER side (r10 — the
+        embedding twin of :meth:`IncrementalDedup.purge_corpus`):
+        index rows purge at compaction, but the match feed is
+        append-only history, so takedown compliance needs this
+        explicit rewrite. ``ids`` is the takedown id set (a one-column
+        frame or list — the caller owns it; index tombstones purge at
+        the full merge, so the store cannot reconstruct it).
+
+        Same crash-idempotent staging→trash→swap protocol as the
+        corpus purge (recovery sweep first; only hit partitions
+        rewritten; the id set broadcasts, the partition list is a
+        bounded driver collect; surviving rows are untouched).
+        Unscoped by design: the feed row (q, n, sim) REFERENCES the
+        deleted vector whichever batch wrote it — a re-ingested id's
+        future matches land in later partitions written after this
+        call. Returns ``{"partitions_rewritten", "rows_purged"}``."""
+        live = self._path("matches")
+        stag_root = self._path("matches_purge_staging")
+        trash_root = self._path("matches_purge_trash")
+        _recover_swaps(self.spark, live, stag_root, trash_root)
+        out = {"partitions_rewritten": 0, "rows_purged": 0}
+        fs, jlive, jvm = _hadoop_fs(self.spark, live)
+        if not fs.exists(jlive):
+            return out
+        tombs = (_ids_frame(self.spark, ids, self.id_col)
+                 .selectExpr(f"cast({self.id_col} as long) "
+                             "as __tomb_id").distinct())
+        feed = self.spark.read.parquet(live)
+        hit = (feed.join(F.broadcast(tombs),
+                         F.col("query_id") == F.col("__tomb_id"),
+                         "left_semi").select("batch_id")
+               .unionByName(
+                   feed.join(F.broadcast(tombs),
+                             F.col("neighbor_id") == F.col("__tomb_id"),
+                             "left_semi").select("batch_id"))
+               .distinct().collect())
+        for row in sorted(int(r["batch_id"]) for r in hit):
+            part = f"{live}/batch_id={row}"
+            stag = f"{stag_root}/batch_id={row}"
+            trash = f"{trash_root}/batch_id={row}"
+            pdf = self.spark.read.parquet(part)
+            n_before = pdf.count()
+            survivors = (pdf.join(F.broadcast(tombs),
+                                  F.col("query_id")
+                                  == F.col("__tomb_id"), "left_anti")
+                         .join(F.broadcast(tombs),
+                               F.col("neighbor_id")
+                               == F.col("__tomb_id"), "left_anti"))
+            _swap_partition(self.spark, survivors, part, stag,
+                            trash_root, trash)
+            out["partitions_rewritten"] += 1
+            out["rows_purged"] += n_before - self.spark.read \
+                .parquet(part).count()
+        _delete(self.spark, stag_root)
+        _delete(self.spark, trash_root)
+        return out
 
     def _maybe_auto_compact(self, batch_id: int) -> None:
         k = self.auto_compact_tail
