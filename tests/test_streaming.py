@@ -1818,3 +1818,67 @@ def test_ann_purge_matches(spark, tmp_path):
     # idempotent
     assert idx.purge_matches([1]) == {"partitions_rewritten": 0,
                                       "rows_purged": 0}
+
+
+def test_corpus_purge_lifecycle_model_based(spark, tmp_path):
+    """Model check for the takedown lifecycle (r10): a seeded random
+    interleaving of ingest / delete / purge_corpus / compact against
+    IncrementalDedup must match a dict model at every step —
+    corpus() = ingested rows minus scoped tombstones — and after
+    every purge the RAW corpus files must hold exactly the live rows
+    (masked bytes physically gone), with corpus() unchanged across
+    the purge."""
+    import random
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    rng = random.Random(20260815)
+    loop = IncrementalDedup(spark, str(tmp_path / "s"),
+                            "doc_id", "text", num_subs=8,
+                            rows_per_sub=1, max_runs=2,
+                            auto_compact_tail=None)
+    rows = []     # (id, ingest_batch)
+    tombs = []    # (id, tomb_batch)
+    next_id = 0
+
+    def live():
+        return {i for i, b in rows
+                if not any(i == ti and b <= tb for ti, tb in tombs)}
+
+    for batch in range(12):
+        op = rng.random()
+        if op < 0.5 or not live():
+            docs = []
+            for _ in range(rng.randint(1, 3)):
+                did = next_id
+                next_id += 1
+                docs.append((did, f"doc {did} unique words "
+                                  f"{'x' * (did % 5 + 1)} {did * 7}"))
+                rows.append((did, batch))
+            loop.process_batch(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                batch)
+        elif op < 0.75:
+            victims = rng.sample(sorted(live()),
+                                 min(len(live()), rng.randint(1, 2)))
+            loop.delete(victims, batch)
+            tombs.extend((v, batch) for v in victims)
+        elif op < 0.9:
+            before = live()
+            loop.purge_corpus()
+            # purge is storage-only: the view is unchanged, the
+            # masked rows are physically gone, tombstones retire
+            raw = {r.doc_id for r in spark.read.parquet(
+                str(tmp_path / "s" / "corpus")).collect()}
+            assert raw == before
+            rows[:] = [(i, b) for i, b in rows if i in before]
+            tombs.clear()
+        else:
+            loop.compact(batch - 1)
+        got = {r.doc_id for r in loop.corpus().collect()}
+        assert got == live(), (batch, sorted(got), sorted(live()))
+    # final purge leaves raw files == the live view exactly
+    loop.purge_corpus()
+    raw = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "s" / "corpus")).collect()}
+    assert raw == live()
