@@ -1882,3 +1882,70 @@ def test_corpus_purge_lifecycle_model_based(spark, tmp_path):
     raw = {r.doc_id for r in spark.read.parquet(
         str(tmp_path / "s" / "corpus")).collect()}
     assert raw == live()
+
+
+def test_ann_loop_stats(spark, tmp_path):
+    """IncrementalAnnIndex.stats() — empty store, mid-stream, after
+    delete and compaction (observability parity with the text
+    loop)."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
+    idx = IncrementalAnnIndex(spark, str(tmp_path / "s"),
+                              "vec_id", "emb", planes, k=1,
+                              num_subs=8, rows_per_sub=1,
+                              auto_compact_tail=None)
+    s0 = idx.stats()
+    assert s0 == {"match_rows": 0,
+                  "ann": {"tail_partitions": 0, "pointer": None,
+                          "live_tombstones": 0}}
+    idx.process_batch(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 0)
+    idx.process_batch(spark.createDataFrame(
+        [(10, [0.95, 0.05, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 1)
+    idx.delete([1], 2)
+    s1 = idx.stats()
+    assert s1["match_rows"] >= 1
+    assert s1["ann"]["tail_partitions"] == 2
+    assert s1["ann"]["live_tombstones"] == 1
+    idx.compact(2)
+    s2 = idx.stats()
+    assert s2["ann"]["tail_partitions"] == 0
+    assert s2["ann"]["pointer"]["folded_up_to"] == 2
+    assert s2["ann"]["pointer"]["tomb_gen"] == 0
+
+
+def test_action_log_random_commit_sequences(spark, tmp_path):
+    """Randomized protocol check: 30 seeded random pointer states
+    committed through ActionLogPointer — read() must return exactly
+    the last committed state after EVERY commit (whatever mix of
+    diff and snapshot commits the heuristic produced), including
+    across a sweep."""
+    import random
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        ActionLogPointer)
+    rng = random.Random(20260815)
+    base = str(tmp_path / "b")
+    p = ActionLogPointer(checkpoint_every=5)
+    gens = []
+    next_gen = 0
+    for step in range(30):
+        # evolve a plausible run list: fold adds, merge collapses
+        if gens and rng.random() < 0.3:
+            gens = [next_gen]          # merge
+            next_gen += 1
+        else:
+            gens = gens + [next_gen]   # fold
+            next_gen += 1
+        state = {"folded_up_to": step,
+                 "runs": [{"gen": g,
+                           "num_subs": 1 + g % 4} for g in gens],
+                 "tomb_gen": (step % 3) if step % 2 else None}
+        p.commit(spark, base, state)
+        assert p.read(spark, base) == state, step
+        if rng.random() < 0.25:
+            p.sweep(spark, base)
+            assert p.read(spark, base) == state, ("post-sweep", step)

@@ -1414,6 +1414,32 @@ class IncrementalAnnIndex:
         self._ann_store.delete(
             _ids_frame(self.spark, ids, self.id_col), batch_id)
 
+    def stats(self) -> dict:
+        """Operational snapshot of the ANN loop (r10 — observability
+        parity with :meth:`IncrementalDedup.stats`): index tail
+        partition count, committed pointer state, live tombstone
+        count, and total match-feed rows. Directory listings + one
+        count job — cheap enough for a monitoring hook."""
+        from pyspark.errors import AnalysisException
+        store = self._ann_store
+        ptr = store.pointer()
+        tombs = store._tombstones(ptr)
+        try:
+            feed = self.spark.read.parquet(self._path("matches"))
+            feed.schema
+            match_rows = feed.count()
+        except AnalysisException:
+            match_rows = 0
+        return {
+            "match_rows": match_rows,
+            "ann": {
+                "tail_partitions": store.tail_batch_count(),
+                "pointer": ptr,
+                "live_tombstones":
+                    0 if tombs is None else tombs.count(),
+            },
+        }
+
     def purge_matches(self, ids) -> dict:
         """Physically rewrite every ``matches/`` feed partition that
         references a deleted vector id on EITHER side (r10 — the
