@@ -30,6 +30,8 @@ from wp_etl_migration_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
+    purge_index,
+    tombstone_index,
 )
 from wp_etl_migration_spark.operators.lm import (  # noqa: F401
     bigram_counts,

@@ -906,6 +906,12 @@ def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
     deliberately so the query join stays a single equi-join on
     (table, bucket) with no second lookup).
 
+    Takedowns against a STORED copy of this index use the generic
+    batch-index pair (``operators.dedup.tombstone_index`` to mask a
+    deleted id set before querying, ``purge_index`` to physically
+    rewrite the stored table) — the id column is the first argument's
+    key, same contract as the digest/band tables.
+
     ``bits`` picks the rescore precision (default int8). Routing
     recall is the tables/probes lever; END-TO-END recall is capped by
     the rescore quantization — measured 0.969 at int8 on the 50k rig
