@@ -1949,3 +1949,41 @@ def test_action_log_random_commit_sequences(spark, tmp_path):
         if rng.random() < 0.25:
             p.sweep(spark, base)
             assert p.read(spark, base) == state, ("post-sweep", step)
+
+
+def test_action_log_crash_at_commit(spark, tmp_path):
+    """Crash-at-flip under the ActionLogPointer backend (the format
+    claim's crash half): a compact that dies inside the log commit
+    leaves the previous committed state — probes unchanged — and the
+    retried compact folds idempotently, exactly the VersionedPointer
+    contract."""
+    from wp_etl_migration_spark.streaming import incremental as inc
+    proto = inc.ActionLogPointer(checkpoint_every=3)
+    store = inc._IndexStore(spark, str(tmp_path / "idx"),
+                            "doc_id long, key string", "key",
+                            num_subs=8, rows_per_sub=1, max_runs=2,
+                            pointer_protocol=proto)
+    store.write_batch(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, key string"), 0)
+    store.write_batch(spark.createDataFrame(
+        [(3, "c")], "doc_id long, key string"), 1)
+
+    real = inc.ActionLogPointer.commit
+
+    def boom(self, spark_, base_root, ptr):
+        raise RuntimeError("crash at log commit")
+
+    inc.ActionLogPointer.commit = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash at log commit"):
+            store.compact(1)
+    finally:
+        inc.ActionLogPointer.commit = real
+    # previous committed state: no pointer, probes see the tail
+    assert store.pointer() is None
+    assert {r.doc_id for r in store.probe(99).collect()} == {1, 2, 3}
+
+    store.compact(1)                 # retry folds idempotently
+    ptr = store.pointer()
+    assert ptr["folded_up_to"] == 1 and len(ptr["runs"]) == 1
+    assert {r.doc_id for r in store.probe(99).collect()} == {1, 2, 3}
