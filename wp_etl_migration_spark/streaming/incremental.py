@@ -1098,7 +1098,14 @@ class IncrementalDedup:
                  .parquet(troot)
                  .select(F.col(self.id_col).alias("__tomb_id"),
                          F.col("batch_id").alias("__tomb_batch")))
-        corpus = self.spark.read.parquet(corpus_root)
+        # Static partition prune for the hit scan: a tombstone at B
+        # only targets partitions <= B, so partitions past the newest
+        # tombstone — on a long-running store, almost all of them —
+        # are never read (the join's batch_id <= __tomb_batch bound
+        # can't be pushed to the scan; this literal filter can).
+        max_tomb = max(int(n.split("=", 1)[1]) for n in tomb_parts)
+        corpus = (self.spark.read.parquet(corpus_root)
+                  .where(F.col("batch_id") <= max_tomb))
         hits = (corpus.join(
                     F.broadcast(tombs),
                     (F.col(self.id_col) == F.col("__tomb_id"))
