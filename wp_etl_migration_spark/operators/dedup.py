@@ -610,7 +610,15 @@ def purge_index(spark, path: str, ids, id_col: str,
     from the janitor's staging-swap rewrite (``plans/janitor.py``
     ``rewrite_dataset``: survivors land in a staging dir first, then
     overwrite the live path, so a crash mid-rewrite leaves a complete
-    staging copy rather than a half-written index)."""
+    staging copy rather than a half-written index).
+
+    Scale: a FULL-TABLE staged rewrite — the right cost model for a
+    monolithic index table, which is digests/bands only (orders of
+    magnitude under the corpus it indexes) and is rewritten once per
+    compliance window, not per delete. An index maintained as
+    per-batch partitions should use the incremental store
+    (``streaming.incremental``) instead, whose compaction purges
+    tombstones partition-wise."""
     from wp_etl_migration_spark.plans.janitor import rewrite_dataset
     index = spark.read.format(fmt).load(path)
     rewrite_dataset(spark, path, tombstone_index(index, ids, id_col),
