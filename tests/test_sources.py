@@ -181,3 +181,28 @@ def test_orc_roundtrip_pushdown_and_partitioning(spark, tmp_path):
                                          "name string")
     assert typed.schema.simpleString() == \
         "struct<id:bigint,bucket:bigint,name:string>"
+
+
+def test_from_text_lines_and_whole_file(spark, tmp_path):
+    """Raw text scan: line mode (one row per line, splittable) and
+    whole-file mode (one row per file + its path), plus a custom
+    line separator."""
+    from wp_etl_migration_spark.sources.files import from_text
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("doc one line one\ndoc one line two\n")
+    (d / "b.txt").write_text("doc two only line\n")
+    lines = from_text(spark, str(d))
+    assert lines.columns == ["value"]
+    assert lines.count() == 3
+
+    whole = from_text(spark, str(d), whole_file=True)
+    rows = {r.path.rsplit("/", 1)[-1]: r.value
+            for r in whole.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["b.txt"].strip() == "doc two only line"
+    assert "line two" in rows["a.txt"]
+
+    (d / "c.txt").write_text("one|two|three")
+    seps = from_text(spark, str(d / "c.txt"), line_sep="|")
+    assert [r.value for r in seps.collect()] == ["one", "two", "three"]

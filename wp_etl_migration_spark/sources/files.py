@@ -146,3 +146,27 @@ def from_orc(spark: SparkSession, path: str,
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.orc(path)
+
+
+def from_text(spark: SparkSession, path: str,
+              whole_file: bool = False,
+              line_sep: str | None = None) -> DataFrame:
+    """Raw text scan — no reference counterpart; included because raw
+    ``.txt``/WET-style dumps are the other arrival format of web
+    corpora (one document per line, or one per file). Returns a
+    single ``value`` string column; with ``whole_file=True`` each
+    file becomes ONE row plus its ``path`` (via
+    ``input_file_name()``) — the shape a per-file document corpus
+    loads as before an id-assignment pass.
+
+    Scale: line mode is Spark's native text source (splittable,
+    parallel by HDFS block); whole-file mode is NOT splittable (one
+    task per file — fine for many medium files, wrong for one giant
+    file) and says so here rather than surprising at 100 TB."""
+    if whole_file:
+        return (spark.read.option("wholetext", True).text(path)
+                .select(F.input_file_name().alias("path"), "value"))
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path)
