@@ -118,3 +118,29 @@ def test_frameseq_sample_frames(spark):
                  for r in sample_frames(df, every_k=2).collect())
     # every 2nd frame of doc 7 (idx 0,2,4 -> widths 1,3,5); junk/null drop
     assert got == [(7, 0, 1), (7, 2, 3), (7, 4, 5)]
+
+
+def test_from_binary_files_feeds_decode(spark, tmp_path):
+    """binaryFile ingestion -> decode_media: media files on disk load
+    as binary rows whose content decodes through the existing
+    multimodal operators; the glob filter keeps non-media siblings
+    out."""
+    from wp_etl_migration_spark.operators.multimodal import (
+        decode_media, encode_bmp, encode_wav)
+    from wp_etl_migration_spark.sources.files import from_binary_files
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.bmp").write_bytes(encode_bmp(4, 3))
+    (d / "b.wav").write_bytes(encode_wav(1, 8000, 800))
+    (d / "junk.txt").write_text("not media")
+
+    df = from_binary_files(spark, str(d), path_glob="*.{bmp,wav}")
+    assert df.count() == 2
+    rows = (decode_media(
+        df.selectExpr("path as doc_id", "content as payload"),
+        payload_col="payload", id_col="doc_id")
+        .collect())
+    meta = {r.doc_id.rsplit("/", 1)[-1]: r for r in rows}
+    assert meta["a.bmp"].format == "bmp"
+    assert meta["a.bmp"].width == 4 and meta["a.bmp"].height == 3
+    assert meta["b.wav"].format == "wav"

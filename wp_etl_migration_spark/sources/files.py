@@ -170,3 +170,25 @@ def from_text(spark: SparkSession, path: str,
     if line_sep is not None:
         reader = reader.option("lineSep", line_sep)
     return reader.text(path)
+
+
+def from_binary_files(spark: SparkSession, path: str,
+                      path_glob: str | None = None) -> DataFrame:
+    """Binary-file scan (Spark's native ``binaryFile`` source) — the
+    ingestion leg of the multimodal column family: image/audio/video
+    files load as (path, modificationTime, length, content binary)
+    rows, and ``content`` feeds straight into
+    ``operators.multimodal.decode_media`` / ``resize_media`` /
+    ``extract_features``. ``path_glob`` maps to ``pathGlobFilter``
+    (e.g. ``"*.bmp"``) so non-media siblings never load.
+
+    Scale: one task per file (binary payloads are not splittable —
+    inherent to the format, same note as ``from_text(whole_file=
+    True)``); filters on ``path``/``length``/``modificationTime``
+    push down to the file listing, so a predicate like
+    ``length < 10*1024*1024`` prunes oversized payloads before any
+    bytes are read."""
+    reader = spark.read.format("binaryFile")
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)
