@@ -434,11 +434,20 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
 
     # determinism: re-export to a different dir, same membership+order
     path2 = str(tmp_path / "shards2")
-    write_training_shards(df, path2, "doc_id", n_shards=4, salt="v1",
-                          tokens_col="n_tokens")
+    man2 = write_training_shards(df, path2, "doc_id", n_shards=4,
+                                 salt="v1", tokens_col="n_tokens")
     a = sorted(map(tuple, spark.read.parquet(path).collect()))
     b = sorted(map(tuple, spark.read.parquet(path2).collect()))
     assert a == b
+    # ...and the manifests alone prove it (membership_hash per shard)
+    assert man2 == man
+    assert all("membership_hash" in s for s in man["shards"].values())
+    # a different salt reshards: membership hashes must move
+    man3 = write_training_shards(df, str(tmp_path / "shards3"),
+                                 "doc_id", n_shards=4, salt="v2",
+                                 tokens_col="n_tokens")
+    assert {s["membership_hash"] for s in man3["shards"].values()} != \
+        {s["membership_hash"] for s in man["shards"].values()}
 
 
 def test_write_training_shards_jsonl_gzip(spark, tmp_path):

@@ -44,6 +44,12 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     tokenizer/dataloader stacks stream (pass
     ``compression='gzip'``/'zstd'); same layout, ordering and manifest
     either way.
+
+    Each shard's manifest entry carries a ``membership_hash``
+    (``bit_xor(xxhash64(id))`` — order-insensitive, computed in the
+    same aggregation pass), making the determinism claim above
+    AUDITABLE: two exports of the same corpus agree shard-by-shard
+    iff their manifests match, no re-read of either export needed.
     """
     shuffled = global_shuffle(df, id_col, n_shards, salt=salt)
     writer = (shuffled
@@ -55,7 +61,9 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
         writer = writer.option("compression", compression)
     writer.save(path)
 
-    aggs = [F.count("*").alias("rows")]
+    aggs = [F.count("*").alias("rows"),
+            F.expr(f"bit_xor(xxhash64({id_col}))")
+            .alias("membership_hash")]
     if tokens_col is not None:
         aggs.append(F.sum(tokens_col).cast("long").alias("tokens"))
     per_shard = (shuffled.groupBy("shard").agg(*aggs)
