@@ -489,3 +489,39 @@ def test_write_training_shards_jsonl_gzip(spark, tmp_path):
             rows += [_json.loads(line) for line in fh]
     assert rows and all(r["text"].startswith("doc ") for r in rows)
     assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
+
+
+def test_verify_training_shards(spark, tmp_path):
+    """Reader-side export verification: a clean export verifies ok; a
+    tampered shard (rows removed behind the manifest's back) is
+    pinpointed by shard with both the count and membership-hash
+    deltas; a missing manifest fails loudly."""
+    from wp_etl_migration_spark.sinks.training import (
+        verify_training_shards, write_training_shards)
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3 + 1).alias("n_tokens"))
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=3, salt="v1",
+                          tokens_col="n_tokens")
+    res = verify_training_shards(spark, path, "doc_id")
+    assert res["ok"] and not res["mismatches"]
+
+    # tamper: rewrite shard 1 with a row dropped
+    s1 = spark.read.parquet(f"{path}/shard=1")
+    victim = s1.orderBy("pos").first().doc_id
+    kept = s1.where(F.col("doc_id") != victim).collect()
+    import shutil
+    shutil.rmtree(f"{path}/shard=1")
+    spark.createDataFrame(kept, s1.schema) \
+        .write.parquet(f"{path}/shard=1")
+    res2 = verify_training_shards(spark, path, "doc_id")
+    assert not res2["ok"]
+    assert list(res2["mismatches"]) == [1]
+    assert "rows" in res2["mismatches"][1]
+    assert "membership_hash" in res2["mismatches"][1]
+
+    # no manifest
+    res3 = verify_training_shards(spark, str(tmp_path / "nowhere"),
+                                  "doc_id")
+    assert not res3["ok"] and res3.get("error") == "no _manifest.json"

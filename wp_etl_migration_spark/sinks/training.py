@@ -96,3 +96,65 @@ def _write_text(spark, uri: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def verify_training_shards(spark, path: str, id_col: str,
+                           fmt: str = "parquet") -> dict:
+    """Reader-side integrity check of a shard export against its
+    ``_manifest.json`` (r10): recompute per-shard row counts and
+    membership hashes from the written files and diff them against
+    the manifest. Returns ``{"ok": bool, "mismatches": {shard:
+    {field: (manifest, actual)}}, "missing_shards": [...],
+    "unexpected_shards": [...]}`` — the check a loader runs before
+    trusting a resumed or remotely-copied export.
+
+    One scan of the export (count + bit_xor per shard, map-side
+    combined); no ordering check — in-shard order is enforced by the
+    writer's sort and is irrelevant to membership integrity."""
+    from pyspark.errors import AnalysisException
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_manifest.json")
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return {"ok": False, "mismatches": {},
+                "missing_shards": [], "unexpected_shards": [],
+                "error": "no _manifest.json"}
+    stream = fs.open(jpath)
+    try:
+        manifest = json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream,
+                                                       "UTF-8"))
+    finally:
+        stream.close()
+    try:
+        actual = {int(r["shard"]): r for r in
+                  (spark.read.format(fmt).load(path)
+                   .groupBy("shard")
+                   .agg(F.count("*").alias("rows"),
+                        F.expr(f"bit_xor(xxhash64({id_col}))")
+                        .alias("membership_hash"))
+                   .collect())}
+    except AnalysisException:
+        return {"ok": False, "mismatches": {},
+                "missing_shards": sorted(int(s)
+                                         for s in manifest["shards"]),
+                "unexpected_shards": [], "error": "unreadable export"}
+    want = {int(s): v for s, v in manifest["shards"].items()}
+    mismatches: dict = {}
+    for s in sorted(set(want) & set(actual)):
+        diff = {}
+        for field in ("rows", "membership_hash"):
+            if field in want[s] and \
+                    int(want[s][field]) != int(actual[s][field]):
+                diff[field] = (int(want[s][field]),
+                               int(actual[s][field]))
+        if diff:
+            mismatches[s] = diff
+    missing = sorted(set(want) - set(actual))
+    unexpected = sorted(set(actual) - set(want))
+    return {"ok": not mismatches and not missing and not unexpected,
+            "mismatches": mismatches,
+            "missing_shards": missing,
+            "unexpected_shards": unexpected}
