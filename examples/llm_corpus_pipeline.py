@@ -205,6 +205,14 @@ def main(argv: list[str]) -> int:
           f"({manifest['shards'][first]['tokens']} tokens in shard "
           f"{first}, {n_bins} bins of 512) across "
           f"{manifest['n_shards']} shards -> {out_dir}/shards")
+    # reader-side integrity: re-derive counts + membership hashes
+    # from the written files and diff against the manifest
+    from wp_etl_migration_spark.sinks.training import (
+        verify_training_shards)
+    check = verify_training_shards(spark, f"{out_dir}/shards",
+                                   "doc_id")
+    print(f"shard verify: ok={check['ok']} "
+          f"(mismatches={len(check['mismatches'])})")
 
     nn = nearest_neighbor_audit(spark, sf_dir)
     nn.write.mode("overwrite").parquet(f"{out_dir}/nn_audit")

@@ -28,6 +28,7 @@ def test_llm_corpus_pipeline_example(tmp_path):
     assert "token budget: kept" in out
     assert "nn audit:" in out
     assert "packed:" in out and "quantized:" in out
+    assert "shard verify: ok=True (mismatches=0)" in out
 
 
 def test_wp_migration_pipeline_example(tmp_path):
