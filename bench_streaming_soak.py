@@ -82,6 +82,17 @@ def _index_bytes(store, key_df, key_col) -> int:
     return total
 
 
+def _protocol():
+    """Pointer-protocol under soak: default versioned, or the
+    Delta-log-emulating action log via --protocol actionlog /
+    $SOAK_POINTER_PROTOCOL — the format-mapping claim exercised at
+    soak scale, not just in the unit matrix."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        ActionLogPointer)
+    name = os.environ.get("SOAK_POINTER_PROTOCOL", "versioned")
+    return ActionLogPointer() if name == "actionlog" else None
+
+
 def soak_dedup(spark, sf_dir: str, batches: int,
                store: str) -> dict:
     from wp_etl_migration_spark.operators.dedup import (
@@ -107,7 +118,8 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                             max_bucket=64, num_subs=256,
                             rows_per_sub=int(os.environ.get(
                                 "SOAK_ROWS_PER_SUB", "16")),
-                            auto_compact_tail=5)
+                            auto_compact_tail=5,
+                            pointer_protocol=_protocol())
     walls, corpus_rows, band_rows = [], [], []
     trickle, autos, data_ids = [], [], []
     next_id = 0
@@ -195,7 +207,8 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
     planes = [[math.sin(0.37 + p * 5.1 + i * 0.83)
                for i in range(dims)] for p in range(8)]
     loop = IncrementalAnnIndex(spark, store, "vec_id", "embedding",
-                               planes, k=5, auto_compact_tail=5)
+                               planes, k=5, auto_compact_tail=5,
+                               pointer_protocol=_protocol())
     walls, index_rows, match_rows = [], [], []
     autos = []
     for b in range(batches):
@@ -229,6 +242,9 @@ def main(argv: list[str]) -> int:
         else "both"
     batches = int(argv[argv.index("--batches") + 1]) \
         if "--batches" in argv else 20
+    if "--protocol" in argv:
+        os.environ["SOAK_POINTER_PROTOCOL"] = \
+            argv[argv.index("--protocol") + 1]
     if "--rows-per-sub" in argv:
         os.environ["SOAK_ROWS_PER_SUB"] = \
             argv[argv.index("--rows-per-sub") + 1]
@@ -237,7 +253,9 @@ def main(argv: list[str]) -> int:
                             "/root/testdata/sf0.1")
     spark = _spark()
     out = {"metric": "streaming_soak", "unit": "sec",
-           "batches": batches, "sf": sf_dir}
+           "batches": batches, "sf": sf_dir,
+           "protocol": os.environ.get("SOAK_POINTER_PROTOCOL",
+                                      "versioned")}
     work = tempfile.mkdtemp(prefix="soak_")
     try:
         if which in ("dedup", "both"):
