@@ -1987,3 +1987,67 @@ def test_action_log_crash_at_commit(spark, tmp_path):
     ptr = store.pointer()
     assert ptr["folded_up_to"] == 1 and len(ptr["runs"]) == 1
     assert {r.doc_id for r in store.probe(99).collect()} == {1, 2, 3}
+
+
+def test_purge_corpus_crash_sweep_every_mutation_point(spark,
+                                                       tmp_path):
+    """Systematic crash-point sweep for the purge swap machinery: for
+    every k, the k-th filesystem mutation (_rename or _delete) during
+    purge_corpus raises; a subsequent clean purge must always
+    converge to the same end state — live view intact, deleted bytes
+    gone, no staging/trash residue. Catches any crash window the
+    single-point tests miss."""
+    from wp_etl_migration_spark.streaming import incremental as inc
+
+    def build(store):
+        loop = inc.IncrementalDedup(spark, store, "doc_id", "text",
+                                    num_subs=8, rows_per_sub=1,
+                                    auto_compact_tail=None)
+        loop.process_batch(spark.createDataFrame(
+            [(1, "secret sentinel alpha"), (2, "keeper one two")],
+            ["doc_id", "text"]), 0)
+        loop.process_batch(spark.createDataFrame(
+            [(3, "second secret bravo"), (4, "keeper three four")],
+            ["doc_id", "text"]), 1)
+        loop.delete([1, 3], 2)
+        return loop
+
+    real_rename, real_delete = inc._rename, inc._delete
+    k = 1
+    while True:
+        store = str(tmp_path / f"s{k}")
+        loop = build(store)
+        calls = {"n": 0}
+
+        def crashing(fn):
+            def wrapper(*a, **kw):
+                calls["n"] += 1
+                if calls["n"] == k:
+                    raise RuntimeError(f"crash at mutation {k}")
+                return fn(*a, **kw)
+            return wrapper
+
+        inc._rename = crashing(real_rename)
+        inc._delete = crashing(real_delete)
+        try:
+            try:
+                loop.purge_corpus()
+                crashed = False
+            except RuntimeError:
+                crashed = True
+        finally:
+            inc._rename, inc._delete = real_rename, real_delete
+
+        # recovery: a clean purge converges whatever the crash point
+        loop.purge_corpus()
+        assert sorted(r.doc_id for r in loop.corpus().collect()) \
+            == [2, 4], k
+        raw = spark.read.parquet(f"{store}/corpus")
+        assert {r.doc_id for r in raw.collect()} == {2, 4}, k
+        import os
+        assert not os.path.exists(f"{store}/corpus_purge_trash"), k
+        assert not os.path.exists(f"{store}/corpus_purge_staging"), k
+        if not crashed:
+            break       # k exceeded the total mutation count: done
+        k += 1
+    assert k > 3        # the sweep really exercised multiple windows

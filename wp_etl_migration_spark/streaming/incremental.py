@@ -235,6 +235,12 @@ def _recover_swaps(spark: SparkSession, live_root: str,
                 fs.delete(st.getPath(), True)
             else:
                 _rename(spark, f"{trash_root}/{name}", part)
+        # every entry is now resolved; drop the root too, so a crash
+        # on the very last trash delete leaves zero residue after
+        # recovery (a later purge may return early on no-tombstones
+        # and never reach its own root cleanup)
+        if not fs.listStatus(jtrash):
+            fs.delete(jtrash, True)
     _delete(spark, stag_root)
 
 
