@@ -2051,3 +2051,33 @@ def test_purge_corpus_crash_sweep_every_mutation_point(spark,
             break       # k exceeded the total mutation count: done
         k += 1
     assert k > 3        # the sweep really exercised multiple windows
+
+
+def test_purge_corpus_prunes_partitions_past_newest_tombstone(
+        spark, tmp_path):
+    """Behavioral proof of the purge hit-scan's partition prune: a
+    corpus partition NEWER than every tombstone is never read — a
+    deliberately corrupt parquet file planted there would fail any
+    scan that touched it, and the purge must succeed anyway."""
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "s")
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            num_subs=8, rows_per_sub=1,
+                            auto_compact_tail=None)
+    loop.process_batch(spark.createDataFrame(
+        [(1, "secret sentinel alpha"), (2, "keeper one two")],
+        ["doc_id", "text"]), 0)
+    loop.delete([1], 1)
+    # plant a poison partition ABOVE the newest tombstone (batch 5 >
+    # tomb batch 1): unreadable as parquet
+    import os
+    poison = f"{store}/corpus/batch_id=5"
+    os.makedirs(poison)
+    with open(f"{poison}/part-poison.parquet", "wb") as fh:
+        fh.write(b"not a parquet file at all")
+
+    res = loop.purge_corpus()
+    assert res["rows_purged"] == 1 and res["partitions_rewritten"] == 1
+    raw = spark.read.parquet(f"{store}/corpus/batch_id=0")
+    assert [r.doc_id for r in raw.collect()] == [2]
