@@ -797,3 +797,36 @@ def test_api_md_current():
                 assert f"`{node.name}" in want, (
                     f"{path}: public symbol {node.name} missing "
                     "from API.md")
+
+
+def test_cli_takedown_tombstone_and_purge(spark, tmp_path, capsys):
+    """The takedown CLI: tombstone ids out of a continuous-dedup
+    store, then physically purge — the compliance workflow operable
+    without code. Also validates the argument contract (ids require
+    a batch id; empty invocations fail loudly)."""
+    from wp_etl_migration_spark.__main__ import main
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalDedup)
+    store = str(tmp_path / "s")
+    loop = IncrementalDedup(spark, store, "doc_id", "text",
+                            num_subs=8, rows_per_sub=1,
+                            auto_compact_tail=None)
+    loop.process_batch(spark.createDataFrame(
+        [(1, "secret sentinel alpha"), (2, "keeper one two")],
+        ["doc_id", "text"]), 0)
+
+    assert main(["takedown", store]) == 2
+    capsys.readouterr()
+    assert main(["takedown", store, "--ids", "1"]) == 2
+    capsys.readouterr()
+
+    assert main(["takedown", store, "--ids", "1",
+                 "--batch-id", "1"]) == 0
+    assert "tombstoned 1 id(s) at batch 1" in capsys.readouterr().out
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
+
+    assert main(["takedown", store, "--purge"]) == 0
+    out = capsys.readouterr().out
+    assert "purged: 1 row(s) across 1 partition(s)" in out
+    raw = spark.read.parquet(f"{store}/corpus")
+    assert [r.doc_id for r in raw.collect()] == [2]

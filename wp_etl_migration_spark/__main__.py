@@ -67,7 +67,50 @@ def main(argv: list[str] | None = None) -> int:
     j.add_argument("--yes", action="store_true",
                    help="actually delete (default: preview count only)")
 
+    t = sub.add_parser(
+        "takedown",
+        help="tombstone ids out of a continuous-dedup store, and/or "
+             "physically purge tombstoned corpus content")
+    t.add_argument("store", help="IncrementalDedup store_dir")
+    t.add_argument("--id-col", default="doc_id")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--ids", help="comma-separated ids to tombstone")
+    t.add_argument("--batch-id", type=int,
+                   help="monotone batch id for the tombstone "
+                        "(required with --ids; must exceed the "
+                        "store's folded_up_to)")
+    t.add_argument("--purge", action="store_true",
+                   help="physically rewrite tombstoned corpus "
+                        "partitions (bytes gone) and retire the "
+                        "applied tombstone records")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "takedown":
+        from wp_etl_migration_spark.streaming.incremental import (
+            IncrementalDedup)
+        if not args.ids and not args.purge:
+            print("nothing to do: pass --ids and/or --purge")
+            return 2
+        if args.ids and args.batch_id is None:
+            print("--ids requires --batch-id (the store's monotone "
+                  "id space)")
+            return 2
+        spark = get_spark("wp-etl-cli")
+        loop = IncrementalDedup(spark, args.store, args.id_col,
+                                args.text_col)
+        if args.ids:
+            ids = [int(x) for x in args.ids.split(",") if x.strip()]
+            loop.delete(ids, args.batch_id)
+            print(f"tombstoned {len(ids)} id(s) at batch "
+                  f"{args.batch_id}")
+        if args.purge:
+            res = loop.purge_corpus()
+            print(f"purged: {res['rows_purged']} row(s) across "
+                  f"{res['partitions_rewritten']} partition(s); "
+                  f"{res['tombs_retired']} tombstone record(s) "
+                  "retired")
+        return 0
 
     if args.cmd == "janitor":
         from pyspark.sql import functions as F
