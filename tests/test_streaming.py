@@ -2081,3 +2081,66 @@ def test_purge_corpus_prunes_partitions_past_newest_tombstone(
     assert res["rows_purged"] == 1 and res["partitions_rewritten"] == 1
     raw = spark.read.parquet(f"{store}/corpus/batch_id=0")
     assert [r.doc_id for r in raw.collect()] == [2]
+
+
+def test_purge_matches_crash_sweep_every_mutation_point(spark,
+                                                        tmp_path):
+    """The purge_matches twin of the corpus crash sweep: crash at
+    every filesystem-mutation call in turn; a subsequent clean
+    purge_matches must always converge — no deleted-id references in
+    the feed, survivors intact, zero staging/trash residue."""
+    from wp_etl_migration_spark.streaming import incremental as inc
+    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
+
+    def build(store):
+        idx = inc.IncrementalAnnIndex(spark, store, "vec_id", "emb",
+                                      planes, k=2, num_subs=8,
+                                      rows_per_sub=1,
+                                      auto_compact_tail=None)
+        idx.process_batch(spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, emb array<double>"), 0)
+        idx.process_batch(spark.createDataFrame(
+            [(10, [0.95, 0.05, 0.0, 0.0]),
+             (20, [0.05, 0.95, 0.0, 0.0])],
+            "vec_id long, emb array<double>"), 1)
+        return idx
+
+    real_rename, real_delete = inc._rename, inc._delete
+    k = 1
+    while True:
+        store = str(tmp_path / f"s{k}")
+        idx = build(store)
+        calls = {"n": 0}
+
+        def crashing(fn):
+            def wrapper(*a, **kw):
+                calls["n"] += 1
+                if calls["n"] == k:
+                    raise RuntimeError(f"crash at mutation {k}")
+                return fn(*a, **kw)
+            return wrapper
+
+        inc._rename = crashing(real_rename)
+        inc._delete = crashing(real_delete)
+        try:
+            try:
+                idx.purge_matches([1])
+                crashed = False
+            except RuntimeError:
+                crashed = True
+        finally:
+            inc._rename, inc._delete = real_rename, real_delete
+
+        idx.purge_matches([1])
+        feed = spark.read.parquet(f"{store}/matches")
+        assert feed.where("query_id = 1 or neighbor_id = 1") \
+            .count() == 0, k
+        assert feed.where("neighbor_id = 2").count() > 0, k
+        import os
+        assert not os.path.exists(f"{store}/matches_purge_trash"), k
+        assert not os.path.exists(f"{store}/matches_purge_staging"), k
+        if not crashed:
+            break
+        k += 1
+    assert k > 3
