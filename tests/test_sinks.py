@@ -525,3 +525,25 @@ def test_verify_training_shards(spark, tmp_path):
     res3 = verify_training_shards(spark, str(tmp_path / "nowhere"),
                                   "doc_id")
     assert not res3["ok"] and res3.get("error") == "no _manifest.json"
+
+
+def test_prune_ledgers_retention(spark, tmp_path):
+    """Ledger retention: old timestamped ledger dirs prune down to
+    keep_last, the latest always survives (and still reads), and
+    keep_last=0 is rejected."""
+    import pytest as _pytest
+
+    df = lsink.with_uid(spark.createDataFrame(
+        [(1, "t1")], ["id", "ledger.title"]))
+    d = str(tmp_path)
+    paths = [lsink.write_ledger(df, d, "posts") for _ in range(5)]
+    latest = lsink.latest_ledger_path(d, "posts")
+    deleted = lsink.prune_ledgers(d, "posts", keep_last=2)
+    assert len(deleted) == 3
+    assert latest not in deleted
+    assert lsink.latest_ledger_path(d, "posts") == latest
+    assert lsink.read_latest_ledger(spark, d, "posts").count() == 1
+    with _pytest.raises(ValueError, match="keep_last"):
+        lsink.prune_ledgers(d, "posts", keep_last=0)
+    # unknown job: no-op
+    assert lsink.prune_ledgers(d, "ghost") == []

@@ -70,3 +70,24 @@ def read_latest_ledger(spark: SparkSession, ledger_dir: str, name: str,
     if path is None:
         return None
     return spark.read.format(fmt).load(path)
+
+
+def prune_ledgers(ledger_dir: str, name: str,
+                  keep_last: int = 3) -> list[str]:
+    """Retention for a job's ledger history: every ``write_ledger``
+    run leaves a timestamped ``<name>-ledger-*`` directory and only
+    the newest is ever read (``latest_ledger_path``), so a job run on
+    a schedule accumulates ledgers without bound. Keep the newest
+    ``keep_last`` (>= 1 — the latest is lineage other jobs depend on)
+    and delete the rest; returns the deleted paths. Driver-side
+    directory ops only — the ledgers themselves are never read."""
+    import shutil
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest ledger "
+                         "is lineage other jobs depend on)")
+    hits = sorted(glob.glob(os.path.join(ledger_dir,
+                                         f"{name}-ledger-*")))
+    doomed = hits[:-keep_last]
+    for path in doomed:
+        shutil.rmtree(path, ignore_errors=True)
+    return doomed
