@@ -830,3 +830,46 @@ def test_cli_takedown_tombstone_and_purge(spark, tmp_path, capsys):
     assert "purged: 1 row(s) across 1 partition(s)" in out
     raw = spark.read.parquet(f"{store}/corpus")
     assert [r.doc_id for r in raw.collect()] == [2]
+
+
+def test_cli_stats_dedup_and_ann(spark, tmp_path, capsys):
+    """The stats CLI: one JSON line per store kind; the ANN store
+    reports via the maintenance-only (planes=None) construction, and
+    that construction refuses to ingest."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from wp_etl_migration_spark.__main__ import main
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex, IncrementalDedup)
+    dstore = str(tmp_path / "d")
+    loop = IncrementalDedup(spark, dstore, "doc_id", "text",
+                            num_subs=8, rows_per_sub=1,
+                            auto_compact_tail=None)
+    loop.process_batch(spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]), 0)
+    assert main(["stats", dstore]) == 0
+    got = _json.loads(capsys.readouterr().out.strip())
+    assert got["corpus_rows"] == 1
+    assert got["digests"]["tail_partitions"] == 1
+
+    astore = str(tmp_path / "a")
+    planes = [[1.0, -1.0, 0.5, 0.25]]
+    idx = IncrementalAnnIndex(spark, astore, "vec_id", "emb", planes,
+                              k=1, num_subs=8, rows_per_sub=1,
+                              auto_compact_tail=None)
+    idx.process_batch(spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, emb array<double>"), 0)
+    assert main(["stats", astore, "--kind", "ann",
+                 "--vec-col", "emb"]) == 0
+    got = _json.loads(capsys.readouterr().out.strip())
+    assert got["ann"]["tail_partitions"] == 1
+
+    # maintenance-only construction cannot ingest
+    bare = IncrementalAnnIndex(spark, astore, "vec_id", "emb")
+    with _pytest.raises(ValueError, match="maintenance-only"):
+        bare.process_batch(spark.createDataFrame(
+            [(2, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, emb array<double>"), 1)

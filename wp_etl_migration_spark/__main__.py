@@ -84,7 +84,36 @@ def main(argv: list[str] | None = None) -> int:
                         "partitions (bytes gone) and retire the "
                         "applied tombstone records")
 
+    s = sub.add_parser(
+        "stats",
+        help="operational snapshot of a continuous store (tail "
+             "partitions, pointer, tombstones, rows) as one JSON line")
+    s.add_argument("store", help="store_dir of the loop")
+    s.add_argument("--kind", choices=["dedup", "ann"],
+                   default="dedup")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--vec-col", default="embedding")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "stats":
+        import json as _json
+
+        from wp_etl_migration_spark.streaming.incremental import (
+            IncrementalAnnIndex, IncrementalDedup)
+        spark = get_spark("wp-etl-cli")
+        if args.kind == "dedup":
+            loop = IncrementalDedup(spark, args.store, args.id_col,
+                                    args.text_col)
+            print(_json.dumps(loop.stats(), sort_keys=True))
+        else:
+            # maintenance-only construction: stats never touches the
+            # routing planes
+            idx = IncrementalAnnIndex(spark, args.store, args.id_col,
+                                      args.vec_col)
+            print(_json.dumps(idx.stats(), sort_keys=True))
+        return 0
 
     if args.cmd == "takedown":
         from wp_etl_migration_spark.streaming.incremental import (

@@ -1366,7 +1366,7 @@ class IncrementalAnnIndex:
 
     def __init__(self, spark: SparkSession, store_dir: str,
                  id_col: str, vec_col: str,
-                 planes: list, k: int = 5,
+                 planes: list | None = None, k: int = 5,
                  rescore: str = "arrow", num_subs: int = 256,
                  rows_per_sub: int = 1_000_000, n_probes: int = 1,
                  max_runs: int = 4,
@@ -1531,6 +1531,11 @@ class IncrementalAnnIndex:
         partitions; reusing an id overwrites that batch's rows, which
         is exactly the replay semantics).
 
+        Requires ``planes`` (a maintenance-only construction with
+        ``planes=None`` supports stats/delete/compact/purge_matches,
+        which never touch the routing planes — the stats CLI's
+        shape — but cannot ingest or query).
+
         Replay-safe at any crash position (foreachBatch is
         at-least-once): the querying index excludes the batch's own
         rows — precise even when a LATER batch re-delivers an
@@ -1549,6 +1554,11 @@ class IncrementalAnnIndex:
         from wp_etl_migration_spark.operators.similarity import (
             _plane_tables, build_ann_index, plane_dots,
             probe_buckets_from_dots, query_ann_index)
+        if self.planes is None:
+            raise ValueError(
+                "this IncrementalAnnIndex was constructed without "
+                "planes (maintenance-only); ingest/query needs the "
+                "fixed plane set used at build time")
         store = self._ann_store
         batch = pin(batch)
         sets = _plane_tables(self.planes, self.tables)
