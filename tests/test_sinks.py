@@ -547,3 +547,30 @@ def test_prune_ledgers_retention(spark, tmp_path):
         lsink.prune_ledgers(d, "posts", keep_last=0)
     # unknown job: no-op
     assert lsink.prune_ledgers(d, "ghost") == []
+
+
+def test_prune_ledgers_hadoop_fs(spark, tmp_path):
+    """With a SparkSession, listing/deletion go through the Hadoop
+    FileSystem API (ADVICE r10: a remote ledger_dir made the local
+    glob silently delete nothing) — same retention outcome, run
+    paths resolve on the FS write_ledger used."""
+    import os
+
+    df = lsink.with_uid(spark.createDataFrame(
+        [(1, "t1")], ["id", "ledger.title"]))
+    d = str(tmp_path)
+    for _ in range(4):
+        lsink.write_ledger(df, d, "posts")
+    latest_local = lsink.latest_ledger_path(d, "posts")
+    latest_fs = lsink.latest_ledger_path(d, "posts", spark=spark)
+    # Hadoop FS returns full URIs; must point at the same run dir
+    assert latest_fs.endswith(os.path.basename(latest_local))
+    deleted = lsink.prune_ledgers(d, "posts", keep_last=1, spark=spark)
+    assert len(deleted) == 3
+    assert not any(p.endswith(os.path.basename(latest_local))
+                   for p in deleted)
+    # the survivors really are pruned on disk, and the latest reads
+    assert len([n for n in os.listdir(d)
+                if n.startswith("posts-ledger-")]) == 1
+    assert lsink.read_latest_ledger(spark, d, "posts").count() == 1
+    assert lsink.prune_ledgers(d, "ghost", spark=spark) == []

@@ -1666,6 +1666,78 @@ def test_purge_corpus_crash_recovery(spark, tmp_path):
     assert not os.path.exists(f"{store}/corpus_purge_staging")
 
 
+def test_purge_recovery_aborts_on_failed_rename(spark, tmp_path):
+    """A recovery rename that reports failure as False (Hadoop's
+    silent mode) must abort recovery loudly and leave the trash copy
+    — the only surviving bytes — intact for a retry, in BOTH the
+    finish-the-swap and rollback branches (ADVICE r10: an unchecked
+    False deleted the original data)."""
+    import os
+
+    from wp_etl_migration_spark.streaming import incremental as inc
+    store = str(tmp_path / "s")
+    loop = inc.IncrementalDedup(spark, store, "doc_id", "text",
+                                num_subs=8, rows_per_sub=1,
+                                auto_compact_tail=None)
+    loop.process_batch(spark.createDataFrame(
+        [(1, "secret sentinel alpha bravo"),
+         (2, "keeper content one two three")],
+        ["doc_id", "text"]), 0)
+    loop.delete([1], 1)
+
+    # crash between rename(part->trash) and rename(staging->part):
+    # live partition gone, trash holds the original, staging complete
+    real = inc._rename
+    calls = {"n": 0}
+
+    def crashy(spark_, src, dst):
+        ok = real(spark_, src, dst)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash mid-swap")
+        return ok
+
+    inc._rename = crashy
+    try:
+        with pytest.raises(RuntimeError, match="crash mid-swap"):
+            loop.purge_corpus()
+    finally:
+        inc._rename = real
+    trash = f"{store}/corpus_purge_trash/batch_id=0"
+    assert os.path.exists(trash)
+
+    # finish branch: rename(staging->part) returns False => abort,
+    # trash (original bytes) and staging both left for the retry
+    inc._rename = lambda *_: False
+    try:
+        with pytest.raises(RuntimeError, match="purge recovery"):
+            loop.purge_corpus()
+    finally:
+        inc._rename = real
+    assert os.path.exists(trash)
+    assert os.path.exists(
+        f"{store}/corpus_purge_staging/batch_id=0/_SUCCESS")
+
+    # rollback branch: staging incomplete (no _SUCCESS) + rename
+    # False => abort, trash still intact
+    os.remove(f"{store}/corpus_purge_staging/batch_id=0/_SUCCESS")
+    inc._rename = lambda *_: False
+    try:
+        with pytest.raises(RuntimeError, match="rollback"):
+            loop.purge_corpus()
+    finally:
+        inc._rename = real
+    assert os.path.exists(trash)
+
+    # with renames healthy again the retry completes end to end
+    loop.purge_corpus()
+    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
+    raw = spark.read.parquet(f"{store}/corpus")
+    assert raw.where(F.col("doc_id") == 1).count() == 0
+    assert not os.path.exists(f"{store}/corpus_purge_trash")
+    assert not os.path.exists(f"{store}/corpus_purge_staging")
+
+
 def test_action_log_pointer_protocol(spark, tmp_path):
     """The Delta-log-emulating protocol in isolation: commits write
     numbered action files (diffs between states, snapshot every

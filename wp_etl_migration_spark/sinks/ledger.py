@@ -56,38 +56,71 @@ def write_ledger(df: DataFrame, ledger_dir: str, name: str,
     return path
 
 
-def latest_ledger_path(ledger_dir: str, name: str) -> str | None:
-    """≙ LedgerRegistry.php:106-124: glob ``<name>-ledger-*``, max by name."""
-    hits = glob.glob(os.path.join(ledger_dir, f"{name}-ledger-*"))
-    return max(hits) if hits else None
+def _list_runs(ledger_dir: str, name: str,
+               spark: SparkSession | None) -> list[str]:
+    """Sorted run paths for one job. With a SparkSession, listing goes
+    through the Hadoop FileSystem API so it works wherever
+    ``write_ledger`` wrote (HDFS/S3/local); without one it falls back
+    to a local-filesystem glob (fine for tests and local runs, blind
+    to remote URIs)."""
+    if spark is None:
+        return sorted(glob.glob(os.path.join(ledger_dir,
+                                             f"{name}-ledger-*")))
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(ledger_dir, f"{name}-ledger-*"))
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jpath.getFileSystem(conf)
+    # full URI string (keeps scheme+bucket — s3a://… must round-trip
+    # into spark.read / Path()); run names share a prefix, so name
+    # sort order is unchanged
+    return sorted(str(st.getPath()) for st in fs.globStatus(jpath) or [])
+
+
+def latest_ledger_path(ledger_dir: str, name: str,
+                       spark: SparkSession | None = None) -> str | None:
+    """≙ LedgerRegistry.php:106-124: glob ``<name>-ledger-*``, max by
+    name. Pass ``spark`` for non-local ledger dirs (HDFS/S3) — listing
+    then uses the Hadoop FileSystem API instead of a local glob."""
+    hits = _list_runs(ledger_dir, name, spark)
+    return hits[-1] if hits else None
 
 
 def read_latest_ledger(spark: SparkSession, ledger_dir: str, name: str,
                        fmt: str = "json") -> DataFrame | None:
     """≙ LedgerRegistry.php:93-129: latest run's ledger as a DataFrame
     (None when the dependency never ran)."""
-    path = latest_ledger_path(ledger_dir, name)
+    path = latest_ledger_path(ledger_dir, name, spark)
     if path is None:
         return None
     return spark.read.format(fmt).load(path)
 
 
-def prune_ledgers(ledger_dir: str, name: str,
-                  keep_last: int = 3) -> list[str]:
+def prune_ledgers(ledger_dir: str, name: str, keep_last: int = 3,
+                  spark: SparkSession | None = None) -> list[str]:
     """Retention for a job's ledger history: every ``write_ledger``
     run leaves a timestamped ``<name>-ledger-*`` directory and only
     the newest is ever read (``latest_ledger_path``), so a job run on
     a schedule accumulates ledgers without bound. Keep the newest
     ``keep_last`` (>= 1 — the latest is lineage other jobs depend on)
     and delete the rest; returns the deleted paths. Driver-side
-    directory ops only — the ledgers themselves are never read."""
-    import shutil
+    directory ops only — the ledgers themselves are never read.
+    Pass ``spark`` when the ledger dir is not on the local filesystem
+    (HDFS/S3): listing and deletion then go through the Hadoop
+    FileSystem API, matching where ``write_ledger`` wrote."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest ledger "
                          "is lineage other jobs depend on)")
-    hits = sorted(glob.glob(os.path.join(ledger_dir,
-                                         f"{name}-ledger-*")))
+    hits = _list_runs(ledger_dir, name, spark)
     doomed = hits[:-keep_last]
-    for path in doomed:
-        shutil.rmtree(path, ignore_errors=True)
+    if spark is None:
+        import shutil
+        for path in doomed:
+            shutil.rmtree(path, ignore_errors=True)
+    else:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for path in doomed:
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            jpath.getFileSystem(conf).delete(jpath, True)
     return doomed

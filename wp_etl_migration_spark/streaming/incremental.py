@@ -231,10 +231,21 @@ def _recover_swaps(spark: SparkSession, live_root: str,
             if fs.exists(jpath(part)):
                 fs.delete(st.getPath(), True)
             elif fs.exists(jpath(f"{stag}/_SUCCESS")):
-                _rename(spark, stag, part)
+                # Hadoop rename reports failure as False (same silent
+                # mode _swap_partition guards). An unchecked finish
+                # would delete the trash copy — the only surviving
+                # bytes — so abort loudly and leave trash+staging
+                # intact for a retry.
+                if not _rename(spark, stag, part):
+                    raise RuntimeError(
+                        f"purge recovery: rename staging -> {part} "
+                        "failed; leaving trash and staging for retry")
                 fs.delete(st.getPath(), True)
             else:
-                _rename(spark, f"{trash_root}/{name}", part)
+                if not _rename(spark, f"{trash_root}/{name}", part):
+                    raise RuntimeError(
+                        f"purge recovery: rollback trash -> {part} "
+                        "failed; leaving trash for retry")
         # every entry is now resolved; drop the root too, so a crash
         # on the very last trash delete leaves zero residue after
         # recovery (a later purge may return early on no-tombstones
