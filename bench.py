@@ -215,6 +215,50 @@ def canary_sec() -> float:
     return round(best, 4)
 
 
+IO_CANARY_MIB = 768
+
+
+def io_canary_sec() -> float:
+    """Disk-read calibration (VERDICT r10 #3 — the CPU canary's I/O
+    blind spot: the r10 driver run read queries at 1.32x with the CPU
+    canary flat at 1.04, because page-cache eviction and I/O
+    contention slow parquet scans without touching CPU speed).
+
+    Measures a sequential read of a fixed deterministic 768 MiB file
+    (generated once per machine under the temp dir — byte-for-byte
+    stable, so every round times identical work), best of 3. Each
+    sample first drops the file's page-cache pages via
+    ``posix_fadvise(POSIX_FADV_DONTNEED)`` so the read hits the
+    storage path every time instead of measuring RAM after sample 1.
+    Raw bytes, no parquet decode — pure I/O, zero overlap with the
+    CPU canary. Recorded as ``io_canary_sec`` next to ``canary_sec``;
+    interpretation rule in BASELINE.md."""
+    import tempfile
+    path = os.path.join(tempfile.gettempdir(),
+                        f"wp_etl_bench_io_canary_{IO_CANARY_MIB}.bin")
+    chunk = bytes(range(256)) * (4096 * 8)      # 8 MiB, deterministic
+    size = IO_CANARY_MIB * (1 << 20)
+    if not os.path.exists(path) or os.path.getsize(path) != size:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            for _ in range(IO_CANARY_MIB // 8):
+                fh.write(chunk)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+    best = float("inf")
+    for _ in range(3):
+        with open(path, "rb") as fh:
+            if hasattr(os, "posix_fadvise"):
+                os.posix_fadvise(fh.fileno(), 0, 0,
+                                 os.POSIX_FADV_DONTNEED)
+            t0 = time.monotonic()
+            while fh.read(1 << 23):
+                pass
+            best = min(best, time.monotonic() - t0)
+    return round(best, 4)
+
+
 def merge_baseline(queries: dict[str, float],
                    fresh: dict[str, float],
                    names: list[str] | None) -> tuple[list[str],
@@ -311,6 +355,9 @@ def paired(argv: list[str]) -> int:
     # slow re-baseline round can never corrupt it.
     can = canary_sec()
     base["canary_sec"] = round(min(base.get("canary_sec", can), can), 4)
+    io_can = io_canary_sec()
+    base["io_canary_sec"] = round(
+        min(base.get("io_canary_sec", io_can), io_can), 4)
     with open(base_path, "w") as fh:
         json.dump(base, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -322,6 +369,7 @@ def paired(argv: list[str]) -> int:
         "lowered": sorted(lowered),
         "baseline_total": round(sum(base["queries"].values()), 3),
         "canary_sec": can,
+        "io_canary_sec": io_can,
     }))
     return 0
 
@@ -338,6 +386,21 @@ def main() -> int:
         .mode("overwrite").save()
     warm.mapInPandas(lambda it: it, schema=warm.schema) \
         .write.format("noop").mode("overwrite").save()
+    # Codegen pre-warm (VERDICT r10 #7): one throwaway plan touching
+    # the window / broadcast-join / sort-limit codegen templates, so
+    # sub-second timed rows stop absorbing the one-time Janino
+    # compiler startup in their first execution (each plan still
+    # compiles its own generated source; this pays the shared cost).
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+    (warm
+     .withColumn("rn", _F.row_number().over(
+         _W.partitionBy("r_regionkey").orderBy("r_name")))
+     .join(_F.broadcast(warm.select(
+         _F.col("r_regionkey").alias("wk"))),
+         _F.col("r_regionkey") == _F.col("wk"))
+     .orderBy("rn").limit(5)
+     .write.format("noop").mode("overwrite").save())
     # Pre-build the diversified-corpus fixture (fingerprint-cached) so
     # the first _div row times its OPERATOR, not the fixture write.
     if any(n in DIV_QUERIES for n in BENCH_QUERIES):
@@ -367,10 +430,13 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
-        # Machine-speed canary (VERDICT r9 #1): fixed CPU work, timed
-        # after the query loop. canary_vs_baseline ≈ vs_baseline →
-        # ambient machine drift, not a code regression.
+        # Machine-speed canaries (VERDICT r9 #1 + r10 #3): fixed CPU
+        # work and a fixed cache-dropped disk read, timed after the
+        # query loop. Interpretation rule in BASELINE.md — either
+        # canary inflated ≈ vs_baseline → ambient machine drift, not
+        # a code regression.
         "canary_sec": canary_sec(),
+        "io_canary_sec": io_canary_sec(),
     }
     if errors:
         out["errors"] = errors
@@ -417,6 +483,9 @@ def main() -> int:
             if base.get("canary_sec"):
                 out["canary_vs_baseline"] = round(
                     out["canary_sec"] / base["canary_sec"], 3)
+            if base.get("io_canary_sec"):
+                out["io_canary_vs_baseline"] = round(
+                    out["io_canary_sec"] / base["io_canary_sec"], 3)
             out["regressions"] = {
                 name: round(t / base["queries"][name], 2)
                 for name, t in timings.items()

@@ -4309,67 +4309,72 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
 }
 
-#: r10 driver rotation (VERDICT r9 #4, staleness from the
-#: CORRECTNESS_r01..r09 union): the 45 queries last witnessed r7 — at
-#: the age-2 limit — all rotate IN, plus the new ann_index16_topk row
-#: (the >= 0.99-recall two-table int16 stored-ANN recipe, VERDICT r9
-#: #6) and four of the twelve r8-witnessed rows (asof_join,
-#: author_embed, date_parts, json_extract) to spread the r11 rotation
-#: load. Everything witnessed r9 cycles out to EXTRA_REGISTRY (age 1
-#: after r10); the eight remaining r8 rows reach age 2 and rotate in
-#: r11. After this rotation no query's last driver witness predates
-#: r8.
+#: r11 driver rotation (VERDICT r10 #2, staleness from the
+#: CORRECTNESS_r01..r10 union — now machine-audited by
+#: tools/rotation_debt.py, which fails the suite when this list would
+#: let any query's driver-witness age exceed 2): the eight r8 rows at
+#: the age limit (percentile_stats, pivot_wide, rollup_status,
+#: set_ops, sketch_distinct, top_customers, union_merge,
+#: window_funcs) rotate IN, plus 42 of the 50 r9-witnessed rows. The
+#: eight r9 rows deferred to r12 (slugify, split_trim,
+#: nullif_sentinel, string_to_null, snake_scrub_rename,
+#: numeric_preserve, text_functions, placeholder_subst — the cheap
+#: single-table text-function checks) sit exactly at age 2 after this
+#: round and lead the r12 window, followed by the 42 r10-witnessed
+#: rows; steady-state is "witness the oldest 50 each round".
 _DRIVER_ROWS: list[str] = [
-    "ann_index_topk",
-    "ann_lsh_topk",
-    "array_ops",
-    "asof_nearest",
-    "cluster_centroids",
-    "contamination",
-    "corpus_report",
-    "cross_corpus_dedup",
-    "date_validate",
-    "domain_cap",
-    "embedding_near_dup",
-    "entity_embed_full",
-    "event_window_agg",
-    "fuzzy_match",
-    "gopher_quality",
-    "grouping_sets",
-    "hash_sample",
-    "hierarchy_resolve",
-    "html_blocks",
-    "key_skew",
-    "line_dedup",
-    "media_dedupe_lookup",
-    "multimodal_features",
-    "pack_sequences",
-    "pagerank",
-    "passage_removal",
-    "pii_scrub",
-    "prefix_pipeline",
-    "profile_diff",
-    "quantile_band",
-    "range_join",
-    "repetition_stats",
-    "sanitize_chain",
-    "scan_filter_sort_limit",
-    "script_fractions",
-    "shared_gram_stats",
-    "shipping_priority",
-    "simhash_near_dup",
-    "table_profile",
-    "trigram_lm_score",
-    "upsert_merge",
-    "url_normalize",
-    "vocab_topk",
-    "weighted_sample",
-    "wp_post_preset",
-    "ann_index16_topk",
-    "asof_join",
-    "author_embed",
-    "date_parts",
-    "json_extract",
+    # the eight age-limit r8 rows (mandatory this round)
+    "percentile_stats",
+    "pivot_wide",
+    "rollup_status",
+    "set_ops",
+    "sketch_distinct",
+    "top_customers",
+    "union_merge",
+    "window_funcs",
+    # 42 of the 50 r9-witnessed rows
+    "ann_multi_topk",
+    "bigram_lm_score",
+    "bpe_token_stats",
+    "cascaded_lookup",
+    "chunk_documents",
+    "cube_agg",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_pipeline",
+    "domain_stats",
+    "embedding_near_dup_lsh",
+    "embedding_topk",
+    "global_shuffle_shards",
+    "incremental_lsh",
+    "ivf_ann_topk",
+    "keywords",
+    "kmeans_centroids",
+    "lang_id",
+    "media_decode",
+    "meta_embed",
+    "meta_melt",
+    "minhash_lsh_dedup",
+    "minhash_signatures",
+    "ngram_jaccard_dedup",
+    "pagerank_redistribute",
+    "pricing_summary",
+    "quality_score",
+    "quantize_embeddings",
+    "regional_revenue",
+    "rolling_window",
+    "semantic_dedup",
+    "sessionization",
+    "simhash_signatures",
+    "text_quality",
+    "token_budget",
+    "token_stats",
+    "topk_per_group",
+    "train_val_test",
+    "training_prep_contract",
+    "trigram_lm_pruned",
+    "unpack_roundtrip",
+    "wp_post_all_contract",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
