@@ -28,8 +28,18 @@ size — the tail+base store layout's bounded-probe claim, measured as
 the store grows. rows_per_sub is demo-sized (16) so the soak-scale
 base fans out; production keeps the 1M default.
 
+Takedown mode (``--takedown``, VERDICT r10 #5): every 4th data batch
+is followed by a mid-soak takedown — delete 1/50th of that batch's
+ids, then run the physical purge (``purge_corpus`` for the dedup
+loop, ``purge_matches`` for ANN) — so purge cost and post-purge batch
+latency are measured against GROWING stores round over round, on
+either pointer protocol, instead of the one-off r10 rig. Each event
+records delete/purge walls + rows and partitions touched; the batches
+that follow a purge stay in the normal wall series, so the flatness
+bound also guards post-purge probe regressions.
+
 Run:  python bench_streaming_soak.py [--soak dedup|ann] [--batches 20]
-      [--sf-dir /root/testdata/sf0.1]
+      [--sf-dir /root/testdata/sf0.1] [--takedown]
 Prints ONE JSON line with per-batch walls + store row counts.
 """
 
@@ -94,7 +104,7 @@ def _protocol():
 
 
 def soak_dedup(spark, sf_dir: str, batches: int,
-               store: str) -> dict:
+               store: str, takedown: bool = False) -> dict:
     from wp_etl_migration_spark.operators.dedup import (
         content_digest, lsh_bands)
     from wp_etl_migration_spark.streaming.incremental import (
