@@ -131,7 +131,7 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                             auto_compact_tail=5,
                             pointer_protocol=_protocol())
     walls, corpus_rows, band_rows = [], [], []
-    trickle, autos, data_ids = [], [], []
+    trickle, autos, data_ids, takedowns = [], [], [], []
     next_id = 0
     for b in range(batches):
         # 10% exact repeats of batch-0 text (digest index hits every
@@ -199,13 +199,45 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                     bstore, small_bands, F.col("band_hash")),
                 "band_store_bytes": _index_bytes(bstore, None, None),
             })
+        # Takedown event (VERDICT r10 #5, every 4th data batch):
+        # tombstone 1/50th of the JUST-ingested batch's ids, then run
+        # the physical corpus purge against the grown store — purge
+        # cost must track HIT partitions, not store size, round over
+        # round. The following data batches stay in the normal wall
+        # series, so the flatness bound above also guards the
+        # post-purge probe path.
+        if takedown and (b + 1) % 4 == 0:
+            # ids that actually LIVE in the corpus (dedup drops most
+            # soak docs), 1/5th of the current batch's survivors —
+            # otherwise the purge finds no hit partitions and the
+            # soak measures an empty rewrite
+            doomed = [int(r[0]) for r in loop.corpus()
+                      .where((F.col("doc_id") >= b * n)
+                             & (F.col("doc_id") % 5 == 0))
+                      .select("doc_id").collect()]
+            tb = next_id
+            next_id += 1
+            t0 = time.monotonic()
+            loop.delete(doomed, tb)
+            d_wall = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            res = loop.purge_corpus()
+            takedowns.append({
+                "after_batch": b + 1, "deleted_ids": len(doomed),
+                "delete_wall": d_wall,
+                "purge_wall": round(time.monotonic() - t0, 3),
+                **res,
+                "corpus_rows_after": spark.read.parquet(
+                    f"{store}/corpus").count()})
     return {"walls": walls, "corpus_rows": corpus_rows,
             "band_rows": band_rows, "batch_docs": n,
             "num_subs": loop.num_subs, "trickle": trickle,
-            "auto_compactions": autos, "data_batch_ids": data_ids}
+            "auto_compactions": autos, "data_batch_ids": data_ids,
+            "takedowns": takedowns}
 
 
-def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
+def soak_ann(spark, sf_dir: str, batches: int, store: str,
+             takedown: bool = False) -> dict:
     import math
     from wp_etl_migration_spark.streaming.incremental import (
         IncrementalAnnIndex)
@@ -220,7 +252,8 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
                                planes, k=5, auto_compact_tail=5,
                                pointer_protocol=_protocol())
     walls, index_rows, match_rows = [], [], []
-    autos = []
+    autos, data_ids, takedowns = [], [], []
+    next_id = 0
     for b in range(batches):
         batch = emb.select(
             (F.col("vec_id") + b * n).alias("vec_id"),
@@ -229,10 +262,13 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
                             3.0 * F.lit(float(b))
                             + 0.5 * i.cast("double")))
             .alias("embedding"))
+        bid = next_id
+        next_id += 1
+        data_ids.append(bid)
         folded_before = (loop._ann_store.pointer()
                          or {}).get("folded_up_to", -1)
         t0 = time.monotonic()
-        loop.process_batch(batch, b)   # auto-compacts when tail > 5
+        loop.process_batch(batch, bid)  # auto-compacts when tail > 5
         walls.append(round(time.monotonic() - t0, 3))
         ptr = loop._ann_store.pointer() or {}
         if ptr.get("folded_up_to", -1) != folded_before:
@@ -241,10 +277,33 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str) -> dict:
         index_rows.append(loop._ann_store.probe(-1).count())
         match_rows.append(
             spark.read.parquet(f"{store}/matches").count())
+        # Takedown event (VERDICT r10 #5): tombstone 1/50th of the
+        # just-ingested batch's vector ids out of the probe-able
+        # index, then physically rewrite every matches/ partition
+        # referencing them on either side (the feed is append-only
+        # history — purge_matches is the compliance path).
+        if takedown and (b + 1) % 4 == 0:
+            doomed = [int(r[0]) for r in emb
+                      .where(F.col("vec_id") % 50 == 0)
+                      .select((F.col("vec_id") + b * n)).collect()]
+            tb = next_id
+            next_id += 1
+            t0 = time.monotonic()
+            loop.delete(doomed, tb)
+            d_wall = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            res = loop.purge_matches(doomed)
+            takedowns.append({
+                "after_batch": b + 1, "deleted_ids": len(doomed),
+                "delete_wall": d_wall,
+                "purge_wall": round(time.monotonic() - t0, 3),
+                **res,
+                "match_rows_after": spark.read.parquet(
+                    f"{store}/matches").count()})
     return {"walls": walls, "index_rows": index_rows,
             "match_rows": match_rows, "batch_vectors": n,
             "auto_compactions": autos,
-            "data_batch_ids": list(range(batches))}
+            "data_batch_ids": data_ids, "takedowns": takedowns}
 
 
 def main(argv: list[str]) -> int:
@@ -261,19 +320,23 @@ def main(argv: list[str]) -> int:
     sf_dir = argv[argv.index("--sf-dir") + 1] if "--sf-dir" in argv \
         else os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
+    takedown = "--takedown" in argv
     spark = _spark()
     out = {"metric": "streaming_soak", "unit": "sec",
            "batches": batches, "sf": sf_dir,
+           "takedown": takedown,
            "protocol": os.environ.get("SOAK_POINTER_PROTOCOL",
                                       "versioned")}
     work = tempfile.mkdtemp(prefix="soak_")
     try:
         if which in ("dedup", "both"):
             out["dedup"] = soak_dedup(spark, sf_dir, batches,
-                                      os.path.join(work, "dedup"))
+                                      os.path.join(work, "dedup"),
+                                      takedown=takedown)
         if which in ("ann", "both"):
             out["ann"] = soak_ann(spark, sf_dir, batches,
-                                  os.path.join(work, "ann"))
+                                  os.path.join(work, "ann"),
+                                  takedown=takedown)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     for k in ("dedup", "ann"):

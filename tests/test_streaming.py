@@ -611,6 +611,56 @@ def test_incremental_soak_latency_flat(spark, tmp_path):
     assert a["index_rows"][-1] == 12 * a["batch_vectors"]
 
 
+def test_incremental_soak_takedown_bounded(spark, tmp_path):
+    """Takedown-under-soak bound (VERDICT r10 #5): mid-soak deletes +
+    physical purges must (a) actually purge rows from grown stores,
+    (b) cost no more than a normal data batch (purge scales with HIT
+    partitions, not store size), and (c) leave the post-purge batch
+    walls inside the same flatness envelope as the plain soak — the
+    sf0.1 walls live in BASELINE.md via
+    ``bench_streaming_soak.py --takedown``."""
+    import importlib.util
+    import os
+    import statistics
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_streaming_soak",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench_streaming_soak.py"))
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+
+    sf = "/root/testdata/sf0.001"
+    d = soak.soak_dedup(spark, sf, 8, str(tmp_path / "dedup"),
+                        takedown=True)
+    a = soak.soak_ann(spark, sf, 8, str(tmp_path / "ann"),
+                      takedown=True)
+    for name, r in (("dedup", d), ("ann", a)):
+        events = r["takedowns"]
+        assert len(events) == 2, f"{name}: takedowns never fired"
+        med = statistics.median(r["walls"][1:])
+        for ev in events:
+            assert ev["rows_purged"] >= 1, (
+                f"{name}: purge found nothing — the event no longer "
+                f"exercises the rewrite path: {ev}")
+            assert ev["partitions_rewritten"] >= 1
+            # a purge (hit partitions only) must stay in the same
+            # cost class as one data batch against the same store
+            assert ev["purge_wall"] <= 2.0 * med + 1.0, (
+                f"{name}: purge cost left the batch cost class "
+                f"({ev['purge_wall']} s vs median batch {med} s)")
+            assert ev["delete_wall"] <= 2.0 * med + 1.0
+        # post-purge batches stay in the flatness envelope
+        late, early = min(r["walls"][-3:]), min(r["walls"][1:4])
+        assert late <= 2.5 * early, (
+            f"{name}: post-purge batch latency left the envelope "
+            f"({r['walls']})")
+    # the second dedup purge ran against a strictly larger corpus yet
+    # rewrote only its own hit partitions
+    assert d["takedowns"][1]["corpus_rows_after"] > \
+        d["takedowns"][0]["corpus_rows_after"]
+
+
 def test_incremental_dedup_replay_between_writes(spark, tmp_path):
     """Exactly-once store state for the dedup loop (r6): a retry of a
     batch that crashed between (or during) its three partition writes
