@@ -39,8 +39,11 @@ that follow a purge stay in the normal wall series, so the flatness
 bound also guards post-purge probe regressions.
 
 Run:  python bench_streaming_soak.py [--soak dedup|ann] [--batches 20]
-      [--sf-dir /root/testdata/sf0.1] [--takedown]
+      [--sf-dir /root/testdata/sf0.1] [--takedown] [--stationary]
 Prints ONE JSON line with per-batch walls + store row counts.
+``--stationary`` switches the ANN batch generator to constant
+true-match density (each batch matches only its twin), isolating
+store-side cost from workload growth — see ``soak_ann``.
 """
 
 from __future__ import annotations
@@ -237,7 +240,18 @@ def soak_dedup(spark, sf_dir: str, batches: int,
 
 
 def soak_ann(spark, sf_dir: str, batches: int, store: str,
-             takedown: bool = False) -> dict:
+             takedown: bool = False, stationary: bool = False) -> dict:
+    """Default batch generator: every batch is a small perturbation of
+    the SAME base vectors, so batch b has true near-neighbors in ALL
+    prior batches — match density (and the verify join's real work)
+    grows linearly with history BY CONSTRUCTION. That exercises the
+    match path hard but conflates workload growth with store growth
+    (the r11 sf1 caveat, BASELINE.md §r11). ``stationary=True``
+    instead gives batch b the base vectors rotated by ``b // 2``
+    positions (+ a tiny perturbation on odd batches): rotations of
+    the same vectors are mutually far in cosine, so each odd batch
+    matches ONLY its even twin — constant per-batch true-match
+    density, isolating store-side cost as the store grows."""
     import math
     from wp_etl_migration_spark.streaming.incremental import (
         IncrementalAnnIndex)
@@ -255,13 +269,27 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
     autos, data_ids, takedowns = [], [], []
     next_id = 0
     for b in range(batches):
-        batch = emb.select(
-            (F.col("vec_id") + b * n).alias("vec_id"),
-            F.transform(F.col("embedding").cast("array<double>"),
-                        lambda x, i: x + 0.02 * F.sin(
-                            3.0 * F.lit(float(b))
-                            + 0.5 * i.cast("double")))
-            .alias("embedding"))
+        if stationary:
+            rot = (b // 2) % dims
+            base = (F.concat(F.slice("embedding", rot + 1, dims - rot),
+                             F.slice("embedding", 1, rot))
+                    if rot else F.col("embedding"))
+            vec = (F.transform(base.cast("array<double>"),
+                               lambda x, i: x + 0.01 * F.sin(
+                                   0.9 * F.lit(float(b))
+                                   + 0.7 * i.cast("double")))
+                   if b % 2 else base.cast("array<double>"))
+            batch = emb.select(
+                (F.col("vec_id") + b * n).alias("vec_id"),
+                vec.alias("embedding"))
+        else:
+            batch = emb.select(
+                (F.col("vec_id") + b * n).alias("vec_id"),
+                F.transform(F.col("embedding").cast("array<double>"),
+                            lambda x, i: x + 0.02 * F.sin(
+                                3.0 * F.lit(float(b))
+                                + 0.5 * i.cast("double")))
+                .alias("embedding"))
         bid = next_id
         next_id += 1
         data_ids.append(bid)
@@ -321,10 +349,11 @@ def main(argv: list[str]) -> int:
         else os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
     takedown = "--takedown" in argv
+    stationary = "--stationary" in argv
     spark = _spark()
     out = {"metric": "streaming_soak", "unit": "sec",
            "batches": batches, "sf": sf_dir,
-           "takedown": takedown,
+           "takedown": takedown, "stationary": stationary,
            "protocol": os.environ.get("SOAK_POINTER_PROTOCOL",
                                       "versioned")}
     work = tempfile.mkdtemp(prefix="soak_")
@@ -336,7 +365,8 @@ def main(argv: list[str]) -> int:
         if which in ("ann", "both"):
             out["ann"] = soak_ann(spark, sf_dir, batches,
                                   os.path.join(work, "ann"),
-                                  takedown=takedown)
+                                  takedown=takedown,
+                                  stationary=stationary)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     for k in ("dedup", "ann"):
