@@ -260,8 +260,16 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
         .select("vec_id", "embedding").localCheckpoint(eager=True)
     n = emb.count()
     dims = len(emb.first().embedding)
+    # Plane count sizes the LSH bucket space (2^planes buckets).
+    # Per-batch candidate cost is batch_size × bucket OCCUPANCY
+    # (store / buckets) — occupancy, not store size, is the flat-wall
+    # invariant, so planes must scale with the corpus the soak
+    # targets: 8 (256 buckets) suits the sf0.1 20-batch run; the sf1
+    # stationary study (BASELINE.md §r11) uses 14 (16k buckets).
+    # $SOAK_PLANES / --planes overrides.
+    n_planes = int(os.environ.get("SOAK_PLANES", "8"))
     planes = [[math.sin(0.37 + p * 5.1 + i * 0.83)
-               for i in range(dims)] for p in range(8)]
+               for i in range(dims)] for p in range(n_planes)]
     loop = IncrementalAnnIndex(spark, store, "vec_id", "embedding",
                                planes, k=5, auto_compact_tail=5,
                                pointer_protocol=_protocol())
@@ -345,6 +353,8 @@ def main(argv: list[str]) -> int:
     if "--rows-per-sub" in argv:
         os.environ["SOAK_ROWS_PER_SUB"] = \
             argv[argv.index("--rows-per-sub") + 1]
+    if "--planes" in argv:
+        os.environ["SOAK_PLANES"] = argv[argv.index("--planes") + 1]
     sf_dir = argv[argv.index("--sf-dir") + 1] if "--sf-dir" in argv \
         else os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
