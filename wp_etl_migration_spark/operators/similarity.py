@@ -1049,8 +1049,23 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
     qside = qside.withColumn("__qn", qn)
     deq = F.transform(F.col("qvec"),
                       lambda x: x.cast("double") * F.col("scale"))
+    # Probed-bucket pruning (r11): drop index rows whose bucket no
+    # query probes BEFORE dequantization — the dequantize transform
+    # is CodegenFallback (interpreted per element) and the arrow path
+    # Arrow-ships every surviving row through the cogroup, so both
+    # costs must be paid only for buckets that can produce a
+    # candidate. The probed-bucket set is bounded by the query batch
+    # (× probes × tables), the small side by the microbatch contract,
+    # hence the broadcast — this is what keeps a small query batch
+    # against a large stored index O(probed buckets), not O(index)
+    # (measured 19.6 s → index-fraction-proportional on the sf1
+    # stationary soak, BASELINE.md §r11). Results are identical:
+    # rows outside probed buckets could never join (inner/cogroup
+    # key mismatch) — they only burned dequantize + shuffle.
     iside = (index.select(F.col(id_col).alias("neighbor_id"),
                           *join_key, "qvec", "scale")
+             .join(F.broadcast(qside.select(*join_key).distinct()),
+                   join_key, "left_semi")
              .withColumn("__cv", deq)
              .withColumn("__cn", F.sqrt(
                  unrolled_dot(F.col("__cv"), F.col("__cv"), dims)))
