@@ -274,7 +274,7 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
                                planes, k=5, auto_compact_tail=5,
                                pointer_protocol=_protocol())
     walls, index_rows, match_rows = [], [], []
-    autos, data_ids, takedowns = [], [], []
+    autos, data_ids, takedowns, trickle = [], [], [], []
     next_id = 0
     for b in range(batches):
         if stationary:
@@ -313,6 +313,29 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
         index_rows.append(loop._ann_store.probe(-1).count())
         match_rows.append(
             spark.read.parquet(f"{store}/matches").count())
+        # Trickle probe (every 5th batch, r11 — the ANN twin of the
+        # dedup soak's trickle): a 100-vector batch, the steady-state
+        # shape of a continuous loop. With probed-bucket pruning
+        # (query_ann_index r11) its wall must stay ~flat as the index
+        # grows — a small batch's cost is O(probed buckets), only a
+        # bulk batch pays the index-linear scan.
+        if (b + 1) % 5 == 0:
+            tb = next_id
+            next_id += 1
+            small = emb.where(F.col("vec_id") % (max(n // 100, 1))
+                              == 0).select(
+                (F.col("vec_id") + (1000 + b) * n).alias("vec_id"),
+                F.transform(F.col("embedding").cast("array<double>"),
+                            lambda x, i: x + 0.03 * F.sin(
+                                7.0 * F.lit(float(b))
+                                + 0.9 * i.cast("double")))
+                .alias("embedding"))
+            t0 = time.monotonic()
+            loop.process_batch(small, tb)
+            trickle.append({
+                "after_batch": b + 1,
+                "wall": round(time.monotonic() - t0, 3),
+                "index_rows": index_rows[-1]})
         # Takedown event (VERDICT r10 #5): tombstone 1/50th of the
         # just-ingested batch's vector ids out of the probe-able
         # index, then physically rewrite every matches/ partition
@@ -338,7 +361,7 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
                     f"{store}/matches").count()})
     return {"walls": walls, "index_rows": index_rows,
             "match_rows": match_rows, "batch_vectors": n,
-            "auto_compactions": autos,
+            "auto_compactions": autos, "trickle": trickle,
             "data_batch_ids": data_ids, "takedowns": takedowns}
 
 
