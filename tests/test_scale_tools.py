@@ -509,6 +509,35 @@ def test_bench_paired_merge_policy():
     assert base == {"a": 1.0, "b": 1.5, "d": 4.0}   # min policy
 
 
+def test_bench_io_canary(monkeypatch, tmp_path):
+    """io_canary_sec (VERDICT r10 #3): generates its fixed file once
+    (byte-for-byte deterministic, exact size), reuses it on the next
+    call, rebuilds a corrupted/short file, and returns a positive
+    best-of-3 wall."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(bench, "IO_CANARY_MIB", 16)  # keep test fast
+    t1 = bench.io_canary_sec()
+    path = tmp_path / "wp_etl_bench_io_canary_16.bin"
+    assert t1 > 0 and path.exists()
+    assert path.stat().st_size == 16 << 20
+    head = path.read_bytes()[:512]
+    assert head == (bytes(range(256)) * 2)  # deterministic content
+    mtime = path.stat().st_mtime_ns
+    t2 = bench.io_canary_sec()               # reused, not rewritten
+    assert t2 > 0 and path.stat().st_mtime_ns == mtime
+    path.write_bytes(b"short")               # corrupted => rebuilt
+    bench.io_canary_sec()
+    assert path.stat().st_size == 16 << 20
+
+
 def test_bench_paired_garbled_child_stdout(monkeypatch, capsys):
     """paired() must fail structured (one {"error": ...} JSON line,
     rc 1) when a zero-exit child emits no parseable JSON — e.g. a
