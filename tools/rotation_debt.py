@@ -10,13 +10,27 @@ query whose last driver witness is older than ``MAX_AGE`` rounds.
 
 This tool replaces the hand-computed audit: it parses every committed
 ``CORRECTNESS_r*.json``, computes each query's last green witness
-round, projects each query's age at the end of the NEXT driver round
-under the CURRENT ``_DRIVER_ROWS`` (a selected query is re-witnessed
-=> age 0; an unselected one ages to ``next_round - last_witness``),
-prints the table, and exits non-zero when any projected age exceeds
-``MAX_AGE`` — i.e. when the current rotation choice would create
-judge-visible debt. Run with ``--table`` for the full per-query
-listing; the default output is the summary plus violations.
+round, and audits in one of two MODES depending on where the round
+cycle stands (detectable from the history itself):
+
+- **pending** (the committed window has NOT yet produced this round's
+  CORRECTNESS file — i.e. the window's green query set differs from
+  the latest file's): project each query's age at the end of the
+  NEXT driver run under the committed ``_DRIVER_ROWS`` (selected ⇒
+  re-witnessed ⇒ age 0; unselected ⇒ ``next_round − last_witness``)
+  and fail if any projection exceeds ``MAX_AGE``. This is the mode
+  that vets a fresh rotation edit before the driver runs it.
+- **ran** (the latest CORRECTNESS file IS the committed window's run):
+  projecting one round ahead would demand NEXT round's rotation edit
+  prematurely (rotation legitimately happens at the next round's
+  start), so instead assert the invariant that actually holds between
+  rounds: no query's CURRENT age (``latest − last_witness``) exceeds
+  ``MAX_AGE``. A skipped rotation still fails — one round later, when
+  the un-rotated window's new CORRECTNESS file makes the stale rows'
+  current age exceed the limit.
+
+Run with ``--table`` for the full per-query listing; the default
+output is the summary plus violations. Exit ≠ 0 on debt.
 
 A green witness = rows+schema match, hash match (or no hash oracle),
 no error. Queries present in history but no longer registered are
@@ -68,31 +82,58 @@ def last_witness_rounds(root: str = _ROOT) -> tuple[dict[str, int], int]:
     return last, latest
 
 
-def projected_ages(root: str = _ROOT) -> tuple[dict[str, int], int]:
-    """query -> projected age at the end of the next driver round,
-    under the current ``_DRIVER_ROWS``. Never-witnessed unselected
-    queries get a sentinel age of 10**6."""
+def _latest_green_set(root: str = _ROOT) -> set[str]:
+    """The green query names in the newest CORRECTNESS file."""
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                   key=lambda p: int(re.search(r"_r(\d+)\.json$",
+                                               p).group(1)))
+    if not paths:
+        return set()
+    with open(paths[-1]) as fh:
+        rows = json.load(fh)
+    return {n for n, row in rows.items()
+            if row.get("rows_match") and row.get("schema_match")
+            and row.get("hash_match") in (True, None)
+            and not row.get("err")}
+
+
+def audit(root: str = _ROOT) -> tuple[str, dict[str, int], int]:
+    """(mode, query -> age, round the ages refer to).
+
+    mode "ran": the committed window's run IS the latest CORRECTNESS
+    file; ages are CURRENT (latest − last_witness) — the between-round
+    invariant. mode "pending": the window has not run yet; ages are
+    PROJECTED to the next round under the committed window (selected ⇒
+    0). Never-witnessed, unselected queries get a 10**6 sentinel in
+    either mode."""
     if root not in sys.path:
         sys.path.insert(0, root)
     from wp_etl_migration_spark.queries import _ALL_QUERIES, _DRIVER_ROWS
     last, latest = last_witness_rounds(root)
-    nxt = latest + 1
     selected = set(_DRIVER_ROWS)
+    ran = selected <= _latest_green_set(root)
+    ref = latest if ran else latest + 1
     ages: dict[str, int] = {}
     for name in _ALL_QUERIES:
         probe = CONTRACT_TWINS.get(name, name)
-        if probe in selected:
+        if not ran and probe in selected:
             ages[name] = 0
         elif probe in last:
-            ages[name] = nxt - last[probe]
+            ages[name] = ref - last[probe]
         else:
-            ages[name] = 10**6
-    return ages, nxt
+            ages[name] = 0 if (ran and probe in selected) else 10**6
+    return ("ran" if ran else "pending"), ages, ref
+
+
+def projected_ages(root: str = _ROOT) -> tuple[dict[str, int], int]:
+    """Back-compat shim: audit()'s ages + reference round."""
+    _mode, ages, ref = audit(root)
+    return ages, ref
 
 
 def main(argv: list[str]) -> int:
     show_table = "--table" in argv
-    ages, nxt = projected_ages()
+    mode, ages, ref = audit()
     last, _ = last_witness_rounds()
     bad = {n: a for n, a in ages.items() if a > MAX_AGE}
     if show_table:
@@ -100,25 +141,25 @@ def main(argv: list[str]) -> int:
         for name in sorted(ages, key=lambda n: (-ages[n], n)):
             mark = " <-- DEBT" if name in bad else ""
             print(f"{name:<{width}}  last=r{last.get(name, '-')}"
-                  f"  age@r{nxt}={ages[name]}{mark}")
+                  f"  age@r{ref}={ages[name]}{mark}")
     dist: dict[int, int] = {}
     for a in ages.values():
         dist[a] = dist.get(a, 0) + 1
-    print(f"rotation debt @r{nxt}: {len(ages)} registry queries, "
-          f"age distribution {dict(sorted(dist.items()))}, "
-          f"max allowed {MAX_AGE}")
+    print(f"rotation debt @r{ref} ({mode} window): {len(ages)} "
+          f"registry queries, age distribution "
+          f"{dict(sorted(dist.items()))}, max allowed {MAX_AGE}")
     if bad:
         for name in sorted(bad):
             probe = CONTRACT_TWINS.get(name, name)
             lw = last.get(probe)
             src = f"last witness r{lw}" if lw else "NEVER witnessed"
             via = f" (via {probe})" if probe != name else ""
-            print(f"DEBT: {name} projected age {bad[name]} "
+            print(f"DEBT: {name} age {bad[name]} "
                   f"({src}{via}) — add {probe} to _DRIVER_ROWS",
                   file=sys.stderr)
         return 1
-    print("OK: no query's projected driver-witness age exceeds "
-          f"{MAX_AGE}")
+    print(f"OK ({mode} window): no query's driver-witness age "
+          f"exceeds {MAX_AGE}")
     return 0
 
 
