@@ -335,6 +335,7 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
             trickle.append({
                 "after_batch": b + 1,
                 "wall": round(time.monotonic() - t0, 3),
+                "vectors": small.count(),
                 "index_rows": index_rows[-1]})
         # Takedown event (VERDICT r10 #5): tombstone 1/50th of the
         # just-ingested batch's vector ids out of the probe-able

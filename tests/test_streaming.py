@@ -608,7 +608,9 @@ def test_incremental_soak_latency_flat(spark, tmp_path):
             "longer exercises the default policy")
     # stores actually grew (the bound must not pass vacuously)
     assert d["band_rows"][-1] > d["band_rows"][0]
-    assert a["index_rows"][-1] == 12 * a["batch_vectors"]
+    # data batches all indexed, plus the r11 trickle probes' vectors
+    assert a["index_rows"][-1] == 12 * a["batch_vectors"] + \
+        sum(t["vectors"] for t in a["trickle"])
 
 
 def test_incremental_soak_takedown_bounded(spark, tmp_path):
