@@ -270,8 +270,14 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
     n_planes = int(os.environ.get("SOAK_PLANES", "8"))
     planes = [[math.sin(0.37 + p * 5.1 + i * 0.83)
                for i in range(dims)] for p in range(n_planes)]
+    # rows_per_sub demo-sized like the dedup soak: the compacted base
+    # then fans out into enough sub-buckets for the 100-vector
+    # trickle's probe to prune (production keeps the 1M default and
+    # reaches the num_subs cap on its own corpus volume).
     loop = IncrementalAnnIndex(spark, store, "vec_id", "embedding",
                                planes, k=5, auto_compact_tail=5,
+                               rows_per_sub=int(os.environ.get(
+                                   "SOAK_ROWS_PER_SUB", "16")),
                                pointer_protocol=_protocol())
     walls, index_rows, match_rows = [], [], []
     autos, data_ids, takedowns, trickle = [], [], [], []
@@ -314,7 +320,7 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
         match_rows.append(
             spark.read.parquet(f"{store}/matches").count())
         # Trickle probe (every 5th batch, r11 — the ANN twin of the
-        # dedup soak's trickle): a 100-vector batch, the steady-state
+        # dedup soak's trickle): a 10-vector batch, the steady-state
         # shape of a continuous loop. With probed-bucket pruning
         # (query_ann_index r11) its wall must stay ~flat as the index
         # grows — a small batch's cost is O(probed buckets), only a
@@ -322,7 +328,7 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
         if (b + 1) % 5 == 0:
             tb = next_id
             next_id += 1
-            small = emb.where(F.col("vec_id") % (max(n // 100, 1))
+            small = emb.where(F.col("vec_id") % (max(n // 10, 1))
                               == 0).select(
                 (F.col("vec_id") + (1000 + b) * n).alias("vec_id"),
                 F.transform(F.col("embedding").cast("array<double>"),
@@ -330,12 +336,26 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
                                 7.0 * F.lit(float(b))
                                 + 0.9 * i.cast("double")))
                 .alias("embedding"))
+            from wp_etl_migration_spark.operators.similarity import (
+                hyperplane_bucket)
+            small_buckets = small.select(hyperplane_bucket(
+                F.transform(F.col("embedding"),
+                            lambda x: x.cast("double")),
+                planes, dims).alias("__bucket"))
             t0 = time.monotonic()
             loop.process_batch(small, tb)
             trickle.append({
                 "after_batch": b + 1,
                 "wall": round(time.monotonic() - t0, 3),
                 "vectors": small.count(),
+                # bounded-probe evidence, ANN twin of the dedup
+                # trickle's fractions: listable bytes of the trickle's
+                # sub-pruned probe vs the whole index store
+                "index_probe_bytes": _index_bytes(
+                    loop._ann_store, small_buckets,
+                    F.col("__bucket")),
+                "index_store_bytes": _index_bytes(
+                    loop._ann_store, None, None),
                 "index_rows": index_rows[-1]})
         # Takedown event (VERDICT r10 #5): tombstone 1/50th of the
         # just-ingested batch's vector ids out of the probe-able
