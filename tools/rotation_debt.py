@@ -62,7 +62,18 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def last_witness_rounds(root: str = _ROOT) -> tuple[dict[str, int], int]:
     """(query -> last green driver-witness round, latest round seen)."""
+    last, _seen, latest = _witness_history(root)
+    return last, latest
+
+
+def _witness_history(root: str = _ROOT) -> tuple[dict[str, int],
+                                                 set[str], int]:
+    """(query -> last GREEN witness round, queries seen in ANY file
+    green or red, latest round seen). The seen-set distinguishes a
+    brand-new query (never ran — selection is enough) from one that
+    ran and failed (selection alone must not reset its debt)."""
     last: dict[str, int] = {}
+    seen: set[str] = set()
     latest = 0
     for path in sorted(glob.glob(os.path.join(root,
                                               "CORRECTNESS_r*.json"))):
@@ -73,17 +84,24 @@ def last_witness_rounds(root: str = _ROOT) -> tuple[dict[str, int], int]:
         latest = max(latest, rnd)
         with open(path) as fh:
             rows = json.load(fh)
+        seen.update(rows)
         for name, row in rows.items():
             green = (row.get("rows_match") and row.get("schema_match")
                      and row.get("hash_match") in (True, None)
                      and not row.get("err"))
             if green:
                 last[name] = max(last.get(name, 0), rnd)
-    return last, latest
+    return last, seen, latest
 
 
-def _latest_green_set(root: str = _ROOT) -> set[str]:
-    """The green query names in the newest CORRECTNESS file."""
+def _latest_row_set(root: str = _ROOT) -> set[str]:
+    """ALL query names in the newest CORRECTNESS file (green or not).
+
+    Mode detection keys on this, not the green subset (r11 ADVICE): a
+    window whose run produced a RED row is still a window that RAN —
+    keying on greens would bounce the audit back to pending mode,
+    where the failing-but-selected row projects to age 0 forever and
+    its staleness is never surfaced."""
     paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
                    key=lambda p: int(re.search(r"_r(\d+)\.json$",
                                                p).group(1)))
@@ -91,10 +109,7 @@ def _latest_green_set(root: str = _ROOT) -> set[str]:
         return set()
     with open(paths[-1]) as fh:
         rows = json.load(fh)
-    return {n for n, row in rows.items()
-            if row.get("rows_match") and row.get("schema_match")
-            and row.get("hash_match") in (True, None)
-            and not row.get("err")}
+    return set(rows)
 
 
 def audit(root: str = _ROOT) -> tuple[str, dict[str, int], int]:
@@ -104,24 +119,44 @@ def audit(root: str = _ROOT) -> tuple[str, dict[str, int], int]:
     file; ages are CURRENT (latest − last_witness) — the between-round
     invariant. mode "pending": the window has not run yet; ages are
     PROJECTED to the next round under the committed window (selected ⇒
-    0). Never-witnessed, unselected queries get a 10**6 sentinel in
+    0 — but a selected query whose last green witness is ALREADY past
+    the limit keeps its real stale age rather than an optimistic 0:
+    selection is a plan to re-witness, and a query that keeps failing
+    in the driver is selected every round without ever turning green,
+    so projecting 0 would hide unbounded staleness — the r11 ADVICE
+    hole). Never-witnessed, unselected queries get a 10**6 sentinel in
     either mode."""
     if root not in sys.path:
         sys.path.insert(0, root)
     from wp_etl_migration_spark.queries import _ALL_QUERIES, _DRIVER_ROWS
-    last, latest = last_witness_rounds(root)
+    last, seen, latest = _witness_history(root)
     selected = set(_DRIVER_ROWS)
-    ran = selected <= _latest_green_set(root)
+    ran = selected <= _latest_row_set(root)
     ref = latest if ran else latest + 1
     ages: dict[str, int] = {}
     for name in _ALL_QUERIES:
         probe = CONTRACT_TWINS.get(name, name)
         if not ran and probe in selected:
-            ages[name] = 0
+            if probe in last:
+                # Selection projects 0 only while the last GREEN
+                # witness is within the limit; a selected query whose
+                # witness is already stale has been failing in the
+                # driver and keeps its real age (r11 ADVICE).
+                stale = ref - last[probe]
+                ages[name] = 0 if stale <= MAX_AGE + 1 else stale
+            else:
+                # Never green: brand-new (never ran) → selection is
+                # the plan, 0; ran-and-always-red → unbounded debt.
+                ages[name] = 10**6 if probe in seen else 0
         elif probe in last:
             ages[name] = ref - last[probe]
         else:
-            ages[name] = 0 if (ran and probe in selected) else 10**6
+            # ran mode, never green: selected + never even attempted
+            # → freshly registered, no debt yet; anything else
+            # (unselected, or selected but red whenever it ran) is
+            # unbounded debt.
+            ages[name] = (0 if (ran and probe in selected
+                                and probe not in seen) else 10**6)
     return ("ran" if ran else "pending"), ages, ref
 
 
