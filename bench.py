@@ -217,6 +217,58 @@ def canary_sec() -> float:
 
 IO_CANARY_MIB = 768
 
+#: RAM-backed filesystem types: ``posix_fadvise(DONTNEED)`` cannot
+#: evict pages that ARE the backing store, so a canary file on one of
+#: these measures memory bandwidth, not the storage path.
+_RAM_FS = {"tmpfs", "ramfs", "devtmpfs"}
+
+
+def _fs_type(path: str) -> str:
+    """Filesystem type of the mount containing ``path``, from
+    ``/proc/mounts`` (longest-prefix mount-point match; octal escapes
+    in mount points unescaped). "unknown" when /proc is unavailable
+    (non-Linux) or the path matches no mount."""
+    best, fstype = "", "unknown"
+    try:
+        real = os.path.realpath(path)
+        with open("/proc/mounts") as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                mnt = (parts[1].replace("\\040", " ")
+                       .replace("\\011", "\t").replace("\\134", "\\"))
+                if ((real == mnt
+                     or real.startswith(mnt.rstrip("/") + "/"))
+                        and len(mnt) > len(best)):
+                    best, fstype = mnt, parts[2]
+    except OSError:
+        pass
+    return fstype
+
+
+def io_canary_location() -> tuple[str, str]:
+    """(canary file path, medium) — medium is "disk", "ram", or
+    "unknown" (VERDICT r11 #4: on hosts where the temp dir is tmpfs
+    the fadvise drop is moot and the canary silently reads RAM,
+    blinding BASELINE.md's interpretation rule). Prefers the temp
+    dir; if that mount is RAM-backed, falls back to a repo-local
+    ``.scratch/`` dir (the repo's filesystem — where the benchmark
+    data's I/O path actually lives on this rig). If every candidate
+    is RAM-backed the temp dir is used but labeled "ram" so the bench
+    JSON records the blindness instead of hiding it."""
+    import tempfile
+    here = os.path.dirname(os.path.abspath(__file__))
+    fname = f"wp_etl_bench_io_canary_{IO_CANARY_MIB}.bin"
+    for d in (tempfile.gettempdir(), os.path.join(here, ".scratch")):
+        fstype = _fs_type(d if os.path.exists(d)
+                          else os.path.dirname(d) or d)
+        if fstype not in _RAM_FS:
+            os.makedirs(d, exist_ok=True)
+            medium = "unknown" if fstype == "unknown" else "disk"
+            return os.path.join(d, fname), medium
+    return os.path.join(tempfile.gettempdir(), fname), "ram"
+
 
 def io_canary_sec() -> float:
     """Disk-read calibration (VERDICT r10 #3 — the CPU canary's I/O
@@ -225,17 +277,17 @@ def io_canary_sec() -> float:
     contention slow parquet scans without touching CPU speed).
 
     Measures a sequential read of a fixed deterministic 768 MiB file
-    (generated once per machine under the temp dir — byte-for-byte
-    stable, so every round times identical work), best of 3. Each
-    sample first drops the file's page-cache pages via
+    (generated once per machine, byte-for-byte stable, so every round
+    times identical work; placement + medium via
+    ``io_canary_location()``), best of 3. Each sample first drops the
+    file's page-cache pages via
     ``posix_fadvise(POSIX_FADV_DONTNEED)`` so the read hits the
     storage path every time instead of measuring RAM after sample 1.
     Raw bytes, no parquet decode — pure I/O, zero overlap with the
-    CPU canary. Recorded as ``io_canary_sec`` next to ``canary_sec``;
-    interpretation rule in BASELINE.md."""
-    import tempfile
-    path = os.path.join(tempfile.gettempdir(),
-                        f"wp_etl_bench_io_canary_{IO_CANARY_MIB}.bin")
+    CPU canary. Recorded as ``io_canary_sec`` next to ``canary_sec``
+    (medium as ``io_canary_medium``); interpretation rule in
+    BASELINE.md."""
+    path, _medium = io_canary_location()
     chunk = bytes(range(256)) * (4096 * 8)      # 8 MiB, deterministic
     size = IO_CANARY_MIB * (1 << 20)
     if not os.path.exists(path) or os.path.getsize(path) != size:
@@ -358,6 +410,7 @@ def paired(argv: list[str]) -> int:
     io_can = io_canary_sec()
     base["io_canary_sec"] = round(
         min(base.get("io_canary_sec", io_can), io_can), 4)
+    base["io_canary_medium"] = io_canary_location()[1]
     with open(base_path, "w") as fh:
         json.dump(base, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -370,6 +423,7 @@ def paired(argv: list[str]) -> int:
         "baseline_total": round(sum(base["queries"].values()), 3),
         "canary_sec": can,
         "io_canary_sec": io_can,
+        "io_canary_medium": base["io_canary_medium"],
     }))
     return 0
 
@@ -437,6 +491,10 @@ def main() -> int:
         # a code regression.
         "canary_sec": canary_sec(),
         "io_canary_sec": io_canary_sec(),
+        # "disk" | "ram" | "unknown" — a "ram" canary is NOT an I/O
+        # referee (tmpfs temp dir; fadvise can't evict) and BASELINE.md
+        # step 2 must fall back to the CPU canary alone.
+        "io_canary_medium": io_canary_location()[1],
     }
     if errors:
         out["errors"] = errors

@@ -538,6 +538,52 @@ def test_bench_io_canary(monkeypatch, tmp_path):
     assert path.stat().st_size == 16 << 20
 
 
+def test_bench_io_canary_medium_detection(monkeypatch, tmp_path):
+    """io_canary_location (VERDICT r11 #4): a tmpfs temp dir is NOT a
+    disk referee — the canary must relocate to the repo-local
+    .scratch/ dir, and when every candidate is RAM-backed it must say
+    so ("ram") instead of silently measuring memory bandwidth."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # _fs_type on this box: "/" resolves to a real fstype via
+    # /proc/mounts (Linux CI), or "unknown" elsewhere — never crashes.
+    assert isinstance(bench._fs_type("/"), str)
+    # Longest-prefix matching on a synthetic mount table.
+    table = "dev / ext4 rw 0 0\ndev /t\\040mp tmpfs rw 0 0\n"
+    mounts = tmp_path / "mounts"
+    mounts.write_text(table)
+    real_open = open
+    monkeypatch.setattr("builtins.open", lambda p, *a, **k: real_open(
+        str(mounts) if p == "/proc/mounts" else p, *a, **k))
+    assert bench._fs_type("/t mp/x.bin") == "tmpfs"   # octal-escaped
+    assert bench._fs_type("/var/y.bin") == "ext4"
+    monkeypatch.undo()
+
+    # temp dir tmpfs => relocate to repo .scratch/ ("disk" here).
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    fstypes = {str(tmp_path): "tmpfs"}
+    monkeypatch.setattr(bench, "_fs_type",
+                        lambda p: fstypes.get(p, "ext4"))
+    path, medium = bench.io_canary_location()
+    assert medium == "disk" and "/.scratch/" in path
+
+    # everything RAM-backed => temp-dir path, honest "ram" label.
+    monkeypatch.setattr(bench, "_fs_type", lambda p: "tmpfs")
+    path, medium = bench.io_canary_location()
+    assert medium == "ram" and path.startswith(str(tmp_path))
+
+    # unknown fstype (non-Linux) => keep temp dir, label "unknown".
+    monkeypatch.setattr(bench, "_fs_type", lambda p: "unknown")
+    path, medium = bench.io_canary_location()
+    assert medium == "unknown" and path.startswith(str(tmp_path))
+
+
 def test_bench_paired_garbled_child_stdout(monkeypatch, capsys):
     """paired() must fail structured (one {"error": ...} JSON line,
     rc 1) when a zero-exit child emits no parseable JSON — e.g. a
