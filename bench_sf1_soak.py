@@ -69,7 +69,11 @@ def build_sf1_dir(spark) -> str:
         docs = spark.read.parquet(
             os.path.join(SRC, "documents.parquet")) \
             .select("doc_id", "text")
-        n_docs = docs.count()
+        # Replica id stride: max(id)+1, not count() — count is only
+        # collision-free when ids are dense in [0, n); sparse/larger
+        # ids would silently collide across replicas and understate
+        # corpus growth (r11 ADVICE).
+        n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
         reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
         words = F.split(F.col("text"), r"\s+")
         perturbed = F.array_join(
@@ -90,7 +94,7 @@ def build_sf1_dir(spark) -> str:
         emb = spark.read.parquet(
             os.path.join(SRC, "embeddings.parquet")) \
             .select("vec_id", "embedding")
-        n_vec = emb.count()
+        n_vec = emb.agg(F.max("vec_id")).first()[0] + 1
         (emb.crossJoin(F.broadcast(reps))
          .select((F.col("vec_id") + F.col("rep") * F.lit(n_vec))
                  .alias("vec_id"),

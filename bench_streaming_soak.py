@@ -203,19 +203,22 @@ def soak_dedup(spark, sf_dir: str, batches: int,
                 "band_store_bytes": _index_bytes(bstore, None, None),
             })
         # Takedown event (VERDICT r10 #5, every 4th data batch):
-        # tombstone 1/50th of the JUST-ingested batch's ids, then run
-        # the physical corpus purge against the grown store — purge
-        # cost must track HIT partitions, not store size, round over
-        # round. The following data batches stay in the normal wall
-        # series, so the flatness bound above also guards the
+        # tombstone 1/5th of the JUST-ingested batch's surviving ids,
+        # then run the physical corpus purge against the grown store —
+        # purge cost must track HIT partitions, not store size, round
+        # over round. The following data batches stay in the normal
+        # wall series, so the flatness bound above also guards the
         # post-purge probe path.
         if takedown and (b + 1) % 4 == 0:
             # ids that actually LIVE in the corpus (dedup drops most
             # soak docs), 1/5th of the current batch's survivors —
             # otherwise the purge finds no hit partitions and the
-            # soak measures an empty rewrite
+            # soak measures an empty rewrite. Bounded to the batch's
+            # id range [b*n, (b+1)*n) so trickle docs (offset by
+            # (1000+b')*n) are never swept in (r11 ADVICE).
             doomed = [int(r[0]) for r in loop.corpus()
                       .where((F.col("doc_id") >= b * n)
+                             & (F.col("doc_id") < (b + 1) * n)
                              & (F.col("doc_id") % 5 == 0))
                       .select("doc_id").collect()]
             tb = next_id
