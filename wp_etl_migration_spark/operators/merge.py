@@ -74,8 +74,18 @@ def cascaded_lookup(incoming: DataFrame, existing: DataFrame,
     SAME partition — and "no id yet" is the COMMON case in a migration
     load, so the id-level probe would otherwise funnel the whole batch
     through one task (measured in the skew bed: 10,800 of 10,800 rows
-    on one reducer). They bypass the join entirely and union back with
-    a null hit.
+    on one reducer). A SALT join key fixes the placement without
+    touching semantics: the join gains one extra bigint key that is 0
+    on the probe side and 0 for valid incoming rows, but a
+    deterministic per-row hash for null-key rows — those spread
+    uniformly across reducers and still match nothing (a null equi-key
+    never matches regardless of the salt), so the left join hands them
+    the same null hit. Earlier rounds instead SPLIT the plan
+    (``where(key_ok)`` joined ∪ ``where(~key_ok)`` bypassing), which
+    doubled the incoming scan per probe level — 2^levels leaf scans,
+    4 orders scans for a 2-level cascade — and made the first
+    execution pay ~2× in codegen compile alone (r11 verdict: the
+    bench's least stable row).
 
     Hot-key routing for the non-null rows relies on AQE skew-join
     splitting, which pattern-matches ONLY ``SMJ(Sort←ShuffleStage,
@@ -92,20 +102,37 @@ def cascaded_lookup(incoming: DataFrame, existing: DataFrame,
     import functools
     import operator
 
-    id_type = existing.schema[id_col].dataType
+    from pyspark.sql.types import MapType
+
+    # Deterministic per-row salt (xxhash64 over the hashable incoming
+    # columns — maps are unhashable; nondeterministic exprs like
+    # monotonically_increasing_id are rejected in join keys). Names
+    # are backtick-quoted: migration frames carry dotted prefix
+    # columns ("post.ID") that a bare F.col would read as a struct
+    # field access.
+    hashable = ["`" + f.name.replace("`", "``") + "`"
+                for f in incoming.schema.fields
+                if not isinstance(f.dataType, MapType)]
+    row_salt = (F.xxhash64(*[F.col(c) for c in hashable])
+                if hashable else F.lit(1).cast("long"))
+
     out = incoming
     hit_cols = []
     for i, ks in enumerate(key_sets):
         ks = list(ks)
+        salt = f"__casc_salt{i}"
         probe = (existing
                  .groupBy(*ks)
                  .agg(F.min(id_col).alias(f"__hit{i}"))
+                 .withColumn(salt, F.lit(0).cast("long"))
                  .hint("rebalance"))
         key_ok = functools.reduce(
             operator.and_, [F.col(c).isNotNull() for c in ks])
-        out = (out.where(key_ok).join(probe, on=ks, how="left")
-               .unionByName(out.where(~key_ok).withColumn(
-                   f"__hit{i}", F.lit(None).cast(id_type))))
+        out = (out.withColumn(
+                   salt, F.when(key_ok, F.lit(0).cast("long"))
+                          .otherwise(row_salt))
+               .join(probe, on=[*ks, salt], how="left")
+               .drop(salt))
         hit_cols.append(f"__hit{i}")
     out = out.withColumn(out_col, F.coalesce(*[F.col(h) for h in hit_cols]))
     return out.drop(*hit_cols)
