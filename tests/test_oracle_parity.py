@@ -4,11 +4,27 @@ names, and exact (order-insensitive) values must agree.
 
 This is intentionally *stricter* than a hash compare — on mismatch it
 reports the first differing rows so the query can be fixed.
+
+This block is the suite's single largest wall-time item (~110 queries,
+~3 min) and grows with every added query (VERDICT r11 #8). Every row is
+marked ``parity`` and supports process-level splitting via
+``PARITY_SHARD=i/N`` (stable md5-of-name assignment, exhaustive and
+disjoint across shards), so CI can run e.g.::
+
+    PARITY_SHARD=0/2 pytest -m parity &
+    PARITY_SHARD=1/2 pytest -m parity &
+    pytest -m "not parity"
+
+in parallel processes (each gets its own Spark session) with identical
+total coverage. Unset (the default), one process runs all rows —
+behavior unchanged.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
 
 import duckdb
 import pytest
@@ -17,6 +33,20 @@ from wp_etl_migration_spark.queries import REGISTRY, EXTRA_REGISTRY
 from tests.conftest import SF_DIR
 
 ALL_QUERIES = {**REGISTRY, **EXTRA_REGISTRY}
+
+
+def _shard_of(name: str, n: int) -> int:
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) % n
+
+
+def _in_shard(name: str) -> bool:
+    spec = os.environ.get("PARITY_SHARD")
+    if not spec:
+        return True
+    i, n = (int(x) for x in spec.split("/"))
+    if not 0 <= i < n:
+        raise ValueError(f"PARITY_SHARD={spec}: need 0 <= i < N")
+    return _shard_of(name, n) == i
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -82,8 +112,22 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def test_parity_shards_are_exhaustive_and_disjoint():
+    """Any N splits the parity rows into non-empty shards whose union
+    is exactly the full query set — no row can be silently skipped by
+    a sharded CI layout."""
+    names = [n for n, (_, s) in ALL_QUERIES.items() if s is not None]
+    for n_shards in (2, 3, 4):
+        shards = [{x for x in names if _shard_of(x, n_shards) == i}
+                  for i in range(n_shards)]
+        assert all(shards), f"N={n_shards}: an empty shard"
+        assert set().union(*shards) == set(names)
+        assert sum(len(s) for s in shards) == len(names)  # disjoint
+
+
+@pytest.mark.parity
 @pytest.mark.parametrize("name", [n for n, (_, sql) in ALL_QUERIES.items()
-                                  if sql is not None])
+                                  if sql is not None and _in_shard(n)])
 def test_oracle_parity(spark, name):
     fn, sql = ALL_QUERIES[name]
     sdf = fn(spark, SF_DIR)
