@@ -484,6 +484,43 @@ def test_ann_index_arrow_rescore_matches_expr(spark):
                         rescore="bogus")
 
 
+def test_ann_index_prepared_path_bit_identical(spark):
+    """query_ann_index(prepared=True) over a prepare_ann_index frame
+    returns bit-identical (id, rank, sim) to the raw path (r12 — the
+    continuous loop's per-gen prepared cache rides this), on both
+    rescore kernels, single- and multi-table, multi-probe."""
+    import random
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, prepare_ann_index, query_ann_index)
+    rng = random.Random(33)
+    dims = 6
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dims)]) for i in range(50)],
+        ["vec_id", "embedding"])
+    for tables, planes in (
+            (1, [[rng.gauss(0, 1) for _ in range(dims)]
+                 for _ in range(2)]),
+            (2, [[[rng.gauss(0, 1) for _ in range(dims)]
+                  for _ in range(2)] for _ in range(2)])):
+        idx = build_ann_index(emb, "vec_id", "embedding", planes,
+                              tables=tables)
+        prep = prepare_ann_index(idx, "vec_id", planes, tables=tables)
+        for rescore in ("arrow", "expr"):
+            for n_probes in (1, 2):
+                raw = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+                       for r in query_ann_index(
+                           emb, idx, "vec_id", "embedding", planes,
+                           k=3, rescore=rescore, n_probes=n_probes,
+                           tables=tables).collect()}
+                pre = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+                       for r in query_ann_index(
+                           emb, prep, "vec_id", "embedding", planes,
+                           k=3, rescore=rescore, n_probes=n_probes,
+                           tables=tables, prepared=True).collect()}
+                assert pre == raw and len(raw) > 0, (
+                    tables, rescore, n_probes)
+
+
 def test_bench_paired_merge_policy():
     """bench.py --paired merge rules: --only names REPLACE (even if
     slower — their code changed), unnamed queries keep the historical

@@ -558,6 +558,71 @@ def test_incremental_ann_replay_between_writes(spark, tmp_path):
     assert final.select("vec_id").distinct().count() == 5
 
 
+def test_incremental_ann_prepared_cache_equivalence(spark, tmp_path):
+    """The prepared-base cache (r12) changes WHERE the dequantize
+    runs, never the results: the same batch sequence through a cached
+    and an uncached loop produces identical matches/ and ann/ stores,
+    through compaction and a mid-soak delete — and compaction retires
+    cached gens (no unpersisted-frame leak against swept dirs)."""
+    import random
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    rng = random.Random(7)
+    dims = 4
+    planes = [[rng.gauss(0, 1) for _ in range(dims)]
+              for _ in range(2)]
+    batches = [
+        spark.createDataFrame(
+            [(b * 100 + i,
+              [random.Random(b * 1000 + i).gauss(0, 1)
+               for _ in range(dims)]) for i in range(30)],
+            ["vec_id", "embedding"]).localCheckpoint(eager=True)
+        for b in range(6)]
+    loops, stores = {}, {}
+    for flag in (True, False):
+        store = str(tmp_path / f"store_{int(flag)}")
+        loop = IncrementalAnnIndex(
+            spark, store, "vec_id", "embedding", planes, k=3,
+            auto_compact_tail=2, rows_per_sub=8,
+            cache_prepared_base=flag)
+        for b, batch in enumerate(batches):
+            if b == 4:
+                loop.delete([100 + 3, 200 + 7], b * 10 + 5)
+            loop.process_batch(batch, b * 10)
+        loops[flag], stores[flag] = loop, store
+
+    def snap(store, sub):
+        return {tuple(r) for r in
+                spark.read.parquet(f"{store}/{sub}").collect()}
+
+    assert snap(stores[True], "matches") == snap(stores[False],
+                                                 "matches")
+    assert len(snap(stores[True], "matches")) > 0
+    cached_idx = {r["vec_id"] for r in loops[True]._ann_store
+                  .probe(-1).select("vec_id").collect()}
+    plain_idx = {r["vec_id"] for r in loops[False]._ann_store
+                 .probe(-1).select("vec_id").collect()}
+    assert cached_idx == plain_idx
+    # tombstoned ids are invisible to probes on both paths
+    assert 103 not in cached_idx and 207 not in cached_idx
+    # the cache was actually exercised and tracks only LIVE gens
+    cached = loops[True]
+    assert cached._prepared_cache, "cache never populated"
+    ptr = cached._ann_store.pointer()
+    live = {int(r["gen"]) for r in ptr["runs"]}
+    assert set(cached._prepared_cache) <= live
+    # one more batch after compaction still answers identically
+    extra = spark.createDataFrame(
+        [(900 + i, [random.Random(9000 + i).gauss(0, 1)
+                    for _ in range(dims)]) for i in range(30)],
+        ["vec_id", "embedding"]).localCheckpoint(eager=True)
+    for flag in (True, False):
+        loops[flag].process_batch(extra, 100)
+    assert snap(stores[True], "matches") == snap(stores[False],
+                                                 "matches")
+
+
 def test_incremental_soak_latency_flat(spark, tmp_path):
     """Store-growth soak bound (VERDICT r5 #6): 12 backfill batches
     through each incremental loop; per-batch wall time must stay
@@ -611,6 +676,19 @@ def test_incremental_soak_latency_flat(spark, tmp_path):
     # data batches all indexed, plus the r11 trickle probes' vectors
     assert a["index_rows"][-1] == 12 * a["batch_vectors"] + \
         sum(t["vectors"] for t in a["trickle"])
+    # r12 (VERDICT r11 #5): the ANN trickle's probe BYTES are bounded
+    # like the dedup flatness — a 10-vector batch lists a strict
+    # fraction of the stored index (sub-pruned base + unpruned tail).
+    # A broken sub-prune reads ~the whole store (fraction → 1); the
+    # measured steady state is 0.53–0.61 here and 0.52–0.57 at sf0.1
+    # (BASELINE.md §r11), so 0.8 is a regression gate, not a tune.
+    assert a["trickle"], "ann trickle probes never fired"
+    for t in a["trickle"]:
+        frac = t["index_probe_bytes"] / t["index_store_bytes"]
+        assert frac <= 0.8, (
+            f"ann trickle after batch {t['after_batch']} listed "
+            f"{frac:.0%} of the stored index — sub-pruning no longer "
+            f"bounds small-batch probes: {a['trickle']}")
 
 
 def test_incremental_soak_takedown_bounded(spark, tmp_path):

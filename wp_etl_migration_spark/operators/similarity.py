@@ -939,12 +939,42 @@ def build_ann_index(emb: DataFrame, id_col: str, vec_col: str,
     return routed.join(q.select(id_col, "qvec", "scale"), id_col)
 
 
+def prepare_ann_index(index: DataFrame, id_col: str, planes: list,
+                      tables: int = 1) -> DataFrame:
+    """Dequantize + norm a stored :func:`build_ann_index` frame ONCE
+    into the shape :func:`query_ann_index` needs on its index side:
+    ``(neighbor_id, [table,] bucket, __cv, __cn)`` — every other input
+    column (``batch_id``, ``sub``) is preserved so callers can keep
+    filtering after preparation.
+
+    The dequantize transform is CodegenFallback (interpreted per
+    element) and the norm folds ``dims`` multiplies per row — the two
+    dominant costs of querying a large stored index. A caller that
+    queries the SAME immutable index repeatedly (the continuous ANN
+    loop's compacted runs — gen dirs are write-once) should prepare
+    once, ``persist()`` the result, and pass it to
+    ``query_ann_index(..., prepared=True)``: the r11 stationary soak
+    measured ≈2 s/batch of slope from re-paying this per bulk batch
+    (BASELINE.md §r11/§r12). Values are bit-identical either way —
+    the same expressions run, just once instead of per batch."""
+    sets = _plane_tables(planes, tables)
+    dims = len(sets[0][0])
+    deq = F.transform(F.col("qvec"),
+                      lambda x: x.cast("double") * F.col("scale"))
+    return (index.withColumnRenamed(id_col, "neighbor_id")
+            .withColumn("__cv", deq)
+            .withColumn("__cn", F.sqrt(
+                unrolled_dot(F.col("__cv"), F.col("__cv"), dims)))
+            .drop("qvec", "scale"))
+
+
 def query_ann_index(queries: DataFrame, index: DataFrame,
                     id_col: str, vec_col: str,
                     planes: list, k: int = 5,
                     rescore: str = "arrow",
                     n_probes: int = 1,
-                    tables: int = 1) -> DataFrame:
+                    tables: int = 1,
+                    prepared: bool = False) -> DataFrame:
     """Top-k neighbors of a query batch against a stored
     :func:`build_ann_index` index. Returns (query_id, neighbor_id,
     sim, rank) — ``sim`` is cosine against the DEQUANTIZED neighbor
@@ -983,6 +1013,12 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
     recall that single-set multi-probe leaves on the table — the
     misses ≥ 2 sign-flips away; measured at the 50k rig in
     BASELINE.md §r9.
+
+    ``prepared=True`` takes ``index`` as a :func:`prepare_ann_index`
+    frame (already dequantized + normed — typically persisted by a
+    caller that queries the same immutable index every batch, r12):
+    the per-batch cost then drops to the probed-bucket semi-join +
+    the cogroup itself. Results are bit-identical to the raw path.
     """
     if rescore not in ("arrow", "expr"):
         raise ValueError("rescore must be 'arrow' or 'expr'")
@@ -1047,8 +1083,6 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
                          F.col("__tb.table").alias("table"),
                          F.col("__tb.bucket").alias("bucket")))
     qside = qside.withColumn("__qn", qn)
-    deq = F.transform(F.col("qvec"),
-                      lambda x: x.cast("double") * F.col("scale"))
     # Probed-bucket pruning (r11): drop index rows whose bucket no
     # query probes BEFORE dequantization — the dequantize transform
     # is CodegenFallback (interpreted per element) and the arrow path
@@ -1062,14 +1096,24 @@ def query_ann_index(queries: DataFrame, index: DataFrame,
     # stationary soak, BASELINE.md §r11). Results are identical:
     # rows outside probed buckets could never join (inner/cogroup
     # key mismatch) — they only burned dequantize + shuffle.
-    iside = (index.select(F.col(id_col).alias("neighbor_id"),
-                          *join_key, "qvec", "scale")
-             .join(F.broadcast(qside.select(*join_key).distinct()),
-                   join_key, "left_semi")
-             .withColumn("__cv", deq)
-             .withColumn("__cn", F.sqrt(
-                 unrolled_dot(F.col("__cv"), F.col("__cv"), dims)))
-             .drop("qvec", "scale"))
+    if prepared:
+        # Index already dequantized (prepare_ann_index); the semi-join
+        # still prunes what the cogroup would otherwise Arrow-ship.
+        iside = (index
+                 .join(F.broadcast(qside.select(*join_key).distinct()),
+                       join_key, "left_semi")
+                 .select("neighbor_id", *join_key, "__cv", "__cn"))
+    else:
+        deq = F.transform(F.col("qvec"),
+                          lambda x: x.cast("double") * F.col("scale"))
+        iside = (index.select(F.col(id_col).alias("neighbor_id"),
+                              *join_key, "qvec", "scale")
+                 .join(F.broadcast(qside.select(*join_key).distinct()),
+                       join_key, "left_semi")
+                 .withColumn("__cv", deq)
+                 .withColumn("__cn", F.sqrt(
+                     unrolled_dot(F.col("__cv"), F.col("__cv"), dims)))
+                 .drop("qvec", "scale"))
     # Zero-norm vectors have no cosine direction: excluded explicitly
     # (a NULL sim would sort nulls-last in Spark but nulls-first in
     # other engines — undefined ordering, not a neighbor).

@@ -659,6 +659,30 @@ class _IndexStore:
             & (F.col("batch_id") <= F.col("__tomb_batch")),
             "left_anti")
 
+    def probe_parts(self, own_batch_id: int) -> tuple[
+            DataFrame, list[tuple[dict, DataFrame]], dict | None]:
+        """:meth:`probe`'s constituents BEFORE sub pruning, tombstone
+        filtering, and the union — ``(tail, [(run, frame)], ptr)`` —
+        for callers that keep per-run caches (r12: the ANN loop's
+        prepared-base cache; gen dirs are write-once, so a run's
+        frame is cacheable keyed by its gen number alone). The tail
+        is filtered past the fold mark and minus the batch's own
+        ``batch_id``; run frames are returned BATCH-AGNOSTIC (no
+        own-batch filter — a cache must not bake one batch's
+        exclusion in; callers apply it per batch, as :meth:`probe`
+        does). Both carry ``batch_id``; run frames also ``sub``."""
+        cols = self._cols()
+        ptr = self.pointer()
+        folded = int(ptr["folded_up_to"]) if ptr else -1
+        tail = (self._read_tail()
+                .filter(F.col("batch_id") > folded)
+                .filter(F.col("batch_id") != int(own_batch_id))
+                .select(*cols, "batch_id"))
+        runs = [(run, self._read_run(run).select(*cols, "batch_id",
+                                                 "sub"))
+                for run in (ptr["runs"] if ptr else [])]
+        return tail, runs, ptr
+
     def probe(self, own_batch_id: int, key_df: DataFrame | None = None,
               key_col=None) -> DataFrame:
         """The queryable index for a batch: every compacted run ∪ the
@@ -672,19 +696,16 @@ class _IndexStore:
         broadcast anti-join (planned only when deletes exist).
         Returns ``columns`` only."""
         cols = self._cols()
-        keep = cols + ["batch_id"]
-        ptr = self.pointer()
-        folded = int(ptr["folded_up_to"]) if ptr else -1
-        out = self._read_tail() \
-            .filter(F.col("batch_id") > folded).select(*keep)
-        for run in (ptr["runs"] if ptr else []):
-            base = self._read_run(run)
+        tail, runs, ptr = self.probe_parts(own_batch_id)
+        out = tail
+        for run, base in runs:
             if key_df is not None and int(run["num_subs"]) > 1:
                 subs = self._subs_of(key_df, key_col,
                                      int(run["num_subs"]))
                 base = base.filter(F.col("sub").isin(subs))
-            out = out.unionByName(base.select(*keep))
-        out = out.filter(F.col("batch_id") != int(own_batch_id))
+            out = out.unionByName(
+                base.filter(F.col("batch_id") != int(own_batch_id))
+                .drop("sub"))
         out = self._anti_tombs(out, self._tombstones(ptr))
         return out.select(*cols)
 
@@ -1383,7 +1404,8 @@ class IncrementalAnnIndex:
                  max_runs: int = 4,
                  auto_compact_tail: int | None = 8,
                  tables: int = 1, bits: int = 8,
-                 pointer_protocol: PointerProtocol | None = None):
+                 pointer_protocol: PointerProtocol | None = None,
+                 cache_prepared_base: bool = True):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
@@ -1394,6 +1416,17 @@ class IncrementalAnnIndex:
         self.max_runs = int(max_runs)
         self.auto_compact_tail = auto_compact_tail
         self.pointer_protocol = pointer_protocol
+        #: r12 (the bulk-batch index-scan term, BASELINE.md §r11): a
+        #: bulk batch probes every sub, so each batch used to re-scan,
+        #: re-dequantize, and re-norm the ENTIRE compacted base —
+        #: ≈2 s/batch of stationary-soak slope. Compacted runs are
+        #: write-once per gen, so their prepared (dequantized+normed)
+        #: frames are persisted once per gen and reused until
+        #: compaction retires the gen (see ``_prepared_queryable``).
+        #: The flag is the kill switch for memory-constrained rigs —
+        #: results are bit-identical either way.
+        self.cache_prepared_base = bool(cache_prepared_base)
+        self._prepared_cache: dict[int, DataFrame] = {}
         #: tables > 1 stores T independent plane sets side by side
         #: (``planes`` becomes a list of T sets; the stored rows gain
         #: a ``table`` column) — the ROUTING recall lever for
@@ -1533,6 +1566,64 @@ class IncrementalAnnIndex:
                          _note={"at_batch": int(batch_id),
                                 "tail_parts": int(n)})
 
+    def _prepared_queryable(self, store: _IndexStore, batch_id: int,
+                            probed: DataFrame) -> DataFrame:
+        """The queryable index in :func:`prepare_ann_index` shape,
+        with the compacted runs served from the per-gen prepared
+        cache (r12 — the bulk-batch lever): each run is dequantized +
+        normed ONCE when its gen first appears, persisted
+        (MEMORY_AND_DISK — spills, never recomputes against a swept
+        gen dir unless evicted while still live, in which case the
+        dir still exists), and reused until compaction retires the
+        gen, at which point it is unpersisted here. The tail (≤
+        ``auto_compact_tail`` batch partitions, bounded) is prepared
+        fresh each batch. Per-batch work on the cached runs is only
+        the sub prune, the scoped tombstone anti-join, and the
+        probed-bucket semi-join inside ``query_ann_index`` — the
+        CodegenFallback dequantize and the norm fold are no longer
+        re-paid per batch."""
+        from pyspark import StorageLevel
+
+        from wp_etl_migration_spark.operators.similarity import (
+            prepare_ann_index)
+        tail, runs, ptr = store.probe_parts(batch_id)
+        live = {int(r["gen"]) for r in (ptr["runs"] if ptr else [])}
+        for gen in [g for g in self._prepared_cache if g not in live]:
+            self._prepared_cache.pop(gen).unpersist()
+        parts = [prepare_ann_index(tail, self.id_col, self.planes,
+                                   tables=self.tables)]
+        for run, base in runs:
+            gen = int(run["gen"])
+            df = self._prepared_cache.get(gen)
+            if df is None:
+                df = prepare_ann_index(
+                    base, self.id_col, self.planes,
+                    tables=self.tables).persist(
+                        StorageLevel.MEMORY_AND_DISK)
+                self._prepared_cache[gen] = df
+            if int(run["num_subs"]) > 1:
+                subs = store._subs_of(probed, F.col("__bucket"),
+                                      int(run["num_subs"]))
+                df = df.filter(F.col("sub").isin(subs))
+            # Own-batch exclusion applied per batch, never baked
+            # into the cached frame (defensive — runs hold only
+            # folded batch ids, all < a live batch's id).
+            parts.append(df.filter(F.col("batch_id")
+                                   != int(batch_id)).drop("sub"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        tombs = store._tombstones(ptr)
+        if tombs is not None:
+            # The scoped tombstone contract (_anti_tombs) on the
+            # prepared frame's renamed id column.
+            out = out.join(
+                F.broadcast(tombs),
+                (F.col("neighbor_id") == F.col("__tomb_id"))
+                & (F.col("batch_id") <= F.col("__tomb_batch")),
+                "left_anti")
+        return out.drop("batch_id")
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """The foreachBatch body: query the stored index minus the
         batch's own ``ann/batch_id=N`` rows, overwrite the batch's
@@ -1596,17 +1687,26 @@ class IncrementalAnnIndex:
             probe_buckets_from_dots(F.col(f"__dots{t}"), len(s),
                                     self.n_probes)
             for t, s in enumerate(sets)]))).alias("__bucket"))
-        # Pin before the two writes: the queryable frame reads the
-        # ann/ store being written — without the pin the index
-        # overwrite could re-list the files of the store it is
-        # mutating.
-        queryable = pin(store.probe(batch_id, probed,
-                                    F.col("__bucket")))
+        # No pin on the queryable (r12): its ONLY consumer is the
+        # matches write below, an action that completes BEFORE the
+        # index overwrite mutates the ann/ store its lineage reads —
+        # the eager pin this replaced materialized the ENTIRE pruned
+        # index into executor block storage every batch, the
+        # dominant share of the ≈2 s/batch stationary-soak slope
+        # (BASELINE.md §r11/§r12). The batch itself stays pinned
+        # (read by both writes, after the mutation starts).
+        if self.cache_prepared_base:
+            queryable = self._prepared_queryable(store, batch_id,
+                                                 probed)
+        else:
+            queryable = store.probe(batch_id, probed,
+                                    F.col("__bucket"))
         matches = query_ann_index(batch, queryable, self.id_col,
                                   self.vec_col, self.planes,
                                   k=self.k, rescore=self.rescore,
                                   n_probes=self.n_probes,
-                                  tables=self.tables)
+                                  tables=self.tables,
+                                  prepared=self.cache_prepared_base)
         (matches.select(F.col("query_id").cast("long"),
                         F.col("neighbor_id").cast("long"),
                         "sim", F.col("rank").cast("int"))
