@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""sf10 spot-bench for the batch dedup kernels (VERDICT r11 #7): one
+more decade of scaling evidence for the three scale-critical BATCH
+kernels — the incremental stores have a measured sf0.1→sf1 decade
+(bench_sf1_soak.py); the batch kernels' evidence stopped at sf1.
+
+Corpus: the bench_sf1_dedup replica recipe at three scales — 1, 10,
+and 100 deterministic lightly-perturbed replicas per sf0.1 doc
+(5k / 50k / 500k docs). Replicas are true near-dups and every
+surviving shingle's document frequency grows with the replica count,
+so the superlinear Σ df² candidate term real corpora develop is
+present, exactly like the sf1 study. Scratch parquet lives under
+.scratch/ (gitignored).
+
+Per (scale, kernel) the script records the wall AND per-stage task
+skew (max/median shuffle-read records over every shuffle stage the
+kernel ran, from the Spark REST API — the skew bed's metric, here on
+the real plans at real scale, no forced-shuffle regime). It prints
+one JSON line with walls, per-decade wall exponents
+``log10(wall_10x / wall_1x)`` (≤ ~1.15 is the n log n expectation for
+a 10× corpus), and the worst stage skew per kernel.
+
+Run:  python bench_sf10_dedup.py [--scales 1,10,100]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+from pyspark.sql import functions as F
+
+from wp_etl_migration_spark.operators.dedup import (
+    dedup_documents, minhash_lsh_pairs, ngram_jaccard_pairs)
+from wp_etl_migration_spark.queries import JACCARD_MAX_DOC_FREQ
+from wp_etl_migration_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".scratch")
+MIN_STAGE_RECORDS = 10_000
+
+
+def build_corpus(spark, replicas: int) -> str:
+    """The bench_sf1_dedup recipe at an arbitrary replica count;
+    replica id stride = max(id)+1 (collision-free for sparse ids,
+    r11 ADVICE)."""
+    out = os.path.join(SCRATCH_DIR,
+                       f"sf10_documents_r{replicas}.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    docs = spark.read.parquet(os.path.join(SRC, "documents.parquet")) \
+        .select("doc_id", "text")
+    if replicas == 1:
+        docs.write.mode("overwrite").parquet(out)
+        return out
+    stride = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(replicas).withColumnRenamed("id", "rep")
+    words = F.split(F.col("text"), r"\s+")
+    perturbed = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                (i % (F.lit(11) + F.col("rep") % 37)) == F.lit(0),
+                F.concat(F.lit("rep"), F.col("rep").cast("string")))
+            .otherwise(w)),
+        " ")
+    (docs.crossJoin(F.broadcast(reps))
+     .select((F.col("doc_id") + F.col("rep") * F.lit(stride))
+             .alias("doc_id"),
+             F.when(F.col("rep") == 0, F.col("text"))
+             .otherwise(perturbed).alias("text"))
+     .repartition(32)
+     .write.mode("overwrite").parquet(out))
+    return out
+
+
+def _rest(spark, path):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}{path}",
+            timeout=60) as r:
+        return json.loads(r.read())
+
+
+def _timed_with_skew(spark, action) -> tuple[float, dict]:
+    """(wall seconds, worst-stage skew dict) for one materialized
+    plan — max/median shuffle-read records over the new completed
+    stages that moved >= MIN_STAGE_RECORDS rows (the skew bed's
+    metric on the unmodified production plan)."""
+    seen = {(s["stageId"], s["attemptId"])
+            for s in _rest(spark, "/stages")}
+    t0 = time.monotonic()
+    action()
+    wall = round(time.monotonic() - t0, 3)
+    worst = {"ratio": 0.0}
+    for s in _rest(spark, "/stages"):
+        if (s["stageId"], s["attemptId"]) in seen \
+                or s["status"] != "COMPLETE" \
+                or s.get("shuffleReadRecords", 0) < MIN_STAGE_RECORDS:
+            continue
+        ts = _rest(spark,
+                   f"/stages/{s['stageId']}/{s['attemptId']}"
+                   "/taskSummary?quantiles=0.0,0.5,1.0")
+        _lo, med, hi = ts["shuffleReadMetrics"]["readRecords"]
+        ratio = hi / med if med else float("inf")
+        if ratio > worst["ratio"]:
+            worst = {"stage": s["stageId"],
+                     "records": s["shuffleReadRecords"],
+                     "tasks": s["numCompleteTasks"],
+                     "max": hi, "median": med,
+                     "ratio": round(ratio, 2)}
+    return wall, worst
+
+
+KERNELS = {
+    "ngram_jaccard_dedup":
+        lambda d: ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.8,
+            max_doc_freq=JACCARD_MAX_DOC_FREQ),
+    "minhash_lsh_dedup":
+        lambda d: minhash_lsh_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, rows_per_band=2,
+            verify_threshold=0.7, max_doc_freq=JACCARD_MAX_DOC_FREQ),
+    "dedup_pipeline":
+        lambda d: dedup_documents(d, "doc_id", "text"),
+}
+
+
+def main(argv: list[str]) -> int:
+    scales = [int(x) for x in (
+        argv[argv.index("--scales") + 1].split(",")
+        if "--scales" in argv else ("1", "10", "100"))]
+    spark = get_spark("wp-etl-sf10-dedup",
+                      **{"spark.driver.memory":
+                         os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                        "48g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"metric": "sf10_dedup_scaling", "unit": "sec",
+           "max_doc_freq": JACCARD_MAX_DOC_FREQ, "scales": {}}
+    for r in scales:
+        path = build_corpus(spark, r)
+        corpus = spark.read.parquet(path).localCheckpoint(eager=True)
+        entry = {"docs": corpus.count(), "kernels": {}}
+        for name, fn in KERNELS.items():
+            wall, skew = _timed_with_skew(
+                spark,
+                lambda fn=fn: fn(corpus).write.format("noop")
+                .mode("overwrite").save())
+            entry["kernels"][name] = {"wall": wall,
+                                      "worst_skew": skew}
+        out["scales"][str(r)] = entry
+    # Per-decade wall exponents: log10(wall at 10x / wall at x).
+    exps = {}
+    for lo, hi in zip(scales, scales[1:]):
+        for name in KERNELS:
+            w_lo = out["scales"][str(lo)]["kernels"][name]["wall"]
+            w_hi = out["scales"][str(hi)]["kernels"][name]["wall"]
+            exps.setdefault(name, {})[f"{lo}->{hi}"] = round(
+                math.log10(w_hi / w_lo)
+                / math.log10(hi / lo), 3)
+    out["wall_exponents"] = exps
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
