@@ -108,7 +108,12 @@ def _timed_with_skew(spark, action) -> tuple[float, dict]:
                    f"/stages/{s['stageId']}/{s['attemptId']}"
                    "/taskSummary?quantiles=0.0,0.5,1.0")
         _lo, med, hi = ts["shuffleReadMetrics"]["readRecords"]
-        ratio = hi / med if med else float("inf")
+        # A 0-row median means most reducers of a small-key-count
+        # stage sat empty (an AQE coalesce artifact, not a hot key);
+        # judge those by max vs the stage's FAIR SHARE instead.
+        ratio = (hi / med if med >= 100
+                 else hi / (s["shuffleReadRecords"]
+                            / max(s["numCompleteTasks"], 1)))
         if ratio > worst["ratio"]:
             worst = {"stage": s["stageId"],
                      "records": s["shuffleReadRecords"],
@@ -148,6 +153,12 @@ def main(argv: list[str]) -> int:
         corpus = spark.read.parquet(path).localCheckpoint(eager=True)
         entry = {"docs": corpus.count(), "kernels": {}}
         for name, fn in KERNELS.items():
+            # ONE run per kernel per session: in-session repeats are
+            # invalid here for the same reason bench.py --paired
+            # spawns fresh interpreters — Spark's cache manager
+            # serves identical plans from the first run (measured:
+            # 4–15× "speedups" on the repeat). For paired minimums,
+            # run this script twice and min-merge the JSONs.
             wall, skew = _timed_with_skew(
                 spark,
                 lambda fn=fn: fn(corpus).write.format("noop")

@@ -1566,6 +1566,41 @@ class IncrementalAnnIndex:
                          _note={"at_batch": int(batch_id),
                                 "tail_parts": int(n)})
 
+    def _prepared_run(self, run: dict, base: DataFrame) -> DataFrame:
+        """The (possibly cached) prepared frame for one compacted run;
+        builds + persists it on first sight of the gen."""
+        from pyspark import StorageLevel
+
+        from wp_etl_migration_spark.operators.similarity import (
+            prepare_ann_index)
+        gen = int(run["gen"])
+        df = self._prepared_cache.get(gen)
+        if df is None:
+            df = prepare_ann_index(
+                base, self.id_col, self.planes,
+                tables=self.tables).persist(
+                    StorageLevel.MEMORY_AND_DISK)
+            self._prepared_cache[gen] = df
+        return df
+
+    def _prewarm_prepared_cache(self) -> None:
+        """Materialize prepared frames for uncached live gens NOW and
+        evict retired ones. persist() is lazy, so without this the
+        first batch after a compaction — possibly a 10-vector
+        trickle — would absorb the whole base's dequantize + persist
+        inside its own wall; running it at the end of the fold batch
+        keeps that cost inside the already-amortized fold spike
+        (compaction is serialized with the batch body, so the pointer
+        read here is the post-fold one)."""
+        store = self._ann_store
+        _tail, runs, ptr = store.probe_parts(-1)
+        live = {int(r["gen"]) for r in (ptr["runs"] if ptr else [])}
+        for gen in [g for g in self._prepared_cache if g not in live]:
+            self._prepared_cache.pop(gen).unpersist()
+        for run, base in runs:
+            if int(run["gen"]) not in self._prepared_cache:
+                self._prepared_run(run, base).count()
+
     def _prepared_queryable(self, store: _IndexStore, batch_id: int,
                             probed: DataFrame) -> DataFrame:
         """The queryable index in :func:`prepare_ann_index` shape,
@@ -1582,8 +1617,6 @@ class IncrementalAnnIndex:
         probed-bucket semi-join inside ``query_ann_index`` — the
         CodegenFallback dequantize and the norm fold are no longer
         re-paid per batch."""
-        from pyspark import StorageLevel
-
         from wp_etl_migration_spark.operators.similarity import (
             prepare_ann_index)
         tail, runs, ptr = store.probe_parts(batch_id)
@@ -1593,14 +1626,7 @@ class IncrementalAnnIndex:
         parts = [prepare_ann_index(tail, self.id_col, self.planes,
                                    tables=self.tables)]
         for run, base in runs:
-            gen = int(run["gen"])
-            df = self._prepared_cache.get(gen)
-            if df is None:
-                df = prepare_ann_index(
-                    base, self.id_col, self.planes,
-                    tables=self.tables).persist(
-                        StorageLevel.MEMORY_AND_DISK)
-                self._prepared_cache[gen] = df
+            df = self._prepared_run(run, base)
             if int(run["num_subs"]) > 1:
                 subs = store._subs_of(probed, F.col("__bucket"),
                                       int(run["num_subs"]))
@@ -1721,6 +1747,8 @@ class IncrementalAnnIndex:
                     F.col("qvec").cast("array<int>"), "scale"),
             batch_id)
         self._maybe_auto_compact(batch_id)
+        if self.cache_prepared_base:
+            self._prewarm_prepared_cache()
 
     def run_stream(self, stream: DataFrame,
                    checkpoint_dir: str | None = None,
