@@ -20,7 +20,13 @@ one JSON line with walls, per-decade wall exponents
 ``log10(wall_10x / wall_1x)`` (≤ ~1.15 is the n log n expectation for
 a 10× corpus), and the worst stage skew per kernel.
 
-Run:  python bench_sf10_dedup.py [--scales 1,10,100]
+Run:  python bench_sf10_dedup.py [--scales 1,10,100] [--wide]
+
+``--wide`` swaps in the wide-vocabulary corpus (see
+:func:`build_corpus`) — per-shingle df stays ≈ 2 at every scale, so
+the ``max_doc_freq`` cap never trims and the run measures the
+UNCAPPED inverted-index regime the plain replica recipe stops
+exercising past sf1 (§r12 honest note 1).
 """
 
 from __future__ import annotations
@@ -45,34 +51,61 @@ SCRATCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 MIN_STAGE_RECORDS = 10_000
 
 
-def build_corpus(spark, replicas: int) -> str:
+def build_corpus(spark, replicas: int, wide: bool = False) -> str:
     """The bench_sf1_dedup recipe at an arbitrary replica count;
     replica id stride = max(id)+1 (collision-free for sparse ids,
-    r11 ADVICE)."""
+    r11 ADVICE).
+
+    ``wide=True`` is the WIDE-VOCABULARY variant (§r12 honest note 1:
+    the plain recipe saturates every shingle's df at the replica
+    count, so by 100 replicas the ``max_doc_freq`` cap excludes most
+    of the inverted index and the Jaccard join goes sublinear — the
+    cap doing its job, but the uncapped regime stops being measured).
+    Here replicas come in PAIRS sharing a salt (salt = rep // 2):
+    every word is suffixed ``~{salt}``, so shingles are disjoint
+    across pairs and each shingle's df stays ≈ 2 REGARDLESS of scale
+    — Heaps-law-style vocabulary growth, the cap never trims, and the
+    inverted index + candidate join grow with the corpus. The odd
+    replica of each pair also perturbs every 31st word, making the
+    pair true near-dups (3-gram Jaccard ≈ (30/31)³ / (2-(30/31)³)
+    ≈ 0.83, above both kernels' thresholds)."""
     out = os.path.join(SCRATCH_DIR,
-                       f"sf10_documents_r{replicas}.parquet")
+                       f"sf10_documents_{'w' if wide else 'r'}"
+                       f"{replicas}.parquet")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet")) \
         .select("doc_id", "text")
-    if replicas == 1:
+    if replicas == 1 and not wide:
         docs.write.mode("overwrite").parquet(out)
         return out
     stride = docs.agg(F.max("doc_id")).first()[0] + 1
     reps = spark.range(replicas).withColumnRenamed("id", "rep")
     words = F.split(F.col("text"), r"\s+")
-    perturbed = F.array_join(
-        F.transform(
-            words,
-            lambda w, i: F.when(
-                (i % (F.lit(11) + F.col("rep") % 37)) == F.lit(0),
-                F.concat(F.lit("rep"), F.col("rep").cast("string")))
-            .otherwise(w)),
-        " ")
+    if wide:
+        salt = (F.col("rep") / 2).cast("bigint").cast("string")
+        perturbed = F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    ((F.col("rep") % 2) == 1) & ((i % 31) == F.lit(0)),
+                    F.concat(F.lit("x~"), salt))
+                .otherwise(F.concat(w, F.lit("~"), salt))),
+            " ")
+    else:
+        perturbed = F.array_join(
+            F.transform(
+                words,
+                lambda w, i: F.when(
+                    (i % (F.lit(11) + F.col("rep") % 37)) == F.lit(0),
+                    F.concat(F.lit("rep"), F.col("rep").cast("string")))
+                .otherwise(w)),
+            " ")
+    keep_raw = F.col("rep") == 0 if not wide else F.lit(False)
     (docs.crossJoin(F.broadcast(reps))
      .select((F.col("doc_id") + F.col("rep") * F.lit(stride))
              .alias("doc_id"),
-             F.when(F.col("rep") == 0, F.col("text"))
+             F.when(keep_raw, F.col("text"))
              .otherwise(perturbed).alias("text"))
      .repartition(32)
      .write.mode("overwrite").parquet(out))
@@ -141,15 +174,17 @@ def main(argv: list[str]) -> int:
     scales = [int(x) for x in (
         argv[argv.index("--scales") + 1].split(",")
         if "--scales" in argv else ("1", "10", "100"))]
+    wide = "--wide" in argv
     spark = get_spark("wp-etl-sf10-dedup",
                       **{"spark.driver.memory":
                          os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                         "48g")})
     spark.sparkContext.setLogLevel("ERROR")
     out = {"metric": "sf10_dedup_scaling", "unit": "sec",
+           "corpus": "wide" if wide else "replica",
            "max_doc_freq": JACCARD_MAX_DOC_FREQ, "scales": {}}
     for r in scales:
-        path = build_corpus(spark, r)
+        path = build_corpus(spark, r, wide=wide)
         corpus = spark.read.parquet(path).localCheckpoint(eager=True)
         entry = {"docs": corpus.count(), "kernels": {}}
         for name, fn in KERNELS.items():
