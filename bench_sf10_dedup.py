@@ -23,10 +23,11 @@ a 10× corpus), and the worst stage skew per kernel.
 Run:  python bench_sf10_dedup.py [--scales 1,10,100] [--wide]
 
 ``--wide`` swaps in the wide-vocabulary corpus (see
-:func:`build_corpus`) — per-shingle df stays ≈ 2 at every scale, so
-the ``max_doc_freq`` cap never trims and the run measures the
-UNCAPPED inverted-index regime the plain replica recipe stops
-exercising past sf1 (§r12 honest note 1).
+:func:`build_corpus`) — the per-shingle df distribution is pinned at
+2× the source corpus's at EVERY scale (vocabulary grows instead), so
+the ``max_doc_freq`` cap trims a constant fraction and the run
+measures the uncapped inverted-index regime the plain replica recipe
+stops exercising past sf1 (§r12 honest note 1).
 """
 
 from __future__ import annotations
@@ -63,12 +64,15 @@ def build_corpus(spark, replicas: int, wide: bool = False) -> str:
     cap doing its job, but the uncapped regime stops being measured).
     Here replicas come in PAIRS sharing a salt (salt = rep // 2):
     every word is suffixed ``~{salt}``, so shingles are disjoint
-    across pairs and each shingle's df stays ≈ 2 REGARDLESS of scale
-    — Heaps-law-style vocabulary growth, the cap never trims, and the
-    inverted index + candidate join grow with the corpus. The odd
-    replica of each pair also perturbs every 31st word, making the
-    pair true near-dups (3-gram Jaccard ≈ (30/31)³ / (2-(30/31)³)
-    ≈ 0.83, above both kernels' thresholds)."""
+    across salt groups and a shingle's df is 2× its df in the SOURCE
+    corpus — a scale-INVARIANT distribution (Heaps-law-style: more
+    corpus ⇒ proportionally more vocabulary, not hotter keys). The
+    cap therefore trims the same small fraction at every scale and
+    the surviving inverted index + candidate join grow with the
+    corpus — the uncapped regime. The odd replica of each pair also
+    perturbs every 31st word, making the pair true near-dups (3-gram
+    Jaccard ≈ (30/31)³ / (2-(30/31)³) ≈ 0.83, above both kernels'
+    thresholds)."""
     out = os.path.join(SCRATCH_DIR,
                        f"sf10_documents_{'w' if wide else 'r'}"
                        f"{replicas}.parquet")

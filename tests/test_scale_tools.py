@@ -985,3 +985,129 @@ def test_cli_stats_dedup_and_ann(spark, tmp_path, capsys):
         bare.process_batch(spark.createDataFrame(
             [(2, [0.0, 1.0, 0.0, 0.0])],
             "vec_id long, emb array<double>"), 1)
+
+
+def _load_bench(name: str):
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _shingle_dfs(rows, n=3):
+    """{df value -> count} over 3-gram shingle document frequencies."""
+    from collections import Counter
+    df = Counter()
+    for text in rows:
+        w = text.split()
+        for sh in {tuple(w[i:i + n]) for i in range(len(w) - n + 1)}:
+            df[sh] += 1
+    return Counter(df.values())
+
+
+def test_sf10_wide_corpus_properties(spark, tmp_path, monkeypatch):
+    """The --wide recipe's claims, CI-proven at sf0.001: (a) ids are
+    collision-free, (b) the per-shingle df DISTRIBUTION is pinned
+    while vocabulary grows — the df histogram at 4 replicas is
+    exactly 2x the 2-replica histogram (salt groups are disjoint and
+    identical up to the suffix), so the max_doc_freq cap trims the
+    same fraction at every scale, (c) each salt pair is a true
+    near-dup (3-gram Jaccard above the kernels' 0.7/0.8 thresholds
+    for long docs), (d) the build is deterministic."""
+    mod = _load_bench("bench_sf10_dedup")
+    monkeypatch.setattr(mod, "SRC", SF_SMALL)
+    monkeypatch.setattr(mod, "SCRATCH_DIR", str(tmp_path / "s1"))
+
+    p2 = mod.build_corpus(spark, 2, wide=True)
+    p4 = mod.build_corpus(spark, 4, wide=True)
+    n_src = spark.read.parquet(
+        SF_SMALL + "/documents.parquet").count()
+    c4 = spark.read.parquet(p4)
+    assert c4.count() == 4 * n_src
+    assert c4.select("doc_id").distinct().count() == 4 * n_src
+
+    rows2 = [r.text for r in spark.read.parquet(p2).collect()]
+    rows4 = [r.text for r in c4.collect()]
+    h2, h4 = _shingle_dfs(rows2), _shingle_dfs(rows4)
+    assert h4 == {k: 2 * v for k, v in h2.items()}
+
+    # near-dup pairs: rep 0 vs rep 1 of the same source doc
+    stride = max(r.doc_id for r in
+                 spark.read.parquet(
+                     SF_SMALL + "/documents.parquet")
+                 .select("doc_id").collect()) + 1
+    by_id = {r.doc_id: r.text
+             for r in spark.read.parquet(p2).collect()}
+    jacs = []
+    for did, text in by_id.items():
+        if did >= stride or len(text.split()) < 62:
+            continue
+        w0, w1 = text.split(), by_id[did + stride].split()
+        s0 = {tuple(w0[i:i + 3]) for i in range(len(w0) - 2)}
+        s1 = {tuple(w1[i:i + 3]) for i in range(len(w1) - 2)}
+        jacs.append(len(s0 & s1) / len(s0 | s1))
+    assert jacs, "no long docs in the fixture corpus"
+    jacs.sort()
+    assert jacs[len(jacs) // 2] >= 0.7, jacs[:5]
+
+    # determinism: a rebuild under a fresh scratch dir is identical
+    monkeypatch.setattr(mod, "SCRATCH_DIR", str(tmp_path / "s2"))
+    pr = mod.build_corpus(spark, 4, wide=True)
+    a = sorted((r.doc_id, r.text)
+               for r in spark.read.parquet(p4).collect())
+    b = sorted((r.doc_id, r.text)
+               for r in spark.read.parquet(pr).collect())
+    assert a == b
+
+
+def test_sf10_ann_corpus_properties(spark, tmp_path, monkeypatch):
+    """The ANN replica recipe's claims at sf0.001: collision-free
+    ids; synthesized replicas are DIVERSE (|cos| to their source far
+    below the 0.3 near-dup threshold on average — the vocabulary-
+    growth analog, not 100 copies of the same vectors), bounded in
+    [-1, 1], and deterministic; planes_for holds bucket occupancy."""
+    import math
+
+    mod = _load_bench("bench_sf10_ann")
+    monkeypatch.setattr(mod, "SRC", SF_SMALL)
+    monkeypatch.setattr(mod, "SCRATCH_DIR", str(tmp_path / "s1"))
+
+    path = mod.build_corpus(spark, 3)
+    src = spark.read.parquet(SF_SMALL + "/embeddings.parquet")
+    n_src = src.count()
+    c = spark.read.parquet(path)
+    assert c.count() == 3 * n_src
+    assert c.select("vec_id").distinct().count() == 3 * n_src
+
+    stride = src.agg(F.max("vec_id")).first()[0] + 1
+    by_id = {r.vec_id: r.embedding for r in c.collect()}
+    lanes = [x for vid, v in by_id.items() if vid >= stride for x in v]
+    assert min(lanes) >= -1.0 and max(lanes) <= 1.0
+    coss = []
+    for vid, v in by_id.items():
+        if vid < stride:
+            continue
+        s = by_id[vid % stride]
+        dot = sum(a * b for a, b in zip(v, s))
+        nv = math.sqrt(sum(a * a for a in v))
+        ns = math.sqrt(sum(a * a for a in s))
+        if nv and ns:
+            coss.append(abs(dot / (nv * ns)))
+    assert coss and sum(coss) / len(coss) < 0.3, sum(coss) / len(coss)
+
+    monkeypatch.setattr(mod, "SCRATCH_DIR", str(tmp_path / "s2"))
+    pr = mod.build_corpus(spark, 3)
+    a = sorted((r.vec_id, list(r.embedding))
+               for r in spark.read.parquet(path).collect())
+    b = sorted((r.vec_id, list(r.embedding))
+               for r in spark.read.parquet(pr).collect())
+    assert a == b
+
+    # occupancy-constant plane sizing: 2^planes ~ N / target
+    assert len(mod.planes_for(2_000)) == 4
+    assert len(mod.planes_for(20_000)) == 8
+    assert len(mod.planes_for(200_000)) == 11
