@@ -336,10 +336,11 @@ def merge_baseline(queries: dict[str, float],
 def paired(argv: list[str]) -> int:
     """``bench.py --paired [--only a,b,c]`` — the committed baseline
     procedure (BASELINE.md) as one command: TWO child bench runs, each
-    a fresh interpreter + fresh SparkSession (in-session repeats are
-    invalid for operators that ``.cache()`` — Spark's cache manager
-    serves identical plans from the first run), per-query MINIMUM
-    merged into ``baseline_queries.json``.
+    a fresh interpreter + fresh SparkSession, per-query MINIMUM
+    merged into ``baseline_queries.json``. (Since the r12 cache
+    isolation in ``run_one`` — ``clearCache()`` before every query
+    and retry — in-session timings are order-independent; the fresh
+    interpreters remain the codegen/JIT-state control.)
 
     Merge policy: queries named in ``--only`` are REPLACED (their code
     changed; the old minimum no longer describes the plan); all other
@@ -461,6 +462,21 @@ def main() -> int:
         _div_corpus(spark, sf_dir)
 
     def run_one(name: str) -> float:
+        # Cache isolation (r12): operators legitimately .cache()
+        # intermediates for intra-query reuse (e.g. the capped
+        # shingle frame feeds both the signature and verify passes of
+        # minhash_lsh_pairs), and Spark's cache manager substitutes
+        # ANY matching plan subtree session-wide — so a later query
+        # sharing a subtree with an earlier one was served from the
+        # earlier query's leftover cache. Measured: minhash_lsh_dedup
+        # 5.0 s isolated vs 1.1 s after ngram_jaccard_dedup +
+        # minhash_signatures had cached its shingle scan — the
+        # bimodal "anomaly" the r10/r11 verdicts flagged, and a floor
+        # poisoner when a contaminated run is min-merged. Clearing
+        # BEFORE each query (and each retry) keeps intra-query caches
+        # working while making every timing a cold, order-independent
+        # measurement.
+        spark.catalog.clearCache()
         fn, _ = ALL_QUERIES[name]
         start = time.monotonic()
         df = fn(spark, sf_dir)

@@ -60,16 +60,17 @@ from wp_etl_migration_spark.session import get_spark
 from bench_sf10_dedup import SCRATCH_DIR, SRC, _timed_with_skew
 
 DIMS = 64
-#: Same seeded-sin formula as queries.ANN_PLANES, taking as many
-#: planes as the scale needs (occupancy-constant sizing).
-_plane = lambda p: [math.sin(0.1 + p * 7.3 + i * 0.61)
-                    for i in range(DIMS)]
 
 
 def planes_for(n_vectors: int, target_bucket: int = 125) -> list:
-    """Occupancy-constant plane count: 2^planes ≈ N / target."""
+    """Occupancy-constant plane count: 2^planes ≈ N / target.
+    Full-rank seeded family (operators.similarity.seeded_planes) —
+    the first run of this study used the rank-2 sinusoid family and
+    measured 22 occupied buckets over 200k vectors (§r12: the rank
+    trap this bench exists to catch)."""
+    from wp_etl_migration_spark.operators.similarity import seeded_planes
     p = max(4, math.ceil(math.log2(max(n_vectors / target_bucket, 2))))
-    return [_plane(i) for i in range(p)]
+    return seeded_planes(p, DIMS)
 
 
 def build_corpus(spark, replicas: int) -> str:
@@ -142,8 +143,13 @@ def main(argv: list[str]) -> int:
         entry["kernels"]["ivf_topk"] = {
             "wall": wall, "num_centroids": c, "worst_skew": skew}
 
-        # 3) stored-index build + fixed 2k-query batch (2 tables).
-        tables = [planes, [_plane(100 + i) for i in range(len(planes))]]
+        # 3) stored-index build + fixed 2k-query batch (2 tables);
+        # the second table is an independent full-rank set (seed
+        # offset picks disjoint sin-hash lanes).
+        from wp_etl_migration_spark.operators.similarity import (
+            seeded_planes)
+        tables = [planes, seeded_planes(len(planes), DIMS,
+                                        seed=7.5311)]
         idx_path = os.path.join(SCRATCH_DIR, f"sf10_ann_idx_r{r}.parquet")
         wall_b, skew_b = _timed_with_skew(
             spark, lambda: build_ann_index(

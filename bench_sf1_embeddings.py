@@ -38,19 +38,25 @@ SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 IDX_STORE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".scratch", "sf1_ann_index.parquet")
 K = 5
-#: Seeded hyperplanes (same pure formula family as queries.ANN_PLANES):
-#: 8 planes → 256 buckets → balanced Σb² ≈ 50k²/256 ≈ 10M in-bucket
-#: pairs, ~250× under brute force's 2.5G.
-PLANES = [[__import__("math").sin(0.37 + p * 5.1 + i * 0.83)
-           for i in range(64)] for p in range(8)]
+#: Seeded hyperplanes (full-rank sin-hash family, r12 — the rank-2
+#: sinusoid set this replaces gave ≤16 effective buckets, not 256;
+#: see operators.similarity.seeded_planes): 8 planes → 256 buckets →
+#: balanced Σb² ≈ 50k²/256 ≈ 10M in-bucket pairs, ~250× under brute
+#: force's 2.5G — now actually true.
+PLANES = __import__(
+    "wp_etl_migration_spark.operators.similarity",
+    fromlist=["seeded_planes"]).seeded_planes(8, 64)
 
 
 def plane_tables(t: int) -> list:
-    """T independent seeded 8-plane sets; table 0 IS the single-set
-    PLANES (so tables=1 reproduces the committed curve exactly)."""
-    import math
-    return [[[math.sin(0.37 + p * 5.1 + i * 0.83 + tt * 2.17)
-              for i in range(64)] for p in range(8)]
+    """T independent seeded 8-plane sets (full-rank sin-hash family,
+    r12 — the phase-shifted sinusoids this replaces were ALL in one
+    2-D span across every table and plane: rank 2 total, so extra
+    tables probed near-identical cuts; see
+    operators.similarity.seeded_planes)."""
+    from wp_etl_migration_spark.operators.similarity import (
+        seeded_planes)
+    return [seeded_planes(8, 64, seed=12.9898 + tt * 4.7113)
             for tt in range(t)]
 
 

@@ -271,8 +271,13 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
     # stationary study (BASELINE.md §r11) uses 14 (16k buckets).
     # $SOAK_PLANES / --planes overrides.
     n_planes = int(os.environ.get("SOAK_PLANES", "8"))
-    planes = [[math.sin(0.37 + p * 5.1 + i * 0.83)
-               for i in range(dims)] for p in range(n_planes)]
+    # r12: full-rank family — the sinusoid set this replaces was
+    # rank 2 (≤ 2p sign regions however many planes; see
+    # operators.similarity.seeded_planes), so "256 buckets" was
+    # really ≤ 16 and plane count was a ~no-op occupancy lever.
+    from wp_etl_migration_spark.operators.similarity import (
+        seeded_planes)
+    planes = seeded_planes(n_planes, dims)
     # rows_per_sub demo-sized like the dedup soak: the compacted base
     # then fans out into enough sub-buckets for the 100-vector
     # trickle's probe to prune (production keeps the 1M default and

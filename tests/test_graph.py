@@ -763,3 +763,41 @@ def test_batch_index_tombstones_and_purge(spark, tmp_path):
     assert cross_corpus_exact_dedup(
         new, spark.read.parquet(dig_path), "doc_id", ["text"],
         corpus_digest_col="digest").count() == 1
+
+
+def test_seeded_planes_full_rank_and_spread():
+    """The r12 rank trap (sf10 ANN study): phase-shifted sinusoid
+    "planes" all lie in one 2-D span, capping sign regions at ~2p.
+    seeded_planes must be (a) full rank at every size the engine
+    uses, (b) deterministic, (c) bounded in [-1, 1), and (d) actually
+    spread uniform data across ~2^p buckets (the occupancy claim the
+    LSH kernels' Σ bucket² bound rests on)."""
+    import numpy as np
+
+    from wp_etl_migration_spark.operators.similarity import (
+        seeded_planes)
+
+    for p, d in ((2, 64), (4, 64), (8, 64), (11, 64), (14, 64),
+                 (4, 16)):
+        m = np.array(seeded_planes(p, d))
+        assert m.shape == (p, d)
+        assert np.linalg.matrix_rank(m) == p, (p, d)
+        assert m.min() >= -1.0 and m.max() < 1.0
+    assert seeded_planes(4, 64) == seeded_planes(4, 64)
+    # independent tables from a different seed stay jointly full rank
+    a = np.array(seeded_planes(8, 64))
+    b = np.array(seeded_planes(8, 64, seed=7.5311))
+    assert np.linalg.matrix_rank(np.vstack([a, b])) == 16
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (20_000, 64))
+    signs = x @ np.array(seeded_planes(8, 64)).T >= 0
+    _, counts = np.unique(signs, axis=0, return_counts=True)
+    assert len(counts) >= 250          # ~all 256 buckets occupied
+    assert counts.max() <= 8 * counts.mean()   # no degenerate pile-up
+
+    # the regression this guards: the old family capped at ~2p
+    import math
+    old = np.array([[math.sin(0.1 + p * 7.3 + i * 0.61)
+                     for i in range(64)] for p in range(8)])
+    assert np.linalg.matrix_rank(old) == 2     # the trap, pinned

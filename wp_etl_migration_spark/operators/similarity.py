@@ -585,6 +585,43 @@ def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b", "cos_sim"))
 
 
+def seeded_planes(n_planes: int, dims: int,
+                  seed: float = 12.9898) -> list[list[float]]:
+    """Deterministic FULL-RANK hyperplane set for the LSH family —
+    ``n_planes`` vectors of ``dims`` doubles, uniform-ish in [-1, 1),
+    reproducible from the formula alone (SQL oracles embed the same
+    literals; no RNG state to ship).
+
+    The rank trap this replaces (found by the r12 sf10 ANN decade
+    study): phase-shifted sinusoid families like
+    ``sin(c1 + p·c2 + i·c3)`` LOOK independent but expand to
+    ``sin(φ_p)·cos(c3·i) + cos(φ_p)·sin(c3·i)`` — EVERY plane lies in
+    the 2-D span of {sin(c3·i), cos(c3·i)}, so p hyperplanes cut at
+    most ~2p sign regions no matter how many you add. Bucket counts
+    then stop growing with the plane count and Σ bucket² explodes
+    quadratically with corpus size: measured 22 occupied buckets
+    (max 27k rows) from 11 such "planes" over 200k vectors — a 142×
+    candidate-work penalty vs this full-rank family (2047 buckets,
+    max 454) and invisible at bench scale, where ≤2p regions is
+    plenty for 2k vectors.
+
+    Here each lane is an independent sin-hash (frac(sin(k)·43758.55),
+    the classic shader-noise construction — public folklore): lanes
+    decorrelate because k strides per (plane, lane), so the matrix is
+    full rank (asserted in tests) and sign regions grow ~2^p until
+    dims bounds them.
+    """
+    import math
+    out = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dims):
+            v = math.sin((p * dims + i + 1) * seed) * 43758.5453
+            row.append((v % 1.0) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]],
                       dims: int) -> Column:
     """SimHash bucket id: sign pattern of dot products against fixed

@@ -38,7 +38,7 @@ from wp_etl_migration_spark.operators.dedup import (
     minhash_signatures, minhash_lsh_pairs)
 from wp_etl_migration_spark.operators.similarity import (
     cosine_topk, cosine_topk_lsh, embedding_near_dup,
-    embedding_near_dup_lsh, ivf_topk)
+    embedding_near_dup_lsh, ivf_topk, seeded_planes)
 from wp_etl_migration_spark.operators.simhash import (
     HEX, simhash_signatures, simhash_near_dup)
 from wp_etl_migration_spark.operators.multimodal import (
@@ -1991,8 +1991,12 @@ WHERE vec_id NOT IN (SELECT node FROM comp WHERE node <> component)
 
 #: Fixed, seeded hyperplanes for the LSH ANN query — generated by a pure
 #: formula so Spark and the oracle embed bit-identical double literals.
-ANN_PLANES = [[__import__("math").sin(0.1 + p * 7.3 + i * 0.61)
-               for i in range(64)] for p in range(4)]
+#: r12: swapped the phase-shifted sinusoid family (rank 2 — every
+#: plane in one 2-D span, ≤ 8 sign regions from 4 "planes"; see
+#: operators.similarity.seeded_planes for the full trap) for the
+#: full-rank sin-hash family: 4 planes now cut the full 16 buckets,
+#: halving per-bucket occupancy and Σ bucket² on these two rows.
+ANN_PLANES = seeded_planes(4, 64)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
