@@ -623,6 +623,78 @@ def test_incremental_ann_prepared_cache_equivalence(spark, tmp_path):
                                                  "matches")
 
 
+def test_incremental_ann_prepared_budget(spark, tmp_path):
+    """``max_prepared_bytes`` (r12 follow-up): the byte budget picks
+    the LARGEST live gens that fit and serves the rest through the
+    lazy path — results identical at every budget, the cache holding
+    exactly what the budget admits (0 ⇒ never populated; sized to
+    the biggest run ⇒ that run alone), and ``stats()`` reporting the
+    occupancy the budget decisions were made from."""
+    import os
+    import random
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    rng = random.Random(11)
+    dims = 4
+    planes = [[rng.gauss(0, 1) for _ in range(dims)]
+              for _ in range(2)]
+    batches = [
+        spark.createDataFrame(
+            [(b * 100 + i,
+              [random.Random(b * 1000 + i).gauss(0, 1)
+               for _ in range(dims)]) for i in range(30)],
+            ["vec_id", "embedding"]).localCheckpoint(eager=True)
+        for b in range(6)]
+
+    def run(budget, tag):
+        loop = IncrementalAnnIndex(
+            spark, str(tmp_path / tag), "vec_id", "embedding",
+            planes, k=3, auto_compact_tail=2, rows_per_sub=8,
+            max_prepared_bytes=budget)
+        for b, batch in enumerate(batches):
+            loop.process_batch(batch, b * 10)
+        return loop
+
+    free = run(None, "free")
+    bpr = free._prepared_row_bytes()
+    assert bpr == dims * 8 + 48
+    # discover the final run sizes from the unbounded loop's store
+    store = free._ann_store
+    sizes = {int(r["gen"]): base.count()
+             for r, base in store.probe_parts(-1)[1]}
+    assert len(sizes) >= 2, "harness needs ≥2 live runs to budget"
+    # same tie-break as the greedy: (rows, gen) descending
+    biggest = max(sizes, key=lambda g: (sizes[g], g))
+
+    # deterministic replay: same batches ⇒ same fold history/gens
+    exact = run(sizes[biggest] * bpr, "exact")
+    none = run(0, "none")
+    assert set(exact._ann_store.pointer()["runs"][0].keys()) == \
+        set(store.pointer()["runs"][0].keys())
+
+    def matches(loop):
+        return {tuple(r) for r in spark.read.parquet(
+            os.path.join(loop.store_dir, "matches")).collect()}
+
+    assert matches(free) == matches(exact) == matches(none)
+    assert len(matches(free)) > 0
+    # budget 0: the cache never admits anything
+    assert none._prepared_cache == {}
+    # budget exactly the biggest run: it alone is cached (greedy
+    # largest-first leaves no room for a second gen)
+    assert set(exact._prepared_cache) == {biggest}
+    # the row-count memo tracks only live gens
+    live = {int(r["gen"]) for r in exact._ann_store.pointer()["runs"]}
+    assert set(exact._gen_rows) <= live
+    st = exact.stats()["ann"]
+    assert st["prepared_gens"] == [biggest]
+    assert st["prepared_est_bytes"] == sizes[biggest] * bpr
+    # unbudgeted loops run no count jobs for the accounting
+    assert free._gen_rows == {}
+    assert free.stats()["ann"]["prepared_est_bytes"] == 0
+
+
 def test_incremental_soak_latency_flat(spark, tmp_path):
     """Store-growth soak bound (VERDICT r5 #6): 12 backfill batches
     through each incremental loop; per-batch wall time must stay
@@ -2100,7 +2172,9 @@ def test_ann_loop_stats(spark, tmp_path):
     s0 = idx.stats()
     assert s0 == {"match_rows": 0,
                   "ann": {"tail_partitions": 0, "pointer": None,
-                          "live_tombstones": 0}}
+                          "live_tombstones": 0,
+                          "prepared_gens": [],
+                          "prepared_est_bytes": 0}}
     idx.process_batch(spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
         "vec_id long, emb array<double>"), 0)

@@ -1405,7 +1405,8 @@ class IncrementalAnnIndex:
                  auto_compact_tail: int | None = 8,
                  tables: int = 1, bits: int = 8,
                  pointer_protocol: PointerProtocol | None = None,
-                 cache_prepared_base: bool = True):
+                 cache_prepared_base: bool = True,
+                 max_prepared_bytes: int | None = None):
         self.spark = spark
         self.store_dir = store_dir
         self.id_col, self.vec_col = id_col, vec_col
@@ -1426,7 +1427,24 @@ class IncrementalAnnIndex:
         #: The flag is the kill switch for memory-constrained rigs —
         #: results are bit-identical either way.
         self.cache_prepared_base = bool(cache_prepared_base)
+        #: Byte budget for the prepared cache (r12 follow-up): the
+        #: prepared frames are float64 lanes — ~4–8× the stored qvec
+        #: bytes — so an unbounded cache on a 100 TB fleet trades the
+        #: per-batch dequantize for executor storage without limit,
+        #: and the all-or-nothing flag above was the only lever.
+        #: With a budget, the LARGEST live gens are cached until the
+        #: estimated prepared size (:meth:`_prepared_row_bytes` ×
+        #: rows) would exceed it; the rest are prepared lazily per
+        #: batch (the pre-cache path — bit-identical, just re-paid).
+        #: Largest-first maximizes re-used dequantize work per cached
+        #: byte: both the saving and the footprint of a gen scale
+        #: with its rows, and big gens amortize the fixed per-frame
+        #: overhead best. ``None`` = unbounded (no row-count jobs are
+        #: run at all on that path).
+        self.max_prepared_bytes = (None if max_prepared_bytes is None
+                                   else int(max_prepared_bytes))
         self._prepared_cache: dict[int, DataFrame] = {}
+        self._gen_rows: dict[int, int] = {}
         #: tables > 1 stores T independent plane sets side by side
         #: (``planes`` becomes a list of T sets; the stored rows gain
         #: a ``table`` column) — the ROUTING recall lever for
@@ -1494,6 +1512,17 @@ class IncrementalAnnIndex:
                 "pointer": ptr,
                 "live_tombstones":
                     0 if tombs is None else tombs.count(),
+                # prepared-cache occupancy (r12): which gens hold a
+                # persisted dequantized frame, and the same size
+                # estimate max_prepared_bytes budgets against (known
+                # only for gens that were counted — i.e. budgeted
+                # runs; unbudgeted loops report rows they happen to
+                # know, without launching count jobs here).
+                "prepared_gens": sorted(self._prepared_cache),
+                "prepared_est_bytes": sum(
+                    self._gen_rows[g] * self._prepared_row_bytes()
+                    for g in self._prepared_cache
+                    if g in self._gen_rows),
             },
         }
 
@@ -1583,22 +1612,66 @@ class IncrementalAnnIndex:
             self._prepared_cache[gen] = df
         return df
 
+    def _prepared_row_bytes(self) -> int:
+        """Estimated in-memory bytes of ONE prepared-frame row: the
+        dequantized double lanes dominate (dims × 8), plus a fixed
+        allowance for the scalar columns (neighbor_id, bucket, __cn,
+        sub, batch_id[, table]) and array headers. A budget lever
+        sized to the dominant term, not an exact JVM meter — the
+        columnar cached form adds per-batch overhead the estimate
+        deliberately ignores."""
+        from wp_etl_migration_spark.operators.similarity import (
+            _plane_tables)
+        dims = len(_plane_tables(self.planes, self.tables)[0][0])
+        return dims * 8 + 48
+
+    def _sync_prepared_cache(self, runs, ptr) -> set[int]:
+        """Reconcile the per-gen cache with the live pointer and the
+        byte budget; returns the gens that SHOULD be cached. Evicts
+        retired gens and gens the budget no longer admits (a new
+        larger gen can displace a smaller cached one); prunes the
+        row-count memo of dead gens. With no budget every live gen is
+        selected and no count jobs run."""
+        live = {int(r["gen"]) for r in (ptr["runs"] if ptr else [])}
+        if self.max_prepared_bytes is None:
+            selected = live
+        else:
+            sized = []
+            for run, base in runs:
+                gen = int(run["gen"])
+                if gen not in self._gen_rows:
+                    self._gen_rows[gen] = base.count()
+                sized.append((self._gen_rows[gen], gen))
+            sized.sort(reverse=True)
+            bpr = self._prepared_row_bytes()
+            selected, budget = set(), self.max_prepared_bytes
+            for rows, gen in sized:
+                if rows * bpr <= budget:
+                    selected.add(gen)
+                    budget -= rows * bpr
+        for gen in [g for g in self._prepared_cache
+                    if g not in selected]:
+            self._prepared_cache.pop(gen).unpersist()
+        for gen in [g for g in self._gen_rows if g not in live]:
+            del self._gen_rows[gen]
+        return selected
+
     def _prewarm_prepared_cache(self) -> None:
-        """Materialize prepared frames for uncached live gens NOW and
-        evict retired ones. persist() is lazy, so without this the
-        first batch after a compaction — possibly a 10-vector
-        trickle — would absorb the whole base's dequantize + persist
-        inside its own wall; running it at the end of the fold batch
-        keeps that cost inside the already-amortized fold spike
-        (compaction is serialized with the batch body, so the pointer
-        read here is the post-fold one)."""
+        """Materialize prepared frames for uncached selected gens NOW
+        and evict retired / budget-displaced ones. persist() is lazy,
+        so without this the first batch after a compaction — possibly
+        a 10-vector trickle — would absorb the whole base's
+        dequantize + persist inside its own wall; running it at the
+        end of the fold batch keeps that cost inside the
+        already-amortized fold spike (compaction is serialized with
+        the batch body, so the pointer read here is the post-fold
+        one)."""
         store = self._ann_store
         _tail, runs, ptr = store.probe_parts(-1)
-        live = {int(r["gen"]) for r in (ptr["runs"] if ptr else [])}
-        for gen in [g for g in self._prepared_cache if g not in live]:
-            self._prepared_cache.pop(gen).unpersist()
+        selected = self._sync_prepared_cache(runs, ptr)
         for run, base in runs:
-            if int(run["gen"]) not in self._prepared_cache:
+            gen = int(run["gen"])
+            if gen in selected and gen not in self._prepared_cache:
                 self._prepared_run(run, base).count()
 
     def _prepared_queryable(self, store: _IndexStore, batch_id: int,
@@ -1616,17 +1689,22 @@ class IncrementalAnnIndex:
         the sub prune, the scoped tombstone anti-join, and the
         probed-bucket semi-join inside ``query_ann_index`` — the
         CodegenFallback dequantize and the norm fold are no longer
-        re-paid per batch."""
+        re-paid per batch. Under ``max_prepared_bytes``, gens the
+        budget excludes are prepared lazily here instead
+        (unpersisted — the pre-cache cost shape, bit-identical
+        results)."""
         from wp_etl_migration_spark.operators.similarity import (
             prepare_ann_index)
         tail, runs, ptr = store.probe_parts(batch_id)
-        live = {int(r["gen"]) for r in (ptr["runs"] if ptr else [])}
-        for gen in [g for g in self._prepared_cache if g not in live]:
-            self._prepared_cache.pop(gen).unpersist()
+        selected = self._sync_prepared_cache(runs, ptr)
         parts = [prepare_ann_index(tail, self.id_col, self.planes,
                                    tables=self.tables)]
         for run, base in runs:
-            df = self._prepared_run(run, base)
+            df = (self._prepared_run(run, base)
+                  if int(run["gen"]) in selected
+                  else prepare_ann_index(base, self.id_col,
+                                         self.planes,
+                                         tables=self.tables))
             if int(run["num_subs"]) > 1:
                 subs = store._subs_of(probed, F.col("__bucket"),
                                       int(run["num_subs"]))
