@@ -32,7 +32,6 @@ keeps the tail under a few hundred partitions).
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import sys
@@ -40,6 +39,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from wp_etl_migration_spark.operators.similarity import seeded_planes
 from wp_etl_migration_spark.session import get_spark
 from wp_etl_migration_spark.streaming.incremental import (
     IncrementalAnnIndex, IncrementalDedup)
@@ -109,8 +109,11 @@ def main() -> int:
         .select("vec_id", "embedding").localCheckpoint(eager=True)
     m = emb.count()
     dims = len(emb.first().embedding)
-    planes = [[math.sin(0.37 + p * 5.1 + i * 0.83) for i in range(dims)]
-              for p in range(8)]
+    # seeded_planes, NOT a hand-rolled sin(a + p*b + i*c) family —
+    # that construction is rank 2 (every plane in one 2-D span, so 8
+    # "planes" cut ≤16 of the nominal 256 buckets; the r12 trap,
+    # operators/similarity.seeded_planes docstring)
+    planes = seeded_planes(8, dims)
     ann = IncrementalAnnIndex(spark, os.path.join(store_root, "ann"),
                               "vec_id", "embedding", planes, k=3,
                               n_probes=2, auto_compact_tail=2)
