@@ -1436,11 +1436,15 @@ class IncrementalAnnIndex:
         #: estimated prepared size (:meth:`_prepared_row_bytes` ×
         #: rows) would exceed it; the rest are prepared lazily per
         #: batch (the pre-cache path — bit-identical, just re-paid).
-        #: Largest-first maximizes re-used dequantize work per cached
-        #: byte: both the saving and the footprint of a gen scale
-        #: with its rows, and big gens amortize the fixed per-frame
-        #: overhead best. ``None`` = unbounded (no row-count jobs are
-        #: run at all on that path).
+        #: Largest-first because a gen's per-batch saving and its
+        #: footprint both scale with its rows (value per byte is
+        #: flat, so cached rows are what counts) and big gens
+        #: amortize the fixed per-frame overhead best; it is a
+        #: greedy, not an exact subset-sum fill (a budget of 100
+        #: rows over runs of 60/50/50 caches 60, not 100 — leveled
+        #: compaction keeps run sizes far apart, so the gap is
+        #: marginal in practice). ``None`` = unbounded (no row-count
+        #: jobs are run at all on that path).
         self.max_prepared_bytes = (None if max_prepared_bytes is None
                                    else int(max_prepared_bytes))
         self._prepared_cache: dict[int, DataFrame] = {}
