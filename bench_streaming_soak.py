@@ -40,6 +40,7 @@ bound also guards post-purge probe regressions.
 
 Run:  python bench_streaming_soak.py [--soak dedup|ann] [--batches 20]
       [--sf-dir /root/testdata/sf0.1] [--takedown] [--stationary]
+      [--prepared-budget BYTES]  # ANN max_prepared_bytes (r12)
 Prints ONE JSON line with per-batch walls + store row counts.
 ``--stationary`` switches the ANN batch generator to constant
 true-match density (each batch matches only its twin), isolating
@@ -282,11 +283,18 @@ def soak_ann(spark, sf_dir: str, batches: int, store: str,
     # then fans out into enough sub-buckets for the 100-vector
     # trickle's probe to prune (production keeps the 1M default and
     # reaches the num_subs cap on its own corpus volume).
+    # $SOAK_PREPARED_BUDGET / --prepared-budget: max_prepared_bytes
+    # for the loop (r12 budget lever) — lets the soak measure the
+    # budgeted cost shape between the cached and uncached extremes.
+    budget = os.environ.get("SOAK_PREPARED_BUDGET")
     loop = IncrementalAnnIndex(spark, store, "vec_id", "embedding",
                                planes, k=5, auto_compact_tail=5,
                                rows_per_sub=int(os.environ.get(
                                    "SOAK_ROWS_PER_SUB", "16")),
-                               pointer_protocol=_protocol())
+                               pointer_protocol=_protocol(),
+                               max_prepared_bytes=(
+                                   None if budget is None
+                                   else int(budget)))
     walls, index_rows, match_rows = [], [], []
     autos, data_ids, takedowns, trickle = [], [], [], []
     next_id = 0
@@ -407,6 +415,9 @@ def main(argv: list[str]) -> int:
             argv[argv.index("--rows-per-sub") + 1]
     if "--planes" in argv:
         os.environ["SOAK_PLANES"] = argv[argv.index("--planes") + 1]
+    if "--prepared-budget" in argv:
+        os.environ["SOAK_PREPARED_BUDGET"] = \
+            argv[argv.index("--prepared-budget") + 1]
     sf_dir = argv[argv.index("--sf-dir") + 1] if "--sf-dir" in argv \
         else os.environ.get("SPARK_GRAFT_SF_DIR",
                             "/root/testdata/sf0.1")
