@@ -215,6 +215,62 @@ def canary_sec() -> float:
     return round(best, 4)
 
 
+#: Workers for the memory-bandwidth canary — the executor-thread
+#: count the queries themselves run at, so the canary contends for
+#: the same resource the Arrow/BLAS kernels do.
+MEM_CANARY_WORKERS = min(32, os.cpu_count() or 1)
+MEM_CANARY_MIB = 64                    # per-worker array
+MEM_CANARY_PASSES = 12
+
+
+def _mem_canary_worker(barrier, out_q) -> None:
+    import numpy as np
+    a = np.full(MEM_CANARY_MIB * 131072, 1.000001, dtype=np.float64)
+    barrier.wait()                     # start together, post-alloc
+    s = 0.0
+    for _ in range(MEM_CANARY_PASSES):
+        s += float(a.sum())
+    out_q.put(s)
+
+
+def mem_canary_sec() -> float:
+    """Multicore memory-bandwidth canary (r12 — the third referee).
+
+    The single-thread CPU canary and the sequential-read I/O canary
+    leave one ambience dimension unmeasured: aggregate memory
+    bandwidth under all-core load — exactly what the Arrow/BLAS
+    kernels (cosine cogroups, pandas UDF batches) saturate. Measured
+    r12 gap this closes: a window where codegen scan/agg rows sat AT
+    their floors and both committed canaries read ≤1.15 while every
+    cogroup row read 1.5–1.9× — board-level `vs_baseline` 1.3–1.4
+    with nothing to attribute it to. This canary times
+    ``MEM_CANARY_WORKERS`` forked processes each streaming
+    ``MEM_CANARY_PASSES`` full passes over a private 64 MiB float64
+    array (working set ≫ LLC, far too big to cache): wall ∝ 1 /
+    aggregate bandwidth, inflating with neighbor pressure the other
+    two canaries cannot see. Fixed deterministic work, best of 2;
+    allocation excluded via a start barrier."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    best = float("inf")
+    for _ in range(2):
+        barrier = ctx.Barrier(MEM_CANARY_WORKERS + 1)
+        out_q = ctx.Queue()
+        procs = [ctx.Process(target=_mem_canary_worker,
+                             args=(barrier, out_q))
+                 for _ in range(MEM_CANARY_WORKERS)]
+        for p in procs:
+            p.start()
+        barrier.wait()
+        t0 = time.monotonic()
+        for _ in procs:
+            out_q.get()
+        best = min(best, time.monotonic() - t0)
+        for p in procs:
+            p.join()
+    return round(best, 4)
+
+
 IO_CANARY_MIB = 768
 
 #: RAM-backed filesystem types: ``posix_fadvise(DONTNEED)`` cannot
@@ -412,6 +468,9 @@ def paired(argv: list[str]) -> int:
     base["io_canary_sec"] = round(
         min(base.get("io_canary_sec", io_can), io_can), 4)
     base["io_canary_medium"] = io_canary_location()[1]
+    mem_can = mem_canary_sec()
+    base["mem_canary_sec"] = round(
+        min(base.get("mem_canary_sec", mem_can), mem_can), 4)
     with open(base_path, "w") as fh:
         json.dump(base, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -425,6 +484,7 @@ def paired(argv: list[str]) -> int:
         "canary_sec": can,
         "io_canary_sec": io_can,
         "io_canary_medium": base["io_canary_medium"],
+        "mem_canary_sec": mem_can,
     }))
     return 0
 
@@ -507,6 +567,10 @@ def main() -> int:
         # a code regression.
         "canary_sec": canary_sec(),
         "io_canary_sec": io_canary_sec(),
+        # all-core memory-bandwidth referee (r12): the dimension the
+        # two above can't see — inflates when neighbor pressure slows
+        # the Arrow/BLAS cogroup rows while codegen rows stay at floor.
+        "mem_canary_sec": mem_canary_sec(),
         # "disk" | "ram" | "unknown" — a "ram" canary is NOT an I/O
         # referee (tmpfs temp dir; fadvise can't evict) and BASELINE.md
         # step 2 must fall back to the CPU canary alone.
@@ -560,6 +624,9 @@ def main() -> int:
             if base.get("io_canary_sec"):
                 out["io_canary_vs_baseline"] = round(
                     out["io_canary_sec"] / base["io_canary_sec"], 3)
+            if base.get("mem_canary_sec"):
+                out["mem_canary_vs_baseline"] = round(
+                    out["mem_canary_sec"] / base["mem_canary_sec"], 3)
             out["regressions"] = {
                 name: round(t / base["queries"][name], 2)
                 for name, t in timings.items()

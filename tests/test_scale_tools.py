@@ -575,6 +575,28 @@ def test_bench_io_canary(monkeypatch, tmp_path):
     assert path.stat().st_size == 16 << 20
 
 
+def test_bench_mem_canary(monkeypatch):
+    """mem_canary_sec (r12 — the third referee): all-core
+    memory-bandwidth probe. Returns a positive best-of-2 wall; the
+    worker count never exceeds the box; shrunk work still measures
+    (the knobs exist so this test stays cheap)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert 1 <= bench.MEM_CANARY_WORKERS <= (os.cpu_count() or 1)
+    monkeypatch.setattr(bench, "MEM_CANARY_WORKERS", 4)
+    monkeypatch.setattr(bench, "MEM_CANARY_MIB", 8)
+    monkeypatch.setattr(bench, "MEM_CANARY_PASSES", 2)
+    t1 = bench.mem_canary_sec()
+    t2 = bench.mem_canary_sec()
+    assert t1 > 0 and t2 > 0
+
+
 def test_bench_io_canary_medium_detection(monkeypatch, tmp_path):
     """io_canary_location (VERDICT r11 #4): a tmpfs temp dir is NOT a
     disk referee — the canary must relocate to the repo-local
