@@ -389,6 +389,27 @@ def merge_baseline(queries: dict[str, float],
     return replaced, lowered
 
 
+def _child_floor_contribution(child: dict,
+                              names: list[str] | None = None) -> dict:
+    """A paired child's query walls, minus its RETRIED rows.
+
+    A retried row's reported value is its best of up to 3 same-session
+    executions of the SAME plan — a C2-warm reading, not the
+    first-execution wall every future run measures (r12 probes:
+    same-plan executions converge 6.5 → 0.93 → 0.68 s;
+    embedding_topk's first execution read 1.5–2.3 s in every r12
+    daytime run while its warm retries read 0.73–0.76 s). Min-merging
+    warm readings ratchets floors below what any first execution can
+    meet, making the retry permanent. ``--only`` replacements keep
+    them: an explicit re-floor takes what the session gives and later
+    paired runs min-merge honestly."""
+    q = dict(child["queries"])
+    for name in child.get("retried", {}):
+        if not (names and name in names):
+            q.pop(name, None)
+    return q
+
+
 def paired(argv: list[str]) -> int:
     """``bench.py --paired [--only a,b,c]`` — the committed baseline
     procedure (BASELINE.md) as one command: TWO child bench runs, each
@@ -431,16 +452,17 @@ def paired(argv: list[str]) -> int:
         # A zero exit with empty/garbled stdout (e.g. a stray warning
         # after the JSON line) must fail structured, not traceback.
         try:
-            runs.append(json.loads(
-                proc.stdout.strip().splitlines()[-1])["queries"])
+            child = json.loads(proc.stdout.strip().splitlines()[-1])
+            runs.append(_child_floor_contribution(child, names))
         except (IndexError, ValueError, KeyError, TypeError):
             print(json.dumps({
                 "error": "child bench emitted no parseable JSON line",
                 "stdout_tail": proc.stdout[-300:],
                 "stderr_tail": proc.stderr[-300:]}))
             return 1
-    fresh = {n: round(min(r[n] for r in runs), 3)
-             for n in runs[0] if all(n in r for r in runs)}
+    fresh = {n: round(min(r[n] for r in runs if n in r), 3)
+             for n in set(runs[0]) | set(runs[1])
+             if any(n in r for r in runs)}
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_queries.json")
@@ -458,7 +480,9 @@ def paired(argv: list[str]) -> int:
     base["method"] = ("per-query minimum of two quiet paired runs, "
                       "fresh interpreter + SparkSession each "
                       "(bench.py --paired); --only names replace, "
-                      "others keep the historical minimum")
+                      "others keep the historical minimum; retried "
+                      "rows excluded per child (warm re-executions "
+                      "are not first-execution floors)")
     # The canary reference is the quiet-box speed the committed
     # minimums correspond to — always the historical minimum, so one
     # slow re-baseline round can never corrupt it.
@@ -501,6 +525,14 @@ def main() -> int:
         .mode("overwrite").save()
     warm.mapInPandas(lambda it: it, schema=warm.schema) \
         .write.format("noop").mode("overwrite").save()
+    # The cogroup Arrow path (FlatMapCoGroupsInPandas) is a DIFFERENT
+    # physical operator from mapInPandas with its own first-load cost;
+    # the first cogroup row in the loop (embedding_topk) retried on
+    # first execution in 5/5 r12 daytime runs from absorbing it.
+    (warm.groupby("r_regionkey")
+     .cogroup(warm.groupby("r_regionkey"))
+     .applyInPandas(lambda a, b: a, schema=warm.schema)
+     .write.format("noop").mode("overwrite").save())
     # Codegen pre-warm (VERDICT r10 #7): one throwaway plan touching
     # the window / broadcast-join / sort-limit codegen templates, so
     # sub-second timed rows stop absorbing the one-time Janino

@@ -575,6 +575,40 @@ def test_bench_io_canary(monkeypatch, tmp_path):
     assert path.stat().st_size == 16 << 20
 
 
+def test_bench_child_floor_contribution():
+    """Paired floor merging must not ingest warm retry readings
+    (r12): a retried row's child value is its best of 3 same-plan
+    executions, so it is dropped from that child's contribution —
+    unless the row is an explicit --only replacement."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    child = {"queries": {"a": 1.0, "b": 0.4, "c": 2.0},
+             "retried": {"b": 1, "c": 2}}
+    assert bench._child_floor_contribution(child) == {"a": 1.0}
+    # explicit replacement keeps the named retried row only
+    assert bench._child_floor_contribution(child, ["b"]) == \
+        {"a": 1.0, "b": 0.4}
+    # no retries → untouched
+    assert bench._child_floor_contribution(
+        {"queries": {"a": 1.0}}) == {"a": 1.0}
+    # a row retried in BOTH children contributes nothing and the
+    # min over present-in-any still covers the rest
+    runs = [bench._child_floor_contribution(child),
+            bench._child_floor_contribution(
+                {"queries": {"a": 1.2, "b": 0.5},
+                 "retried": {"b": 1}})]
+    fresh = {n: round(min(r[n] for r in runs if n in r), 3)
+             for n in set(runs[0]) | set(runs[1])
+             if any(n in r for r in runs)}
+    assert fresh == {"a": 1.0}
+
+
 def test_bench_mem_canary(monkeypatch):
     """mem_canary_sec (r12 — the third referee): all-core
     memory-bandwidth probe. Returns a positive best-of-2 wall; the
