@@ -1676,7 +1676,11 @@ class IncrementalAnnIndex:
         for run, base in runs:
             gen = int(run["gen"])
             if gen in selected and gen not in self._prepared_cache:
-                self._prepared_run(run, base).count()
+                n = self._prepared_run(run, base).count()
+                # the materializing count doubles as the size memo,
+                # so unbudgeted loops get stats() byte estimates for
+                # free (still zero DEDICATED count jobs)
+                self._gen_rows.setdefault(gen, int(n))
 
     def _prepared_queryable(self, store: _IndexStore, batch_id: int,
                             probed: DataFrame) -> DataFrame:
