@@ -552,6 +552,13 @@ def main() -> int:
     # the first _div row times its OPERATOR, not the fixture write.
     if any(n in DIV_QUERIES for n in BENCH_QUERIES):
         _div_corpus(spark, sf_dir)
+    # Bracket the run with the volatile referee: a neighbor burst
+    # confined to the middle of the loop (observed r12: one run with
+    # 20 consecutive retried rows while the post-loop canaries read
+    # ≤1.16) is invisible to end-only sampling; pre+post is still
+    # only a bracket, but max(pre, post) catches bursts that persist
+    # into either edge.
+    mem_pre = mem_canary_sec()
 
     def run_one(name: str) -> float:
         # Cache isolation (r12): operators legitimately .cache()
@@ -602,6 +609,9 @@ def main() -> int:
         # all-core memory-bandwidth referee (r12): the dimension the
         # two above can't see — inflates when neighbor pressure slows
         # the Arrow/BLAS cogroup rows while codegen rows stay at floor.
+        # Sampled before AND after the loop (volatile); the ratio
+        # below uses the max of the bracket.
+        "mem_canary_pre_sec": mem_pre,
         "mem_canary_sec": mem_canary_sec(),
         # "disk" | "ram" | "unknown" — a "ram" canary is NOT an I/O
         # referee (tmpfs temp dir; fadvise can't evict) and BASELINE.md
@@ -658,7 +668,9 @@ def main() -> int:
                     out["io_canary_sec"] / base["io_canary_sec"], 3)
             if base.get("mem_canary_sec"):
                 out["mem_canary_vs_baseline"] = round(
-                    out["mem_canary_sec"] / base["mem_canary_sec"], 3)
+                    max(out["mem_canary_sec"],
+                        out["mem_canary_pre_sec"])
+                    / base["mem_canary_sec"], 3)
             out["regressions"] = {
                 name: round(t / base["queries"][name], 2)
                 for name, t in timings.items()
