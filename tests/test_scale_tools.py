@@ -935,6 +935,41 @@ def test_plane_tables_validation(spark):
         _plane_tables([[[1.0]], [[1.0]]], 3)
 
 
+def test_quiet_gate(monkeypatch, capsys):
+    """tools/quiet.py (r12): exit 0 iff every canary ratio is at or
+    under its bar; custom bars honored; referees without a committed
+    reference are skipped (null)."""
+    import importlib.util
+    import json as _json
+    import os
+    import sys
+    import types
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "quiet", os.path.join(root, "tools", "quiet.py"))
+    quiet = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(quiet)
+    with open(os.path.join(root, "baseline_queries.json")) as fh:
+        base = _json.load(fh)
+    refs = (base["canary_sec"], base["io_canary_sec"],
+            base["mem_canary_sec"])
+
+    def fake(scale):
+        return types.SimpleNamespace(
+            canary_sec=lambda: refs[0] * scale,
+            io_canary_sec=lambda: refs[1] * scale,
+            mem_canary_sec=lambda: refs[2] * scale)
+
+    monkeypatch.setitem(sys.modules, "bench", fake(1.0))
+    assert quiet.main([]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["quiet"] and out["ratios"] == {"cpu": 1.0, "io": 1.0,
+                                              "mem": 1.0}
+    monkeypatch.setitem(sys.modules, "bench", fake(2.0))
+    assert quiet.main([]) == 1
+    assert quiet.main(["--cpu", "3", "--io", "3", "--mem", "3"]) == 0
+
+
 def test_api_md_current():
     """API.md is generated (tools/gen_api.py) and committed; this
     regenerates it in memory and compares byte-for-byte, so the
