@@ -4313,72 +4313,71 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
 }
 
-#: r12 driver rotation (the r11 verdict's #1, machine-audited by
+#: r13 driver rotation (the r12 verdict's #1, machine-audited by
 #: tools/rotation_debt.py — the suite fails when this list would let
-#: any query's driver-witness age exceed 2): the eight r9-witnessed
-#: text-function rows at the age limit (slugify, split_trim,
-#: nullif_sentinel, string_to_null, snake_scrub_rename,
-#: numeric_preserve, text_functions, placeholder_subst) rotate IN as
-#: planned in r11's comment, plus 42 of the 50 r10-witnessed rows.
-#: The eight r10 rows deferred to r13 (array_ops, date_parts,
-#: date_validate, grouping_sets, hash_sample, json_extract,
-#: quantile_band, url_normalize — cheap single-table expression
-#: checks) sit exactly at age 2 after this round and lead the r13
-#: window, followed by the 52 r11-witnessed rows; steady-state is
-#: "witness the oldest 50 each round".
+#: any query's driver-witness age exceed 2): the eight r10-witnessed
+#: rows at the age limit (array_ops, date_parts, date_validate,
+#: grouping_sets, hash_sample, json_extract, quantile_band,
+#: url_normalize) rotate IN as planned in r12's comment, plus 42 of
+#: the 50 r11-witnessed rows. The eight r11 rows deferred to r14
+#: (cube_agg, domain_stats, keywords, lang_id, percentile_stats,
+#: pivot_wide, rollup_status, set_ops — cheap single-table
+#: aggregation/expression checks) sit exactly at age 2 after this
+#: round and lead the r14 window, followed by the 50 r12-witnessed
+#: rows; steady-state is "witness the oldest 50 each round".
 _DRIVER_ROWS: list[str] = [
-    # the eight age-limit r9 text-function rows (mandatory this round)
-    "nullif_sentinel",
-    "numeric_preserve",
-    "placeholder_subst",
-    "slugify",
-    "snake_scrub_rename",
-    "split_trim",
-    "string_to_null",
-    "text_functions",
-    # 42 of the 50 r10-witnessed rows
-    "ann_index16_topk",
-    "ann_index_topk",
-    "ann_lsh_topk",
-    "asof_join",
-    "asof_nearest",
-    "author_embed",
-    "cluster_centroids",
-    "contamination",
-    "corpus_report",
-    "cross_corpus_dedup",
-    "domain_cap",
-    "embedding_near_dup",
-    "entity_embed_full",
-    "event_window_agg",
-    "fuzzy_match",
-    "gopher_quality",
-    "hierarchy_resolve",
-    "html_blocks",
-    "key_skew",
-    "line_dedup",
-    "media_dedupe_lookup",
-    "multimodal_features",
-    "pack_sequences",
-    "pagerank",
-    "passage_removal",
-    "pii_scrub",
-    "prefix_pipeline",
-    "profile_diff",
-    "range_join",
-    "repetition_stats",
-    "sanitize_chain",
-    "scan_filter_sort_limit",
-    "script_fractions",
-    "shared_gram_stats",
-    "shipping_priority",
-    "simhash_near_dup",
-    "table_profile",
-    "trigram_lm_score",
-    "upsert_merge",
-    "vocab_topk",
-    "weighted_sample",
-    "wp_post_preset",
+    # the eight age-limit r10 rows (mandatory this round)
+    "array_ops",
+    "date_parts",
+    "date_validate",
+    "grouping_sets",
+    "hash_sample",
+    "json_extract",
+    "quantile_band",
+    "url_normalize",
+    # 42 of the 50 r11-witnessed rows
+    "ann_multi_topk",
+    "bigram_lm_score",
+    "bpe_token_stats",
+    "cascaded_lookup",
+    "chunk_documents",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_pipeline",
+    "embedding_near_dup_lsh",
+    "embedding_topk",
+    "global_shuffle_shards",
+    "incremental_lsh",
+    "ivf_ann_topk",
+    "kmeans_centroids",
+    "media_decode",
+    "meta_embed",
+    "meta_melt",
+    "minhash_lsh_dedup",
+    "minhash_signatures",
+    "ngram_jaccard_dedup",
+    "pagerank_redistribute",
+    "pricing_summary",
+    "quality_score",
+    "quantize_embeddings",
+    "regional_revenue",
+    "rolling_window",
+    "semantic_dedup",
+    "sessionization",
+    "simhash_signatures",
+    "sketch_distinct",
+    "text_quality",
+    "token_budget",
+    "token_stats",
+    "top_customers",
+    "topk_per_group",
+    "train_val_test",
+    "training_prep_contract",
+    "trigram_lm_pruned",
+    "union_merge",
+    "unpack_roundtrip",
+    "window_funcs",
+    "wp_post_all_contract",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
