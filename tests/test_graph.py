@@ -801,3 +801,64 @@ def test_seeded_planes_full_rank_and_spread():
     old = np.array([[math.sin(0.1 + p * 7.3 + i * 0.61)
                      for i in range(64)] for p in range(8)])
     assert np.linalg.matrix_rank(old) == 2     # the trap, pinned
+
+
+def test_validate_planes_rejects_degenerate_families(spark):
+    """VERDICT r12 #2: the public LSH entry points must refuse the
+    bug class the sf10 decade study caught — caller-supplied plane
+    families whose literals span a subspace of rank <
+    min(n_planes, dims). The old sinusoid family (rank 2 at any
+    plane count) is the pinned negative case; the check is
+    driver-side, so no Spark job runs before the raise."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from wp_etl_migration_spark.operators.similarity import (
+        build_ann_index, cosine_topk_lsh, cosine_topk_multi_lsh,
+        embedding_near_dup_lsh, prepare_ann_index, query_ann_index,
+        seeded_planes, validate_planes)
+
+    old = [[math.sin(0.1 + p * 7.3 + i * 0.61) for i in range(16)]
+           for p in range(6)]                       # rank 2: the trap
+    dup = [[1.0] * 16, [1.0] * 16]                  # duplicate planes
+    zero = [[0.0] * 16, [1.0] * 16]                 # zero vector row
+
+    for bad in (old, dup, zero):
+        with pytest.raises(ValueError, match="degenerate"):
+            validate_planes(bad)
+
+    # healthy families pass: seeded, random Gaussian, and
+    # n_planes > dims (rank is capped by dims — as spread as the
+    # space allows, not degenerate)
+    validate_planes(seeded_planes(8, 16))
+    rng = np.random.default_rng(3)
+    validate_planes(rng.normal(size=(4, 16)).tolist())
+    validate_planes(seeded_planes(20, 16))
+    with pytest.raises(ValueError, match="non-empty"):
+        validate_planes([])
+
+    # every public entry point rejects the trap family at the driver
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="degenerate"):
+        cosine_topk_lsh(emb, "vec_id", "embedding", old, k=2)
+    with pytest.raises(ValueError, match="degenerate"):
+        embedding_near_dup_lsh(emb, "vec_id", "embedding", old)
+    with pytest.raises(ValueError, match="degenerate"):
+        cosine_topk_multi_lsh(emb, "vec_id", "embedding",
+                              [seeded_planes(4, 16), old], k=2)
+    with pytest.raises(ValueError, match="degenerate"):
+        build_ann_index(emb, "vec_id", "embedding", old)
+    good = seeded_planes(4, 16)
+    idx = build_ann_index(emb, "vec_id", "embedding", good)
+    with pytest.raises(ValueError, match="degenerate"):
+        prepare_ann_index(idx, "vec_id", old)
+    with pytest.raises(ValueError, match="degenerate"):
+        query_ann_index(emb, idx, "vec_id", "embedding", old, k=2)
+    # multi-table: the table index is named in the error
+    with pytest.raises(ValueError, match=r"table 1"):
+        build_ann_index(emb, "vec_id", "embedding",
+                        [good, old], tables=2)

@@ -101,7 +101,9 @@ from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
     kmeans_centroids,
     quantize_embeddings,
     query_ann_index,
+    seeded_planes,
     semantic_dedup,
+    validate_planes,
 )
 from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401
     attach_binary,

@@ -536,10 +536,15 @@ def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,
     therefore pair membership) is bit-identical to the naive
     definition; only which pairs get *scored* depends on numpy, which
     the margin absorbs.
+
+    Construct ``planes`` with :func:`seeded_planes`; caller-supplied
+    families are rank-checked by :func:`validate_planes` (degenerate
+    families raise — the r12 rank-2 sinusoid trap).
     """
     import numpy as np
     import pandas as pd
 
+    validate_planes(planes)
     if dims is None:
         dims = _dims(emb, vec_col)
     margin = 1e-9
@@ -583,6 +588,51 @@ def embedding_near_dup_lsh(emb: DataFrame, id_col: str, vec_col: str,
             .withColumn("cos_sim", sim)
             .where(F.col("cos_sim") >= threshold)
             .select("id_a", "id_b", "cos_sim"))
+
+
+def validate_planes(planes: list[list[float]],
+                    what: str = "planes") -> None:
+    """Reject DEGENERATE hyperplane families at the driver, before
+    any Spark job runs (VERDICT r12 #2).
+
+    The failure class this guards: a plane family whose vectors span
+    a subspace of rank r < min(n_planes, dims) cuts at most ~2·r sign
+    regions however many planes it has, so bucket occupancy stops
+    growing with the plane count and the bucket-local quadratic term
+    (Σ bucket²) explodes with corpus size. The r12 sf10 decade study
+    measured exactly this with a rank-2 phase-shifted sinusoid family
+    (11 "planes" → 22 occupied buckets over 200k vectors, a 142×
+    candidate-work penalty) — invisible at 2k bench scale, where ≤2p
+    regions is plenty, and invisible to correctness checks, because
+    the in-bucket rescore is exact either way. Use
+    :func:`seeded_planes` to construct plane families; this check is
+    what stops the same bug class re-entering through caller-supplied
+    planes.
+
+    Driver-side and cheap: one numpy ``matrix_rank`` over the plane
+    LITERALS (an n_planes×dims float matrix — microseconds at any
+    realistic plane count), no Spark job. Raises ``ValueError`` on
+    rank < min(n_planes, dims); n_planes > dims is fine (rank can
+    reach at most dims — the family is as spread as the space
+    allows)."""
+    import numpy as np
+    mat = np.asarray(planes, dtype=float)
+    if mat.ndim != 2 or 0 in mat.shape:
+        raise ValueError(
+            f"{what}: expected a non-empty list of equal-length plane "
+            f"vectors, got shape {mat.shape}")
+    n_planes, dims = mat.shape
+    rank = int(np.linalg.matrix_rank(mat))
+    need = min(n_planes, dims)
+    if rank < need:
+        raise ValueError(
+            f"{what}: degenerate hyperplane family — numerical rank "
+            f"{rank} < min(n_planes={n_planes}, dims={dims}). All "
+            f"planes lie in a {rank}-D subspace, so they cut at most "
+            f"~{2 * rank} sign regions regardless of plane count and "
+            f"bucket sizes will not shrink as planes are added "
+            f"(quadratic in-bucket blowup at corpus scale). Construct "
+            f"planes with operators.similarity.seeded_planes().")
 
 
 def seeded_planes(n_planes: int, dims: int,
@@ -688,7 +738,12 @@ def cosine_topk_lsh(emb: DataFrame, id_col: str, vec_col: str,
     keep the quadratic term bounded. Scale note: for corpus×corpus at
     100 TB, combine several independent plane sets (hash tables) and
     union the candidates to recover recall.
+
+    Construct ``planes`` with :func:`seeded_planes`; caller-supplied
+    families are rank-checked by :func:`validate_planes` (degenerate
+    families raise — the r12 rank-2 sinusoid trap).
     """
+    validate_planes(planes)
     if dims is None:
         dims = _dims(emb, vec_col)
     v = emb.select(F.col(id_col).alias("__id"),
@@ -780,6 +835,8 @@ def cosine_topk_multi_lsh(emb: DataFrame, id_col: str, vec_col: str,
     from pyspark.sql import Window
     if not plane_sets:
         raise ValueError("at least one plane set required")
+    for t, planes in enumerate(plane_sets):
+        validate_planes(planes, what=f"plane_sets[{t}]")
     if dims is None:
         dims = _dims(emb, vec_col)
     v = emb.select(F.col(id_col).alias("__id"),
@@ -913,6 +970,9 @@ def _plane_tables(planes, tables: int) -> list:
         raise ValueError(
             "all planes in all sets must share one dimensionality; "
             f"saw lengths {sorted(dims)}")
+    for t, pset in enumerate(sets):
+        validate_planes(pset, what=f"planes (table {t})"
+                        if tables != 1 else "planes")
     return sets
 
 
