@@ -221,16 +221,61 @@ def canary_sec() -> float:
 MEM_CANARY_WORKERS = min(32, os.cpu_count() or 1)
 MEM_CANARY_MIB = 64                    # per-worker array
 MEM_CANARY_PASSES = 12
+#: Worst honest probe ever observed is <2 s; 60 s only trips when a
+#: worker is dead (OOM-killed) or the box is unusably loaded — either
+#: way the reading would be meaningless, so fail structured, don't
+#: hang (ADVICE r12).
+MEM_CANARY_TIMEOUT_SEC = 60
+#: Mid-loop probe (VERDICT r12 #8): one round of this many sweeps is
+#: ~0.2-0.3 s on a quiet box — cheap enough to sample every
+#: MEM_SAMPLE_EVERY queries for a per-segment ambience series.
+MEM_CANARY_PROBE_PASSES = 6
+MEM_SAMPLE_EVERY = 15
 
 
-def _mem_canary_worker(barrier, out_q) -> None:
+def _mem_canary_worker(barrier, out_q, passes) -> None:
     import numpy as np
     a = np.full(MEM_CANARY_MIB * 131072, 1.000001, dtype=np.float64)
     barrier.wait()                     # start together, post-alloc
     s = 0.0
-    for _ in range(MEM_CANARY_PASSES):
+    for _ in range(passes):
         s += float(a.sum())
     out_q.put(s)
+
+
+def _mem_canary_round(passes: int) -> float:
+    """One timed all-core bandwidth round: fork MEM_CANARY_WORKERS,
+    barrier past allocation, time ``passes`` full sweeps each. Raises
+    RuntimeError (never hangs) when a worker dies or stalls — the
+    canary allocates up to 32×64 MiB under the very memory pressure
+    it probes, so an OOM kill is a live possibility (ADVICE r12)."""
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(MEM_CANARY_WORKERS + 1)
+    out_q = ctx.Queue()
+    procs = [ctx.Process(target=_mem_canary_worker,
+                         args=(barrier, out_q, passes))
+             for _ in range(MEM_CANARY_WORKERS)]
+    for p in procs:
+        p.start()
+    try:
+        barrier.wait(timeout=MEM_CANARY_TIMEOUT_SEC)
+        t0 = time.monotonic()
+        for _ in procs:
+            out_q.get(timeout=MEM_CANARY_TIMEOUT_SEC)
+        return time.monotonic() - t0
+    except Exception as exc:
+        dead = [p.exitcode for p in procs if not p.is_alive()]
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+        raise RuntimeError(
+            f"mem canary worker died or stalled "
+            f"(dead exitcodes={dead}, cause={type(exc).__name__})"
+        ) from exc
+    finally:
+        for p in procs:
+            p.join(timeout=5)
 
 
 def mem_canary_sec() -> float:
@@ -249,26 +294,27 @@ def mem_canary_sec() -> float:
     array (working set ≫ LLC, far too big to cache): wall ∝ 1 /
     aggregate bandwidth, inflating with neighbor pressure the other
     two canaries cannot see. Fixed deterministic work, best of 2;
-    allocation excluded via a start barrier."""
-    import multiprocessing as mp
-    ctx = mp.get_context("fork")
-    best = float("inf")
-    for _ in range(2):
-        barrier = ctx.Barrier(MEM_CANARY_WORKERS + 1)
-        out_q = ctx.Queue()
-        procs = [ctx.Process(target=_mem_canary_worker,
-                             args=(barrier, out_q))
-                 for _ in range(MEM_CANARY_WORKERS)]
-        for p in procs:
-            p.start()
-        barrier.wait()
-        t0 = time.monotonic()
-        for _ in procs:
-            out_q.get()
-        best = min(best, time.monotonic() - t0)
-        for p in procs:
-            p.join()
+    allocation excluded via a start barrier.
+
+    A worker can die mid-probe (the canary allocates up to 32×64 MiB
+    under the very memory pressure it measures — an OOM kill is a
+    live possibility): every blocking step carries
+    ``MEM_CANARY_TIMEOUT_SEC`` and a dead/stalled round raises
+    ``RuntimeError`` instead of hanging the bench or the quiet gate
+    (ADVICE r12)."""
+    best = min(_mem_canary_round(MEM_CANARY_PASSES) for _ in range(2))
     return round(best, 4)
+
+
+def mem_canary_probe_sec() -> float:
+    """Cheap mid-loop variant of :func:`mem_canary_sec` (VERDICT r12
+    #8): ONE round, ``MEM_CANARY_PROBE_PASSES`` sweeps — ~0.2-0.3 s
+    quiet, so it can be sampled every ~15 queries inside the bench
+    loop without moving the board. Readings are compared WITHIN a
+    run's own series (ratio to the series min), not against the
+    committed reference — the probe's shorter sweep makes its
+    absolute scale its own."""
+    return round(_mem_canary_round(MEM_CANARY_PROBE_PASSES), 4)
 
 
 IO_CANARY_MIB = 768
@@ -410,6 +456,17 @@ def _child_floor_contribution(child: dict,
     return q
 
 
+def merge_fresh_floors(runs: list[dict]) -> dict[str, float]:
+    """Per-query minimum over ANY number of child contributions
+    (ADVICE r12: the name union must cover every run, not a
+    hardcoded first two). A row retried in every child contributes
+    nothing this round; a row present in any child floors at its
+    minimum present value."""
+    return {n: round(min(r[n] for r in runs if n in r), 3)
+            for n in set().union(*map(set, runs))
+            if any(n in r for r in runs)}
+
+
 def paired(argv: list[str]) -> int:
     """``bench.py --paired [--only a,b,c]`` — the committed baseline
     procedure (BASELINE.md) as one command: TWO child bench runs, each
@@ -460,9 +517,7 @@ def paired(argv: list[str]) -> int:
                 "stdout_tail": proc.stdout[-300:],
                 "stderr_tail": proc.stderr[-300:]}))
             return 1
-    fresh = {n: round(min(r[n] for r in runs if n in r), 3)
-             for n in set(runs[0]) | set(runs[1])
-             if any(n in r for r in runs)}
+    fresh = merge_fresh_floors(runs)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_queries.json")
@@ -558,7 +613,18 @@ def main() -> int:
     # ≤1.16) is invisible to end-only sampling; pre+post is still
     # only a bracket, but max(pre, post) catches bursts that persist
     # into either edge.
-    mem_pre = mem_canary_sec()
+    canary_errors: dict[str, str] = {}
+
+    def _sample_canary(key: str, fn):
+        # A dead/stalled canary fails structured (ADVICE r12): record
+        # the error, emit null — the ratio consumers skip nulls.
+        try:
+            return fn()
+        except RuntimeError as exc:
+            canary_errors[key] = str(exc)[:300]
+            return None
+
+    mem_pre = _sample_canary("mem_pre", mem_canary_sec)
 
     def run_one(name: str) -> float:
         # Cache isolation (r12): operators legitimately .cache()
@@ -586,7 +652,20 @@ def main() -> int:
     # round's perf signal — record its error and keep going.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    # Mid-loop ambience series (VERDICT r12 #8): the pre+post bracket
+    # cannot place a burst confined to the middle of the loop (r12
+    # observed 20 consecutive retried rows with post-loop canaries
+    # ≤1.16). One cheap probe every MEM_SAMPLE_EVERY queries pins the
+    # burst to a segment; read the series against its own min.
+    mem_series: list[dict] = []
+    for i, name in enumerate(BENCH_QUERIES):
+        if i and i % MEM_SAMPLE_EVERY == 0:
+            try:
+                mem_series.append({"after_query": i,
+                                   "sec": mem_canary_probe_sec()})
+            except RuntimeError as exc:
+                mem_series.append({"after_query": i,
+                                   "error": str(exc)[:200]})
         try:
             timings[name] = run_one(name)
         except Exception as exc:  # noqa: BLE001 — isolate any query crash
@@ -606,13 +685,15 @@ def main() -> int:
         # a code regression.
         "canary_sec": canary_sec(),
         "io_canary_sec": io_canary_sec(),
+        # per-segment ambience evidence (VERDICT r12 #8)
+        "mem_canary_series": mem_series,
         # all-core memory-bandwidth referee (r12): the dimension the
         # two above can't see — inflates when neighbor pressure slows
         # the Arrow/BLAS cogroup rows while codegen rows stay at floor.
         # Sampled before AND after the loop (volatile); the ratio
         # below uses the max of the bracket.
         "mem_canary_pre_sec": mem_pre,
-        "mem_canary_sec": mem_canary_sec(),
+        "mem_canary_sec": _sample_canary("mem_post", mem_canary_sec),
         # "disk" | "ram" | "unknown" — a "ram" canary is NOT an I/O
         # referee (tmpfs temp dir; fadvise can't evict) and BASELINE.md
         # step 2 must fall back to the CPU canary alone.
@@ -620,6 +701,8 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
+    if canary_errors:
+        out["canary_errors"] = canary_errors
 
     # Per-query regression report vs the committed quiet-machine baseline
     # (min of two runs; see BASELINE.md). Ratios only apply at the
@@ -666,11 +749,12 @@ def main() -> int:
             if base.get("io_canary_sec"):
                 out["io_canary_vs_baseline"] = round(
                     out["io_canary_sec"] / base["io_canary_sec"], 3)
-            if base.get("mem_canary_sec"):
+            mem_bracket = [v for v in (out["mem_canary_sec"],
+                                       out["mem_canary_pre_sec"])
+                           if v is not None]
+            if base.get("mem_canary_sec") and mem_bracket:
                 out["mem_canary_vs_baseline"] = round(
-                    max(out["mem_canary_sec"],
-                        out["mem_canary_pre_sec"])
-                    / base["mem_canary_sec"], 3)
+                    max(mem_bracket) / base["mem_canary_sec"], 3)
             out["regressions"] = {
                 name: round(t / base["queries"][name], 2)
                 for name, t in timings.items()

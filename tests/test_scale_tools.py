@@ -603,10 +603,11 @@ def test_bench_child_floor_contribution():
             bench._child_floor_contribution(
                 {"queries": {"a": 1.2, "b": 0.5},
                  "retried": {"b": 1}})]
-    fresh = {n: round(min(r[n] for r in runs if n in r), 3)
-             for n in set(runs[0]) | set(runs[1])
-             if any(n in r for r in runs)}
-    assert fresh == {"a": 1.0}
+    assert bench.merge_fresh_floors(runs) == {"a": 1.0}
+    # ADVICE r12: the union spans ALL runs, not a hardcoded two —
+    # a third child's exclusive row must survive the merge
+    assert bench.merge_fresh_floors(
+        runs + [{"e": 9.0}]) == {"a": 1.0, "e": 9.0}
 
 
 def test_bench_mem_canary(monkeypatch):
@@ -1202,3 +1203,52 @@ def test_sf10_ann_corpus_properties(spark, tmp_path, monkeypatch):
     assert len(mod.planes_for(2_000)) == 4
     assert len(mod.planes_for(20_000)) == 8
     assert len(mod.planes_for(200_000)) == 11
+
+
+def test_bench_mem_canary_fails_structured_on_dead_worker(monkeypatch):
+    """ADVICE r12: a dead canary worker (the probe allocates under
+    the very memory pressure it measures — OOM kills happen) must
+    raise a RuntimeError promptly, not hang the bench or the quiet
+    gate on out_q.get()."""
+    import importlib.util
+    import os
+    import time
+
+    import pytest
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.setattr(bench, "MEM_CANARY_WORKERS", 2)
+    monkeypatch.setattr(bench, "MEM_CANARY_TIMEOUT_SEC", 5)
+
+    def dead_worker(barrier, out_q, passes):
+        os._exit(3)
+
+    monkeypatch.setattr(bench, "_mem_canary_worker", dead_worker)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="died or stalled"):
+        bench.mem_canary_sec()
+    assert time.monotonic() - t0 < 30   # bounded, not a hang
+
+
+def test_quiet_gate_flag_parsing_structured(capsys):
+    """ADVICE r12: tools/quiet.py keeps its one-JSON-line contract on
+    a trailing or non-numeric --cpu/--io/--mem value (exit 2 +
+    {"error": ...}) instead of a traceback."""
+    import importlib.util
+    import json
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "quiet", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "tools", "quiet.py"))
+    quiet = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(quiet)
+
+    for argv in (["--cpu"], ["--mem", "fast"], ["--io", ""]):
+        assert quiet.main(argv) == 2
+        line = capsys.readouterr().out.strip()
+        assert "error" in json.loads(line)

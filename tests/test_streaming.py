@@ -2425,3 +2425,35 @@ def test_purge_matches_crash_sweep_every_mutation_point(spark,
             break
         k += 1
     assert k > 3
+
+
+def test_prepared_budget_skips_zero_row_gens(spark, tmp_path):
+    """ADVICE r12: a 0-row gen fits ANY budget (0·bpr ≤ budget, even
+    a 0-byte one) but has nothing worth a persist slot — the greedy
+    fill must skip it, both under a 0 budget and under a budget that
+    admits its non-empty sibling."""
+    import random
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    rng = random.Random(5)
+    planes = [[rng.gauss(0, 1) for _ in range(4)] for _ in range(2)]
+    empty = spark.createDataFrame([], "neighbor_id long")
+    full = spark.createDataFrame([(i,) for i in range(7)],
+                                 "neighbor_id long")
+    runs = [({"gen": 1}, empty), ({"gen": 2}, full)]
+    ptr = {"runs": [{"gen": 1}, {"gen": 2}]}
+
+    def fresh(budget, tag):
+        return IncrementalAnnIndex(
+            spark, str(tmp_path / tag), "vec_id", "embedding",
+            planes, max_prepared_bytes=budget)
+
+    loop = fresh(10 ** 9, "big")
+    assert loop._sync_prepared_cache(runs, ptr) == {2}
+    assert loop._gen_rows == {1: 0, 2: 7}
+    assert fresh(0, "zero")._sync_prepared_cache(runs, ptr) == set()
+    # unbudgeted: selection is the live set, no count jobs
+    free = fresh(None, "free")
+    assert free._sync_prepared_cache(runs, ptr) == {1, 2}
+    assert free._gen_rows == {}

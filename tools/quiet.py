@@ -35,7 +35,14 @@ def main(argv: list[str]) -> int:
     for key in bars:
         flag = f"--{key}"
         if flag in argv:
-            bars[key] = float(argv[argv.index(flag) + 1])
+            # A trailing or non-numeric value must keep the
+            # one-JSON-line contract, not traceback (ADVICE r12).
+            try:
+                bars[key] = float(argv[argv.index(flag) + 1])
+            except (IndexError, ValueError):
+                print(json.dumps({"error": f"{flag} needs a numeric "
+                                           f"value, e.g. {flag} 1.1"}))
+                return 2
 
     base_path = os.path.join(_ROOT, "baseline_queries.json")
     refs = {}
@@ -46,9 +53,15 @@ def main(argv: list[str]) -> int:
                 "io": base.get("io_canary_sec"),
                 "mem": base.get("mem_canary_sec")}
 
-    now = {"cpu": bench.canary_sec(),
-           "io": bench.io_canary_sec(),
-           "mem": bench.mem_canary_sec()}
+    try:
+        now = {"cpu": bench.canary_sec(),
+               "io": bench.io_canary_sec(),
+               "mem": bench.mem_canary_sec()}
+    except RuntimeError as exc:
+        # A dead/stalled canary means the box is NOT quiet (or is
+        # OOM-killing 64 MiB workers) — fail structured, never hang.
+        print(json.dumps({"quiet": False, "error": str(exc)[:300]}))
+        return 1
     ratios = {k: (round(now[k] / refs[k], 3) if refs.get(k) else None)
               for k in now}
     quiet = all(r is None or r <= bars[k] for k, r in ratios.items())

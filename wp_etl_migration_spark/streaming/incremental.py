@@ -1444,7 +1444,15 @@ class IncrementalAnnIndex:
         #: rows over runs of 60/50/50 caches 60, not 100 — leveled
         #: compaction keeps run sizes far apart, so the gap is
         #: marginal in practice). ``None`` = unbounded (no row-count
-        #: jobs are run at all on that path).
+        #: jobs are run at all on that path). Cold-start cost (ADVICE
+        #: r12): the row-count memo normally fills inside the fold
+        #: spike (the prewarm's materializing count doubles as the
+        #: memo), but a FRESH process resuming over an existing store
+        #: has a cold memo — with a budget set, its first batch pays
+        #: one ``count()`` job per live gen (cheap parquet
+        #: count-from-metadata scans, but inside that batch's query
+        #: wall) before the memo takes over. Empty (0-row) gens are
+        #: never selected — nothing to cache.
         self.max_prepared_bytes = (None if max_prepared_bytes is None
                                    else int(max_prepared_bytes))
         self._prepared_cache: dict[int, DataFrame] = {}
@@ -1650,7 +1658,10 @@ class IncrementalAnnIndex:
             bpr = self._prepared_row_bytes()
             selected, budget = set(), self.max_prepared_bytes
             for rows, gen in sized:
-                if rows * bpr <= budget:
+                # rows == 0 would fit ANY budget (0·bpr ≤ 0) but an
+                # empty run has nothing worth a persist slot — skip
+                # (ADVICE r12).
+                if rows and rows * bpr <= budget:
                     selected.add(gen)
                     budget -= rows * bpr
         for gen in [g for g in self._prepared_cache
