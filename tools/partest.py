@@ -36,22 +36,26 @@ from concurrent.futures import ThreadPoolExecutor
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: Measured serial walls (seconds, r13 box) — scheduling hints only;
-#: a missing entry costs scheduling efficiency, never correctness.
+#: Measured per-task walls under 4-way contention (seconds, r13 box,
+#: from this tool's own JSON) — scheduling hints only; a missing
+#: entry costs scheduling efficiency, never correctness.
 WEIGHTS = {
-    "test_streaming.py": 700,
-    "test_oracle_parity.py": 300,     # per-shard weight is /= shards
-    "test_goldens.py": 200,
-    "test_scale_tools.py": 160,
-    "test_plan_equivalence.py": 150,
-    "test_wp_post_all.py": 120,
-    "test_training_prep_all.py": 120,
-    "test_graph.py": 100,
-    "test_properties.py": 90,
-    "test_plans.py": 90,
-    "test_sinks.py": 80,
-    "test_jdbc.py": 80,
-    "test_skewed_corpus.py": 70,
+    "test_streaming.py": 706,
+    "test_oracle_parity.py": 247,     # per-shard weight is /= shards
+    "test_examples.py": 185,
+    "test_properties.py": 131,
+    "test_scale_tools.py": 127,
+    "test_graph.py": 123,
+    "test_sinks.py": 106,
+    "test_plan_audit.py": 102,
+    "test_plan_equivalence.py": 64,
+    "test_skewed_corpus.py": 63,
+    "test_urls.py": 62,
+    "test_sampling.py": 39,
+    "test_temporal.py": 38,
+    "test_training_prep_all.py": 37,
+    "test_jdbc.py": 36,
+    "test_bpe.py": 33,
 }
 
 
