@@ -313,75 +313,6 @@ def test_stream_lm_score_matches_batch(spark, tmp_path):
     assert (1, 2, 2, 1.0) in streamed
 
 
-def test_incremental_dedup_stream_two_batches(spark, tmp_path):
-    """Continuous dedup via foreachBatch: batch 2 docs duplicating
-    batch 1 content (exactly or near) are dropped against the stores
-    batch 1 built; genuinely new docs survive and extend the stores."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    other = "one two three four five six seven eight nine ten"
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    store = str(tmp_path / "store")
-    dedup = IncrementalDedup(spark, store, "doc_id", "text")
-
-    b1 = spark.createDataFrame(
-        [(1, base), (2, base),            # in-batch exact dup -> keep 1
-         (3, other)], ["doc_id", "text"])
-    b1.coalesce(1).write.parquet(str(in_dir / "batch1"))
-    q = dedup.run_stream(
-        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
-    q.awaitTermination()
-    survivors1 = sorted(r.doc_id for r in
-                        spark.read.parquet(f"{store}/corpus").collect())
-    assert survivors1 == [1, 3]
-
-    b2 = spark.createDataFrame(
-        [(10, base),                       # exact dup of stored 1
-         (11, base + " extra"),            # near-dup of stored 1 (LSH)
-         (12, "completely different words nothing shared here at all "
-              "with anything stored"),
-         # new x new near-dup pair WITHIN the batch: keep the min id
-         (14, "red orange yellow green blue indigo violet pink brown"),
-         (15, "red orange yellow green blue indigo violet pink gray")],
-        ["doc_id", "text"])
-    b2.coalesce(1).write.parquet(str(in_dir / "batch2"))
-    q = dedup.run_stream(
-        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
-    q.awaitTermination()
-    survivors = sorted(r.doc_id for r in
-                       spark.read.parquet(f"{store}/corpus").collect())
-    assert survivors == [1, 3, 12, 14]
-    # digest/band stores grew in lockstep with the corpus
-    assert spark.read.parquet(f"{store}/digests").count() == 4
-    assert spark.read.parquet(f"{store}/bands").count() > 0
-
-
-def test_incremental_dedup_batch_replay_is_idempotent(spark, tmp_path):
-    """foreachBatch is at-least-once on retry: replaying the SAME batch
-    must add nothing — the stores exclude the batch's own batch_id
-    partition, so the retry recomputes the first attempt's survivors
-    and overwrites in place (the claim in streaming/incremental.py)."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    dedup = IncrementalDedup(spark, store, "doc_id", "text")
-    batch = spark.createDataFrame(
-        [(1, "alpha beta gamma delta epsilon zeta"),
-         (2, "one two three four five six")], ["doc_id", "text"])
-    dedup.process_batch(batch, 0)
-    first = sorted(map(tuple, spark.read.parquet(
-        f"{store}/corpus").collect()))
-    dedup.process_batch(batch, 0)   # simulated retry of the same batch
-    second = sorted(map(tuple, spark.read.parquet(
-        f"{store}/corpus").collect()))
-    assert first == second
-    assert spark.read.parquet(f"{store}/digests").count() == 2
-    bands = spark.read.parquet(f"{store}/bands")
-    assert bands.select("doc_id").distinct().count() == 2
-
-
 def test_embedding_contamination_works_on_stream(spark, tmp_path):
     """The embedding decontamination gate is a stateless mapInPandas
     pass, so the SAME operator runs unchanged on a streaming corpus
@@ -432,2028 +363,3 @@ def test_encode_bpe_works_on_stream(spark, tmp_path):
     assert streamed == batch and set(streamed) == {1, 2}
 
 
-def test_incremental_ann_index_stream_two_batches(spark, tmp_path):
-    """Continuous stored-ANN maintenance: batch 2 queries hit batch 1
-    vectors through the int8 index alone — batch 1 is never
-    re-bucketed/re-quantized (its stored rows are byte-identical after
-    batch 2), and matches are strictly backward (no in-batch pairs)."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    store = str(tmp_path / "ann_store")
-    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
-                              k=2)
-
-    b1 = spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0]),
-         (2, [0.0, 1.0, 0.0, 0.0]),
-         (3, [0.0, 0.0, 1.0, 0.0])],
-        "vec_id long, emb array<double>")
-    b1.coalesce(1).write.parquet(str(in_dir / "batch1"))
-    q = idx.run_stream(
-        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
-    q.awaitTermination()
-    # empty index at batch 1: no matches, 3 index rows appended
-    assert spark.read.parquet(f"{store}/matches").count() == 0
-    def canon(df):
-        return {(r.vec_id, r.bucket, tuple(r.qvec), r.scale)
-                for r in df.collect()}
-
-    rows1 = canon(spark.read.parquet(f"{store}/ann"))
-    assert len(rows1) == 3
-
-    b2 = spark.createDataFrame(
-        [(10, [0.9, 0.1, 0.0, 0.0]),      # near stored vector 1
-         (11, [0.88, 0.12, 0.0, 0.0])],   # near 1 AND near 10
-        "vec_id long, emb array<double>")
-    b2.coalesce(1).write.parquet(str(in_dir / "batch2"))
-    q = idx.run_stream(
-        spark.readStream.schema(b1.schema).parquet(str(in_dir) + "/*"))
-    q.awaitTermination()
-    matches = spark.read.parquet(f"{store}/matches").collect()
-    got = {(r.query_id, r.neighbor_id) for r in matches}
-    assert (10, 1) in got                  # batch-2 query hit batch-1
-    assert (11, 1) in got
-    # strictly backward: 10/11 are not in the index during their batch
-    assert (10, 11) not in got and (11, 10) not in got
-    top = {r.query_id: r for r in matches if r.rank == 1}
-    assert top[10].neighbor_id == 1 and top[10].sim > 0.9
-    # batch-1 index rows were reused, not recomputed: byte-identical
-    rows2 = canon(spark.read.parquet(f"{store}/ann"))
-    assert rows1 <= rows2 and len(rows2) == 5
-    # replaying an already-indexed batch is a no-op (foreachBatch is
-    # at-least-once on retry): no duplicate index or match rows
-    idx.process_batch(b2, 1)
-    assert len(canon(spark.read.parquet(f"{store}/ann"))) == 5
-    assert spark.read.parquet(f"{store}/matches").count() == \
-        len(matches)
-
-
-def test_incremental_ann_replay_between_writes(spark, tmp_path):
-    """foreachBatch replay safety for the ANN loop (ADVICE r5): a
-    retry of a batch that crashed BETWEEN the matches write and the
-    ann append must end with exactly one copy of every match row
-    (the per-batch overwrite subdir replaces the partial write), and a
-    retry of a fully-committed batch must touch nothing (the committed
-    match rows survive)."""
-    import os
-    import shutil
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-    store = str(tmp_path / "store")
-    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
-                              k=2)
-    b1 = spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0]),
-         (2, [0.0, 1.0, 0.0, 0.0]),
-         (3, [0.0, 0.0, 1.0, 0.0])],
-        "vec_id long, emb array<double>")
-    b2 = spark.createDataFrame(
-        [(10, [0.9, 0.1, 0.0, 0.0]),
-         (11, [0.88, 0.12, 0.0, 0.0])],
-        "vec_id long, emb array<double>")
-    idx.process_batch(b1, 0)
-    ann_b1 = str(tmp_path / "ann_after_b1")
-    shutil.copytree(os.path.join(store, "ann"), ann_b1)
-
-    idx.process_batch(b2, 1)
-    def match_rows():
-        return sorted((r.query_id, r.neighbor_id, r.rank) for r in
-                      spark.read.parquet(f"{store}/matches").collect())
-    committed = match_rows()
-    assert committed  # b2 really matched b1 vectors
-
-    # Simulate a crash between the two writes: matches/batch_id=1
-    # landed, the ann append did not. Replay must converge to the
-    # committed state, not duplicate the match rows.
-    shutil.rmtree(os.path.join(store, "ann"))
-    shutil.copytree(ann_b1, os.path.join(store, "ann"))
-    idx.process_batch(b2, 1)
-    assert match_rows() == committed
-    assert spark.read.parquet(f"{store}/ann").count() == 5
-
-    # Replay of a fully-committed batch: no-op, matches survive.
-    idx.process_batch(b2, 1)
-    assert match_rows() == committed
-    assert spark.read.parquet(f"{store}/ann").count() == 5
-
-    # Crash MID-write of ann/batch_id=1: only one of b2's index rows
-    # landed in the partition. The retry must restore the FULL match
-    # set (not just the un-indexed remainder's), with no in-batch
-    # self-matches from the partially-written own partition, and a
-    # complete ann/ without duplicating the row that did land.
-    ann = spark.read.parquet(os.path.join(store, "ann")) \
-        .localCheckpoint(eager=True)
-    partial = ann.where(F.col("vec_id") == 10).drop("batch_id")
-    shutil.rmtree(os.path.join(store, "ann", "batch_id=1"))
-    partial.write.parquet(os.path.join(store, "ann", "batch_id=1"))
-    idx.process_batch(b2, 1)
-    assert match_rows() == committed
-    final = spark.read.parquet(os.path.join(store, "ann"))
-    assert final.count() == 5
-    assert final.select("vec_id").distinct().count() == 5
-
-
-def test_incremental_ann_prepared_cache_equivalence(spark, tmp_path):
-    """The prepared-base cache (r12) changes WHERE the dequantize
-    runs, never the results: the same batch sequence through a cached
-    and an uncached loop produces identical matches/ and ann/ stores,
-    through compaction and a mid-soak delete — and compaction retires
-    cached gens (no unpersisted-frame leak against swept dirs)."""
-    import random
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    rng = random.Random(7)
-    dims = 4
-    planes = [[rng.gauss(0, 1) for _ in range(dims)]
-              for _ in range(2)]
-    batches = [
-        spark.createDataFrame(
-            [(b * 100 + i,
-              [random.Random(b * 1000 + i).gauss(0, 1)
-               for _ in range(dims)]) for i in range(30)],
-            ["vec_id", "embedding"]).localCheckpoint(eager=True)
-        for b in range(6)]
-    loops, stores = {}, {}
-    for flag in (True, False):
-        store = str(tmp_path / f"store_{int(flag)}")
-        loop = IncrementalAnnIndex(
-            spark, store, "vec_id", "embedding", planes, k=3,
-            auto_compact_tail=2, rows_per_sub=8,
-            cache_prepared_base=flag)
-        for b, batch in enumerate(batches):
-            if b == 4:
-                loop.delete([100 + 3, 200 + 7], b * 10 + 5)
-            loop.process_batch(batch, b * 10)
-        loops[flag], stores[flag] = loop, store
-
-    def snap(store, sub):
-        return {tuple(r) for r in
-                spark.read.parquet(f"{store}/{sub}").collect()}
-
-    assert snap(stores[True], "matches") == snap(stores[False],
-                                                 "matches")
-    assert len(snap(stores[True], "matches")) > 0
-    cached_idx = {r["vec_id"] for r in loops[True]._ann_store
-                  .probe(-1).select("vec_id").collect()}
-    plain_idx = {r["vec_id"] for r in loops[False]._ann_store
-                 .probe(-1).select("vec_id").collect()}
-    assert cached_idx == plain_idx
-    # tombstoned ids are invisible to probes on both paths
-    assert 103 not in cached_idx and 207 not in cached_idx
-    # the cache was actually exercised and tracks only LIVE gens
-    cached = loops[True]
-    assert cached._prepared_cache, "cache never populated"
-    ptr = cached._ann_store.pointer()
-    live = {int(r["gen"]) for r in ptr["runs"]}
-    assert set(cached._prepared_cache) <= live
-    # one more batch after compaction still answers identically
-    extra = spark.createDataFrame(
-        [(900 + i, [random.Random(9000 + i).gauss(0, 1)
-                    for _ in range(dims)]) for i in range(30)],
-        ["vec_id", "embedding"]).localCheckpoint(eager=True)
-    for flag in (True, False):
-        loops[flag].process_batch(extra, 100)
-    assert snap(stores[True], "matches") == snap(stores[False],
-                                                 "matches")
-
-
-def test_incremental_ann_prepared_budget(spark, tmp_path):
-    """``max_prepared_bytes`` (r12 follow-up): the byte budget picks
-    the LARGEST live gens that fit and serves the rest through the
-    lazy path — results identical at every budget, the cache holding
-    exactly what the budget admits (0 ⇒ never populated; sized to
-    the biggest run ⇒ that run alone), and ``stats()`` reporting the
-    occupancy the budget decisions were made from."""
-    import os
-    import random
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    rng = random.Random(11)
-    dims = 4
-    planes = [[rng.gauss(0, 1) for _ in range(dims)]
-              for _ in range(2)]
-    batches = [
-        spark.createDataFrame(
-            [(b * 100 + i,
-              [random.Random(b * 1000 + i).gauss(0, 1)
-               for _ in range(dims)]) for i in range(30)],
-            ["vec_id", "embedding"]).localCheckpoint(eager=True)
-        for b in range(6)]
-
-    def run(budget, tag):
-        loop = IncrementalAnnIndex(
-            spark, str(tmp_path / tag), "vec_id", "embedding",
-            planes, k=3, auto_compact_tail=2, rows_per_sub=8,
-            max_prepared_bytes=budget)
-        for b, batch in enumerate(batches):
-            loop.process_batch(batch, b * 10)
-        return loop
-
-    free = run(None, "free")
-    bpr = free._prepared_row_bytes()
-    assert bpr == dims * 8 + 48
-    # discover the final run sizes from the unbounded loop's store
-    store = free._ann_store
-    sizes = {int(r["gen"]): base.count()
-             for r, base in store.probe_parts(-1)[1]}
-    assert len(sizes) >= 2, "harness needs ≥2 live runs to budget"
-    # same tie-break as the greedy: (rows, gen) descending
-    biggest = max(sizes, key=lambda g: (sizes[g], g))
-
-    # deterministic replay: same batches ⇒ same fold history/gens
-    exact = run(sizes[biggest] * bpr, "exact")
-    none = run(0, "none")
-    assert set(exact._ann_store.pointer()["runs"][0].keys()) == \
-        set(store.pointer()["runs"][0].keys())
-
-    def matches(loop):
-        return {tuple(r) for r in spark.read.parquet(
-            os.path.join(loop.store_dir, "matches")).collect()}
-
-    assert matches(free) == matches(exact) == matches(none)
-    assert len(matches(free)) > 0
-    # budget 0: the cache never admits anything
-    assert none._prepared_cache == {}
-    # budget exactly the biggest run: it alone is cached (greedy
-    # largest-first leaves no room for a second gen)
-    assert set(exact._prepared_cache) == {biggest}
-    # the row-count memo tracks only live gens
-    live = {int(r["gen"]) for r in exact._ann_store.pointer()["runs"]}
-    assert set(exact._gen_rows) <= live
-    st = exact.stats()["ann"]
-    assert st["prepared_gens"] == [biggest]
-    assert st["prepared_est_bytes"] == sizes[biggest] * bpr
-    # unbudgeted loops memoize sizes for free at prewarm time (the
-    # materializing count doubles as the memo — no dedicated jobs)
-    # so their stats() still report the cache estimate
-    assert set(free._gen_rows) <= {int(r["gen"]) for r in
-                                   store.pointer()["runs"]}
-    assert free.stats()["ann"]["prepared_est_bytes"] == sum(
-        free._gen_rows[g] * bpr for g in free._prepared_cache
-        if g in free._gen_rows)
-
-
-def test_incremental_soak_latency_flat(spark, tmp_path):
-    """Store-growth soak bound (VERDICT r5 #6): 12 backfill batches
-    through each incremental loop; per-batch wall time must stay
-    ~flat as the on-disk stores grow (index-append, never
-    recompute-the-corpus). Bound: median of the last 3 batches <=
-    2x the median of batches 2-4 (batch 1 pays JVM/Arrow warmup).
-    The 20-batch sf0.1 runs live in BASELINE.md via
-    bench_streaming_soak.py."""
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_streaming_soak",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench_streaming_soak.py"))
-    soak = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(soak)
-
-    sf = "/root/testdata/sf0.001"
-    d = soak.soak_dedup(spark, sf, 12, str(tmp_path / "dedup"))
-    a = soak.soak_ann(spark, sf, 12, str(tmp_path / "ann"))
-
-    def fold_free(r):
-        # Auto-compaction folds run INSIDE the triggering batch's wall
-        # (r9 default) — a known, amortized, separately-measured spike
-        # (BASELINE.md §r9), not store-growth drift; the flatness
-        # bound compares fold-free batches so a fold landing in the
-        # late window can't fail the growth check.
-        trig = {x.get("at_batch") for x in r.get("auto_compactions",
-                                                 [])}
-        ids = r.get("data_batch_ids", list(range(len(r["walls"]))))
-        return [w for w, i in zip(r["walls"], ids) if i not in trig]
-
-    for name, r in (("dedup", d), ("ann", a)):
-        walls = fold_free(r)
-        # MIN of each window, 2.5x bound: the guarded failure mode
-        # (recomputing the growing corpus per batch — the rejected r7
-        # design measured 10->27 s) is a >=5x drift even on its best
-        # batch, while a hot full-suite JVM jitters single batches by
-        # 2x+ (observed: medians flaked twice in suite context,
-        # never standalone). Mins resist spikes in both windows.
-        late, early = min(walls[-3:]), min(walls[1:4])
-        assert late <= 2.5 * early, (
-            f"{name}: batch latency grew with store size "
-            f"({r['walls']}) — the loop is recomputing the corpus")
-        assert r["auto_compactions"], (
-            f"{name}: auto-compaction never fired — the soak no "
-            "longer exercises the default policy")
-    # stores actually grew (the bound must not pass vacuously)
-    assert d["band_rows"][-1] > d["band_rows"][0]
-    # data batches all indexed, plus the r11 trickle probes' vectors
-    assert a["index_rows"][-1] == 12 * a["batch_vectors"] + \
-        sum(t["vectors"] for t in a["trickle"])
-    # r12 (VERDICT r11 #5): the ANN trickle's probe BYTES are bounded
-    # like the dedup flatness — a 10-vector batch lists a strict
-    # fraction of the stored index (sub-pruned base + unpruned tail).
-    # A broken sub-prune reads ~the whole store (fraction → 1); the
-    # measured steady state is 0.53–0.61 here and 0.52–0.57 at sf0.1
-    # (BASELINE.md §r11), so 0.8 is a regression gate, not a tune.
-    assert a["trickle"], "ann trickle probes never fired"
-    for t in a["trickle"]:
-        frac = t["index_probe_bytes"] / t["index_store_bytes"]
-        assert frac <= 0.8, (
-            f"ann trickle after batch {t['after_batch']} listed "
-            f"{frac:.0%} of the stored index — sub-pruning no longer "
-            f"bounds small-batch probes: {a['trickle']}")
-
-
-def test_incremental_soak_takedown_bounded(spark, tmp_path):
-    """Takedown-under-soak bound (VERDICT r10 #5): mid-soak deletes +
-    physical purges must (a) actually purge rows from grown stores,
-    (b) cost no more than a normal data batch (purge scales with HIT
-    partitions, not store size), and (c) leave the post-purge batch
-    walls inside the same flatness envelope as the plain soak — the
-    sf0.1 walls live in BASELINE.md via
-    ``bench_streaming_soak.py --takedown``."""
-    import importlib.util
-    import os
-    import statistics
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_streaming_soak",
-        os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "bench_streaming_soak.py"))
-    soak = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(soak)
-
-    sf = "/root/testdata/sf0.001"
-    d = soak.soak_dedup(spark, sf, 8, str(tmp_path / "dedup"),
-                        takedown=True)
-    a = soak.soak_ann(spark, sf, 8, str(tmp_path / "ann"),
-                      takedown=True)
-    for name, r in (("dedup", d), ("ann", a)):
-        events = r["takedowns"]
-        assert len(events) == 2, f"{name}: takedowns never fired"
-        med = statistics.median(r["walls"][1:])
-        for ev in events:
-            assert ev["rows_purged"] >= 1, (
-                f"{name}: purge found nothing — the event no longer "
-                f"exercises the rewrite path: {ev}")
-            assert ev["partitions_rewritten"] >= 1
-            # a purge (hit partitions only) must stay in the same
-            # cost class as one data batch against the same store
-            assert ev["purge_wall"] <= 2.0 * med + 1.0, (
-                f"{name}: purge cost left the batch cost class "
-                f"({ev['purge_wall']} s vs median batch {med} s)")
-            assert ev["delete_wall"] <= 2.0 * med + 1.0
-        # post-purge batches stay in the flatness envelope
-        late, early = min(r["walls"][-3:]), min(r["walls"][1:4])
-        assert late <= 2.5 * early, (
-            f"{name}: post-purge batch latency left the envelope "
-            f"({r['walls']})")
-    # the second dedup purge ran against a strictly larger corpus yet
-    # rewrote only its own hit partitions
-    assert d["takedowns"][1]["corpus_rows_after"] > \
-        d["takedowns"][0]["corpus_rows_after"]
-
-
-def test_incremental_dedup_replay_between_writes(spark, tmp_path):
-    """Exactly-once store state for the dedup loop (r6): a retry of a
-    batch that crashed between (or during) its three partition writes
-    must converge to the first attempt's exact store state — no lost
-    corpus rows (the old failure mode: partially-written digests made
-    replayed docs dedup against THEMSELVES and vanish) and no
-    duplicates."""
-    import os
-    import shutil
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text")
-    b1 = spark.createDataFrame(
-        [(1, "alpha beta gamma delta epsilon zeta"),
-         (2, "one two three four five six")], ["doc_id", "text"])
-    b2 = spark.createDataFrame(
-        [(10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
-         (11, "totally novel words appearing nowhere else at all"),
-         (12, "more fresh content unlike anything stored before")],
-        ["doc_id", "text"])
-    loop.process_batch(b1, 0)
-    loop.process_batch(b2, 1)
-
-    def state():
-        return {
-            "corpus": sorted(r.doc_id for r in spark.read.parquet(
-                f"{store}/corpus").collect()),
-            "digests": sorted((r.doc_id, r.digest) for r in
-                              spark.read.parquet(
-                                  f"{store}/digests").collect()),
-            "bands": sorted((r.doc_id, r.band, r.band_hash) for r in
-                            spark.read.parquet(
-                                f"{store}/bands").collect()),
-        }
-    committed = state()
-    assert committed["corpus"] == [1, 2, 11, 12]
-
-    # Crash A: corpus landed, digests PARTIAL (one row), bands absent.
-    # Under the old append layout the partial digest made doc 11
-    # dedup against itself on replay and drop from the corpus forever.
-    digests_full = spark.read.parquet(
-        os.path.join(store, "digests")).localCheckpoint(eager=True)
-    shutil.rmtree(os.path.join(store, "digests", "batch_id=1"))
-    shutil.rmtree(os.path.join(store, "bands", "batch_id=1"))
-    partial = digests_full.where(F.col("doc_id") == 11) \
-        .select("doc_id", "digest")
-    partial.write.parquet(
-        os.path.join(store, "digests", "batch_id=1"))
-    loop.process_batch(b2, 1)
-    assert state() == committed
-
-    # Crash B: everything landed except bands. Replay converges.
-    shutil.rmtree(os.path.join(store, "bands", "batch_id=1"))
-    loop.process_batch(b2, 1)
-    assert state() == committed
-
-    # Full replay of a committed batch: state unchanged.
-    loop.process_batch(b2, 1)
-    assert state() == committed
-
-
-def test_incremental_dedup_same_id_redelivered_later_batch(spark, tmp_path):
-    """ADVICE r6: upstream re-delivers a doc under the SAME id in a
-    LATER batch (new batch_id — not a checkpoint replay). The old
-    id anti-join excluded the stored copy's digest, so the re-delivery
-    survived exact dedup and the corpus held the id twice. Partition
-    exclusion keeps the stored copy visible: identical content drops,
-    near-identical content drops, and only genuinely different content
-    may land again."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text")
-    base = "alpha beta gamma delta epsilon zeta eta theta"
-    loop.process_batch(spark.createDataFrame(
-        [(1, base), (2, "one two three four five six seven")],
-        ["doc_id", "text"]), 0)
-    # batch 1 re-delivers id 1 byte-identical and id 2 near-identical
-    # (a trailing edit, so the stored shingles are a subset — the
-    # LSH-catchable shape)
-    loop.process_batch(spark.createDataFrame(
-        [(1, base), (2, "one two three four five six seven extra")],
-        ["doc_id", "text"]), 1)
-    corpus = spark.read.parquet(f"{store}/corpus")
-    assert sorted((r.doc_id, r.batch_id) for r in corpus.collect()) \
-        == [(1, 0), (2, 0)]           # exactly one copy of each id
-    assert spark.read.parquet(f"{store}/digests").count() == 2
-    # and a checkpoint replay of the re-delivering batch (identical
-    # content, same batch_id) is still idempotent
-    loop.process_batch(spark.createDataFrame(
-        [(1, base), (2, "one two three four five six seven extra")],
-        ["doc_id", "text"]), 1)
-    assert spark.read.parquet(f"{store}/corpus").count() == 2
-
-
-def test_incremental_ann_same_id_redelivered_later_batch(spark, tmp_path):
-    """ADVICE r6: a later batch whose ids are ALL already indexed used
-    to short-circuit and write no matches partition at all, and a
-    partially-redelivered batch queried a shrunken index. With
-    partition-precise exclusion the batch is scored against the FULL
-    earlier index and always writes its match partition; re-delivered
-    ids are indexed under both batches (index key is (batch_id, id)).
-    Same-id self-matches stay excluded — that is query_ann_index's
-    id-identity contract, not the replay logic."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-    store = str(tmp_path / "store")
-    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
-                              k=2)
-    idx.process_batch(spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 0)
-    # batch 1: ids 1 and 2 re-delivered (old code: short-circuit,
-    # no matches partition) plus a fresh probe id near stored 1
-    idx.process_batch(spark.createDataFrame(
-        [(1, [0.95, 0.05, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
-         (30, [0.9, 0.1, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 1)
-    matches = spark.read.parquet(f"{store}/matches")
-    got = {(r.query_id, r.neighbor_id) for r in
-           matches.where(F.col("batch_id") == 1).collect()}
-    # the match partition exists and the fresh probe hit the stored
-    # batch-0 vector through the full (un-shrunken) index
-    assert (30, 1) in got
-    # id identity: a re-delivered id never matches its stored self
-    assert (1, 1) not in got and (2, 2) not in got
-    ann = spark.read.parquet(f"{store}/ann")
-    assert sorted((r.vec_id, r.batch_id) for r in ann.collect()) \
-        == [(1, 0), (1, 1), (2, 0), (2, 1), (30, 1)]
-
-
-def test_incremental_store_compaction_and_pruned_probe(spark, tmp_path):
-    """r8 index layout (VERDICT r7 #3): per-batch tail partitions stay
-    flat (v2 — no per-batch small-file tax); compact(up_to) folds them
-    into a sub-bucketed base whose probe prunes at the partition
-    LISTING (PartitionFilters on sub), with the batch's sub set a
-    bounded driver collect. Pruning is exact: a base row outside the
-    batch's subs cannot equi-join any batch key."""
-    import os
-
-    from wp_etl_migration_spark.operators.dedup import content_digest
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=64, rows_per_sub=1)
-    b0 = spark.createDataFrame(
-        [(i, f"document body {i} with words aa{i} bb{i} cc{i} dd{i}")
-         for i in range(40)], ["doc_id", "text"])
-    loop.process_batch(b0, 0)
-    # tail partitions are flat — no sub dirs, no extra files
-    assert not any(
-        d.startswith("sub=") for d in
-        os.listdir(os.path.join(store, "digests", "batch_id=0")))
-
-    loop.compact(0)
-    dstore = loop._digest_store
-    ptr = dstore.pointer()
-    assert ptr["folded_up_to"] == 0 and len(ptr["runs"]) == 1
-    run = ptr["runs"][0]
-    gen, nsubs = run["gen"], run["num_subs"]
-    assert gen == 0 and 1 < nsubs <= 64
-    base_dir = os.path.join(store, "digests_base", f"gen-{gen}")
-    assert any(d.startswith("sub=") for d in os.listdir(base_dir))
-    # folded tail dir is gone; the store's content lives in the base
-    assert not os.path.exists(
-        os.path.join(store, "digests", "batch_id=0"))
-
-    # Trickle batch: ONE doc, an exact dup of stored doc 7. The probe
-    # prunes the base to its single digest sub.
-    trickle = spark.createDataFrame(
-        [(100, "document body 7 with words aa7 bb7 cc7 dd7")],
-        ["doc_id", "text"])
-    subs = dstore._subs_of(trickle, content_digest(["text"]), nsubs)
-    assert len(subs) == 1
-    probe = dstore.probe(1, trickle, content_digest(["text"]))
-    plan = probe._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
-    assert any("sub" in seg[:300]
-               for seg in plan.split("PartitionFilters")[1:])
-    # the base genuinely spans more subs than the probe touches
-    stored_subs = {int(d.split("=", 1)[1])
-                   for d in os.listdir(base_dir) if d.startswith("sub=")}
-    assert len(stored_subs) > len(subs)
-    # and the pruned probe still catches the duplicate end-to-end
-    loop.process_batch(trickle, 1)
-    ids = sorted(r.doc_id for r in
-                 spark.read.parquet(f"{store}/corpus").collect())
-    assert 100 not in ids and len(ids) == 40
-    # second compact: batch 1's survivors are EMPTY (the trickle doc
-    # was a dup), so the fold adds NO run — just the high-water bump.
-    loop.compact(1)
-    ptr2 = loop._digest_store.pointer()
-    assert ptr2["folded_up_to"] == 1 and len(ptr2["runs"]) == 1
-    assert loop._digest_store.probe(99).count() == 40
-
-
-def test_incremental_compaction_crash_after_pointer_flip(spark,
-                                                         tmp_path):
-    """Crash between the pointer flip and the folded-dir deletes:
-    the lingering tail dirs are already invisible to probes (tail
-    filters batch_id > folded_up_to), so no row is ever read twice;
-    the next compact sweeps the garbage."""
-    import os
-    import shutil
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=16)
-    loop.process_batch(spark.createDataFrame(
-        [(1, "alpha beta gamma delta epsilon zeta"),
-         (2, "one two three four five six")], ["doc_id", "text"]), 0)
-    tail0 = os.path.join(store, "digests", "batch_id=0")
-    saved = str(tmp_path / "saved_batch0")
-    shutil.copytree(tail0, saved)
-    loop.compact(0)
-    # simulate the unfinished delete: the folded dir reappears
-    shutil.copytree(saved, tail0)
-    probe = loop._digest_store.probe(5)
-    assert probe.count() == 2          # not 4 — garbage is invisible
-    # a later batch still dedups exactly once against the store
-    loop.process_batch(spark.createDataFrame(
-        [(10, "alpha beta gamma delta epsilon zeta"),
-         (11, "totally novel words appearing nowhere else at all")],
-        ["doc_id", "text"]), 1)
-    ids = sorted(r.doc_id for r in
-                 spark.read.parquet(f"{store}/corpus").collect())
-    assert ids == [1, 2, 11]
-    # the next compact sweeps the garbage dir and folds batch 1
-    loop.compact(1)
-    assert not os.path.exists(tail0)
-    assert loop._digest_store.probe(99).count() == 3
-
-
-def test_incremental_ann_compaction_and_pruned_match(spark, tmp_path):
-    """ANN twin: compact folds ann tail partitions into the
-    sub-bucketed base; a single-vector trickle query still finds its
-    stored neighbor through the sub-pruned probe (the neighbor shares
-    the query's bucket, hence its sub)."""
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-    store = str(tmp_path / "store")
-    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
-                              k=2, num_subs=16, rows_per_sub=1)
-    idx.process_batch(spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
-         (3, [0.0, 0.0, 1.0, 0.0]), (4, [0.0, 0.0, 0.0, 1.0])],
-        "vec_id long, emb array<double>"), 0)
-    idx.compact(0)
-    gen = idx._ann_store.runs()[0]["gen"]
-    base_dir = os.path.join(store, "ann_base", f"gen-{gen}")
-    assert any(d.startswith("sub=") for d in os.listdir(base_dir))
-    assert not os.path.exists(os.path.join(store, "ann", "batch_id=0"))
-    idx.process_batch(spark.createDataFrame(
-        [(10, [0.95, 0.05, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 1)
-    got = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        f"{store}/matches").where(F.col("batch_id") == 1).collect()}
-    assert (10, 1) in got
-
-
-def test_incremental_ann_multi_probe_prunes_to_probed_buckets(
-        spark, tmp_path):
-    """n_probes>1 on the incremental ANN store: the base sub-prune
-    must cover every PROBED bucket, not just the query's own — a
-    neighbor one flipped sign bit away lives in a different bucket
-    (usually a different sub), and forgetting the expansion would
-    prune it out of the probe read."""
-    import os
-
-    from wp_etl_migration_spark.operators.similarity import (
-        plane_dots, probe_buckets_from_dots)
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
-    store = str(tmp_path / "store")
-    # neighbor [0.9, -0.05]: bucket "10"; query [0.95, 0.05]: bucket
-    # "11" with plane 2 the lowest |margin| — probe 2 flips to "10".
-    corpus = spark.createDataFrame(
-        [(1, [0.9, -0.05, 0.0, 0.0]),
-         (2, [-1.0, 1.0, 0.0, 0.0]), (3, [-1.0, -1.0, 0.0, 0.0]),
-         (4, [0.3, 0.9, 0.0, 0.0]), (5, [-0.2, -0.9, 0.1, 0.0]),
-         (6, [-0.9, 0.2, 0.3, 0.0]), (7, [0.1, -0.8, 0.0, 0.2]),
-         (8, [-0.5, -0.5, 0.5, 0.0])],
-        "vec_id long, emb array<double>")
-    query = spark.createDataFrame([(10, [0.95, 0.05, 0.0, 0.0])],
-                                  "vec_id long, emb array<double>")
-    # unit: the expansion really is own-bucket-then-flip
-    v = F.transform(F.col("emb"), lambda x: x.cast("double"))
-    probes = query.select(probe_buckets_from_dots(
-        plane_dots(v, planes), 2, 2).alias("p")).first()["p"]
-    assert probes == ["11", "10"]
-
-    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
-                              k=2, n_probes=2, num_subs=64,
-                              rows_per_sub=1)
-    idx.process_batch(corpus, 0)
-    idx.compact(0)
-    assert not os.path.exists(os.path.join(store, "ann", "batch_id=0"))
-    idx.process_batch(query, 1)
-    got = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        f"{store}/matches").where(F.col("batch_id") == 1).collect()}
-    assert (10, 1) in got    # found across the flipped-bit bucket
-
-
-def test_incremental_compaction_levels_and_merges(spark, tmp_path):
-    """Leveling: each compact folds only the tail into a NEW run
-    (no base rewrite) until max_runs would be exceeded, then all runs
-    merge into one. Data is preserved across every transition and
-    swept gens/tails are gone."""
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=8, rows_per_sub=1, max_runs=2)
-    def doc(i):
-        # fully distinct word sets per doc — no accidental near-dups
-        return " ".join(f"w{i}{c}" for c in "abcdefgh")
-
-    for b in range(4):
-        loop.process_batch(spark.createDataFrame(
-            [(b * 10 + j, doc(b * 10 + j)) for j in range(3)],
-            ["doc_id", "text"]), b)
-        loop.compact(b)
-        runs = loop._digest_store.runs()
-        # runs count cycles 1 → 2 → merge back to 1 → 2
-        assert len(runs) == (b % 2) + 1, (b, runs)
-        assert loop._digest_store.probe(99).count() == 3 * (b + 1)
-    # only the pointer-listed gens remain on disk
-    gens = {d for d in os.listdir(os.path.join(store, "digests_base"))
-            if d.startswith("gen-")}
-    assert gens == {f"gen-{r['gen']}"
-                    for r in loop._digest_store.runs()}
-    # and the dedup semantics still hold through the leveled base
-    loop.process_batch(spark.createDataFrame(
-        [(100, doc(0)),                        # exact dup of doc 0
-         (101, "completely novel words nothing shared anywhere")],
-        ["doc_id", "text"]), 4)
-    ids = sorted(r.doc_id for r in
-                 spark.read.parquet(f"{store}/corpus").collect())
-    assert 100 not in ids and 101 in ids
-
-
-def test_incremental_delete_tombstones_and_reingest(spark, tmp_path):
-    """Takedown support (VERDICT r8 #2): delete(ids) stops the ids
-    matching probes immediately (delete→probe), a re-ingest of the
-    same content at a LATER batch is re-admitted (delete→re-ingest)
-    and then dedups normally again, compaction physically purges the
-    tombstoned rows from the runs, and the full merge purges the
-    committed tombstone set itself (probes return to the no-deletes
-    fast path)."""
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=8, rows_per_sub=1, max_runs=1,
-                            auto_compact_tail=None)
-    t1 = "alpha beta gamma delta epsilon zeta eta theta"
-    t2 = "one two three four five six seven eight"
-    loop.process_batch(spark.createDataFrame(
-        [(1, t1), (2, t2)], ["doc_id", "text"]), 0)
-    # sanity: an exact dup of doc 1 drops while doc 1 is indexed
-    loop.process_batch(spark.createDataFrame(
-        [(10, t1)], ["doc_id", "text"]), 1)
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [1, 2]
-
-    loop.delete([1], 2)
-    # delete → probe: the digest/band rows stop matching immediately
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2}
-    assert 1 not in {r.doc_id for r in
-                     loop._band_store.probe(99).collect()}
-    # the live-corpus read masks the deleted doc too
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
-
-    # delete → re-ingest at a LATER batch: re-admitted
-    loop.process_batch(spark.createDataFrame(
-        [(20, t1)], ["doc_id", "text"]), 3)
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 20]
-    # and the re-ingested copy dedups future deliveries again
-    loop.process_batch(spark.createDataFrame(
-        [(30, t1)], ["doc_id", "text"]), 4)
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 20]
-
-    # first compact (max_runs=1, no prior runs → fold, no merge):
-    # folded rows are filtered, the committed tombstone is folded
-    loop.compact(4)
-    ptr = loop._digest_store.pointer()
-    assert ptr["tomb_gen"] == 0 and len(ptr["runs"]) == 1
-    run_dir = os.path.join(store, "digests_base",
-                           f"gen-{ptr['runs'][0]['gen']}")
-    assert 1 not in {r.doc_id for r in
-                     spark.read.parquet(run_dir).collect()}
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2, 20}
-
-    # second compact merges (1 run + fold > max_runs=1): every stored
-    # row is rewritten-filtered, so the tombstone set purges and the
-    # tombs dir disappears — the no-deletes fast path is back
-    loop.process_batch(spark.createDataFrame(
-        [(40, "totally novel words appearing nowhere else")],
-        ["doc_id", "text"]), 5)
-    loop.compact(5)
-    ptr2 = loop._digest_store.pointer()
-    assert ptr2["tomb_gen"] is None and len(ptr2["runs"]) == 1
-    assert not os.path.exists(os.path.join(store, "digests_tombs"))
-    assert loop._digest_store._tombstones(ptr2) is None
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2, 20, 40}
-    assert sorted(r.doc_id for r in loop.corpus().collect()) \
-        == [2, 20, 40]
-
-
-def test_incremental_delete_crash_at_flip_pending_tombstones(
-        spark, tmp_path):
-    """Crash scenarios around compaction with tombstones in flight
-    (VERDICT r8 #2 done-criterion): (a) a compact that dies BEFORE
-    the pointer flip leaves the old committed state — the pending
-    tombstone still masks at probe time and the retried compact folds
-    it; (b) a crash AFTER the flip that resurrects the folded tomb
-    tail dir is harmless — the leftover partition is filtered by the
-    fold high-water mark."""
-    import os
-    import shutil
-
-    import pytest as _pytest
-
-    from wp_etl_migration_spark.streaming import incremental as inc
-    store = str(tmp_path / "store")
-    loop = inc.IncrementalDedup(spark, store, "doc_id", "text",
-                                num_subs=8, rows_per_sub=1,
-                                auto_compact_tail=None)
-    t1 = "alpha beta gamma delta epsilon zeta eta theta"
-    loop.process_batch(spark.createDataFrame(
-        [(1, t1), (2, "one two three four five six seven")],
-        ["doc_id", "text"]), 0)
-    loop.delete([1], 1)
-
-    # (a) die at the flip: monkeypatch the pointer commit to raise
-    real = inc._IndexStore._write_pointer
-
-    def boom(self, ptr):
-        raise RuntimeError("crash at flip")
-
-    inc._IndexStore._write_pointer = boom
-    try:
-        with _pytest.raises(RuntimeError):
-            loop.compact(1)
-    finally:
-        inc._IndexStore._write_pointer = real
-    # old committed state: no pointer, tombstone tail intact and live
-    assert loop._digest_store.pointer() is None
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2}
-    # re-ingest still works off the pending tombstone
-    loop.process_batch(spark.createDataFrame(
-        [(20, t1)], ["doc_id", "text"]), 2)
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 20]
-
-    # retried compact folds tombstone + survivors idempotently
-    loop.compact(2)
-    ptr = loop._digest_store.pointer()
-    assert ptr["folded_up_to"] == 2 and ptr["tomb_gen"] == 0
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2, 20}
-
-    # (b) crash after flip: the swept tomb tail partition reappears;
-    # it is already invisible (batch_id <= folded filter) and a
-    # double-applied tombstone could not mask the batch-2 re-ingest
-    # anyway (scoped on row batch id)
-    tomb_dir = os.path.join(store, "digests_tombs", "batch_id=1")
-    # delete() itself refuses a below-fold batch id (ADVICE r9 guard),
-    # so the resurrection is simulated the way a crash produces it —
-    # the partition files reappear without any API call
-    with _pytest.raises(ValueError, match="folded_up_to"):
-        loop._digest_store.delete(
-            spark.createDataFrame([(1,)], "doc_id long"), 1)
-    (spark.createDataFrame([(1,)], "doc_id long")
-     .write.mode("overwrite").parquet(tomb_dir))
-    assert os.path.exists(tomb_dir)
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2, 20}
-    loop.compact(3)  # high-water bump sweeps the garbage
-    assert not os.path.exists(tomb_dir)
-
-
-def test_incremental_auto_compaction_default_on(spark, tmp_path):
-    """Auto-compaction (VERDICT r8 #3): process_batch itself folds the
-    committed tail once it exceeds auto_compact_tail partitions —
-    compact(batch_id - 1), serialized with the batch body — and the
-    cadence decision is recorded in the pointer. No manual compact
-    calls anywhere."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=8, rows_per_sub=1,
-                            auto_compact_tail=2)
-
-    def doc(i):
-        return " ".join(f"w{i}{c}" for c in "abcdefgh")
-
-    for b in range(5):
-        loop.process_batch(spark.createDataFrame(
-            [(b * 10 + j, doc(b * 10 + j)) for j in range(2)],
-            ["doc_id", "text"]), b)
-    # batches 0,1: tail 1,2 — no trigger; batch 2: tail 3 > 2 →
-    # compact(1); batch 3: tail 2 — no; batch 4: tail 3 > 2 →
-    # compact(3). The in-flight batch's partition always stays tail.
-    ptr = loop._digest_store.pointer()
-    assert ptr["folded_up_to"] == 3
-    assert ptr["auto"] == {"at_batch": 4, "tail_parts": 3}
-    assert loop._digest_store.tail_batch_count() == 1  # batch 4
-    # both index stores compacted in step, nothing lost
-    assert loop._band_store.pointer()["folded_up_to"] == 3
-    assert loop._digest_store.probe(99).count() == 10
-    # knob off ⇒ the old manual behavior (no further folds)
-    loop.auto_compact_tail = None
-    for b in range(5, 9):
-        loop.process_batch(spark.createDataFrame(
-            [(b * 10, doc(b * 10))], ["doc_id", "text"]), b)
-    assert loop._digest_store.pointer()["folded_up_to"] == 3
-    assert loop._digest_store.probe(99).count() == 14
-
-
-def test_incremental_pointer_commit_atomic_and_degrading(spark,
-                                                         tmp_path):
-    """ADVICE r8 (medium): the pointer is committed by tmp-write +
-    rename to a fresh _CURRENT.v<N> — never an in-place truncating
-    create — and the reader takes the highest PARSEABLE version, so
-    an empty or garbage newest file (a commit crashed mid-write on an
-    FS without atomic rename) degrades to the previous committed
-    state instead of wedging every probe with a JSONDecodeError."""
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=8, rows_per_sub=1,
-                            auto_compact_tail=None)
-    loop.process_batch(spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "one two three four")],
-        ["doc_id", "text"]), 0)
-    loop.compact(0)
-    base = os.path.join(store, "digests_base")
-    assert os.path.exists(os.path.join(base, "_CURRENT.v0"))
-    good = loop._digest_store.pointer()
-    assert good["folded_up_to"] == 0
-
-    # a truncated newer version (crash mid-commit): reader degrades
-    open(os.path.join(base, "_CURRENT.v1"), "w").close()
-    assert loop._digest_store.pointer() == good
-    # unparsable garbage: same degradation
-    with open(os.path.join(base, "_CURRENT.v2"), "w") as fh:
-        fh.write('{"folded_up_to": 99, "runs"')
-    assert loop._digest_store.pointer() == good
-    assert loop._digest_store.probe(99).count() == 2
-
-    # the next real commit supersedes the garbage and sweeps it
-    loop.process_batch(spark.createDataFrame(
-        [(3, "totally novel words here")], ["doc_id", "text"]), 1)
-    loop.compact(1)
-    ptr = loop._digest_store.pointer()
-    assert ptr["folded_up_to"] == 1
-    versions = {n for n in os.listdir(base)
-                if n.startswith("_CURRENT")}
-    assert os.path.join(base, "_CURRENT.v3") and "_CURRENT.v3" in versions
-    assert "_CURRENT.v0" not in versions  # swept (keep newest two)
-    assert not any(n.startswith("_CURRENT.tmp-") for n in versions)
-    assert loop._digest_store.probe(99).count() == 3
-
-
-def test_incremental_ann_delete_tombstones(spark, tmp_path):
-    """ANN-twin takedown: a deleted vector id stops appearing as a
-    neighbor immediately, a re-indexed delivery at a later batch is
-    matchable again, and compaction purges the tombstoned index
-    rows."""
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-    store = str(tmp_path / "store")
-    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
-                              k=1, num_subs=8, rows_per_sub=1,
-                              auto_compact_tail=None)
-    idx.process_batch(spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 0)
-    q = [(10, [0.95, 0.05, 0.0, 0.0])]
-    idx.process_batch(spark.createDataFrame(
-        q, "vec_id long, emb array<double>"), 1)
-    got = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        f"{store}/matches").where(F.col("batch_id") == 1).collect()}
-    assert (10, 1) in got
-
-    idx.delete([1], 2)
-    idx.process_batch(spark.createDataFrame(
-        [(11, [0.95, 0.05, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 3)
-    got3 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        f"{store}/matches").where(F.col("batch_id") == 3).collect()}
-    assert all(n != 1 for _, n in got3)
-
-    # compaction folds + physically purges the tombstoned row
-    idx.compact(3)
-    ptr = idx._ann_store.pointer()
-    run_dir = os.path.join(store, "ann_base",
-                           f"gen-{ptr['runs'][0]['gen']}")
-    stored = {r.vec_id for r in spark.read.parquet(run_dir).collect()}
-    assert 1 not in stored and {2, 10, 11} <= stored
-
-    # re-ingest of the deleted id at a later batch is matchable again
-    idx.process_batch(spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 4)
-    idx.process_batch(spark.createDataFrame(
-        [(12, [0.98, 0.01, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 5)
-    got5 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        f"{store}/matches").where(F.col("batch_id") == 5).collect()}
-    assert (12, 1) in got5
-
-
-def test_incremental_ann_multi_table_and_bits(spark, tmp_path):
-    """Multi-table + rescore-precision knobs reach the continuous
-    loop: a neighbor on the far side of BOTH table-1 planes (2 sign
-    flips — invisible to the single-table n_probes=1 probe) is found
-    through table 2's independent planes; the stored rows carry the
-    table column and int16-range qvecs; compaction + sub-pruned
-    probing still work with the widened schema."""
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    t0 = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
-    t1 = [[0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
-    corpus = spark.createDataFrame(
-        [(1, [-0.9, -0.05, 0.1, 0.1]),   # t0 "00" (2 flips), t1 "11"
-         (2, [0.5, 0.5, -1.0, -1.0])],   # t0 "11", t1 "00"
-        "vec_id long, emb array<double>")
-    query = spark.createDataFrame(
-        [(10, [0.95, 0.05, 0.1, 0.1])],  # t0 "11", t1 "11"
-        "vec_id long, emb array<double>")
-
-    # single table, single probe: only vec 2 shares the t0 bucket
-    single = IncrementalAnnIndex(spark, str(tmp_path / "s1"),
-                                 "vec_id", "emb", t0, k=2,
-                                 auto_compact_tail=None)
-    single.process_batch(corpus, 0)
-    single.process_batch(query, 1)
-    got1 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        str(tmp_path / "s1" / "matches"))
-        .where(F.col("batch_id") == 1).collect()}
-    assert (10, 1) not in got1 and (10, 2) in got1
-
-    # two tables + int16: vec 1 arrives via table 2's shared bucket
-    idx = IncrementalAnnIndex(spark, str(tmp_path / "s2"),
-                              "vec_id", "emb", [t0, t1], k=3,
-                              tables=2, bits=16, num_subs=16,
-                              rows_per_sub=1, auto_compact_tail=None)
-    idx.process_batch(corpus, 0)
-    stored = spark.read.parquet(
-        str(tmp_path / "s2" / "ann" / "batch_id=0"))
-    assert "table" in stored.columns
-    assert stored.count() == 4            # 2 vectors x 2 tables
-    assert stored.agg(F.max(F.array_max("qvec"))).first()[0] > 127
-    idx.process_batch(query, 1)
-    got2 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        str(tmp_path / "s2" / "matches"))
-        .where(F.col("batch_id") == 1).collect()}
-    assert (10, 1) in got2 and (10, 2) in got2
-
-    # compaction folds the widened schema; the sub-pruned probe still
-    # routes the cross-table match
-    idx.compact(1)
-    assert not os.path.exists(
-        str(tmp_path / "s2" / "ann" / "batch_id=0"))
-    idx.process_batch(spark.createDataFrame(
-        [(11, [0.95, 0.05, 0.1, 0.1])],
-        "vec_id long, emb array<double>"), 2)
-    got3 = {(r.query_id, r.neighbor_id) for r in spark.read.parquet(
-        str(tmp_path / "s2" / "matches"))
-        .where(F.col("batch_id") == 2).collect()}
-    assert (11, 1) in got3
-
-
-def test_incremental_dedup_in_band_deletes(spark, tmp_path):
-    """CDC-shaped takedown feed: rows marked op='delete' in the batch
-    tombstone their ids before the dedup probes run, so deleted
-    content neither blocks nor matches the SAME batch's ingests;
-    same-batch delete + re-ingest of the same id resolves delete-wins;
-    a replay of the delete-carrying batch is idempotent; and the
-    op-marked path works end-to-end through run_stream."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "store")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            auto_compact_tail=None)
-    t1 = "alpha beta gamma delta epsilon zeta eta theta"
-    t2 = "one two three four five six seven eight"
-    loop.process_batch(spark.createDataFrame(
-        [(1, t1, "upsert"), (2, t2, None)],
-        "doc_id long, text string, op string"), 0, op_col="op")
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [1, 2]
-
-    # batch 1: delete doc 1 AND ingest its exact text under a new id —
-    # the tombstone lands first, so 30 is admitted, not deduped away
-    b1 = spark.createDataFrame(
-        [(1, None, "delete"), (30, t1, "upsert")],
-        "doc_id long, text string, op string")
-    loop.process_batch(b1, 1, op_col="op")
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 30]
-    # replay of batch 1 (crash-retry): byte-identical outcome
-    loop.process_batch(b1, 1, op_col="op")
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 30]
-
-    # same-batch delete + re-ingest of the SAME id: delete wins
-    loop.process_batch(spark.createDataFrame(
-        [(30, None, "delete"), (30, t1, "upsert")],
-        "doc_id long, text string, op string"), 2, op_col="op")
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
-    # ...and a LATER batch re-admits the id
-    loop.process_batch(spark.createDataFrame(
-        [(30, t1, None)], "doc_id long, text string, op string"),
-        3, op_col="op")
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 30]
-
-    # end-to-end through run_stream(op_col=...) on a FRESH store:
-    # two microbatches (maxFilesPerTrigger=1) — batch 0 ingests,
-    # batch 1 deletes one id and ingests another
-    sdir = str(tmp_path / "feed")
-    spark.createDataFrame(
-        [(50, t1, "upsert"), (51, t2, None)],
-        "doc_id long, text string, op string") \
-        .coalesce(1).write.parquet(sdir + "/f0")
-    spark.createDataFrame(
-        [(50, None, "delete"),
-         (60, "totally novel words appearing nowhere else", "upsert")],
-        "doc_id long, text string, op string") \
-        .coalesce(1).write.parquet(sdir + "/f1")
-    stream = (spark.readStream
-              .schema("doc_id long, text string, op string")
-              .option("maxFilesPerTrigger", 1)
-              .option("latestFirst", "false")
-              .parquet(sdir + "/f*"))
-    store2 = str(tmp_path / "store2")
-    loop2 = IncrementalDedup(spark, store2, "doc_id", "text",
-                             auto_compact_tail=None)
-    q = loop2.run_stream(stream, op_col="op",
-                         checkpoint_dir=str(tmp_path / "ckpt"))
-    q.awaitTermination(180)
-    got = sorted(r.doc_id for r in loop2.corpus().collect())
-    assert 51 in got and 60 in got and 50 not in got, got
-
-
-@pytest.mark.parametrize("proto", ["versioned", "actionlog"])
-def test_incremental_store_model_based_random_ops(spark, tmp_path,
-                                                  proto):
-    """Model check for the r9 store: a seeded random interleaving of
-    ingest / delete / compact ops against a bare _IndexStore must
-    match a dict-based reference model at EVERY step — probe(own) =
-    rows whose batch differs from own, minus ids tombstoned at a
-    batch >= the row's ingest batch. Compaction (folds, merges,
-    tombstone purges, sweeps, pointer versioning) must be INVISIBLE
-    to probes; this drives all of them in combination, including
-    fold-with-pending-tombstones and post-merge re-ingest.
-
-    Parametrized over BOTH pointer protocols (VERDICT r9 #3): the
-    same matrix must hold under the default versioned pointer and the
-    Delta-log-emulating action log — proving the commit protocol is
-    the only format-specific piece of the store."""
-    import random
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        ActionLogPointer, VersionedPointer, _IndexStore)
-    protocol = (VersionedPointer() if proto == "versioned"
-                else ActionLogPointer(checkpoint_every=3))
-    rng = random.Random(20260815)
-    store = _IndexStore(spark, str(tmp_path / "idx"),
-                        "doc_id long, key string", "key",
-                        num_subs=8, rows_per_sub=2, max_runs=2,
-                        pointer_protocol=protocol)
-
-    model_rows = []     # (id, key, batch)
-    model_tombs = []    # (id, tbatch)
-    next_id = 0
-
-    def model_probe(own):
-        out = set()
-        for i, k, b in model_rows:
-            if b == own:
-                continue
-            if any(i == ti and b <= tb for ti, tb in model_tombs):
-                continue
-            out.add((i, k))
-        return out
-
-    live_ids = []
-    for batch in range(14):
-        op = rng.random()
-        if op < 0.55 or not live_ids:
-            # ingest 1-3 docs (some keys collide across batches)
-            rows = []
-            for _ in range(rng.randint(1, 3)):
-                did = next_id
-                next_id += 1
-                key = f"k{rng.randint(0, 9)}"
-                rows.append((did, key))
-                model_rows.append((did, key, batch))
-                live_ids.append(did)
-            store.write_batch(
-                spark.createDataFrame(rows, "doc_id long, key string"),
-                batch)
-        elif op < 0.85:
-            # delete 1-2 live ids at this batch
-            victims = rng.sample(live_ids,
-                                 min(len(live_ids), rng.randint(1, 2)))
-            store.delete(
-                spark.createDataFrame([(v,) for v in victims],
-                                      "doc_id long"), batch)
-            for v in victims:
-                model_tombs.append((v, batch))
-                live_ids.remove(v)
-        else:
-            # compact everything committed so far (serialized here)
-            store.compact(batch - 1)
-        got = {(r.doc_id, r.key)
-               for r in store.probe(batch).collect()}
-        assert got == model_probe(batch), (
-            batch, sorted(got), sorted(model_probe(batch)))
-    # final full compact, then probe from a fresh future batch
-    store.compact(13)
-    got = {(r.doc_id, r.key) for r in store.probe(99).collect()}
-    assert got == model_probe(99)
-
-
-def test_incremental_dedup_corpus_empty_store(spark, tmp_path):
-    """corpus() on an untouched store returns an empty typed frame
-    instead of raising — monitoring can poll a loop that has not seen
-    its first batch."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    loop = IncrementalDedup(spark, str(tmp_path / "none"),
-                            "doc_id", "text")
-    df = loop.corpus()
-    assert df.count() == 0
-    assert df.columns == ["doc_id", "text"]
-
-
-def test_incremental_dedup_stats(spark, tmp_path):
-    """stats() surfaces the store state a monitoring hook needs:
-    tail partition counts, committed pointer, live tombstones,
-    corpus rows — before any batch, mid-stream, and after deletes
-    and compaction."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    loop = IncrementalDedup(spark, str(tmp_path / "s"),
-                            "doc_id", "text", num_subs=8,
-                            rows_per_sub=1, auto_compact_tail=None)
-    s0 = loop.stats()
-    assert s0["corpus_rows"] == 0
-    assert s0["digests"]["tail_partitions"] == 0
-    assert s0["digests"]["pointer"] is None
-
-    loop.process_batch(spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "one two three four")],
-        ["doc_id", "text"]), 0)
-    loop.delete([1], 1)
-    s1 = loop.stats()
-    assert s1["corpus_rows"] == 1
-    assert s1["digests"]["tail_partitions"] == 1
-    assert s1["digests"]["live_tombstones"] == 1
-
-    loop.compact(1)
-    s2 = loop.stats()
-    assert s2["digests"]["tail_partitions"] == 0
-    assert s2["digests"]["pointer"]["folded_up_to"] == 1
-    assert s2["digests"]["pointer"]["tomb_gen"] == 0
-    assert s2["corpus_rows"] == 1
-
-
-def test_incremental_delete_below_fold_rejected(spark, tmp_path):
-    """ADVICE r9 (medium): a tombstone written with batch_id <= the
-    pointer's folded_up_to is invisible to probes (the tomb tail only
-    reads past the fold high-water mark) and the next sweep removes
-    its partition outright — for a takedown that is a silent no-op.
-    delete() now validates against the pointer and fails loudly; a
-    delete past the fold still works."""
-    import pytest as _pytest
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    loop = IncrementalDedup(spark, str(tmp_path / "s"),
-                            "doc_id", "text", num_subs=8,
-                            rows_per_sub=1, auto_compact_tail=None)
-    loop.process_batch(spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "one two three four")],
-        ["doc_id", "text"]), 0)
-    loop.compact(0)
-    assert loop._digest_store.pointer()["folded_up_to"] == 0
-
-    # at the fold mark: rejected (would be silently swept)
-    with _pytest.raises(ValueError, match="folded_up_to"):
-        loop.delete([1], 0)
-    with _pytest.raises(ValueError, match="folded_up_to"):
-        loop._digest_store.delete(
-            spark.createDataFrame([(1,)], ["doc_id"]), 0)
-    # no tombstone partition was left behind by the failed calls
-    import os
-    assert not os.path.exists(str(tmp_path / "s" / "digests_tombs"))
-
-    # past the fold: the takedown applies normally
-    loop.delete([1], 1)
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2}
-
-
-def test_incremental_corpus_schema_consistent(spark, tmp_path):
-    """ADVICE r9: corpus() returns exactly (id, text) in every store
-    state — untouched, live, and live-with-tombstones — so consumers
-    never see the batch_id partition column leak through."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    loop = IncrementalDedup(spark, str(tmp_path / "s"),
-                            "doc_id", "text", num_subs=8,
-                            rows_per_sub=1, auto_compact_tail=None)
-    assert loop.corpus().columns == ["doc_id", "text"]
-    loop.process_batch(spark.createDataFrame(
-        [(1, "alpha beta gamma delta"), (2, "one two three four")],
-        ["doc_id", "text"]), 0)
-    assert loop.corpus().columns == ["doc_id", "text"]
-    loop.delete([1], 1)
-    assert loop.corpus().columns == ["doc_id", "text"]
-    assert [r.doc_id for r in loop.corpus().collect()] == [2]
-
-
-def test_purge_corpus_removes_bytes(spark, tmp_path):
-    """Physical takedown (VERDICT r9 #2): delete -> purge_corpus ->
-    a RAW file scan of the store shows none of the deleted content;
-    corpus() is identical before and after; the applied corpus
-    tombstones retire; a later re-ingest of the purged content is
-    re-admitted; scoped re-ingests already in the corpus survive the
-    rewrite."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "s")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=8, rows_per_sub=1,
-                            auto_compact_tail=None)
-    secret = "takedown sentinel alpha bravo charlie delta echo"
-    keeper = "completely unrelated content one two three four five"
-    loop.process_batch(spark.createDataFrame(
-        [(1, secret), (2, keeper)], ["doc_id", "text"]), 0)
-    loop.delete([1], 1)
-    # re-ingest of the SAME content after its tombstone: must survive
-    loop.process_batch(spark.createDataFrame(
-        [(20, secret)], ["doc_id", "text"]), 2)
-    before = sorted(r.doc_id for r in loop.corpus().collect())
-    assert before == [2, 20]
-
-    res = loop.purge_corpus()
-    assert res["partitions_rewritten"] == 1
-    assert res["rows_purged"] == 1
-    assert res["tombs_retired"] == 1
-
-    # corpus() identical; the later re-ingest untouched by scoping
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2, 20]
-    # the bytes are GONE: raw read of every corpus file
-    raw = spark.read.parquet(f"{store}/corpus")
-    assert raw.where(F.col("doc_id") == 1).count() == 0
-    texts = [r.text for r in raw.collect()]
-    assert secret in texts          # the scoped re-ingest's copy
-    assert len(texts) == 2
-    # file-level sweep: doc 1's partition holds no sentinel bytes
-    import glob as _glob
-    part0 = _glob.glob(f"{store}/corpus/batch_id=0/*.parquet")
-    blob = b"".join(open(p, "rb").read() for p in part0)
-    assert b"takedown sentinel" not in blob
-    # tombstone record retired; masking path back to the fast path
-    import os
-    assert not os.path.exists(f"{store}/corpus_tombs") or not [
-        d for d in os.listdir(f"{store}/corpus_tombs")
-        if d.startswith("batch_id=")]
-    # idempotent: a second purge is a no-op
-    res2 = loop.purge_corpus()
-    assert res2 == {"partitions_rewritten": 0, "rows_purged": 0,
-                    "tombs_retired": 0}
-    # purged content re-ingests at a later batch like any new doc
-    loop.process_batch(spark.createDataFrame(
-        [(30, "fresh novel content zeta eta theta iota")],
-        ["doc_id", "text"]), 3)
-    assert sorted(r.doc_id for r in loop.corpus().collect()) \
-        == [2, 20, 30]
-
-
-def test_purge_corpus_crash_recovery(spark, tmp_path):
-    """purge_corpus is crash-idempotent at every swap position: a
-    crash after the partition moved to trash but before staging
-    swapped in (the lost-partition window) is healed by the recovery
-    sweep on the next call — no rows lost, deleted bytes still
-    purged."""
-    from wp_etl_migration_spark.streaming import incremental as inc
-    store = str(tmp_path / "s")
-    loop = inc.IncrementalDedup(spark, store, "doc_id", "text",
-                                num_subs=8, rows_per_sub=1,
-                                auto_compact_tail=None)
-    loop.process_batch(spark.createDataFrame(
-        [(1, "secret sentinel alpha bravo"),
-         (2, "keeper content one two three")],
-        ["doc_id", "text"]), 0)
-    loop.delete([1], 1)
-
-    # crash between rename(part->trash) and rename(staging->part)
-    real = inc._rename
-    calls = {"n": 0}
-
-    def crashy(spark_, src, dst):
-        ok = real(spark_, src, dst)
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("crash mid-swap")
-        return ok
-
-    inc._rename = crashy
-    try:
-        with pytest.raises(RuntimeError, match="crash mid-swap"):
-            loop.purge_corpus()
-    finally:
-        inc._rename = real
-    # the live partition is gone right now — the recovery window
-    import os
-    assert not os.path.exists(f"{store}/corpus/batch_id=0")
-
-    res = loop.purge_corpus()        # recovery sweep finishes the swap
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
-    raw = spark.read.parquet(f"{store}/corpus")
-    assert raw.where(F.col("doc_id") == 1).count() == 0
-    assert not os.path.exists(f"{store}/corpus_purge_trash")
-    assert not os.path.exists(f"{store}/corpus_purge_staging")
-
-
-def test_purge_recovery_aborts_on_failed_rename(spark, tmp_path):
-    """A recovery rename that reports failure as False (Hadoop's
-    silent mode) must abort recovery loudly and leave the trash copy
-    — the only surviving bytes — intact for a retry, in BOTH the
-    finish-the-swap and rollback branches (ADVICE r10: an unchecked
-    False deleted the original data)."""
-    import os
-
-    from wp_etl_migration_spark.streaming import incremental as inc
-    store = str(tmp_path / "s")
-    loop = inc.IncrementalDedup(spark, store, "doc_id", "text",
-                                num_subs=8, rows_per_sub=1,
-                                auto_compact_tail=None)
-    loop.process_batch(spark.createDataFrame(
-        [(1, "secret sentinel alpha bravo"),
-         (2, "keeper content one two three")],
-        ["doc_id", "text"]), 0)
-    loop.delete([1], 1)
-
-    # crash between rename(part->trash) and rename(staging->part):
-    # live partition gone, trash holds the original, staging complete
-    real = inc._rename
-    calls = {"n": 0}
-
-    def crashy(spark_, src, dst):
-        ok = real(spark_, src, dst)
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("crash mid-swap")
-        return ok
-
-    inc._rename = crashy
-    try:
-        with pytest.raises(RuntimeError, match="crash mid-swap"):
-            loop.purge_corpus()
-    finally:
-        inc._rename = real
-    trash = f"{store}/corpus_purge_trash/batch_id=0"
-    assert os.path.exists(trash)
-
-    # finish branch: rename(staging->part) returns False => abort,
-    # trash (original bytes) and staging both left for the retry
-    inc._rename = lambda *_: False
-    try:
-        with pytest.raises(RuntimeError, match="purge recovery"):
-            loop.purge_corpus()
-    finally:
-        inc._rename = real
-    assert os.path.exists(trash)
-    assert os.path.exists(
-        f"{store}/corpus_purge_staging/batch_id=0/_SUCCESS")
-
-    # rollback branch: staging incomplete (no _SUCCESS) + rename
-    # False => abort, trash still intact
-    os.remove(f"{store}/corpus_purge_staging/batch_id=0/_SUCCESS")
-    inc._rename = lambda *_: False
-    try:
-        with pytest.raises(RuntimeError, match="rollback"):
-            loop.purge_corpus()
-    finally:
-        inc._rename = real
-    assert os.path.exists(trash)
-
-    # with renames healthy again the retry completes end to end
-    loop.purge_corpus()
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [2]
-    raw = spark.read.parquet(f"{store}/corpus")
-    assert raw.where(F.col("doc_id") == 1).count() == 0
-    assert not os.path.exists(f"{store}/corpus_purge_trash")
-    assert not os.path.exists(f"{store}/corpus_purge_staging")
-
-
-def test_action_log_pointer_protocol(spark, tmp_path):
-    """The Delta-log-emulating protocol in isolation: commits write
-    numbered action files (diffs between states, snapshot every
-    checkpoint_every-th), read folds them in order, a torn newest
-    file degrades to the previous commit, a diff the fold cannot
-    reproduce falls back to a snapshot action, and sweep retains
-    everything back to the second-newest snapshot."""
-    import json as _json
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        ActionLogPointer)
-    base = str(tmp_path / "base")
-    p = ActionLogPointer(checkpoint_every=4)
-    assert p.read(spark, base) is None
-
-    s0 = {"folded_up_to": 0, "runs": [{"gen": 0, "num_subs": 2}],
-          "tomb_gen": None}
-    p.commit(spark, base, s0)                 # v0: first => snapshot
-    assert p.read(spark, base) == s0
-    a0 = _json.loads(open(
-        os.path.join(base, "_log", f"{0:020d}.json")).read())
-    assert a0 == [{"snapshot": s0}]
-
-    s1 = {"folded_up_to": 3,
-          "runs": [{"gen": 0, "num_subs": 2}, {"gen": 1, "num_subs": 1}],
-          "tomb_gen": 0}
-    p.commit(spark, base, s1)                 # v1: pure diff
-    assert p.read(spark, base) == s1
-    a1 = _json.loads(open(
-        os.path.join(base, "_log", f"{1:020d}.json")).read())
-    assert {"add_run": {"gen": 1, "num_subs": 1}} in a1
-    assert not any("snapshot" in a for a in a1)
-
-    s2 = {"folded_up_to": 5, "runs": [{"gen": 2, "num_subs": 4}],
-          "tomb_gen": None}                   # the merge = OPTIMIZE
-    p.commit(spark, base, s2)                 # v2: removes + add
-    assert p.read(spark, base) == s2
-    a2 = _json.loads(open(
-        os.path.join(base, "_log", f"{2:020d}.json")).read())
-    assert {"remove_run": 0} in a2 and {"remove_run": 1} in a2
-
-    # a run-list ORDER change a diff cannot express => snapshot
-    s3 = {"folded_up_to": 6,
-          "runs": [{"gen": 3, "num_subs": 1}, {"gen": 2, "num_subs": 4}],
-          "tomb_gen": None}
-    p.commit(spark, base, s3)                 # v3
-    assert p.read(spark, base) == s3
-    a3 = _json.loads(open(
-        os.path.join(base, "_log", f"{3:020d}.json")).read())
-    assert any("snapshot" in a for a in a3)
-
-    # torn newest file (crashed commit): read degrades to s3
-    with open(os.path.join(base, "_log", f"{4:020d}.json"), "w") as fh:
-        fh.write('[{"snapshot": {"folded_up')
-    assert p.read(spark, base) == s3
-
-    s4 = dict(s3, folded_up_to=9)
-    # the torn v4 occupies the version number; the next commit must
-    # land past it, not overwrite it silently -- emulate by removing
-    # the garbage the way a real recovery would and recommitting
-    os.remove(os.path.join(base, "_log", f"{4:020d}.json"))
-    p.commit(spark, base, s4)                 # v4 again, checkpoint
-    a4 = _json.loads(open(
-        os.path.join(base, "_log", f"{4:020d}.json")).read())
-    assert any("snapshot" in a for a in a4)   # every 4th = checkpoint
-    assert p.read(spark, base) == s4
-
-    # sweep: keeps back to the SECOND-newest snapshot (v0 is older)
-    p.sweep(spark, base)
-    names = sorted(os.listdir(os.path.join(base, "_log")))
-    assert f"{0:020d}.json" not in names      # before 2nd-newest snap
-    assert f"{3:020d}.json" in names and f"{4:020d}.json" in names
-    assert p.read(spark, base) == s4
-
-
-def test_incremental_dedup_on_action_log(spark, tmp_path):
-    """IncrementalDedup end-to-end (ingest -> dedup -> delete ->
-    compact -> re-ingest) on the ActionLogPointer backend: results
-    identical to the default protocol, and the base dirs carry a
-    _log/ commit directory instead of _CURRENT.v files."""
-    import os
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        ActionLogPointer, IncrementalDedup)
-    store = str(tmp_path / "s")
-    loop = IncrementalDedup(
-        spark, store, "doc_id", "text", num_subs=8, rows_per_sub=1,
-        max_runs=1, auto_compact_tail=None,
-        pointer_protocol=ActionLogPointer(checkpoint_every=3))
-    t1 = "alpha beta gamma delta epsilon zeta eta theta"
-    loop.process_batch(spark.createDataFrame(
-        [(1, t1), (2, "one two three four five six seven")],
-        ["doc_id", "text"]), 0)
-    loop.process_batch(spark.createDataFrame(
-        [(10, t1)], ["doc_id", "text"]), 1)     # exact dup drops
-    assert sorted(r.doc_id for r in loop.corpus().collect()) == [1, 2]
-    loop.delete([1], 2)
-    loop.process_batch(spark.createDataFrame(
-        [(20, t1)], ["doc_id", "text"]), 3)     # re-admitted
-    loop.compact(3)
-    assert {r.doc_id for r in
-            loop._digest_store.probe(99).collect()} == {2, 20}
-    ptr = loop._digest_store.pointer()
-    assert ptr["folded_up_to"] == 3
-    assert os.path.isdir(os.path.join(store, "digests_base", "_log"))
-    assert not [n for n in os.listdir(
-        os.path.join(store, "digests_base"))
-        if n.startswith("_CURRENT")]
-
-
-def test_ann_purge_matches(spark, tmp_path):
-    """purge_matches (r10): a takedown id disappears from the
-    append-only matches feed on BOTH sides, surviving feed rows and
-    untouched partitions are intact, and a second call is a no-op.
-    The embedding twin of purge_corpus."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-    store = str(tmp_path / "store")
-    idx = IncrementalAnnIndex(spark, store, "vec_id", "emb", planes,
-                              k=2, num_subs=8, rows_per_sub=1,
-                              auto_compact_tail=None)
-    idx.process_batch(spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 0)
-    # batch 1: 10 matches 1 (query side keeps 10, neighbor side = 1)
-    idx.process_batch(spark.createDataFrame(
-        [(10, [0.95, 0.05, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 1)
-    # batch 2: 20 matches 2 only — partition must NOT be rewritten
-    idx.process_batch(spark.createDataFrame(
-        [(20, [0.05, 0.95, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 2)
-    feed = spark.read.parquet(f"{store}/matches")
-    assert feed.where("query_id = 1 or neighbor_id = 1").count() > 0
-    import os
-    mtime2 = os.path.getmtime(f"{store}/matches/batch_id=2")
-
-    res = idx.purge_matches([1])
-    assert res["partitions_rewritten"] >= 1
-    assert res["rows_purged"] >= 1
-    feed2 = spark.read.parquet(f"{store}/matches")
-    assert feed2.where("query_id = 1 or neighbor_id = 1").count() == 0
-    # the id-2 matches survive, and batch 2's partition was untouched
-    assert feed2.where("neighbor_id = 2").count() > 0
-    assert os.path.getmtime(f"{store}/matches/batch_id=2") == mtime2
-    assert not os.path.exists(f"{store}/matches_purge_trash")
-    assert not os.path.exists(f"{store}/matches_purge_staging")
-    # idempotent
-    assert idx.purge_matches([1]) == {"partitions_rewritten": 0,
-                                      "rows_purged": 0}
-
-
-def test_corpus_purge_lifecycle_model_based(spark, tmp_path):
-    """Model check for the takedown lifecycle (r10): a seeded random
-    interleaving of ingest / delete / purge_corpus / compact against
-    IncrementalDedup must match a dict model at every step —
-    corpus() = ingested rows minus scoped tombstones — and after
-    every purge the RAW corpus files must hold exactly the live rows
-    (masked bytes physically gone), with corpus() unchanged across
-    the purge."""
-    import random
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    rng = random.Random(20260815)
-    loop = IncrementalDedup(spark, str(tmp_path / "s"),
-                            "doc_id", "text", num_subs=8,
-                            rows_per_sub=1, max_runs=2,
-                            auto_compact_tail=None)
-    rows = []     # (id, ingest_batch)
-    tombs = []    # (id, tomb_batch)
-    next_id = 0
-
-    def live():
-        return {i for i, b in rows
-                if not any(i == ti and b <= tb for ti, tb in tombs)}
-
-    for batch in range(12):
-        op = rng.random()
-        if op < 0.5 or not live():
-            docs = []
-            for _ in range(rng.randint(1, 3)):
-                did = next_id
-                next_id += 1
-                docs.append((did, f"doc {did} unique words "
-                                  f"{'x' * (did % 5 + 1)} {did * 7}"))
-                rows.append((did, batch))
-            loop.process_batch(
-                spark.createDataFrame(docs, ["doc_id", "text"]),
-                batch)
-        elif op < 0.75:
-            victims = rng.sample(sorted(live()),
-                                 min(len(live()), rng.randint(1, 2)))
-            loop.delete(victims, batch)
-            tombs.extend((v, batch) for v in victims)
-        elif op < 0.9:
-            before = live()
-            loop.purge_corpus()
-            # purge is storage-only: the view is unchanged, the
-            # masked rows are physically gone, tombstones retire
-            raw = {r.doc_id for r in spark.read.parquet(
-                str(tmp_path / "s" / "corpus")).collect()}
-            assert raw == before
-            rows[:] = [(i, b) for i, b in rows if i in before]
-            tombs.clear()
-        else:
-            loop.compact(batch - 1)
-        got = {r.doc_id for r in loop.corpus().collect()}
-        assert got == live(), (batch, sorted(got), sorted(live()))
-    # final purge leaves raw files == the live view exactly
-    loop.purge_corpus()
-    raw = {r.doc_id for r in spark.read.parquet(
-        str(tmp_path / "s" / "corpus")).collect()}
-    assert raw == live()
-
-
-def test_ann_loop_stats(spark, tmp_path):
-    """IncrementalAnnIndex.stats() — empty store, mid-stream, after
-    delete and compaction (observability parity with the text
-    loop)."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-    idx = IncrementalAnnIndex(spark, str(tmp_path / "s"),
-                              "vec_id", "emb", planes, k=1,
-                              num_subs=8, rows_per_sub=1,
-                              auto_compact_tail=None)
-    s0 = idx.stats()
-    assert s0 == {"match_rows": 0,
-                  "ann": {"tail_partitions": 0, "pointer": None,
-                          "live_tombstones": 0,
-                          "prepared_gens": [],
-                          "prepared_est_bytes": 0}}
-    idx.process_batch(spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 0)
-    idx.process_batch(spark.createDataFrame(
-        [(10, [0.95, 0.05, 0.0, 0.0])],
-        "vec_id long, emb array<double>"), 1)
-    idx.delete([1], 2)
-    s1 = idx.stats()
-    assert s1["match_rows"] >= 1
-    assert s1["ann"]["tail_partitions"] == 2
-    assert s1["ann"]["live_tombstones"] == 1
-    idx.compact(2)
-    s2 = idx.stats()
-    assert s2["ann"]["tail_partitions"] == 0
-    assert s2["ann"]["pointer"]["folded_up_to"] == 2
-    assert s2["ann"]["pointer"]["tomb_gen"] == 0
-
-
-def test_action_log_random_commit_sequences(spark, tmp_path):
-    """Randomized protocol check: 30 seeded random pointer states
-    committed through ActionLogPointer — read() must return exactly
-    the last committed state after EVERY commit (whatever mix of
-    diff and snapshot commits the heuristic produced), including
-    across a sweep."""
-    import random
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        ActionLogPointer)
-    rng = random.Random(20260815)
-    base = str(tmp_path / "b")
-    p = ActionLogPointer(checkpoint_every=5)
-    gens = []
-    next_gen = 0
-    for step in range(30):
-        # evolve a plausible run list: fold adds, merge collapses
-        if gens and rng.random() < 0.3:
-            gens = [next_gen]          # merge
-            next_gen += 1
-        else:
-            gens = gens + [next_gen]   # fold
-            next_gen += 1
-        state = {"folded_up_to": step,
-                 "runs": [{"gen": g,
-                           "num_subs": 1 + g % 4} for g in gens],
-                 "tomb_gen": (step % 3) if step % 2 else None}
-        p.commit(spark, base, state)
-        assert p.read(spark, base) == state, step
-        if rng.random() < 0.25:
-            p.sweep(spark, base)
-            assert p.read(spark, base) == state, ("post-sweep", step)
-
-
-def test_action_log_crash_at_commit(spark, tmp_path):
-    """Crash-at-flip under the ActionLogPointer backend (the format
-    claim's crash half): a compact that dies inside the log commit
-    leaves the previous committed state — probes unchanged — and the
-    retried compact folds idempotently, exactly the VersionedPointer
-    contract."""
-    from wp_etl_migration_spark.streaming import incremental as inc
-    proto = inc.ActionLogPointer(checkpoint_every=3)
-    store = inc._IndexStore(spark, str(tmp_path / "idx"),
-                            "doc_id long, key string", "key",
-                            num_subs=8, rows_per_sub=1, max_runs=2,
-                            pointer_protocol=proto)
-    store.write_batch(spark.createDataFrame(
-        [(1, "a"), (2, "b")], "doc_id long, key string"), 0)
-    store.write_batch(spark.createDataFrame(
-        [(3, "c")], "doc_id long, key string"), 1)
-
-    real = inc.ActionLogPointer.commit
-
-    def boom(self, spark_, base_root, ptr):
-        raise RuntimeError("crash at log commit")
-
-    inc.ActionLogPointer.commit = boom
-    try:
-        with pytest.raises(RuntimeError, match="crash at log commit"):
-            store.compact(1)
-    finally:
-        inc.ActionLogPointer.commit = real
-    # previous committed state: no pointer, probes see the tail
-    assert store.pointer() is None
-    assert {r.doc_id for r in store.probe(99).collect()} == {1, 2, 3}
-
-    store.compact(1)                 # retry folds idempotently
-    ptr = store.pointer()
-    assert ptr["folded_up_to"] == 1 and len(ptr["runs"]) == 1
-    assert {r.doc_id for r in store.probe(99).collect()} == {1, 2, 3}
-
-
-def test_purge_corpus_crash_sweep_every_mutation_point(spark,
-                                                       tmp_path):
-    """Systematic crash-point sweep for the purge swap machinery: for
-    every k, the k-th filesystem mutation (_rename or _delete) during
-    purge_corpus raises; a subsequent clean purge must always
-    converge to the same end state — live view intact, deleted bytes
-    gone, no staging/trash residue. Catches any crash window the
-    single-point tests miss."""
-    from wp_etl_migration_spark.streaming import incremental as inc
-
-    def build(store):
-        loop = inc.IncrementalDedup(spark, store, "doc_id", "text",
-                                    num_subs=8, rows_per_sub=1,
-                                    auto_compact_tail=None)
-        loop.process_batch(spark.createDataFrame(
-            [(1, "secret sentinel alpha"), (2, "keeper one two")],
-            ["doc_id", "text"]), 0)
-        loop.process_batch(spark.createDataFrame(
-            [(3, "second secret bravo"), (4, "keeper three four")],
-            ["doc_id", "text"]), 1)
-        loop.delete([1, 3], 2)
-        return loop
-
-    real_rename, real_delete = inc._rename, inc._delete
-    k = 1
-    while True:
-        store = str(tmp_path / f"s{k}")
-        loop = build(store)
-        calls = {"n": 0}
-
-        def crashing(fn):
-            def wrapper(*a, **kw):
-                calls["n"] += 1
-                if calls["n"] == k:
-                    raise RuntimeError(f"crash at mutation {k}")
-                return fn(*a, **kw)
-            return wrapper
-
-        inc._rename = crashing(real_rename)
-        inc._delete = crashing(real_delete)
-        try:
-            try:
-                loop.purge_corpus()
-                crashed = False
-            except RuntimeError:
-                crashed = True
-        finally:
-            inc._rename, inc._delete = real_rename, real_delete
-
-        # recovery: a clean purge converges whatever the crash point
-        loop.purge_corpus()
-        assert sorted(r.doc_id for r in loop.corpus().collect()) \
-            == [2, 4], k
-        raw = spark.read.parquet(f"{store}/corpus")
-        assert {r.doc_id for r in raw.collect()} == {2, 4}, k
-        import os
-        assert not os.path.exists(f"{store}/corpus_purge_trash"), k
-        assert not os.path.exists(f"{store}/corpus_purge_staging"), k
-        if not crashed:
-            break       # k exceeded the total mutation count: done
-        k += 1
-    assert k > 3        # the sweep really exercised multiple windows
-
-
-def test_purge_corpus_prunes_partitions_past_newest_tombstone(
-        spark, tmp_path):
-    """Behavioral proof of the purge hit-scan's partition prune: a
-    corpus partition NEWER than every tombstone is never read — a
-    deliberately corrupt parquet file planted there would fail any
-    scan that touched it, and the purge must succeed anyway."""
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalDedup)
-    store = str(tmp_path / "s")
-    loop = IncrementalDedup(spark, store, "doc_id", "text",
-                            num_subs=8, rows_per_sub=1,
-                            auto_compact_tail=None)
-    loop.process_batch(spark.createDataFrame(
-        [(1, "secret sentinel alpha"), (2, "keeper one two")],
-        ["doc_id", "text"]), 0)
-    loop.delete([1], 1)
-    # plant a poison partition ABOVE the newest tombstone (batch 5 >
-    # tomb batch 1): unreadable as parquet
-    import os
-    poison = f"{store}/corpus/batch_id=5"
-    os.makedirs(poison)
-    with open(f"{poison}/part-poison.parquet", "wb") as fh:
-        fh.write(b"not a parquet file at all")
-
-    res = loop.purge_corpus()
-    assert res["rows_purged"] == 1 and res["partitions_rewritten"] == 1
-    raw = spark.read.parquet(f"{store}/corpus/batch_id=0")
-    assert [r.doc_id for r in raw.collect()] == [2]
-
-
-def test_purge_matches_crash_sweep_every_mutation_point(spark,
-                                                        tmp_path):
-    """The purge_matches twin of the corpus crash sweep: crash at
-    every filesystem-mutation call in turn; a subsequent clean
-    purge_matches must always converge — no deleted-id references in
-    the feed, survivors intact, zero staging/trash residue."""
-    from wp_etl_migration_spark.streaming import incremental as inc
-    planes = [[1.0, -1.0, 0.5, 0.25], [-0.5, 1.0, -1.0, 0.75]]
-
-    def build(store):
-        idx = inc.IncrementalAnnIndex(spark, store, "vec_id", "emb",
-                                      planes, k=2, num_subs=8,
-                                      rows_per_sub=1,
-                                      auto_compact_tail=None)
-        idx.process_batch(spark.createDataFrame(
-            [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
-            "vec_id long, emb array<double>"), 0)
-        idx.process_batch(spark.createDataFrame(
-            [(10, [0.95, 0.05, 0.0, 0.0]),
-             (20, [0.05, 0.95, 0.0, 0.0])],
-            "vec_id long, emb array<double>"), 1)
-        return idx
-
-    real_rename, real_delete = inc._rename, inc._delete
-    k = 1
-    while True:
-        store = str(tmp_path / f"s{k}")
-        idx = build(store)
-        calls = {"n": 0}
-
-        def crashing(fn):
-            def wrapper(*a, **kw):
-                calls["n"] += 1
-                if calls["n"] == k:
-                    raise RuntimeError(f"crash at mutation {k}")
-                return fn(*a, **kw)
-            return wrapper
-
-        inc._rename = crashing(real_rename)
-        inc._delete = crashing(real_delete)
-        try:
-            try:
-                idx.purge_matches([1])
-                crashed = False
-            except RuntimeError:
-                crashed = True
-        finally:
-            inc._rename, inc._delete = real_rename, real_delete
-
-        idx.purge_matches([1])
-        feed = spark.read.parquet(f"{store}/matches")
-        assert feed.where("query_id = 1 or neighbor_id = 1") \
-            .count() == 0, k
-        assert feed.where("neighbor_id = 2").count() > 0, k
-        import os
-        assert not os.path.exists(f"{store}/matches_purge_trash"), k
-        assert not os.path.exists(f"{store}/matches_purge_staging"), k
-        if not crashed:
-            break
-        k += 1
-    assert k > 3
-
-
-def test_prepared_budget_skips_zero_row_gens(spark, tmp_path):
-    """ADVICE r12: a 0-row gen fits ANY budget (0·bpr ≤ budget, even
-    a 0-byte one) but has nothing worth a persist slot — the greedy
-    fill must skip it, both under a 0 budget and under a budget that
-    admits its non-empty sibling."""
-    import random
-
-    from wp_etl_migration_spark.streaming.incremental import (
-        IncrementalAnnIndex)
-    rng = random.Random(5)
-    planes = [[rng.gauss(0, 1) for _ in range(4)] for _ in range(2)]
-    empty = spark.createDataFrame([], "neighbor_id long")
-    full = spark.createDataFrame([(i,) for i in range(7)],
-                                 "neighbor_id long")
-    runs = [({"gen": 1}, empty), ({"gen": 2}, full)]
-    ptr = {"runs": [{"gen": 1}, {"gen": 2}]}
-
-    def fresh(budget, tag):
-        return IncrementalAnnIndex(
-            spark, str(tmp_path / tag), "vec_id", "embedding",
-            planes, max_prepared_bytes=budget)
-
-    loop = fresh(10 ** 9, "big")
-    assert loop._sync_prepared_cache(runs, ptr) == {2}
-    assert loop._gen_rows == {1: 0, 2: 7}
-    assert fresh(0, "zero")._sync_prepared_cache(runs, ptr) == set()
-    # unbudgeted: selection is the live set, no count jobs
-    free = fresh(None, "free")
-    assert free._sync_prepared_cache(runs, ptr) == {1, 2}
-    assert free._gen_rows == {}
