@@ -574,3 +574,93 @@ def test_prune_ledgers_hadoop_fs(spark, tmp_path):
                 if n.startswith("posts-ledger-")]) == 1
     assert lsink.read_latest_ledger(spark, d, "posts").count() == 1
     assert lsink.prune_ledgers(d, "ghost", spark=spark) == []
+
+
+def test_purge_training_shards_rewrites_only_affected(spark, tmp_path):
+    """Right-to-be-forgotten purge of a written export: the affected
+    shard set is computed from the ids alone (content-addressed
+    membership), only those shard dirs are rewritten (mtimes of
+    untouched shards don't move), the manifest is recomputed, and the
+    export still passes verify_training_shards. Idempotent: a second
+    purge of the same ids removes nothing further."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, verify_training_shards,
+        write_training_shards)
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5 + 1).alias("n_tokens"))
+    path = str(tmp_path / "shards")
+    man = write_training_shards(df, path, "doc_id", n_shards=4,
+                                salt="v1", tokens_col="n_tokens")
+    victims = [3, 57, 123]
+    mtimes = {s: os.path.getmtime(f"{path}/shard={s}")
+              for s in range(4)}
+    res = purge_training_shards(spark, path, "doc_id", victims)
+    assert res["rows_removed"] == 3
+    untouched = set(range(4)) - set(res["affected_shards"])
+    assert untouched, "fixture should leave at least one shard alone"
+    for s in untouched:
+        assert os.path.getmtime(f"{path}/shard={s}") == mtimes[s]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 397
+    assert back.where(F.col("doc_id").isin(victims)).count() == 0
+    # surviving relative order preserved: pos strictly increasing
+    # within each rewritten shard (gaps allowed)
+    for s in res["affected_shards"]:
+        poss = [r.pos for r in
+                spark.read.parquet(f"{path}/shard={s}")
+                .orderBy("pos").collect()]
+        assert poss == sorted(set(poss))
+    # manifest agrees with the bytes (rows + membership hashes + n_rows)
+    v = verify_training_shards(spark, path, "doc_id")
+    assert v["ok"], v
+    assert res["manifest"]["n_rows"] == 397
+    assert sum(int(e["tokens"]) for e in
+               res["manifest"]["shards"].values()) == \
+        sum((i % 5) + 1 for i in range(400)
+            if i not in victims)
+
+    # idempotent re-run
+    res2 = purge_training_shards(spark, path, "doc_id", victims)
+    assert res2["rows_removed"] == 0
+    assert verify_training_shards(spark, path, "doc_id")["ok"]
+    # ids as a DataFrame behave identically (one more victim)
+    res3 = purge_training_shards(
+        spark, path, "doc_id",
+        spark.createDataFrame([(200,)], ["doc_id"]))
+    assert res3["rows_removed"] == 1
+    assert spark.read.parquet(path).count() == 396
+    # empty id set is a structured no-op
+    assert purge_training_shards(spark, path, "doc_id",
+                                 [])["rows_removed"] == 0
+
+
+def test_purge_training_shards_empties_a_shard(spark, tmp_path):
+    """Purging EVERY id of one shard leaves a 0-row shard dir; the
+    manifest records rows 0 and verify treats the absent group as
+    consistent, not missing."""
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, verify_training_shards,
+        write_training_shards)
+    df = spark.range(60).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=3, salt="s")
+    s0_ids = [r.doc_id for r in
+              spark.read.parquet(f"{path}/shard=0").collect()]
+    assert s0_ids
+    res = purge_training_shards(spark, path, "doc_id", s0_ids)
+    assert res["rows_removed"] == len(s0_ids)
+    entry = res["manifest"]["shards"].get("0",
+                                          res["manifest"]["shards"]
+                                          .get(0))
+    assert int(entry["rows"]) == 0
+    v = verify_training_shards(spark, path, "doc_id")
+    assert v["ok"], v
+    assert spark.read.parquet(path).count() == 60 - len(s0_ids)

@@ -52,11 +52,24 @@ def rewrite_dataset(spark: SparkSession, path: str, survivors: DataFrame,
 
     Materializes survivors to a staging path first (they usually derive
     from the dataset being overwritten), then swaps.
-    """
-    staging = path.rstrip("/") + ".__staging__"
+
+    The staging dir is dot-prefixed (readers' partition/file discovery
+    skips it even mid-swap — required when ``path`` is one ``key=val``
+    directory of a hive-partitioned export, as in
+    ``sinks.training.purge_training_shards``) and removed after the
+    swap (r13; it previously leaked a ``.__staging__`` sibling per
+    rewrite). Removal goes through the Hadoop FileSystem API so remote
+    URIs clean up too."""
+    import os as _os
+    base, name = _os.path.split(path.rstrip("/"))
+    staging = (base + "/" if base else "") + f"._staging_{name}"
     survivors.write.mode("overwrite").format(fmt).save(staging)
     spark.read.format(fmt).load(staging) \
         .write.mode("overwrite").format(fmt).save(path)
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(staging)
+    jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ).delete(jpath, True)
 
 
 def snapshot_dataset(path: str, tag: str = "pre_migration") -> str:

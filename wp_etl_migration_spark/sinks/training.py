@@ -71,6 +71,9 @@ def write_training_shards(df: DataFrame, path: str, id_col: str,
     manifest = {
         "n_shards": n_shards,
         "salt": salt,
+        # recorded so in-place maintenance (purge_training_shards)
+        # can recompute per-shard token totals without being told
+        "tokens_col": tokens_col,
         "n_rows": sum(r["rows"] for r in per_shard),
         "shards": {int(r["shard"]): {k: r[k] for k in r.asDict()
                                      if k != "shard"}
@@ -98,6 +101,121 @@ def _write_text(spark, uri: str, text: str) -> None:
         out.close()
 
 
+def _read_manifest(spark, path: str) -> dict | None:
+    """``_manifest.json`` through the Hadoop FileSystem API (same
+    filesystem as the shards — see :func:`_write_text`); None when
+    absent."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/_manifest.json")
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return json.loads(
+            jvm.org.apache.commons.io.IOUtils.toString(stream,
+                                                       "UTF-8"))
+    finally:
+        stream.close()
+
+
+def purge_training_shards(spark, path: str, id_col: str, ids,
+                          fmt: str = "parquet") -> dict:
+    """Right-to-be-forgotten purge of a WRITTEN shard export — the
+    training-sink twin of the takedown surfaces the index stores
+    already have (``operators.dedup.tombstone_index``/``purge_index``,
+    ``IncrementalDedup.purge_corpus``): physically remove a set of
+    document ids from an export in place, touching ONLY the shards
+    that can contain them.
+
+    Shard membership is content-addressed (``global_shuffle``:
+    shard = pmod(md5-bucket(salt ∥ id), n_shards), with both salt and
+    n_shards recorded in the manifest), so the affected shard set is
+    COMPUTED from the ids alone — one tiny job over the id set, no
+    scan of the export. Each affected ``shard=N`` directory is
+    rewritten through a staging swap (``janitor.rewrite_dataset``)
+    with a broadcast anti-join on the ids; untouched shards' bytes
+    are never opened. The manifest is recomputed for the rewritten
+    shards (rows, membership_hash, tokens if present) and written
+    LAST.
+
+    Crash contract: a crash mid-purge leaves some shards rewritten
+    with a stale manifest — ``verify_training_shards`` reports the
+    mismatch, and re-running the purge converges (the anti-join
+    removes nothing further; the manifest refresh completes), so the
+    recovery action is simply "run it again". In-shard relative order
+    is preserved and ``pos`` keeps its original values (gaps where
+    rows were removed) — loaders keep a stable sort key, and a purged
+    export never changes the order of surviving rows.
+
+    ``ids``: a DataFrame with ``id_col`` or an iterable of id values.
+    Returns ``{"affected_shards", "rows_removed", "manifest"}``.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    from wp_etl_migration_spark.operators.sampling import hash_bucket
+    from wp_etl_migration_spark.plans.janitor import rewrite_dataset
+
+    manifest = _read_manifest(spark, path)
+    if manifest is None:
+        raise ValueError(f"no _manifest.json under {path} — not a "
+                         "write_training_shards export")
+    n_shards, salt = int(manifest["n_shards"]), manifest["salt"]
+    if not isinstance(ids, _DF):
+        ids = spark.createDataFrame([(i,) for i in ids],
+                                    [id_col]) if ids else None
+        if ids is None:
+            return {"affected_shards": [], "rows_removed": 0,
+                    "manifest": manifest}
+    ids = ids.select(id_col).distinct()
+    affected = sorted(
+        r["shard"] for r in
+        ids.select(F.pmod(hash_bucket(id_col, salt),
+                          F.lit(n_shards)).cast("int").alias("shard"))
+        .distinct().collect())
+    # only shards the manifest knows can hold rows; ids hashing into
+    # never-written shards are absent by construction
+    affected = [s for s in affected if str(s) in manifest["shards"]
+                or s in manifest["shards"]]
+
+    removed = 0
+    for s in affected:
+        shard_dir = path.rstrip("/") + f"/shard={s}"
+        rows = spark.read.format(fmt).load(shard_dir)
+        survivors = rows.join(F.broadcast(ids), on=id_col,
+                              how="left_anti")
+        aggs = [F.count("*").alias("rows"),
+                F.expr(f"bit_xor(xxhash64({id_col}))")
+                .alias("membership_hash")]
+        entry = manifest["shards"].get(str(s),
+                                       manifest["shards"].get(s))
+        tokens_col = manifest.get("tokens_col")
+        if "tokens" in entry:
+            if tokens_col is None:
+                raise ValueError(
+                    "manifest has per-shard tokens but no tokens_col "
+                    "— export predates the purge surface; re-export")
+            aggs.append(F.sum(tokens_col).cast("long").alias("tokens"))
+        rewrite_dataset(spark, shard_dir, survivors, fmt=fmt)
+        back = spark.read.format(fmt).load(shard_dir)
+        stat = back.agg(*aggs).first()
+        removed += int(entry["rows"]) - int(stat["rows"])
+        entry["rows"] = int(stat["rows"])
+        entry["membership_hash"] = (int(stat["membership_hash"])
+                                    if stat["membership_hash"]
+                                    is not None else 0)
+        if "tokens" in entry:
+            entry["tokens"] = int(stat["tokens"] or 0)
+    manifest["n_rows"] = sum(int(v["rows"])
+                             for v in manifest["shards"].values())
+    _write_text(spark, path.rstrip("/") + "/_manifest.json",
+                json.dumps(manifest, indent=1, sort_keys=True))
+    return {"affected_shards": affected, "rows_removed": removed,
+            "manifest": manifest}
+
+
 def verify_training_shards(spark, path: str, id_col: str,
                            fmt: str = "parquet") -> dict:
     """Reader-side integrity check of a shard export against its
@@ -112,22 +230,11 @@ def verify_training_shards(spark, path: str, id_col: str,
     combined); no ordering check — in-shard order is enforced by the
     writer's sort and is irrelevant to membership integrity."""
     from pyspark.errors import AnalysisException
-    jvm = spark.sparkContext._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(
-        path.rstrip("/") + "/_manifest.json")
-    fs = jpath.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
+    manifest = _read_manifest(spark, path)
+    if manifest is None:
         return {"ok": False, "mismatches": {},
                 "missing_shards": [], "unexpected_shards": [],
                 "error": "no _manifest.json"}
-    stream = fs.open(jpath)
-    try:
-        manifest = json.loads(
-            jvm.org.apache.commons.io.IOUtils.toString(stream,
-                                                       "UTF-8"))
-    finally:
-        stream.close()
     try:
         actual = {int(r["shard"]): r for r in
                   (spark.read.format(fmt).load(path)
@@ -152,7 +259,10 @@ def verify_training_shards(spark, path: str, id_col: str,
                                int(actual[s][field]))
         if diff:
             mismatches[s] = diff
-    missing = sorted(set(want) - set(actual))
+    # a shard purge_training_shards emptied (rows 0) legitimately has
+    # no group in the read-back — absent ≠ missing for such entries
+    missing = sorted(s for s in set(want) - set(actual)
+                     if int(want[s].get("rows", 0)) != 0)
     unexpected = sorted(set(actual) - set(want))
     return {"ok": not mismatches and not missing and not unexpected,
             "mismatches": mismatches,
