@@ -40,8 +40,9 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: from this tool's own JSON) — scheduling hints only; a missing
 #: entry costs scheduling efficiency, never correctness.
 WEIGHTS = {
-    "test_incremental_store.py": 504,
-    "test_streaming_ann.py": 145,
+    "test_store_soaks.py": 280,
+    "test_incremental_store.py": 220,
+    "test_streaming_ann.py": 188,
     "test_streaming.py": 60,
     "test_oracle_parity.py": 247,     # per-shard weight is /= shards
     "test_examples.py": 185,
