@@ -616,7 +616,12 @@ def validate_planes(planes: list[list[float]],
     reach at most dims — the family is as spread as the space
     allows)."""
     import numpy as np
-    mat = np.asarray(planes, dtype=float)
+    try:
+        mat = np.asarray(planes, dtype=float)
+    except (ValueError, TypeError) as exc:
+        raise ValueError(
+            f"{what}: expected a non-empty list of equal-length "
+            f"numeric plane vectors ({exc})") from exc
     if mat.ndim != 2 or 0 in mat.shape:
         raise ValueError(
             f"{what}: expected a non-empty list of equal-length plane "
