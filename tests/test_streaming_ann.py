@@ -613,3 +613,21 @@ def test_prepared_budget_skips_zero_row_gens(spark, tmp_path):
     free = fresh(None, "free")
     assert free._sync_prepared_cache(runs, ptr) == {1, 2}
     assert free._gen_rows == {}
+
+
+def test_incremental_ann_rejects_degenerate_planes(spark, tmp_path):
+    """The continuous loop refuses a rank-deficient plane family at
+    CONSTRUCTION (before any store directory exists); the
+    maintenance-only planes=None construction stays legal."""
+    import math
+
+    from wp_etl_migration_spark.streaming.incremental import (
+        IncrementalAnnIndex)
+    old = [[math.sin(0.1 + p * 7.3 + i * 0.61) for i in range(16)]
+           for p in range(6)]
+    with pytest.raises(ValueError, match="degenerate"):
+        IncrementalAnnIndex(spark, str(tmp_path / "s"), "vec_id",
+                            "embedding", old)
+    assert not (tmp_path / "s").exists()
+    IncrementalAnnIndex(spark, str(tmp_path / "s2"), "vec_id",
+                        "embedding", None)   # maintenance-only: fine

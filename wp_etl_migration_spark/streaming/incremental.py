@@ -1465,6 +1465,14 @@ class IncrementalAnnIndex:
         #: caps are measured separately in BASELINE.md §r9).
         self.tables = int(tables)
         self.bits = int(bits)
+        if planes is not None:
+            # fail at CONSTRUCTION, not at the first batch, on a
+            # degenerate caller-supplied plane family (VERDICT r12
+            # #2 — the rank-2 trap; query/build validate too, but a
+            # continuous loop should refuse before any store exists)
+            from wp_etl_migration_spark.operators.similarity import (
+                _plane_tables)
+            _plane_tables(planes, self.tables)
 
     def _path(self, name: str) -> str:
         return os.path.join(self.store_dir, name)
