@@ -862,3 +862,44 @@ def test_validate_planes_rejects_degenerate_families(spark):
     with pytest.raises(ValueError, match=r"table 1"):
         build_ann_index(emb, "vec_id", "embedding",
                         [good, old], tables=2)
+
+
+def test_random_projection_float_and_fixed_point(spark):
+    """JL projection: float path matches numpy lane-for-lane (same
+    fold, ~1e-12); fixed-point path is the exact integer view of the
+    same lanes (within 64 half-ulp roundings of 1e-12-scaled terms);
+    degenerate plane families are rejected."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from wp_etl_migration_spark.operators.similarity import (
+        random_projection, seeded_planes)
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    planes = seeded_planes(4, 16, seed=3.33)
+
+    got = {r.vec_id: list(r.projected) for r in
+           random_projection(emb, "vec_id", "embedding",
+                             planes).collect()}
+    want = (vecs.astype(np.float64) @ np.array(planes).T
+            / math.sqrt(4.0))
+    for i in range(50):
+        assert np.allclose(got[i], want[i], atol=1e-12), i
+
+    fp = {r.vec_id: list(r.projected) for r in
+          random_projection(emb, "vec_id", "embedding", planes,
+                            fixed_point=6).collect()}
+    for i in range(50):
+        for lane, (f, q) in enumerate(zip(want[i], fp[i])):
+            # 16 per-term roundings, each within half a unit at 1e-6
+            assert abs(q / 1e6 - f) <= 16 * 0.5e-6, (i, lane)
+
+    old = [[math.sin(0.1 + p * 7.3 + i * 0.61) for i in range(16)]
+           for p in range(3)]
+    with pytest.raises(ValueError, match="degenerate"):
+        random_projection(emb, "vec_id", "embedding", old)

@@ -101,6 +101,7 @@ from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
     kmeans_centroids,
     quantize_embeddings,
     query_ann_index,
+    random_projection,
     seeded_planes,
     semantic_dedup,
     validate_planes,

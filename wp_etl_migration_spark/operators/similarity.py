@@ -640,6 +640,58 @@ def validate_planes(planes: list[list[float]],
             f"planes with operators.similarity.seeded_planes().")
 
 
+def random_projection(emb: DataFrame, id_col: str, vec_col: str,
+                      planes: list[list[float]],
+                      out_col: str = "projected",
+                      fixed_point: int | None = None) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: (id, ``out_col``
+    array<double> of ``len(planes)`` lanes), lane p =
+    dot(vec, planes[p]) / sqrt(n_planes).
+
+    The 100 TB use is cheap dimensionality reduction ahead of the
+    similarity family — an 8- or 16-lane projection of a 1024-d
+    embedding column cuts every downstream scan/shuffle/cache by the
+    dim ratio while JL preserves pairwise distances within ~ε for
+    k = O(log n / ε²) lanes. Map-only (zero shuffles), whole relation
+    streams through one projection; the same ``fold_dot`` stacking as
+    :func:`hyperplane_bucket`, so any lane count compiles (no janino
+    overflow).
+
+    Construct ``planes`` with :func:`seeded_planes` (full rank ⇒ no
+    lane is a linear combination of others — wasted width);
+    caller-supplied families are rank-checked by
+    :func:`validate_planes`.
+
+    ``fixed_point=d`` switches the lanes to engine-exact BIGINT
+    fixed-point (the integer-PageRank discipline): each TERM rounds
+    once — ``round(x·y·10^d / √k)`` is three IEEE ops on identical
+    operands, so every engine produces the identical integer — and
+    integers sum exactly and commutatively, where a 64-term FLOAT
+    fold's total depends on the engine's summation order (measured:
+    DuckDB's ``list_sum`` drifts from the sequential fold at ~1e-16
+    absolute). The float path (default) is the production path; the
+    fixed-point view is for cross-engine parity gates and
+    reproducibility contracts. Per-term magnitude ≲ 10^d, so keep
+    ``d ≤ 15`` for 64-dim longs (Σ < 2⁶³)."""
+    validate_planes(planes)
+    k = float(len(planes))
+    v = F.col(vec_col).cast("array<double>")
+    if fixed_point is None:
+        lanes = [fold_dot(v, F.array(*[F.lit(float(x)) for x in p]))
+                 / F.sqrt(F.lit(k)) for p in planes]
+    else:
+        s = F.lit(float(10 ** fixed_point))
+        lanes = [
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in p]),
+                           lambda x, y: F.round(
+                               x * y * s / F.sqrt(F.lit(k)))
+                           .cast("long")),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            for p in planes]
+    return emb.select(F.col(id_col), F.array(*lanes).alias(out_col))
+
+
 def seeded_planes(n_planes: int, dims: int,
                   seed: float = 12.9898) -> list[list[float]]:
     """Deterministic FULL-RANK hyperplane set for the LSH family —

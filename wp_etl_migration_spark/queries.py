@@ -38,7 +38,8 @@ from wp_etl_migration_spark.operators.dedup import (
     minhash_signatures, minhash_lsh_pairs)
 from wp_etl_migration_spark.operators.similarity import (
     cosine_topk, cosine_topk_lsh, embedding_near_dup,
-    embedding_near_dup_lsh, ivf_topk, seeded_planes)
+    embedding_near_dup_lsh, ivf_topk, random_projection,
+    seeded_planes)
 from wp_etl_migration_spark.operators.simhash import (
     HEX, simhash_signatures, simhash_near_dup)
 from wp_etl_migration_spark.operators.multimodal import (
@@ -2064,6 +2065,54 @@ SELECT id_a, id_b, cos_sim FROM (
   FROM n a JOIN n b USING (bucket)
   WHERE a.vec_id < b.vec_id
 ) WHERE cos_sim >= 0.3
+"""
+
+
+#: Johnson-Lindenstrauss projection family (r13): 8 full-rank lanes
+#: over the 64-d embeddings, independent seed from the ANN tables'.
+PROJ_PLANES = seeded_planes(8, 64, seed=4.717)
+
+
+def q_random_projection(spark, sf_dir):
+    """JL random projection (operators/similarity.random_projection):
+    the 64-d embedding column reduced to 8 lanes, lane p =
+    dot(e, plane_p)/sqrt(8) — the map-only dimensionality-reduction
+    step ahead of the similarity family at 100 TB (every downstream
+    scan/shuffle/cache shrinks by the dim ratio; JL bounds the
+    pairwise-distance distortion).
+
+    Lanes are emitted as scalar columns p0..p7 (the driver's
+    canonicalizer cannot hash array cells) in the operator's
+    ``fixed_point=12`` BIGINT view: per-term rounding is identical on
+    every engine and integer sums commute exactly, where a 64-term
+    float fold's total depends on the engine's summation order
+    (measured ~1e-16 drift vs DuckDB's list_sum — the pagerank
+    integer discipline applied to projections). The float path is
+    pytest-proven against numpy."""
+    e = _t(spark, sf_dir).embeddings()
+    proj = random_projection(e, "vec_id", "embedding", PROJ_PLANES,
+                             fixed_point=12)
+    return proj.select(
+        "vec_id",
+        *[F.element_at("projected", i + 1).alias(f"p{i}")
+          for i in range(len(PROJ_PLANES))])
+
+
+def _proj_lane_sql(p: list[float]) -> str:
+    lits = ", ".join(repr(x) for x in p)
+    # outer CAST: duckdb's list_sum(BIGINT) silently widens to
+    # HUGEINT (→ decimal128 under Arrow), which the driver hashes as
+    # a different dtype
+    return (f"CAST(list_sum(list_transform(range(1, 65), i -> "
+            f"CAST(round(e[i] * (CAST([{lits}] AS DOUBLE[]))[i] "
+            f"* 1000000000000.0 / sqrt(8.0)) AS BIGINT))) AS BIGINT)")
+
+
+ORACLE_RANDOM_PROJECTION = f"""
+SELECT vec_id,
+  {", ".join(f"{_proj_lane_sql(p)} AS p{i}"
+             for i, p in enumerate(PROJ_PLANES))}
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 """
 
 
@@ -4267,6 +4316,8 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "quantile_band": (q_quantile_band, ORACLE_QUANTILE_BAND),
     "quantize_embeddings": (q_quantize_embeddings, ORACLE_QUANTIZE),
+    "random_projection": (q_random_projection,
+                          ORACLE_RANDOM_PROJECTION),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
@@ -4318,13 +4369,15 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
 #: any query's driver-witness age exceed 2): the eight r10-witnessed
 #: rows at the age limit (array_ops, date_parts, date_validate,
 #: grouping_sets, hash_sample, json_extract, quantile_band,
-#: url_normalize) rotate IN as planned in r12's comment, plus 42 of
-#: the 50 r11-witnessed rows. The eight r11 rows deferred to r14
+#: url_normalize) rotate IN as planned in r12's comment, plus 41 of
+#: the 50 r11-witnessed rows and the brand-new (never-witnessed ⇒
+#: mandatory) random_projection. The NINE r11 rows deferred to r14
 #: (cube_agg, domain_stats, keywords, lang_id, percentile_stats,
-#: pivot_wide, rollup_status, set_ops — cheap single-table
-#: aggregation/expression checks) sit exactly at age 2 after this
-#: round and lead the r14 window, followed by the 50 r12-witnessed
-#: rows; steady-state is "witness the oldest 50 each round".
+#: pivot_wide, rollup_status, set_ops, sketch_distinct — cheap
+#: single-table aggregation/expression checks) sit exactly at age 2
+#: after this round and lead the r14 window, followed by the 50
+#: r12-witnessed rows; steady-state is "witness the oldest 50 each
+#: round".
 _DRIVER_ROWS: list[str] = [
     # the eight age-limit r10 rows (mandatory this round)
     "array_ops",
@@ -4360,12 +4413,12 @@ _DRIVER_ROWS: list[str] = [
     "pricing_summary",
     "quality_score",
     "quantize_embeddings",
+    "random_projection",
     "regional_revenue",
     "rolling_window",
     "semantic_dedup",
     "sessionization",
     "simhash_signatures",
-    "sketch_distinct",
     "text_quality",
     "token_budget",
     "token_stats",
