@@ -106,6 +106,12 @@ from wp_etl_migration_spark.operators.similarity import (  # noqa: F401
     semantic_dedup,
     validate_planes,
 )
+from wp_etl_migration_spark.operators.classifier import (  # noqa: F401
+    load_classifier,
+    save_classifier,
+    score_text_classifier,
+    train_text_classifier,
+)
 from wp_etl_migration_spark.operators.multimodal import (  # noqa: F401
     attach_binary,
     extract_features,
