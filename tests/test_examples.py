@@ -25,6 +25,7 @@ def test_llm_corpus_pipeline_example(tmp_path):
     out = _run("llm_corpus_pipeline.py", "/root/testdata/sf0.001",
                str(tmp_path / "corpus"))
     assert "gate drops:" in out and "corpus:" in out
+    assert "classifier gate:" in out
     assert "token budget: kept" in out
     assert "nn audit:" in out
     assert "packed:" in out and "quantized:" in out

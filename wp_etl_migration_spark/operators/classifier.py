@@ -100,8 +100,15 @@ def train_text_classifier(df: DataFrame, id_col: str, text_col: str,
                             [f["feature"] for f in fs],
                             [f["tf"] for f in fs])
 
-    train = rows.select(to_vec("fs").alias("features"),
-                        F.col("__label").alias("label"))
+    # pin: LBFGS makes one treeAggregate pass PER ITERATION over this
+    # frame — without cutting lineage here, a deep upstream pipeline
+    # (gates → dedup → LM …) re-executes max_iter times (observed: a
+    # driver OOM from the stage flood in the curation example). The
+    # frame is the bounded labeled sample, so materializing it is
+    # cheap and correct.
+    from wp_etl_migration_spark.operators.checkpoint import pin
+    train = pin(rows.select(to_vec("fs").alias("features"),
+                            F.col("__label").alias("label")))
     lr = LogisticRegression(regParam=reg_param,
                             elasticNetParam=elastic_net,
                             maxIter=max_iter, featuresCol="features",
