@@ -363,3 +363,47 @@ def test_encode_bpe_works_on_stream(spark, tmp_path):
     assert streamed == batch and set(streamed) == {1, 2}
 
 
+
+
+def test_stream_classifier_score_matches_batch(spark, tmp_path):
+    """Stream-static trained-classifier scoring ≡ the batch
+    score_text_classifier probabilities for every doc that emits a
+    row (zero-token docs are the documented contract difference)."""
+    from wp_etl_migration_spark.operators.classifier import (
+        score_text_classifier, train_text_classifier)
+    from wp_etl_migration_spark.streaming.quality import (
+        stream_classifier_score)
+
+    labeled = spark.createDataFrame(
+        [(i, "study method result evidence", 1) for i in range(10)]
+        + [(100 + i, "click free casino jackpot", 0)
+           for i in range(10)],
+        ["doc_id", "text", "label"])
+    model = train_text_classifier(labeled, "doc_id", "text", "label",
+                                  num_features=2 ** 10)
+
+    docs = spark.createDataFrame(
+        [(1, "study method casino", "2024-01-01 00:10:00"),
+         (2, "click free pills", "2024-01-01 00:20:00"),
+         (3, "unseen tokens only", "2024-01-01 00:30:00"),
+         # late sentinel so the watermark passes the first window
+         (4, "study", "2024-01-02 00:00:00")],
+        ["doc_id", "text", "ts_s"]).withColumn(
+            "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    run_to_memory(stream_classifier_score(stream, model, "doc_id",
+                                          "text"), "clfscore")
+    streamed = {r.doc_id: r.quality_prob
+                for r in spark.table("clfscore").collect()}
+
+    batch = {r.doc_id: r.quality_prob for r in
+             score_text_classifier(docs.where("doc_id < 4"), "doc_id",
+                                   "text", model).collect()}
+    assert set(streamed) == {1, 2, 3}
+    for d in streamed:
+        assert streamed[d] == pytest.approx(batch[d], abs=1e-12), d
+    # separability survived the stream: good-ish doc above bad doc
+    assert streamed[1] > streamed[2]

@@ -66,3 +66,51 @@ def stream_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
                     (F.col("n_hits").cast("double")
                      / F.col("n_bigrams").cast("double"))
                     .alias("hit_rate")))
+
+
+def stream_classifier_score(docs: DataFrame, model: dict, id_col: str,
+                            text_col: str, ts_col: str = "ts",
+                            window: str = "1 hour",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming trained-classifier scoring against a STATIC model
+    dict (``operators.classifier.train_text_classifier`` — trained
+    offline on the labeled sample), as watermarked windowed
+    per-document aggregates (append-mode safe).
+
+    Returns (window_start, id, quality_prob). Same shape as
+    :func:`stream_lm_score`: the tokenize/hash stage is stateless
+    codegen, the stream-static left join adds no state (the
+    model-sized weight table broadcasts), and the only state is the
+    windowed per-document margin sum, watermark-bounded. Documents
+    whose tokens hit no trained weight score sigmoid(intercept);
+    documents with ZERO tokens emit no row (nothing survives the
+    explode — the one contract difference from the batch twin, which
+    backfills them)."""
+    from wp_etl_migration_spark.operators.classifier import (
+        TOKEN_PATTERN, _feature_index, _tokens)
+    if model.get("token_pattern") not in (None, TOKEN_PATTERN):
+        raise ValueError(
+            "model was trained with a different token_pattern; "
+            "retrain or score with the matching engine version")
+    spark = docs.sparkSession
+    n = int(model["num_features"])
+    b = float(model["intercept"])
+    w = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in model["weights"].items()],
+        "feature int, weight double")
+    feat = (docs.select(F.col(id_col), F.col(ts_col),
+                        F.explode(_tokens(text_col)).alias("__t"))
+            .select(id_col, ts_col,
+                    _feature_index(F.col("__t"), n).alias("feature")))
+    return (feat.join(F.broadcast(w), "feature", "left")
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("__w"),
+                     F.col(id_col))
+            .agg(F.sum("weight").alias("__m"))
+            .select(F.col("__w.start").alias("window_start"),
+                    F.col(id_col),
+                    (F.lit(1.0)
+                     / (F.lit(1.0)
+                        + F.exp(-(F.coalesce(F.col("__m"), F.lit(0.0))
+                                  + F.lit(b)))))
+                    .alias("quality_prob")))
