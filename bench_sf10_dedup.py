@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from wp_etl_migration_spark.operators.dedup import (
     dedup_documents, minhash_lsh_pairs, ngram_jaccard_pairs)
+from wp_etl_migration_spark.operators.simhash import simhash_near_dup
 from wp_etl_migration_spark.queries import JACCARD_MAX_DOC_FREQ
 from wp_etl_migration_spark.session import get_spark
 
@@ -171,6 +172,11 @@ KERNELS = {
             verify_threshold=0.7, max_doc_freq=JACCARD_MAX_DOC_FREQ),
     "dedup_pipeline":
         lambda d: dedup_documents(d, "doc_id", "text"),
+    # r13: the fourth batch near-dup kernel (chunk equi-join +
+    # packed-word Hamming) — the one without sf10 evidence until now
+    "simhash_near_dup":
+        lambda d: simhash_near_dup(d, "doc_id", "text", bits=32,
+                                   chunks=4),
 }
 
 
@@ -179,6 +185,17 @@ def main(argv: list[str]) -> int:
         argv[argv.index("--scales") + 1].split(",")
         if "--scales" in argv else ("1", "10", "100"))]
     wide = "--wide" in argv
+    # r13: --kernels a,b restricts the run (targeted paired re-runs
+    # without re-paying the whole matrix)
+    kernels = dict(KERNELS)
+    if "--kernels" in argv:
+        names = argv[argv.index("--kernels") + 1].split(",")
+        unknown = set(names) - set(kernels)
+        if unknown:
+            print(json.dumps({"error": f"unknown kernels "
+                                       f"{sorted(unknown)}"}))
+            return 2
+        kernels = {k: kernels[k] for k in names}
     spark = get_spark("wp-etl-sf10-dedup",
                       **{"spark.driver.memory":
                          os.environ.get("SPARK_GRAFT_DRIVER_MEM",
@@ -191,7 +208,7 @@ def main(argv: list[str]) -> int:
         path = build_corpus(spark, r, wide=wide)
         corpus = spark.read.parquet(path).localCheckpoint(eager=True)
         entry = {"docs": corpus.count(), "kernels": {}}
-        for name, fn in KERNELS.items():
+        for name, fn in kernels.items():
             # ONE run per kernel per session: in-session repeats are
             # invalid here for the same reason bench.py --paired
             # spawns fresh interpreters — Spark's cache manager
@@ -208,7 +225,7 @@ def main(argv: list[str]) -> int:
     # Per-decade wall exponents: log10(wall at 10x / wall at x).
     exps = {}
     for lo, hi in zip(scales, scales[1:]):
-        for name in KERNELS:
+        for name in kernels:
             w_lo = out["scales"][str(lo)]["kernels"][name]["wall"]
             w_hi = out["scales"][str(hi)]["kernels"][name]["wall"]
             exps.setdefault(name, {})[f"{lo}->{hi}"] = round(
