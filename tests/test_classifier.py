@@ -129,6 +129,96 @@ def test_classifier_scoring_plan_is_codegen(spark):
         got[2] == pytest.approx(want)
 
 
+def test_pinned_model_hash_and_no_collisions(spark):
+    """Oracle-equivalence guard for the classifier_score driver row
+    (queries.PINNED_QUALITY_MODEL): the DuckDB oracle joins on raw
+    TOKENS (no Spark-murmur3 in DuckDB) while Spark scores through
+    the real hashed-feature path, so equivalence requires (a) the
+    pinned token→index map to match Spark's pmod(hash, N) exactly and
+    (b) no OTHER corpus token to hash into a weighted index. Both are
+    asserted here against the live test corpus every round."""
+    from wp_etl_migration_spark.operators.classifier import (
+        _feature_index, _tokens)
+    from wp_etl_migration_spark.queries import (
+        _CLF_IDX, PINNED_QUALITY_MODEL)
+
+    n = PINNED_QUALITY_MODEL["num_features"]
+    # (a) the pinned index map IS Spark's hash
+    toks = spark.createDataFrame([(t,) for t in _CLF_IDX],
+                                 "tok string")
+    got = {r.tok: r.idx for r in toks.select(
+        "tok", _feature_index(F.col("tok"), n).alias("idx"))
+        .collect()}
+    assert got == _CLF_IDX
+    # (b) full corpus vocab: nothing outside _CLF_IDX hits a
+    # weighted index (injectivity of the whole vocab is sufficient)
+    from tests.conftest import SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    vocab = (docs.select(F.explode(_tokens("text")).alias("tok"))
+             .distinct()
+             .select("tok", _feature_index(F.col("tok"), n)
+                     .alias("idx")).collect())
+    weighted = set(PINNED_QUALITY_MODEL["weights"])
+    strays = {r.tok for r in vocab
+              if r.idx in weighted and r.tok not in _CLF_IDX}
+    assert not strays, strays
+
+
+def test_fixed_point_margin_matches_float_path(spark):
+    """classifier_margin_fixed_point is the same model as the sigmoid
+    path: sigmoid(margin_fp/10^fp + intercept) ≈ quality_prob up to
+    the weight-quantization step (weights here chosen exact in
+    micro-units so equality is tight)."""
+    import math
+    from wp_etl_migration_spark.operators.classifier import (
+        classifier_margin_fixed_point)
+
+    model = {"weights": {5: 0.25, 9: -1.5, 12: 0.125},
+             "intercept": -0.5, "num_features": 16}
+    # token 'a' etc. hash wherever — use a synthetic feature frame by
+    # picking tokens whose hashed index we read back from the engine
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id long, text string")
+    from wp_etl_migration_spark.operators.classifier import (
+        _feature_index, _tokens)
+    idx = {r.tok: r.idx for r in df.select(
+        F.explode(_tokens("text")).alias("tok")).distinct()
+        .select("tok", _feature_index(F.col("tok"), 16).alias("idx"))
+        .collect()}
+    model["weights"] = {idx["alpha"]: 0.25, idx["beta"]: -1.5,
+                        idx.get("gamma", 7): 0.125}
+    fp = classifier_margin_fixed_point(df, "doc_id", "text", model,
+                                       fixed_point=6)
+    rows = {r.doc_id: r for r in fp.collect()}
+    assert rows[1].margin_fp == 2 * 250000 - 1500000  # 2·alpha + beta
+    assert rows[1].n_hits == 3
+    assert rows[2].margin_fp == 0 and rows[2].n_hits == 0
+    assert rows[3].margin_fp == 125000 and rows[3].n_hits == 1
+    probs = {r.doc_id: r.quality_prob for r in score_text_classifier(
+        df, "doc_id", "text", model).collect()}
+    for d, r in rows.items():
+        want = 1.0 / (1.0 + math.exp(
+            -(r.margin_fp / 1e6 + model["intercept"])))
+        assert probs[d] == pytest.approx(want, abs=1e-12), d
+
+
+def test_fixed_point_margin_plan_is_codegen(spark):
+    """The integer view keeps the corpus-path guarantees: no Python
+    eval, broadcast weight join."""
+    from wp_etl_migration_spark.operators.classifier import (
+        classifier_margin_fixed_point)
+    df = spark.createDataFrame([(1, "x y z")],
+                               "doc_id long, text string")
+    model = {"weights": {3: 1.0}, "intercept": 0.0,
+             "num_features": 16}
+    plan = (classifier_margin_fixed_point(df, "doc_id", "text", model)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_classifier_rejects_foreign_tokenization(spark):
     model = {"weights": {0: 1.0}, "intercept": 0.0,
              "num_features": 16, "token_pattern": r"\s+ONLY"}

@@ -154,6 +154,53 @@ def score_text_classifier(df: DataFrame, id_col: str, text_col: str,
                                   + F.lit(b))))).alias(out_col)))
 
 
+def classifier_margin_fixed_point(df: DataFrame, id_col: str,
+                                  text_col: str, model: dict,
+                                  fixed_point: int = 6) -> DataFrame:
+    """(id, margin_fp, n_hits) — the engine-exact integer view of the
+    classifier margin, for cross-engine verification and integer
+    gating (the ``random_projection(fixed_point=...)`` discipline,
+    taken one step further: because term frequencies are integers,
+    the WEIGHTS can be quantized driver-side once —
+    ``w_fp = round(w * 10^fixed_point)`` — and the whole scoring plan
+    becomes pure BIGINT arithmetic: ``margin_fp = Σ tf · w_fp``. No
+    float enters any engine, so no summation-order drift can either;
+    a float margin fold's total depends on the engine's reduction
+    order (~1e-16 drift measured vs DuckDB).
+
+    ``n_hits`` is the integer count of weighted-token occurrences —
+    docs with none are backfilled (0, 0) like the sigmoid path
+    backfills sigmoid(intercept). Same plan shape as
+    :func:`score_text_classifier`: codegen tokenize/hash, broadcast
+    join on the model-sized integer weight table, one uniform
+    (id)-keyed shuffle."""
+    if model.get("token_pattern") not in (None, TOKEN_PATTERN):
+        raise ValueError(
+            "model was trained with a different token_pattern; "
+            "retrain or score with the matching engine version")
+    spark = df.sparkSession
+    n = int(model["num_features"])
+    scale = 10 ** int(fixed_point)
+    w = spark.createDataFrame(
+        [(int(i), int(round(float(v) * scale)))
+         for i, v in model["weights"].items()],
+        "feature int, w_fp long")
+    feats = _doc_features(df, id_col, text_col, n) \
+        .withColumn("tf", F.col("tf").cast("long"))
+    margin = (feats.join(F.broadcast(w), "feature")
+              .groupBy(id_col)
+              .agg(F.sum(F.col("tf") * F.col("w_fp"))
+                   .alias("margin_fp"),
+                   F.sum("tf").alias("n_hits")))
+    return (df.select(id_col).distinct()
+            .join(margin, id_col, "left")
+            .select(id_col,
+                    F.coalesce("margin_fp", F.lit(0).cast("long"))
+                    .alias("margin_fp"),
+                    F.coalesce("n_hits", F.lit(0).cast("long"))
+                    .alias("n_hits")))
+
+
 def save_classifier(model: dict, path: str) -> None:
     """Model dict → JSON file (int keys serialized as strings; load
     restores them)."""

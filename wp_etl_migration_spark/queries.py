@@ -2116,6 +2116,86 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 """
 
 
+#: Pinned quality-classifier model (r14, VERDICT r13 #3): weights a
+#: real training run COULD produce, frozen as literals so the driver
+#: row is reproducible — the q_random_projection ANN_PLANES pattern
+#: applied to operators/classifier. The oracle joins on the raw TOKEN
+#: because DuckDB has no Spark-murmur3; the Spark side scores through
+#: the REAL hashed-feature path with _CLF_IDX (each token's
+#: pmod(hash(token), 32768), computed with Spark at authoring time).
+#: The two are exactly equivalent iff (a) _CLF_IDX matches Spark's
+#: hash and (b) no other corpus token collides into a weighted index
+#: — both machine-verified every round by
+#: tests/test_classifier.py::test_pinned_model_hash_and_no_collisions
+#: (the full 31-token test-corpus vocab is injective under N=2^15).
+_CLF_TOKEN_W = {
+    "data": 0.8, "query": 0.7, "join": 0.6, "hash": 0.55,
+    "vector": 0.5, "stream": 0.45, "spark": 0.4, "column": 0.35,
+    "filter": 0.2, "sort": 0.15, "big": -0.25, "small": -0.3,
+    "dup": -0.55, "slow": -0.6, "a": -0.85, "the": -0.9,
+}
+_CLF_IDX = {
+    "data": 29663, "query": 10026, "join": 5864, "hash": 29206,
+    "vector": 17550, "stream": 29074, "spark": 5281, "column": 5361,
+    "filter": 21400, "sort": 12696, "big": 30006, "small": 31054,
+    "dup": 22441, "slow": 27707, "a": 30802, "the": 5534,
+}
+_CLF_INTERCEPT = -0.2
+_CLF_FP = 6  # micro-units: w_fp = round(w * 1e6), margin pure BIGINT
+PINNED_QUALITY_MODEL = {
+    "weights": {_CLF_IDX[t]: w for t, w in _CLF_TOKEN_W.items()},
+    "intercept": _CLF_INTERCEPT,
+    "num_features": 2 ** 15,
+}
+
+
+def q_classifier_score(spark, sf_dir):
+    """Trained-classifier corpus scoring
+    (operators/classifier.classifier_margin_fixed_point): every
+    document's margin under PINNED_QUALITY_MODEL in the engine-exact
+    BIGINT view — weights quantized driver-side to micro-units, so
+    margin_fp = Σ tf·w_fp is pure integer arithmetic on both engines
+    (no float fold anywhere; the random_projection fixed-point
+    discipline, strengthened because tf is integral). ``keep`` is the
+    curation gate users act on: margin_fp + intercept_fp > 0. Plan:
+    codegen tokenize → hashed feature → broadcast weight join → one
+    uniform (doc_id) shuffle — the 100 TB scoring shape."""
+    from wp_etl_migration_spark.operators.classifier import (
+        classifier_margin_fixed_point)
+    d = _t(spark, sf_dir).documents()
+    b_fp = int(round(_CLF_INTERCEPT * 10 ** _CLF_FP))
+    m = classifier_margin_fixed_point(d, "doc_id", "text",
+                                      PINNED_QUALITY_MODEL,
+                                      fixed_point=_CLF_FP)
+    return m.select("doc_id", "margin_fp", "n_hits",
+                    (F.col("margin_fp") + F.lit(b_fp) > 0)
+                    .alias("keep"))
+
+
+ORACLE_CLASSIFIER_SCORE = f"""
+WITH tf AS (
+  SELECT doc_id, t, count(*) AS tf FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(
+      lower(text), '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '')) AS t
+    FROM documents)
+  GROUP BY 1, 2
+), w(t, w_fp) AS (VALUES {", ".join(
+    f"('{t}', {int(round(wt * 10 ** _CLF_FP))})"
+    for t, wt in sorted(_CLF_TOKEN_W.items()))}
+), m AS (
+  SELECT doc_id, CAST(sum(tf * w_fp) AS BIGINT) AS margin_fp,
+         CAST(sum(tf) AS BIGINT) AS n_hits
+  FROM tf JOIN w USING (t) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(m.margin_fp, 0) AS margin_fp,
+       COALESCE(m.n_hits, 0) AS n_hits,
+       COALESCE(m.margin_fp, 0)
+         + {int(round(_CLF_INTERCEPT * 10 ** _CLF_FP))} > 0 AS keep
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN m USING (doc_id)
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """INTERSECT/EXCEPT (absent in the reference — SURVEY §2.5 notes
     them free-from-Spark; proven here): customers in AUTOMOBILE minus
@@ -4257,6 +4337,7 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE),
     "cascaded_lookup": (q_cascaded_lookup, ORACLE_CASCADE),
     "chunk_documents": (q_chunk_documents, ORACLE_CHUNKS),
+    "classifier_score": (q_classifier_score, ORACLE_CLASSIFIER_SCORE),
     "cluster_centroids": (q_cluster_centroids, ORACLE_CENTROIDS),
     "contamination": (q_contamination, ORACLE_CONTAMINATION),
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
@@ -4364,73 +4445,74 @@ _ALL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
     "wp_post_preset": (q_wp_post_preset, ORACLE_WP_POST_PRESET),
 }
 
-#: r13 driver rotation (the r12 verdict's #1, machine-audited by
+#: r14 driver rotation (r13 verdict #1, machine-audited by
 #: tools/rotation_debt.py — the suite fails when this list would let
-#: any query's driver-witness age exceed 2): the eight r10-witnessed
-#: rows at the age limit (array_ops, date_parts, date_validate,
-#: grouping_sets, hash_sample, json_extract, quantile_band,
-#: url_normalize) rotate IN as planned in r12's comment, plus 41 of
-#: the 50 r11-witnessed rows and the brand-new (never-witnessed ⇒
-#: mandatory) random_projection. The NINE r11 rows deferred to r14
-#: (cube_agg, domain_stats, keywords, lang_id, percentile_stats,
-#: pivot_wide, rollup_status, set_ops, sketch_distinct — cheap
-#: single-table aggregation/expression checks) sit exactly at age 2
-#: after this round and lead the r14 window, followed by the 50
-#: r12-witnessed rows; steady-state is "witness the oldest 50 each
-#: round".
+#: any query's driver-witness age exceed 2): the NINE r11-witnessed
+#: rows at the age limit (cube_agg, domain_stats, keywords, lang_id,
+#: percentile_stats, pivot_wide, rollup_status, set_ops,
+#: sketch_distinct) rotate IN as planned in r13's comment, plus the
+#: brand-new (never-witnessed => mandatory) classifier_score and 40
+#: of the 50 r12-witnessed rows. The TEN r12 rows deferred to r15
+#: (html_blocks, nullif_sentinel, numeric_preserve,
+#: placeholder_subst, prefix_pipeline, slugify, snake_scrub_rename,
+#: split_trim, string_to_null, text_functions — cheap
+#: expression/rename checks) sit exactly at age 2 after this round
+#: and lead the r15 window, followed by the 50 r13-witnessed rows;
+#: steady-state is "witness the oldest 50 each round".
 _DRIVER_ROWS: list[str] = [
-    # the eight age-limit r10 rows (mandatory this round)
-    "array_ops",
-    "date_parts",
-    "date_validate",
-    "grouping_sets",
-    "hash_sample",
-    "json_extract",
-    "quantile_band",
-    "url_normalize",
-    # 42 of the 50 r11-witnessed rows
-    "ann_multi_topk",
-    "bigram_lm_score",
-    "bpe_token_stats",
-    "cascaded_lookup",
-    "chunk_documents",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_pipeline",
-    "embedding_near_dup_lsh",
-    "embedding_topk",
-    "global_shuffle_shards",
-    "incremental_lsh",
-    "ivf_ann_topk",
-    "kmeans_centroids",
-    "media_decode",
-    "meta_embed",
-    "meta_melt",
-    "minhash_lsh_dedup",
-    "minhash_signatures",
-    "ngram_jaccard_dedup",
-    "pagerank_redistribute",
-    "pricing_summary",
-    "quality_score",
-    "quantize_embeddings",
-    "random_projection",
-    "regional_revenue",
-    "rolling_window",
-    "semantic_dedup",
-    "sessionization",
-    "simhash_signatures",
-    "text_quality",
-    "token_budget",
-    "token_stats",
-    "top_customers",
-    "topk_per_group",
-    "train_val_test",
-    "training_prep_contract",
-    "trigram_lm_pruned",
-    "union_merge",
-    "unpack_roundtrip",
-    "window_funcs",
-    "wp_post_all_contract",
+    # the nine age-limit r11 rows (mandatory this round)
+    "cube_agg",
+    "domain_stats",
+    "keywords",
+    "lang_id",
+    "percentile_stats",
+    "pivot_wide",
+    "rollup_status",
+    "set_ops",
+    "sketch_distinct",
+    # new this round (never driver-witnessed => mandatory)
+    "classifier_score",
+    # 40 of the 50 r12-witnessed rows
+    "ann_index16_topk",
+    "ann_index_topk",
+    "ann_lsh_topk",
+    "asof_join",
+    "asof_nearest",
+    "author_embed",
+    "cluster_centroids",
+    "contamination",
+    "corpus_report",
+    "cross_corpus_dedup",
+    "domain_cap",
+    "embedding_near_dup",
+    "entity_embed_full",
+    "event_window_agg",
+    "fuzzy_match",
+    "gopher_quality",
+    "hierarchy_resolve",
+    "key_skew",
+    "line_dedup",
+    "media_dedupe_lookup",
+    "multimodal_features",
+    "pack_sequences",
+    "pagerank",
+    "passage_removal",
+    "pii_scrub",
+    "profile_diff",
+    "range_join",
+    "repetition_stats",
+    "sanitize_chain",
+    "scan_filter_sort_limit",
+    "script_fractions",
+    "shared_gram_stats",
+    "shipping_priority",
+    "simhash_near_dup",
+    "table_profile",
+    "trigram_lm_score",
+    "upsert_merge",
+    "vocab_topk",
+    "weighted_sample",
+    "wp_post_preset",
 ]
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
