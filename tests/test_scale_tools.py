@@ -1252,3 +1252,145 @@ def test_quiet_gate_flag_parsing_structured(capsys):
         assert quiet.main(argv) == 2
         line = capsys.readouterr().out.strip()
         assert "error" in json.loads(line)
+
+
+def test_staging_path_never_emits_authority_slashes():
+    """Root-level datasets ('/data') must stage at '/._staging_data' —
+    os.path.split-based joining produced '//._staging_data', which
+    Hadoop URI parsing reads as an authority (host '._staging_data'),
+    a different filesystem location (r13 ADVICE)."""
+    from wp_etl_migration_spark.plans.janitor import _staging_path
+    assert _staging_path("/data") == "/._staging_data"
+    assert _staging_path("/data/") == "/._staging_data"
+    assert _staging_path("/a/b/c") == "/a/b/._staging_c"
+    assert _staging_path("rel/x") == "rel/._staging_x"
+    assert _staging_path("x") == "._staging_x"
+    assert _staging_path("s3a://bucket/exp/shard=3") == \
+        "s3a://bucket/exp/._staging_shard=3"
+
+
+def test_rewrite_crash_recovery_restores_from_staging(spark, tmp_path):
+    """Crash contract of the staged swap: a COMPLETE staging dir
+    (_SUCCESS present) with a truncated/missing target is exactly the
+    mid-swap crash window — rewrite_dataset refuses to proceed (the
+    survivors it would build derive from the bad target) and
+    recover_dataset finishes the swap; an INCOMPLETE staging (no
+    _SUCCESS) means the target was never touched — recover drops the
+    garbage and reports False."""
+    import os
+    import shutil
+
+    import pytest
+
+    from wp_etl_migration_spark.plans.janitor import (
+        recover_dataset, rewrite_dataset)
+    path = str(tmp_path / "data")
+    df = spark.range(100).toDF("id")
+    df.write.parquet(path)
+
+    # simulate: staging committed, then the overwrite died mid-way
+    staging = str(tmp_path / "._staging_data")
+    df.where("id >= 10").write.parquet(staging)
+    assert os.path.exists(f"{staging}/_SUCCESS")
+    shutil.rmtree(path)  # worst case: target fully gone
+
+    with pytest.raises(RuntimeError, match="stale staging"):
+        rewrite_dataset(spark, path, df.where("id >= 10"))
+    assert recover_dataset(spark, path) is True
+    assert not os.path.exists(staging)
+    assert spark.read.parquet(path).count() == 90
+
+    # incomplete staging: crash mid-staging-write — target intact
+    os.makedirs(staging)
+    with open(f"{staging}/part-junk.parquet", "w") as fh:
+        fh.write("garbage")
+    assert recover_dataset(spark, path) is False
+    assert not os.path.exists(staging)
+    assert spark.read.parquet(path).count() == 90
+    # no staging at all is a no-op
+    assert recover_dataset(spark, path) is False
+
+
+def test_purge_converges_after_simulated_shard_crash(spark, tmp_path):
+    """purge_training_shards' documented recovery ('run it again')
+    must hold through the worst per-shard window: staging committed,
+    target truncated. The re-run restores the shard FROM staging
+    before reading it, so the truncated dir never seeds the anti-join
+    (r13 ADVICE — the old overwrite-based swap recomputed the
+    manifest to match the truncated shard, silently losing rows)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, verify_training_shards,
+        write_training_shards)
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=4, salt="s")
+    victims = [r.doc_id for r in
+               spark.read.parquet(f"{path}/shard=1").limit(3)
+               .collect()]
+
+    # simulate the crash: a completed staging for shard=1 (survivors
+    # already anti-joined) next to a truncated target dir
+    shard_dir = f"{path}/shard=1"
+    survivors = spark.read.parquet(shard_dir).where(
+        ~F.col("doc_id").isin(victims))
+    n_expect = survivors.count()
+    survivors.write.parquet(f"{path}/._staging_shard=1")
+    shutil.rmtree(shard_dir)
+
+    res = purge_training_shards(spark, path, "doc_id", victims)
+    assert res["rows_removed"] == 3
+    assert verify_training_shards(spark, path, "doc_id")["ok"]
+    assert spark.read.parquet(shard_dir).count() == n_expect
+    assert spark.read.parquet(path).count() == 200 - 3
+
+
+def test_purge_converges_after_simulated_grouped_crash(spark,
+                                                       tmp_path):
+    """Grouped-path crash window: ._staging_purge committed
+    (_SUCCESS), some shard swaps done, some not, manifest stale. The
+    re-run's entry recovery swaps the rest in, then the normal flow
+    refreshes the manifest."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, verify_training_shards,
+        write_training_shards)
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=4, salt="g")
+    victims = [1, 2, 101, 202]
+
+    # build the committed grouped staging the crashed run would have
+    # left: survivors of every affected shard, partitioned
+    from wp_etl_migration_spark.operators.sampling import hash_bucket
+    ids = spark.createDataFrame([(i,) for i in victims], ["doc_id"])
+    affected = sorted(
+        r["shard"] for r in ids.select(
+            F.pmod(hash_bucket("doc_id", "g"), F.lit(4)).cast("int")
+            .alias("shard")).distinct().collect())
+    rows = spark.read.option("basePath", path).parquet(
+        *[f"{path}/shard={s}" for s in affected])
+    staging = f"{path}/._staging_purge"
+    (rows.join(F.broadcast(ids), "doc_id", "left_anti")
+     .write.partitionBy("shard").parquet(staging))
+    assert os.path.exists(f"{staging}/_SUCCESS")
+    # crash after swapping ONE shard: its target became the staging
+    # copy, the others are still pre-purge
+    s0 = affected[0]
+    shutil.rmtree(f"{path}/shard={s0}")
+    os.rename(f"{staging}/shard={s0}", f"{path}/shard={s0}")
+
+    res = purge_training_shards(spark, path, "doc_id", victims)
+    assert not os.path.exists(staging)
+    assert verify_training_shards(spark, path, "doc_id")["ok"]
+    back = spark.read.parquet(path)
+    assert back.count() == 300 - len(victims)
+    assert back.where(F.col("doc_id").isin(victims)).count() == 0
+    assert res["manifest"]["n_rows"] == 300 - len(victims)

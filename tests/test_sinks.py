@@ -664,3 +664,122 @@ def test_purge_training_shards_empties_a_shard(spark, tmp_path):
     v = verify_training_shards(spark, path, "doc_id")
     assert v["ok"], v
     assert spark.read.parquet(path).count() == 60 - len(s0_ids)
+
+
+def test_purge_grouped_path_matches_per_shard(spark, tmp_path):
+    """The mass-takedown grouped path (one anti-join job + metadata
+    swaps) produces byte-equivalent state to the per-shard path: same
+    manifest, same survivors, verify green; untouched shards' mtimes
+    don't move on either path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, verify_training_shards,
+        write_training_shards)
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"))
+    victims = [3, 57, 123, 250, 461]
+    paths, manifests = {}, {}
+    for mode, thresh in (("per_shard", 999), ("grouped", 1)):
+        path = str(tmp_path / mode)
+        write_training_shards(df, path, "doc_id", n_shards=6,
+                              salt="v1", tokens_col="n_tokens")
+        mtimes = {s: os.path.getmtime(f"{path}/shard={s}")
+                  for s in range(6)}
+        res = purge_training_shards(spark, path, "doc_id", victims,
+                                    grouped_threshold=thresh)
+        assert res["rows_removed"] == len(victims), mode
+        for s in set(range(6)) - set(res["affected_shards"]):
+            assert os.path.getmtime(f"{path}/shard={s}") == mtimes[s]
+        assert verify_training_shards(spark, path, "doc_id")["ok"]
+        assert not os.path.exists(f"{path}/._staging_purge")
+        paths[mode], manifests[mode] = path, res["manifest"]
+    assert manifests["grouped"] == manifests["per_shard"]
+    a = spark.read.parquet(paths["grouped"]).orderBy("doc_id")
+    b = spark.read.parquet(paths["per_shard"]).orderBy("doc_id")
+    assert [r.asDict() for r in a.collect()] == \
+        [r.asDict() for r in b.collect()]
+
+
+def test_purge_grouped_empties_a_shard_and_rerun_converges(
+        spark, tmp_path):
+    """Grouped path: a fully-purged shard's dir disappears entirely
+    (exactly like a recovered empty swap); a re-run over the now-stale
+    shard set neither throws on the missing dir nor double-counts."""
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, verify_training_shards,
+        write_training_shards)
+    df = spark.range(90).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=3, salt="s")
+    s0 = [r.doc_id for r in
+          spark.read.parquet(f"{path}/shard=0").collect()]
+    res = purge_training_shards(spark, path, "doc_id", s0,
+                                grouped_threshold=1)
+    assert res["rows_removed"] == len(s0)
+    assert verify_training_shards(spark, path, "doc_id")["ok"]
+    res2 = purge_training_shards(spark, path, "doc_id", s0,
+                                 grouped_threshold=1)
+    assert res2["rows_removed"] == 0
+    assert verify_training_shards(spark, path, "doc_id")["ok"]
+
+
+def test_purge_ids_iterator_and_empty_generator(spark, tmp_path):
+    """ids may be any iterable: a generator is materialized up front
+    (a half-consumed iterator must not silently purge a subset), and
+    an EMPTY generator is the documented graceful no-op — truthiness
+    on the raw iterator used to route it into createDataFrame([]) and
+    a schema-inference error (r13 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, write_training_shards)
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=2, salt="s")
+    res = purge_training_shards(spark, path, "doc_id",
+                                (i for i in ()))
+    assert res == {"affected_shards": [], "rows_removed": 0,
+                   "manifest": res["manifest"]}
+    res2 = purge_training_shards(spark, path, "doc_id",
+                                 (i for i in (5, 6)))
+    assert res2["rows_removed"] == 2
+    assert spark.read.parquet(path).count() == 98
+
+
+def test_purge_json_layout_including_emptied_shard(spark, tmp_path):
+    """fmt='json' round-trip: rewrites pin the pre-purge schema (JSON
+    inference would throw on a 0-row shard and can drift types across
+    shards — r13 ADVICE); a fully-emptied JSON shard leaves no
+    readable files, is recorded at rows 0, and the whole export stays
+    readable."""
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.sinks.training import (
+        purge_training_shards, verify_training_shards,
+        write_training_shards)
+    df = spark.range(80).select(F.col("id").alias("doc_id"),
+                                F.concat(F.lit("d"), F.col("id"))
+                                .alias("text"))
+    path = str(tmp_path / "jshards")
+    write_training_shards(df, path, "doc_id", n_shards=3, salt="j",
+                          fmt="json")
+    s0 = [r.doc_id for r in
+          spark.read.json(f"{path}/shard=0").collect()]
+    res = purge_training_shards(spark, path, "doc_id", s0 + [999],
+                                fmt="json")
+    assert res["rows_removed"] == len(s0)
+    entry = res["manifest"]["shards"].get(
+        "0", res["manifest"]["shards"].get(0))
+    assert int(entry["rows"]) == 0
+    assert verify_training_shards(spark, path, "doc_id",
+                                  fmt="json")["ok"]
+    assert spark.read.json(path).count() == 80 - len(s0)
+    # idempotent re-run over the emptied shard does not throw
+    assert purge_training_shards(spark, path, "doc_id", s0,
+                                 fmt="json")["rows_removed"] == 0

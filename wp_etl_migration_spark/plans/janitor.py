@@ -46,30 +46,106 @@ def delete_by_ledger(spark: SparkSession, df: DataFrame, key: str,
                    on=key, how="left_anti")
 
 
+def _staging_path(path: str) -> str:
+    """Dot-prefixed staging sibling of ``path``. String surgery, not
+    os.path.split: for a root-level dataset (``/data``) split gives
+    base ``/`` and joining produced ``//._staging_data``, which Hadoop
+    URI parsing reads as an authority (host ``._staging_data``) — a
+    different filesystem location (r13 ADVICE). Keeping the exact
+    prefix up to the final segment preserves ``/``, ``s3://bucket/``,
+    and relative prefixes alike."""
+    stripped = path.rstrip("/")
+    name = stripped.rpartition("/")[2]
+    return stripped[:len(stripped) - len(name)] + f"._staging_{name}"
+
+
+def _fs_and_path(spark: SparkSession, uri: str):
+    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(uri)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _staging_complete(fs, jvm, staging: str) -> bool:
+    """A staging write is complete iff Spark's job-commit marker is
+    present (``_SUCCESS``, written last by the output committer)."""
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(
+        staging.rstrip("/") + "/_SUCCESS"))
+
+
+def recover_dataset(spark: SparkSession, path: str) -> bool:
+    """Finish (or discard) a :func:`rewrite_dataset` swap a crash
+    interrupted; returns True when the target was restored.
+
+    A leftover ``._staging_<name>`` sibling is diagnosed by its
+    ``_SUCCESS`` marker: present ⇒ the staging write committed and
+    staging holds the full surviving rows while the target may be
+    partial — complete the swap (delete target remnants, rename
+    staging in; both metadata ops, each re-runnable if THIS crashes
+    too). Absent ⇒ the crash hit mid-staging-write and the target was
+    never touched — drop the garbage staging and report False.
+    Callers that derive a new rewrite from the target
+    (``sinks.training.purge_training_shards``) run this before
+    READING the target, so a crashed prior purge can never feed a
+    truncated shard back into the next one."""
+    staging = _staging_path(path)
+    fs, jstaging = _fs_and_path(spark, staging)
+    if not fs.exists(jstaging):
+        return False
+    jvm = spark.sparkContext._jvm
+    jtarget = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    if not _staging_complete(fs, jvm, staging):
+        fs.delete(jstaging, True)
+        return False
+    if fs.exists(jtarget):
+        fs.delete(jtarget, True)
+    if not fs.rename(jstaging, jtarget):
+        raise RuntimeError(f"recovery rename {staging} -> {path} "
+                           "failed; staging kept")
+    return True
+
+
 def rewrite_dataset(spark: SparkSession, path: str, survivors: DataFrame,
                     fmt: str = "parquet") -> None:
-    """Atomic-swap rewrite of a file dataset with the surviving rows.
+    """Staged-swap rewrite of a file dataset with the surviving rows.
 
-    Materializes survivors to a staging path first (they usually derive
-    from the dataset being overwritten), then swaps.
+    Materializes survivors to a staging sibling first (they usually
+    derive from the dataset being overwritten), then swaps the
+    directories with filesystem metadata ops — delete target, rename
+    staging in — instead of a second full Spark write (r14; the old
+    read-staging-overwrite-target swap paid the data pass twice AND
+    could crash mid-overwrite leaving a truncated target as the only
+    copy). Every crash window now converges: die during the staging
+    write and the target is untouched (the incomplete staging carries
+    no ``_SUCCESS``); die between delete and rename and staging still
+    holds the full surviving rows — :func:`recover_dataset` finishes
+    the swap either way. A leftover staging dir on entry means exactly
+    such an unfinished swap, and proceeding would rebuild survivors
+    from a possibly-truncated target, so it raises instead (run
+    :func:`recover_dataset` first).
 
     The staging dir is dot-prefixed (readers' partition/file discovery
     skips it even mid-swap — required when ``path`` is one ``key=val``
     directory of a hive-partitioned export, as in
-    ``sinks.training.purge_training_shards``) and removed after the
-    swap (r13; it previously leaked a ``.__staging__`` sibling per
-    rewrite). Removal goes through the Hadoop FileSystem API so remote
-    URIs clean up too."""
-    import os as _os
-    base, name = _os.path.split(path.rstrip("/"))
-    staging = (base + "/" if base else "") + f"._staging_{name}"
+    ``sinks.training.purge_training_shards``). On object stores
+    without native rename (S3A) the rename degrades to a server-side
+    copy — still no worse than the old second write, and the
+    staging-until-committed contract is unchanged."""
+    staging = _staging_path(path.rstrip("/"))
+    fs, jstaging = _fs_and_path(spark, staging)
+    if fs.exists(jstaging):
+        raise RuntimeError(
+            f"stale staging dir {staging} — a previous rewrite of "
+            f"{path} crashed mid-swap; run recover_dataset() to "
+            "restore the target from it before rewriting again")
     survivors.write.mode("overwrite").format(fmt).save(staging)
-    spark.read.format(fmt).load(staging) \
-        .write.mode("overwrite").format(fmt).save(path)
-    jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(staging)
-    jpath.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
-    ).delete(jpath, True)
+    jvm = spark.sparkContext._jvm
+    jtarget = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    if fs.exists(jtarget):
+        fs.delete(jtarget, True)
+    if not fs.rename(jstaging, jtarget):
+        raise RuntimeError(f"swap rename {staging} -> {path} failed; "
+                           "staging kept for recover_dataset()")
 
 
 def snapshot_dataset(path: str, tag: str = "pre_migration") -> str:

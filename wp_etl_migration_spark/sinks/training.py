@@ -121,8 +121,51 @@ def _read_manifest(spark, path: str) -> dict | None:
         stream.close()
 
 
+def _stat_aggs(id_col: str, tokens_col: str | None) -> list:
+    aggs = [F.count("*").alias("rows"),
+            F.expr(f"bit_xor(xxhash64({id_col}))")
+            .alias("membership_hash")]
+    if tokens_col is not None:
+        aggs.append(F.sum(tokens_col).cast("long").alias("tokens"))
+    return aggs
+
+
+def _recover_grouped_purge(spark, path: str) -> None:
+    """Finish a grouped purge a crash interrupted: a leftover
+    ``._staging_purge`` with Spark's ``_SUCCESS`` marker holds the
+    complete survivor set for every shard dir still under it — swap
+    those in (delete target, rename; both metadata ops, re-runnable),
+    then drop staging. Without the marker the staging write never
+    committed and the targets were never touched — drop the garbage.
+    Either way the caller re-runs the normal purge flow afterwards
+    (the anti-join is a no-op on already-purged shards), so the
+    manifest refresh always completes."""
+    jvm = spark.sparkContext._jvm
+    staging = path.rstrip("/") + "/._staging_purge"
+    jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = jstaging.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jstaging):
+        return
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(staging + "/_SUCCESS")):
+        for st in fs.listStatus(jstaging):
+            name = st.getPath().getName()
+            if not name.startswith("shard="):
+                continue
+            jtarget = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + "/" + name)
+            if fs.exists(jtarget):
+                fs.delete(jtarget, True)
+            if not fs.rename(st.getPath(), jtarget):
+                raise RuntimeError(
+                    f"grouped-purge recovery rename of {name} failed; "
+                    "staging kept")
+    fs.delete(jstaging, True)
+
+
 def purge_training_shards(spark, path: str, id_col: str, ids,
-                          fmt: str = "parquet") -> dict:
+                          fmt: str = "parquet",
+                          grouped_threshold: int = 16) -> dict:
     """Right-to-be-forgotten purge of a WRITTEN shard export — the
     training-sink twin of the takedown surfaces the index stores
     already have (``operators.dedup.tombstone_index``/``purge_index``,
@@ -134,86 +177,193 @@ def purge_training_shards(spark, path: str, id_col: str, ids,
     shard = pmod(md5-bucket(salt ∥ id), n_shards), with both salt and
     n_shards recorded in the manifest), so the affected shard set is
     COMPUTED from the ids alone — one tiny job over the id set, no
-    scan of the export. Each affected ``shard=N`` directory is
-    rewritten through a staging swap (``janitor.rewrite_dataset``)
-    with a broadcast anti-join on the ids; untouched shards' bytes
-    are never opened. The manifest is recomputed for the rewritten
-    shards (rows, membership_hash, tokens if present) and written
-    LAST.
+    scan of the export. Below ``grouped_threshold`` affected shards
+    (the takedown design point: tens of ids → few shards), each
+    ``shard=N`` directory is rewritten through a staging swap
+    (``janitor.rewrite_dataset``) with a broadcast anti-join on the
+    ids. At or above it (mass takedowns — thousands of shards would
+    otherwise serialize one Spark job each), ONE job reads every
+    affected dir as a single frame (``basePath`` keeps the ``shard``
+    column), anti-joins once, writes one ``partitionBy("shard")``
+    staging export, and swaps each shard dir in with metadata renames.
+    Untouched shards' bytes are never opened on either path. The
+    manifest is recomputed for the rewritten shards (rows,
+    membership_hash, tokens if present) and written LAST.
 
-    Crash contract: a crash mid-purge leaves some shards rewritten
-    with a stale manifest — ``verify_training_shards`` reports the
-    mismatch, and re-running the purge converges (the anti-join
-    removes nothing further; the manifest refresh completes), so the
-    recovery action is simply "run it again". In-shard relative order
-    is preserved and ``pos`` keeps its original values (gaps where
-    rows were removed) — loaders keep a stable sort key, and a purged
-    export never changes the order of surviving rows.
+    Crash contract: every window converges on re-run. Both paths keep
+    their staging until the swap completes, and BOTH recoveries run
+    on entry — per-shard leftovers via ``janitor.recover_dataset``
+    (before the shard is read, so a truncated target can never seed
+    the next rewrite), grouped leftovers via the ``_SUCCESS``-marked
+    ``._staging_purge`` protocol — after which the normal flow re-runs
+    (no-op anti-join) and the manifest refresh completes. In-shard
+    relative order is preserved and ``pos`` keeps its original values
+    (gaps where rows were removed) — loaders keep a stable sort key,
+    and a purged export never changes the order of surviving rows.
 
-    ``ids``: a DataFrame with ``id_col`` or an iterable of id values.
+    Read-backs pin the pre-purge schema explicitly: inference would
+    throw on a fully-emptied shard (JSON writes no schema-bearing
+    files for 0 rows) and can drift column types for non-parquet
+    formats against untouched sibling shards. A shard the manifest
+    already records at 0 rows is skipped outright (nothing to remove;
+    its data files may legitimately be gone).
+
+    ``ids``: a DataFrame with ``id_col`` or an iterable of id values
+    (materialized up front — a lazy iterator would otherwise be
+    consumed piecemeal, and an empty generator is truthy).
     Returns ``{"affected_shards", "rows_removed", "manifest"}``.
     """
     from pyspark.sql import DataFrame as _DF
 
     from wp_etl_migration_spark.operators.sampling import hash_bucket
-    from wp_etl_migration_spark.plans.janitor import rewrite_dataset
+    from wp_etl_migration_spark.plans.janitor import (
+        recover_dataset, rewrite_dataset)
 
     manifest = _read_manifest(spark, path)
     if manifest is None:
         raise ValueError(f"no _manifest.json under {path} — not a "
                          "write_training_shards export")
     n_shards, salt = int(manifest["n_shards"]), manifest["salt"]
+    _recover_grouped_purge(spark, path)
     if not isinstance(ids, _DF):
-        ids = spark.createDataFrame([(i,) for i in ids],
-                                    [id_col]) if ids else None
-        if ids is None:
+        ids = list(ids)
+        if not ids:
             return {"affected_shards": [], "rows_removed": 0,
                     "manifest": manifest}
+        ids = spark.createDataFrame([(i,) for i in ids], [id_col])
     ids = ids.select(id_col).distinct()
     affected = sorted(
         r["shard"] for r in
         ids.select(F.pmod(hash_bucket(id_col, salt),
                           F.lit(n_shards)).cast("int").alias("shard"))
         .distinct().collect())
-    # only shards the manifest knows can hold rows; ids hashing into
-    # never-written shards are absent by construction
-    affected = [s for s in affected if str(s) in manifest["shards"]
-                or s in manifest["shards"]]
 
-    removed = 0
+    def _entry(s):
+        return manifest["shards"].get(str(s),
+                                      manifest["shards"].get(s))
+
+    # only shards the manifest knows hold rows; ids hashing into
+    # never-written or already-emptied shards are absent by
+    # construction (and an emptied JSON shard has no readable files)
+    affected = [s for s in affected
+                if _entry(s) is not None and int(_entry(s)["rows"])]
+    # finish any per-shard swap a crash interrupted BEFORE looking at
+    # (or reading) the targets — a committed staging is the one good
+    # copy and must win over both a truncated and a missing dir
     for s in affected:
-        shard_dir = path.rstrip("/") + f"/shard={s}"
-        rows = spark.read.format(fmt).load(shard_dir)
-        survivors = rows.join(F.broadcast(ids), on=id_col,
-                              how="left_anti")
-        aggs = [F.count("*").alias("rows"),
-                F.expr(f"bit_xor(xxhash64({id_col}))")
-                .alias("membership_hash")]
-        entry = manifest["shards"].get(str(s),
-                                       manifest["shards"].get(s))
-        tokens_col = manifest.get("tokens_col")
+        recover_dataset(spark, path.rstrip("/") + f"/shard={s}")
+    # a crash after a purge emptied a shard (dir removed) but before
+    # the manifest refresh leaves a stale non-zero entry over a
+    # missing dir — reconcile it to 0 here instead of throwing on read
+    jvm = spark.sparkContext._jvm
+    jbase = jvm.org.apache.hadoop.fs.Path(path.rstrip("/"))
+    fs = jbase.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    present, vanished = [], []
+    for s in affected:
+        (present if fs.exists(jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/shard={s}")) else vanished).append(s)
+    removed = 0
+    for s in vanished:
+        entry = _entry(s)
+        removed += int(entry["rows"])
+        entry["rows"] = 0
+        entry["membership_hash"] = 0
         if "tokens" in entry:
-            if tokens_col is None:
-                raise ValueError(
-                    "manifest has per-shard tokens but no tokens_col "
-                    "— export predates the purge surface; re-export")
-            aggs.append(F.sum(tokens_col).cast("long").alias("tokens"))
-        rewrite_dataset(spark, shard_dir, survivors, fmt=fmt)
-        back = spark.read.format(fmt).load(shard_dir)
-        stat = back.agg(*aggs).first()
-        removed += int(entry["rows"]) - int(stat["rows"])
-        entry["rows"] = int(stat["rows"])
-        entry["membership_hash"] = (int(stat["membership_hash"])
-                                    if stat["membership_hash"]
-                                    is not None else 0)
-        if "tokens" in entry:
-            entry["tokens"] = int(stat["tokens"] or 0)
+            entry["tokens"] = 0
+    affected = present
+    tokens_col = manifest.get("tokens_col")
+    if tokens_col is None and any("tokens" in _entry(s)
+                                  for s in affected):
+        raise ValueError(
+            "manifest has per-shard tokens but no tokens_col — "
+            "export predates the purge surface; re-export")
+
+    if affected and len(affected) >= grouped_threshold:
+        removed += _grouped_purge(spark, path, id_col, ids, affected,
+                                  manifest, fmt, tokens_col, _entry)
+    else:
+        for s in affected:
+            shard_dir = path.rstrip("/") + f"/shard={s}"
+            rows = spark.read.format(fmt).load(shard_dir)
+            survivors = rows.join(F.broadcast(ids), on=id_col,
+                                  how="left_anti")
+            entry = _entry(s)
+            aggs = _stat_aggs(id_col, tokens_col
+                              if "tokens" in entry else None)
+            rewrite_dataset(spark, shard_dir, survivors, fmt=fmt)
+            back = spark.read.schema(rows.schema).format(fmt) \
+                .load(shard_dir)
+            stat = back.agg(*aggs).first()
+            removed += int(entry["rows"]) - int(stat["rows"])
+            entry["rows"] = int(stat["rows"])
+            entry["membership_hash"] = (int(stat["membership_hash"])
+                                        if stat["membership_hash"]
+                                        is not None else 0)
+            if "tokens" in entry:
+                entry["tokens"] = int(stat["tokens"] or 0)
     manifest["n_rows"] = sum(int(v["rows"])
                              for v in manifest["shards"].values())
     _write_text(spark, path.rstrip("/") + "/_manifest.json",
                 json.dumps(manifest, indent=1, sort_keys=True))
     return {"affected_shards": affected, "rows_removed": removed,
             "manifest": manifest}
+
+
+def _grouped_purge(spark, path: str, id_col: str, ids, affected,
+                   manifest: dict, fmt: str, tokens_col, _entry) -> int:
+    """Mass-takedown path: one anti-join job over every affected
+    shard dir, one partitioned staging write, per-shard metadata
+    swaps. O(affected bytes) I/O regardless of shard count."""
+    jvm = spark.sparkContext._jvm
+    base = path.rstrip("/")
+    staging = base + "/._staging_purge"
+    dirs = [f"{base}/shard={s}" for s in affected]
+    rows = (spark.read.option("basePath", base).format(fmt)
+            .load(dirs))
+    survivors = rows.join(F.broadcast(ids), on=id_col, how="left_anti")
+    (survivors.write.mode("overwrite").partitionBy("shard")
+     .format(fmt).save(staging))
+    # stats BEFORE the swap moves the files; explicit schema — an
+    # all-shards-emptied staging has no data files to infer from
+    with_tokens = any("tokens" in _entry(s) for s in affected)
+    staged = (spark.read.option("basePath", staging)
+              .schema(rows.schema).format(fmt).load(staging))
+    stats = {int(r["shard"]): r for r in
+             staged.groupBy("shard")
+             .agg(*_stat_aggs(id_col,
+                              tokens_col if with_tokens else None))
+             .collect()}
+    fs = jvm.org.apache.hadoop.fs.Path(staging).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    removed = 0
+    for s in affected:
+        jtarget = jvm.org.apache.hadoop.fs.Path(f"{base}/shard={s}")
+        jstaged = jvm.org.apache.hadoop.fs.Path(
+            f"{staging}/shard={s}")
+        if fs.exists(jtarget):
+            fs.delete(jtarget, True)
+        if fs.exists(jstaged):
+            if not fs.rename(jstaged, jtarget):
+                raise RuntimeError(
+                    f"grouped-purge rename of shard={s} failed; "
+                    "staging kept — re-run to recover")
+        # else: every row of the shard was purged — no dir remains,
+        # exactly like a crashed-then-recovered empty swap
+        entry = _entry(s)
+        stat = stats.get(int(s))
+        new_rows = int(stat["rows"]) if stat is not None else 0
+        removed += int(entry["rows"]) - new_rows
+        entry["rows"] = new_rows
+        entry["membership_hash"] = (
+            int(stat["membership_hash"])
+            if stat is not None and stat["membership_hash"] is not None
+            else 0)
+        if "tokens" in entry:
+            entry["tokens"] = (int(stat["tokens"] or 0)
+                               if stat is not None else 0)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return removed
 
 
 def verify_training_shards(spark, path: str, id_col: str,
