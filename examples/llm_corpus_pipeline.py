@@ -104,35 +104,20 @@ def build_corpus(spark: SparkSession, sf_dir: str,
         .where(F.col("hit_rate") >= 0.2).select("doc_id")
     deduped = deduped.join(fluency, "doc_id", "left_semi")
 
-    # Model-based quality gate (FineWeb-Edu shape): bootstrap labels
-    # from the survivors' own heuristic-quality extremes (top/bottom
-    # around the median with a dead zone — the classic weak-label
-    # seed), train the linear classifier on that SAMPLE, then score
-    # every doc through the codegen path and gate permissively. At
-    # production scale the labels come from an LLM/human pass; the
-    # train-on-sample / score-the-corpus split is the same.
-    from wp_etl_migration_spark.operators.checkpoint import pin
+    # Model-based quality gate (FineWeb-Edu shape): one library call —
+    # weak-label seed from the survivors' own heuristic-quality
+    # extremes (median ± dead zone), train the linear classifier on
+    # that SAMPLE, score every doc through the codegen path, gate
+    # permissively. At production scale the labels come from an
+    # LLM/human pass; the train-on-sample / score-the-corpus split is
+    # the same. The recipe pins its input (it reads the survivors
+    # several times) and declines to train on a degenerate seed.
     from wp_etl_migration_spark.operators.classifier import (
-        score_text_classifier, train_text_classifier)
-    # pin: the stage reads the survivors several times (median probe,
-    # class counts, train sample, scoring) — cut the deep upstream
-    # lineage once instead of re-executing it per read.
-    deduped = pin(deduped)
-    med = deduped.agg(
-        F.percentile_approx("quality", 0.5)).first()[0] or 0.0
-    hi = deduped.where(F.col("quality") >= med + 0.02) \
-        .withColumn("label", F.lit(1))
-    lo = deduped.where(F.col("quality") <= med - 0.02) \
-        .withColumn("label", F.lit(0))
-    if hi.count() >= 10 and lo.count() >= 10:
-        clf = train_text_classifier(hi.unionByName(lo), "doc_id",
-                                    "text", "label",
-                                    num_features=2 ** 12)
-        probs = score_text_classifier(deduped, "doc_id", "text", clf)
-        passing = probs.where(F.col("quality_prob") >= 0.2) \
-            .select("doc_id")
-        n_before = deduped.count()
-        deduped = deduped.join(passing, "doc_id", "left_semi")
+        bootstrap_quality_gate)
+    n_before = deduped.count()
+    deduped, clf = bootstrap_quality_gate(deduped, "doc_id", "text",
+                                          "quality")
+    if clf is not None:
         print(f"classifier gate: kept {deduped.count()}/{n_before} "
               f"(weights={len(clf['weights'])})")
     else:

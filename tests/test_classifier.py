@@ -225,3 +225,43 @@ def test_classifier_rejects_foreign_tokenization(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="token_pattern"):
         score_text_classifier(df, "doc_id", "text", model)
+
+
+def test_bootstrap_quality_gate_recipe(spark):
+    """The one-call weak-label gate (VERDICT r13 #4): extremes around
+    the median seed the labels, the gate keeps high-prob docs, and a
+    degenerate seed (a class below min_class_size) declines to train
+    and passes the frame through unchanged."""
+    from wp_etl_migration_spark.operators.classifier import (
+        bootstrap_quality_gate)
+
+    corpus = _labeled_corpus(spark, n=300, seed=5)
+    # heuristic quality correlated with the latent label but
+    # continuous (a binary score would leave one side of the median
+    # empty): good docs mostly above the median, bad mostly below,
+    # label column dropped — the gate must rediscover the split
+    scored = corpus.withColumn(
+        "quality",
+        F.col("label") * 0.4 + (F.col("doc_id") % 50) / 100.0) \
+        .drop("label")
+    gated, model = bootstrap_quality_gate(scored, "doc_id", "text",
+                                          "quality")
+    assert model is not None and model["weights"]
+    kept = {r.doc_id for r in gated.select("doc_id").collect()}
+    labels = {r.doc_id: r.label for r in
+              _labeled_corpus(spark, n=300, seed=5)
+              .select("doc_id", "label").collect()}
+    good = [d for d, l in labels.items() if l == 1]
+    bad = [d for d, l in labels.items() if l == 0]
+    # permissive gate: keeps essentially all good docs, drops a real
+    # fraction of the bad
+    assert sum(d in kept for d in good) / len(good) >= 0.95
+    assert sum(d in kept for d in bad) / len(bad) <= 0.5
+    # schema passes through untouched
+    assert gated.columns == scored.columns
+
+    # degenerate seed: constant quality ⇒ no extremes ⇒ no-op
+    flat = scored.withColumn("quality", F.lit(0.5))
+    out, m = bootstrap_quality_gate(flat, "doc_id", "text", "quality")
+    assert m is None
+    assert out.count() == flat.count()

@@ -407,3 +407,58 @@ def test_stream_classifier_score_matches_batch(spark, tmp_path):
         assert streamed[d] == pytest.approx(batch[d], abs=1e-12), d
     # separability survived the stream: good-ish doc above bad doc
     assert streamed[1] > streamed[2]
+
+
+def test_stream_classifier_emit_empty_docs_backfill(spark, tmp_path):
+    """emit_empty_docs=True removes the batch/stream contract
+    difference: zero-token documents emit sigmoid(intercept) rows
+    exactly like score_text_classifier backfills them — via
+    explode_outer, still stateless (no side stream). Default stays
+    the drop behavior."""
+    import math
+
+    from wp_etl_migration_spark.operators.classifier import (
+        score_text_classifier, train_text_classifier)
+    from wp_etl_migration_spark.streaming.quality import (
+        stream_classifier_score)
+    from wp_etl_migration_spark.streaming.windows import run_to_memory
+
+    labeled = spark.createDataFrame(
+        [(i, "study method result evidence", 1) for i in range(10)]
+        + [(100 + i, "click free casino jackpot", 0)
+           for i in range(10)],
+        ["doc_id", "text", "label"])
+    model = train_text_classifier(labeled, "doc_id", "text", "label",
+                                  num_features=2 ** 10)
+
+    docs = spark.createDataFrame(
+        [(1, "study method casino", "2024-01-01 00:10:00"),
+         (2, "", "2024-01-01 00:15:00"),           # zero tokens
+         (3, "!!! ...", "2024-01-01 00:20:00"),    # zero tokens too
+         (4, "late", "2024-01-02 00:00:00")],      # watermark pusher
+        ["doc_id", "text", "ts_s"]).withColumn(
+            "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    doc_dir = str(tmp_path / "docs")
+    docs.write.parquet(doc_dir)
+
+    stream = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    run_to_memory(stream_classifier_score(
+        stream, model, "doc_id", "text", emit_empty_docs=True),
+        "clf_backfill")
+    streamed = {r.doc_id: r.quality_prob
+                for r in spark.table("clf_backfill").collect()}
+    assert set(streamed) == {1, 2, 3}
+    batch = {r.doc_id: r.quality_prob for r in
+             score_text_classifier(docs.where("doc_id < 4"), "doc_id",
+                                   "text", model).collect()}
+    for d in streamed:
+        assert streamed[d] == pytest.approx(batch[d], abs=1e-12), d
+    want = 1.0 / (1.0 + math.exp(-model["intercept"]))
+    assert streamed[2] == pytest.approx(want, abs=1e-12)
+
+    # default (False): the empty docs drop, as before
+    stream2 = spark.readStream.schema(docs.schema).parquet(doc_dir)
+    run_to_memory(stream_classifier_score(
+        stream2, model, "doc_id", "text"), "clf_drop")
+    assert {r.doc_id for r in spark.table("clf_drop").collect()} \
+        == {1}

@@ -154,6 +154,56 @@ def score_text_classifier(df: DataFrame, id_col: str, text_col: str,
                                   + F.lit(b))))).alias(out_col)))
 
 
+def bootstrap_quality_gate(df: DataFrame, id_col: str, text_col: str,
+                           quality_col: str,
+                           dead_zone: float = 0.02,
+                           min_class_size: int = 10,
+                           keep_threshold: float = 0.2,
+                           num_features: int = 2 ** 12,
+                           **train_kw) -> tuple[DataFrame,
+                                                dict | None]:
+    """Weak-label classifier gate (FineWeb-Edu shape, one call):
+    bootstrap labels from the corpus's own heuristic-quality extremes
+    — label 1 at ``quality >= median + dead_zone``, label 0 at
+    ``<= median − dead_zone`` (the dead zone keeps ambiguous middles
+    out of the seed) — train :func:`train_text_classifier` on that
+    SAMPLE, score every doc through the codegen path, and keep
+    ``quality_prob >= keep_threshold``. At production scale the
+    labels come from an LLM/human pass; the train-on-sample /
+    score-the-corpus split is identical.
+
+    Returns ``(gated_df, model)``; when either weak class has fewer
+    than ``min_class_size`` docs the gate declines to train and
+    returns ``(df, None)`` unchanged — a classifier fit on a
+    degenerate seed would gate on noise.
+
+    The input is :func:`~wp_etl_migration_spark.operators.checkpoint.
+    pin`-ned first: this stage reads it several times (median probe,
+    class counts, LBFGS passes, scoring), and each read of a deep
+    curation pipeline (gates → dedup → LM …) would otherwise
+    re-execute the whole upstream — the stage flood behind a driver
+    OOM observed in the curation example before the cut."""
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
+    df = pin(df)
+    med = df.agg(F.percentile_approx(quality_col, 0.5)).first()[0] \
+        or 0.0
+    hi = df.where(F.col(quality_col) >= med + dead_zone) \
+        .withColumn("__label", F.lit(1))
+    lo = df.where(F.col(quality_col) <= med - dead_zone) \
+        .withColumn("__label", F.lit(0))
+    if hi.count() < min_class_size or lo.count() < min_class_size:
+        return df, None
+    model = train_text_classifier(hi.unionByName(lo), id_col,
+                                  text_col, "__label",
+                                  num_features=num_features,
+                                  **train_kw)
+    passing = (score_text_classifier(df, id_col, text_col, model)
+               .where(F.col("quality_prob") >= keep_threshold)
+               .select(id_col))
+    return df.join(passing, id_col, "left_semi"), model
+
+
 def classifier_margin_fixed_point(df: DataFrame, id_col: str,
                                   text_col: str, model: dict,
                                   fixed_point: int = 6) -> DataFrame:

@@ -71,7 +71,8 @@ def stream_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
 def stream_classifier_score(docs: DataFrame, model: dict, id_col: str,
                             text_col: str, ts_col: str = "ts",
                             window: str = "1 hour",
-                            watermark: str = "1 hour") -> DataFrame:
+                            watermark: str = "1 hour",
+                            emit_empty_docs: bool = False) -> DataFrame:
     """Streaming trained-classifier scoring against a STATIC model
     dict (``operators.classifier.train_text_classifier`` — trained
     offline on the labeled sample), as watermarked windowed
@@ -82,10 +83,14 @@ def stream_classifier_score(docs: DataFrame, model: dict, id_col: str,
     codegen, the stream-static left join adds no state (the
     model-sized weight table broadcasts), and the only state is the
     windowed per-document margin sum, watermark-bounded. Documents
-    whose tokens hit no trained weight score sigmoid(intercept);
-    documents with ZERO tokens emit no row (nothing survives the
-    explode — the one contract difference from the batch twin, which
-    backfills them)."""
+    whose tokens hit no trained weight score sigmoid(intercept).
+
+    Documents with ZERO tokens emit no row by default (nothing
+    survives the explode). ``emit_empty_docs=True`` restores the
+    batch twin's contract — they score sigmoid(intercept) — by
+    switching to ``explode_outer`` (an empty token array yields one
+    null-token row whose null feature index joins no weight), still
+    fully stateless: no side stream, no extra state."""
     from wp_etl_migration_spark.operators.classifier import (
         TOKEN_PATTERN, _feature_index, _tokens)
     if model.get("token_pattern") not in (None, TOKEN_PATTERN):
@@ -98,10 +103,16 @@ def stream_classifier_score(docs: DataFrame, model: dict, id_col: str,
     w = spark.createDataFrame(
         [(int(i), float(v)) for i, v in model["weights"].items()],
         "feature int, weight double")
+    explode = F.explode_outer if emit_empty_docs else F.explode
     feat = (docs.select(F.col(id_col), F.col(ts_col),
-                        F.explode(_tokens(text_col)).alias("__t"))
+                        explode(_tokens(text_col)).alias("__t"))
             .select(id_col, ts_col,
-                    _feature_index(F.col("__t"), n).alias("feature")))
+                    # null token (explode_outer on an empty array)
+                    # must keep a NULL feature — hash(NULL) is a real
+                    # int that could collide with a trained weight
+                    F.when(F.col("__t").isNull(), F.lit(None))
+                    .otherwise(_feature_index(F.col("__t"), n))
+                    .alias("feature")))
     return (feat.join(F.broadcast(w), "feature", "left")
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window).alias("__w"),
