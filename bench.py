@@ -261,8 +261,30 @@ def _mem_canary_round(passes: int) -> float:
     try:
         barrier.wait(timeout=MEM_CANARY_TIMEOUT_SEC)
         t0 = time.monotonic()
-        for _ in procs:
-            out_q.get(timeout=MEM_CANARY_TIMEOUT_SEC)
+        deadline = t0 + MEM_CANARY_TIMEOUT_SEC
+        got = 0
+        while got < len(procs):
+            # short-poll instead of one long get: a worker OOM-killed
+            # mid-sweep never puts, and waiting the full timeout for
+            # it stalls the bench (and the quiet gate) for a minute
+            # per round — detect the death within ~0.5 s instead
+            # (ADVICE r13). Exit code 0 is NOT death: a finished
+            # worker may exit while its item still sits in the queue.
+            try:
+                out_q.get(timeout=0.5)
+                got += 1
+                continue
+            except Exception:  # noqa: BLE001 — queue.Empty
+                pass
+            killed = [p.exitcode for p in procs
+                      if p.exitcode not in (0, None)]
+            if killed:
+                raise RuntimeError(
+                    f"mem canary worker killed mid-probe "
+                    f"(exitcodes={killed})")
+            if time.monotonic() > deadline:
+                raise RuntimeError("mem canary round stalled past "
+                                   f"{MEM_CANARY_TIMEOUT_SEC}s")
         return time.monotonic() - t0
     except Exception as exc:
         dead = [p.exitcode for p in procs if not p.is_alive()]
@@ -469,7 +491,8 @@ def merge_fresh_floors(runs: list[dict]) -> dict[str, float]:
 
 def paired(argv: list[str]) -> int:
     """``bench.py --paired [--only a,b,c]`` — the committed baseline
-    procedure (BASELINE.md) as one command: TWO child bench runs, each
+    procedure (BASELINE.md) as one command: ``--children N`` (default
+    2) child bench runs, each
     a fresh interpreter + fresh SparkSession, per-query MINIMUM
     merged into ``baseline_queries.json``. (Since the r12 cache
     isolation in ``run_one`` — ``clearCache()`` before every query
@@ -486,12 +509,26 @@ def paired(argv: list[str]) -> int:
     import subprocess
 
     names: list[str] | None = None
-    for i, a in enumerate(argv):
-        if a == "--only":
-            names = [n.strip() for n in argv[i + 1].split(",") if n]
-        elif a.startswith("--only="):
-            names = [n.strip() for n in a[len("--only="):].split(",")
-                     if n]
+    children = 2
+    try:
+        for i, a in enumerate(argv):
+            if a == "--only":
+                names = [n.strip() for n in argv[i + 1].split(",")
+                         if n]
+            elif a.startswith("--only="):
+                names = [n.strip()
+                         for n in a[len("--only="):].split(",") if n]
+            elif a == "--children":
+                children = int(argv[i + 1])
+            elif a.startswith("--children="):
+                children = int(a[len("--children="):])
+    except (IndexError, ValueError):
+        print(json.dumps({"error": "usage: bench.py --paired "
+                                   "[--only a,b,c] [--children N]"}))
+        return 2
+    if children < 1:
+        print(json.dumps({"error": "--children must be >= 1"}))
+        return 2
     unknown = set(names or ()) - set(BENCH_QUERIES)
     if unknown:
         print(json.dumps({"error": f"not headline queries: "
@@ -499,7 +536,7 @@ def paired(argv: list[str]) -> int:
         return 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs: list[dict[str, float]] = []
-    for _ in range(2):
+    for _ in range(children):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             capture_output=True, text=True, env=dict(os.environ))

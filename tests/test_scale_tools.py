@@ -1394,3 +1394,80 @@ def test_purge_converges_after_simulated_grouped_crash(spark,
     assert back.count() == 300 - len(victims)
     assert back.where(F.col("doc_id").isin(victims)).count() == 0
     assert res["manifest"]["n_rows"] == 300 - len(victims)
+
+
+def _load_bench():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench
+
+
+def test_mem_canary_fast_fails_on_worker_death(monkeypatch):
+    """A canary worker OOM-killed mid-sweep must fail the round
+    within the ~0.5 s liveness poll, not stall the bench (and the
+    quiet gate) for the full 60 s queue timeout (ADVICE r13)."""
+    import os
+    import signal
+    import time as _time
+
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "MEM_CANARY_WORKERS", 2)
+    monkeypatch.setattr(bench, "MEM_CANARY_MIB", 1)
+
+    real_worker = bench._mem_canary_worker
+
+    def dying_worker(barrier, out_q, passes):
+        barrier.wait()
+        os.kill(os.getpid(), signal.SIGKILL)
+
+    monkeypatch.setattr(bench, "_mem_canary_worker", dying_worker)
+    t0 = _time.monotonic()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="killed|died|stalled"):
+        bench._mem_canary_round(2)
+    # fast-fail: well under the 60 s timeout the old code waited out
+    assert _time.monotonic() - t0 < 30
+
+    # healthy round still returns a positive wall
+    monkeypatch.setattr(bench, "_mem_canary_worker", real_worker)
+    assert bench._mem_canary_round(1) > 0
+
+
+def test_quiet_gate_arg_parsing(capsys, monkeypatch):
+    """tools/quiet.py argv contract (ADVICE r13): both --k v and
+    --k=v forms parse, unknown flags and bad values produce the
+    one-JSON-line structured error (exit 2), never a traceback or a
+    silently-ignored typo."""
+    import importlib.util
+    import json
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "quiet", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "tools", "quiet.py"))
+    quiet = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(quiet)
+
+    for argv in (["--cpu"], ["--cpu", "abc"], ["--cpu=abc"],
+                 ["--typo", "1.1"], ["--typo=1.1"], ["stray"],
+                 ["--mem", "--cpu"]):
+        assert quiet.main(argv) == 2, argv
+        out = json.loads(capsys.readouterr().out.strip())
+        assert "error" in out
+
+    # happy path: stub the canaries so no real probe runs
+    import sys
+    sys.modules.pop("bench", None)
+    bench = _load_bench()
+    monkeypatch.setattr(bench, "canary_sec", lambda: 1.0)
+    monkeypatch.setattr(bench, "io_canary_sec", lambda: 1.0)
+    monkeypatch.setattr(bench, "mem_canary_sec", lambda: 1.0)
+    monkeypatch.setitem(sys.modules, "bench", bench)
+    rc = quiet.main(["--cpu", "9.9", "--io=9.9", "--mem", "9.9"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "ratios" in out and rc in (0, 1)

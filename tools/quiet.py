@@ -32,17 +32,35 @@ def main(argv: list[str]) -> int:
     import bench
 
     bars = {"cpu": 1.08, "io": 1.15, "mem": 1.15}
-    for key in bars:
-        flag = f"--{key}"
-        if flag in argv:
-            # A trailing or non-numeric value must keep the
-            # one-JSON-line contract, not traceback (ADVICE r12).
-            try:
-                bars[key] = float(argv[argv.index(flag) + 1])
-            except (IndexError, ValueError):
-                print(json.dumps({"error": f"{flag} needs a numeric "
-                                           f"value, e.g. {flag} 1.1"}))
+    # One real parser pass: both `--cpu 1.1` and `--cpu=1.1` forms,
+    # structured errors for trailing/non-numeric values AND for
+    # unknown arguments — a typo'd flag used to be silently ignored,
+    # gating the run on defaults the caller thought they overrode
+    # (ADVICE r12/r13; one-JSON-line contract either way).
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        key, _, inline = a.partition("=")
+        key = key.lstrip("-")
+        if not a.startswith("--") or key not in bars:
+            print(json.dumps({"error": f"unknown argument {a!r}; "
+                                       "usage: quiet.py [--cpu X] "
+                                       "[--io X] [--mem X]"}))
+            return 2
+        if not inline:
+            if i + 1 >= len(argv):
+                print(json.dumps({"error": f"--{key} needs a numeric "
+                                           f"value, e.g. --{key} 1.1"}))
                 return 2
+            inline = argv[i + 1]
+            i += 1
+        try:
+            bars[key] = float(inline)
+        except ValueError:
+            print(json.dumps({"error": f"--{key} needs a numeric "
+                                       f"value, got {inline!r}"}))
+            return 2
+        i += 1
 
     base_path = os.path.join(_ROOT, "baseline_queries.json")
     refs = {}

@@ -46,7 +46,7 @@ index therefore has TWO parts, managed by :class:`_IndexStore`:
 - the **base**: a LEVELED list of compacted runs
   ``<root>_base/gen-K/sub=S/``, each hive-partitioned by ``sub =
   pmod(xxhash64(join key), num_subs)`` and named by the atomic
-  pointer (``{"folded_up_to": W, "runs": [{"gen": K, "num_subs": M},
+  pointer (``{"folded_up_to": W, "runs": [{"gen": K, "num_subs": M, "rows": R},
   …], "tomb_gen": G|null}``). Run rows RETAIN their original
   ``batch_id`` as a plain column (r9 — it RLE-compresses to nothing
   and buys precise own-batch exclusion plus tombstone scoping, both
@@ -568,7 +568,7 @@ class _IndexStore:
         return self.root + "_tombs"
 
     def pointer(self) -> dict | None:
-        """``{"folded_up_to": W, "runs": [{"gen": K, "num_subs": M},
+        """``{"folded_up_to": W, "runs": [{"gen": K, "num_subs": M, "rows": R},
         ...], "tomb_gen": G|None}`` — the committed base state, or
         None before the first compaction, read through the store's
         :class:`PointerProtocol` (default :class:`VersionedPointer`;
@@ -863,7 +863,13 @@ class _IndexStore:
              .repartition("sub")
              .write.partitionBy("sub").mode("overwrite")
              .parquet(os.path.join(self._base_root, f"gen-{gen_new}")))
-            added = {"gen": gen_new, "num_subs": int(subs_new)}
+            # fold-time row count rides in the pointer so a fresh
+            # process can budget its prepared cache without one cold
+            # count() job per live gen (ADVICE r13). Physical purges
+            # can later shrink a run below this figure — the budget
+            # then under-admits, never over-admits.
+            added = {"gen": gen_new, "num_subs": int(subs_new),
+                     "rows": int(n_rows)}
             runs_new = [added] if merge else runs_old + [added]
         # Tombstone fold: the merge filtered every stored row, so the
         # committed set is purged outright; otherwise newly committed
@@ -1660,7 +1666,13 @@ class IncrementalAnnIndex:
             for run, base in runs:
                 gen = int(run["gen"])
                 if gen not in self._gen_rows:
-                    self._gen_rows[gen] = base.count()
+                    # pointer-recorded fold-time count when present
+                    # (ADVICE r13 — fresh processes used to pay one
+                    # cold count() job per live gen); legacy pointers
+                    # without it still count once and memoize
+                    self._gen_rows[gen] = (int(run["rows"])
+                                           if "rows" in run
+                                           else base.count())
                 sized.append((self._gen_rows[gen], gen))
             sized.sort(reverse=True)
             bpr = self._prepared_row_bytes()
