@@ -152,6 +152,10 @@ BENCH_QUERIES = [
     "train_val_test",
     "dedup_pipeline",
     "quantile_band",
+    # r14: trained-classifier corpus scoring (codegen hash ->
+    # broadcast weight join -> one uniform shuffle), the 100 TB
+    # model-gate path, in its engine-exact integer view.
+    "classifier_score",
     # r6: the composed user journey (CSV scan -> preset chain ->
     # media/post/meta/terms staged sinks -> ledger write) as ONE
     # tracked wall time — the reference's actual end-to-end workload,
