@@ -172,12 +172,56 @@ KERNELS = {
             verify_threshold=0.7, max_doc_freq=JACCARD_MAX_DOC_FREQ),
     "dedup_pipeline":
         lambda d: dedup_documents(d, "doc_id", "text"),
-    # r13: the fourth batch near-dup kernel (chunk equi-join +
-    # packed-word Hamming) — the one without sf10 evidence until now
+    # r13/r14: the fourth batch near-dup kernel (chunk equi-join +
+    # packed-word Hamming) at the at-scale configuration.
+    # bits=32/chunks=4 (the sf0.1 bench config) is 8-bit chunks = 256
+    # bucket values: random occupancy n/256 makes the candidate join
+    # quadratic in corpus size — at 500k docs the r14 first attempt
+    # sat 27+ min in the candidate stage and was killed. 64-bit
+    # signatures (16-bit chunks) fix the WIDTH term, and
+    # max_bucket=100 (the JACCARD_MAX_DOC_FREQ discipline) bounds the
+    # residual hot buckets this synthetic corpus's 31-word vocabulary
+    # concentrates (mass-near-identical signatures — real corpora
+    # meet the same regime as boilerplate families). --occupancy
+    # measures both terms; the --wide corpus (disjoint per-salt
+    # vocabulary) is the uniform-occupancy bed where the cap sits
+    # idle.
     "simhash_near_dup":
-        lambda d: simhash_near_dup(d, "doc_id", "text", bits=32,
-                                   chunks=4),
+        lambda d: simhash_near_dup(d, "doc_id", "text", bits=64,
+                                   chunks=4, max_bucket=100),
 }
+
+
+def occupancy_probe(spark, corpus) -> dict:
+    """Chunk-bucket occupancy stats for 8-bit vs 16-bit chunk widths
+    — the quantity that decides whether the simhash candidate join is
+    linear or quadratic (expected candidate pairs ≈ Σ_buckets n_b²/2).
+    Signatures only + one groupBy: cheap at any scale, no candidate
+    join."""
+    from wp_etl_migration_spark.operators.simhash import (
+        simhash_signatures)
+    out = {}
+    for bits, chunks in ((32, 4), (64, 4)):
+        width = bits // chunks
+        sig = simhash_signatures(corpus, "doc_id", "text", bits)
+        occ = (sig.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.substring("simhash", c * width + 1, width)
+                     .alias("v")) for c in range(chunks)]))
+            .alias("ch"))
+            .groupBy("ch").count())
+        stats = occ.agg(
+            F.count("*").alias("buckets"),
+            F.max("count").alias("max_occ"),
+            F.avg("count").alias("mean_occ"),
+            (F.sum(F.col("count") * F.col("count")) / 2)
+            .cast("long").alias("cand_pairs_bound")).first()
+        out[f"{bits}b_{width}bit_chunks"] = {
+            "buckets": stats["buckets"],
+            "max_occupancy": int(stats["max_occ"]),
+            "mean_occupancy": round(float(stats["mean_occ"]), 1),
+            "candidate_pairs_bound": int(stats["cand_pairs_bound"])}
+    return out
 
 
 def main(argv: list[str]) -> int:
@@ -189,7 +233,9 @@ def main(argv: list[str]) -> int:
     # without re-paying the whole matrix)
     kernels = dict(KERNELS)
     if "--kernels" in argv:
-        names = argv[argv.index("--kernels") + 1].split(",")
+        raw = argv[argv.index("--kernels") + 1]
+        # "--kernels none" runs no kernels (occupancy-only probes)
+        names = [] if raw == "none" else raw.split(",")
         unknown = set(names) - set(kernels)
         if unknown:
             print(json.dumps({"error": f"unknown kernels "
@@ -204,10 +250,13 @@ def main(argv: list[str]) -> int:
     out = {"metric": "sf10_dedup_scaling", "unit": "sec",
            "corpus": "wide" if wide else "replica",
            "max_doc_freq": JACCARD_MAX_DOC_FREQ, "scales": {}}
+    occupancy = "--occupancy" in argv
     for r in scales:
         path = build_corpus(spark, r, wide=wide)
         corpus = spark.read.parquet(path).localCheckpoint(eager=True)
         entry = {"docs": corpus.count(), "kernels": {}}
+        if occupancy:
+            entry["simhash_occupancy"] = occupancy_probe(spark, corpus)
         for name, fn in kernels.items():
             # ONE run per kernel per session: in-session repeats are
             # invalid here for the same reason bench.py --paired

@@ -903,3 +903,36 @@ def test_random_projection_float_and_fixed_point(spark):
            for p in range(3)]
     with pytest.raises(ValueError, match="degenerate"):
         random_projection(emb, "vec_id", "embedding", old)
+
+
+def test_simhash_max_bucket_drops_hot_chunks(spark):
+    """max_bucket (r14, the sf10 occupancy finding): over-occupied
+    (chunk, value) buckets are dropped before the candidate join —
+    a mass-identical-signature family above the cap produces NO pairs
+    (its members share every chunk, all over cap), while ordinary
+    near-dup pairs in cool buckets survive untouched."""
+    from pyspark.sql import functions as F
+
+    from wp_etl_migration_spark.operators.simhash import (
+        simhash_near_dup)
+
+    # 30 identical docs (one signature family) + one near-dup pair of
+    # a distinct text
+    fam = [(i, "the quick brown fox jumps over the lazy dog")
+           for i in range(30)]
+    pair = [(100, "spark shuffles partition data across executors"),
+            (101, "spark shuffles partition data across executor")]
+    df = spark.createDataFrame(fam + pair, ["doc_id", "text"])
+
+    uncapped = simhash_near_dup(df, "doc_id", "text", bits=32,
+                                chunks=4)
+    got_unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in got_unc
+    assert sum(1 for a, b in got_unc if a < 30 and b < 30) == \
+        30 * 29 // 2  # the family is all-pairs without a cap
+
+    capped = simhash_near_dup(df, "doc_id", "text", bits=32,
+                              chunks=4, max_bucket=10)
+    got_cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got_cap           # cool buckets untouched
+    assert not any(a < 30 and b < 30 for a, b in got_cap)

@@ -82,12 +82,35 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
                      bits: int = 32, chunks: int = 4,
-                     max_hamming: int | None = None) -> DataFrame:
+                     max_hamming: int | None = None,
+                     max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs (id_a, id_b, hamming) via the chunk equi-join.
 
     Complete for ``hamming ≤ chunks - 1`` (pigeonhole); ``max_hamming``
     defaults to that bound. One shuffle on chunk value; Hamming check on
     candidates only.
+
+    **Size the chunk width to the corpus.** Expected random bucket
+    occupancy is ``n / 2^(bits/chunks)``: candidate pairs grow with
+    occupancy SQUARED, so a width that is comfortable at one scale
+    goes quadratic a decade later. The r14 sf10 study measured it:
+    ``bits=32, chunks=4`` (8-bit chunks, 256 values) ran the 500k-doc
+    corpus into a ~2000-deep-bucket candidate join that had to be
+    killed, while ``bits=64, chunks=4`` (16-bit chunks) keeps random
+    occupancy ≈ n/65536 and scales cleanly — 64-bit signatures are
+    the production configuration beyond ~10⁵ docs (more bits also
+    sharpen the Hamming radius, Charikar's actual regime).
+
+    ``max_bucket`` is the guard for the residual hot buckets width
+    cannot fix (mass-identical signatures: boilerplate families,
+    adversarial spam): (chunk, value) buckets holding more rows are
+    dropped before the join — the same cap-and-tradeoff as the LSH
+    band caps and the FastSS variant cap. Recall cost: a true pair is
+    lost only if EVERY chunk the two signatures share is over the cap
+    (pairs within an n-deep identical-signature family share all
+    chunks, and such families are exactly what the cap is for — their
+    n² candidate pairs are near-duplicate CLUSTERS better resolved by
+    exact dedup upstream).
     """
     if bits % chunks:
         raise ValueError("bits must divide evenly into chunks")
@@ -112,6 +135,11 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
                      F.substring("simhash", c * width + 1, width)
                      .alias("v"))
             for c in range(chunks)])).alias("__ch"))
+    if max_bucket is not None:
+        cool = (chunked.groupBy("__ch")
+                .agg(F.count("*").alias("__n"))
+                .where(F.col("__n") <= max_bucket).select("__ch"))
+        chunked = chunked.join(cool, "__ch", "left_semi")
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (a.join(b, on=[F.col("a.__ch") == F.col("b.__ch")])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
