@@ -74,15 +74,27 @@ def _variants(df: DataFrame, id_col: str, key_col: str,
     k = F.col("__key")
     p1, p2 = F.col("__p1"), F.col("__p2")
     base = df.select(F.col(id_col), key.alias("__key"))
+
+    def _dedup(vh: DataFrame) -> DataFrame:
+        # One shuffle instead of two (r14): a plain distinct()
+        # exchanges on (id, __v), and the downstream variant equi-join
+        # then re-exchanges the whole table on __v alone — the 100×
+        # study watched that second 72M-row shuffle. Partitioning by
+        # __v satisfies BOTH: it clusters every (id, __v) duplicate
+        # (subset-key partitioning satisfies the dedup's required
+        # clustering) and is exactly the join's distribution, so the
+        # dedup's exchange is the join's exchange.
+        return (vh.repartition("__v")
+                .dropDuplicates([vh.columns[0], "__v"]))
+
     if depth == 1:
         # (0) keeps the full key; p in 1..len deletes the p-th char.
         v = _del1(k, p2)
-        return (base.select(
+        return _dedup(base.select(
             F.col(id_col), "__key",
             F.explode(F.sequence(F.lit(0), F.length(k)))
             .alias("__p2"))
-            .select(F.col(id_col), F.xxhash64(v).alias("__v"))
-            .distinct())
+            .select(F.col(id_col), F.xxhash64(v).alias("__v")))
     # depth 2: (0,0) full key; (0,p) single deletions; (p1<p2) doubles.
     seconds = F.when(
         p1 == 0, F.sequence(F.lit(0), F.length(k))).otherwise(
@@ -92,13 +104,12 @@ def _variants(df: DataFrame, id_col: str, key_col: str,
     v = F.when((p1 == 0) & (p2 == 0), k) \
          .when(p1 == 0, _del1(k, p2)) \
          .otherwise(_del2(k, p1, p2))
-    return (base.select(
+    return _dedup(base.select(
         F.col(id_col), "__key",
         F.explode(F.sequence(F.lit(0), F.length(k))).alias("__p1"))
         .select(F.col(id_col), "__key", "__p1",
                 F.explode(seconds).alias("__p2"))
-        .select(F.col(id_col), F.xxhash64(v).alias("__v"))
-        .distinct())
+        .select(F.col(id_col), F.xxhash64(v).alias("__v")))
 
 
 def fuzzy_join(left: DataFrame, right: DataFrame,
@@ -148,8 +159,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     # Candidate ID pairs first (16-byte rows through the fanout), keys
     # re-joined only for the distinct survivors — the levenshtein
     # verify touches each unique pair once regardless of how many
-    # variants it shares.
-    cand = (lv.join(rv, on="__v")
+    # variants it shares. The canonical side carries a shuffle_hash
+    # hint: post-explode size estimates are the narrow frame's (see
+    # fuzzy_self_join — measured 25× wall at 1.5M keys when the
+    # planner broadcast an 84M-row variant side), so broadcast
+    # selection here would trust a ~(variants/key)× underestimate;
+    # SHJ builds on the (truly smaller) canonical variants instead.
+    cand = (lv.join(rv.hint("shuffle_hash"), on="__v")
             .select(left_id, right_id).distinct())
     lk = left.select(F.col(left_id),
                      F.col(left_key).alias("left_key")).distinct()
@@ -201,7 +217,17 @@ def fuzzy_self_join(df: DataFrame, id_col: str, key_col: str,
         cool = (v.groupBy("__v").count()
                 .where(F.col("count") <= max_bucket).select("__v"))
         v = v.join(cool, "__v", "left_semi")
-    a, b = v.alias("a"), v.alias("b")
+    # The variant self-join must NEVER broadcast: Catalyst's size
+    # estimate for the exploded variant frame is the NARROW (id, key)
+    # frame's — the generate doesn't scale it — so a corpus whose
+    # variant table is 50× the threshold still looks broadcastable.
+    # Measured (r14 sf10 decade): at 1.5M keys the planner broadcast
+    # the 84M-row variant side and the wall went 7.7 → 193 s
+    # (exponent 1.40); the shuffle_hash hint (hints out-rank size
+    # estimates) restores the hash-partitioned equi-join the
+    # construction is designed around.
+    a = v.alias("a").hint("shuffle_hash")
+    b = v.alias("b").hint("shuffle_hash")
     # Candidate ID pairs first (16-byte rows through the fanout), keys
     # re-joined only for the distinct survivors.
     cand = (a.join(b, on="__v")
