@@ -1396,17 +1396,6 @@ def test_purge_converges_after_simulated_grouped_crash(spark,
     assert res["manifest"]["n_rows"] == 300 - len(victims)
 
 
-def _load_bench():
-    import importlib.util
-    import os
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))), "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
-    return bench
-
-
 def test_mem_canary_fast_fails_on_worker_death(monkeypatch):
     """A canary worker OOM-killed mid-sweep must fail the round
     within the ~0.5 s liveness poll, not stall the bench (and the
@@ -1415,7 +1404,7 @@ def test_mem_canary_fast_fails_on_worker_death(monkeypatch):
     import signal
     import time as _time
 
-    bench = _load_bench()
+    bench = _load_bench("bench")
     monkeypatch.setattr(bench, "MEM_CANARY_WORKERS", 2)
     monkeypatch.setattr(bench, "MEM_CANARY_MIB", 1)
 
@@ -1463,7 +1452,7 @@ def test_quiet_gate_arg_parsing(capsys, monkeypatch):
     # happy path: stub the canaries so no real probe runs
     import sys
     sys.modules.pop("bench", None)
-    bench = _load_bench()
+    bench = _load_bench("bench")
     monkeypatch.setattr(bench, "canary_sec", lambda: 1.0)
     monkeypatch.setattr(bench, "io_canary_sec", lambda: 1.0)
     monkeypatch.setattr(bench, "mem_canary_sec", lambda: 1.0)
