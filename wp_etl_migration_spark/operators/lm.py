@@ -75,17 +75,26 @@ def bigram_counts(df: DataFrame, text_col: str,
     ``min_count`` globally while every partial stays under it), which
     no SQL oracle can reproduce; rejected.
 
-    One wide groupBy + one narrow re-aggregation; both map-side
-    combinable.
+    One wide groupBy, then the context total as a window SUM over the
+    count frame (r14: the former ``counts ⋈ totals`` self-join
+    duplicated the whole scan→explode→aggregate subtree in the
+    physical plan — an isnotnull filter pushed into only the probe
+    branch defeats ReusedExchange — so the corpus was tokenized and
+    shuffled twice; the window computes the identical exact BIGINT
+    total in one branch: one scan, one (w1,w2) exchange, one w1
+    exchange, no join). Window state per partition key is one running
+    sum over the ≤vocab-width rows of a single context — no skew a
+    Zipf head can create that the count frame didn't already bound.
     """
     if prune not in ("post_total", "pre_total"):
         raise ValueError("prune must be 'post_total' or 'pre_total'")
+    from pyspark.sql import Window
     bg = _bigrams(df, text_col)
     counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     if min_count > 1 and prune == "pre_total":
         counts = counts.where(F.col("n") >= min_count)
-    totals = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
-    out = counts.join(totals, "w1")
+    out = counts.withColumn(
+        "n_w1", F.sum("n").over(Window.partitionBy("w1")))
     if min_count > 1 and prune == "post_total":
         out = out.where(F.col("n") >= min_count)
     return out.select("w1", "w2",
@@ -120,25 +129,28 @@ def ngram_counts(df: DataFrame, text_col: str, n: int = 3,
     split context columns, and its docstring explains the
     ``min_count`` × ``prune`` matrix: ``"pre_total"`` filters the
     first aggregation's output before the context totals, so the
-    totals shuffle and the counts⋈totals join carry only surviving
-    n-grams (the cheap build on Zipf text, where singletons dominate
-    the distinct keys — measured on the diversified corpus in
-    BASELINE.md §r9); ``"post_total"`` (default) keeps totals
-    calibrated over the full corpus. The filter is always on FINAL
-    counts — partial-count filtering would be partitioning-dependent
-    and unoracleable. Context strings are (n−1)-token — larger
-    shuffle keys, same uniform distribution.
+    totals window only carries surviving n-grams (the cheap build on
+    Zipf text, where singletons dominate the distinct keys — measured
+    on the diversified corpus in BASELINE.md §r9); ``"post_total"``
+    (default) keeps totals calibrated over the full corpus. The
+    filter is always on FINAL counts — partial-count filtering would
+    be partitioning-dependent and unoracleable. Context strings are
+    (n−1)-token — larger shuffle keys, same uniform distribution.
+    ``n_ctx`` is a window SUM over the count frame, not a
+    counts⋈totals self-join — see :func:`bigram_counts` (r14: the
+    join plan tokenized and shuffled the training corpus twice).
     """
     if n < 2:
         raise ValueError("n must be >= 2 (an order-1 LM has no context)")
     if prune not in ("post_total", "pre_total"):
         raise ValueError("prune must be 'post_total' or 'pre_total'")
+    from pyspark.sql import Window
     g = _ngrams(df, text_col, n)
     counts = g.groupBy("ctx", "w").agg(F.count("*").alias("n_gram"))
     if min_count > 1 and prune == "pre_total":
         counts = counts.where(F.col("n_gram") >= min_count)
-    totals = counts.groupBy("ctx").agg(F.sum("n_gram").alias("n_ctx"))
-    out = counts.join(totals, "ctx")
+    out = counts.withColumn(
+        "n_ctx", F.sum("n_gram").over(Window.partitionBy("ctx")))
     if min_count > 1 and prune == "post_total":
         out = out.where(F.col("n_gram") >= min_count)
     return out.select("ctx", "w",
