@@ -476,16 +476,30 @@ def dedup_documents(df: DataFrame, id_col: str, text_col: str,
     one-liner for "give me the deduplicated corpus". Every stage's
     scale guard stays on (digest groupBy, hot-shingle cap,
     candidate-only verify, pointer-jumped components).
+
+    Plan shape (r14): the exact-dedup digest pass (full text scan +
+    md5 + digest groupBy shuffle) runs ONCE. ``survivors`` is cached —
+    an id-only frame, one row per distinct digest, tiny next to the
+    corpus and disk-spillable — and every downstream stage that only
+    needs the survivor id SET (the keep-list node universe, the
+    ``order_col`` ranking frame) reads it instead of re-deriving
+    ``df ⋈ exact_dedup(df)``, which re-scanned and re-hashed the whole
+    corpus per reference. The final output semi-joins ``df`` against
+    the keep-list directly (keep ⊆ survivors, so filtering through
+    ``exact`` first was a second digest pass for nothing) — that scan
+    column-prunes to the caller's selection, never re-reading text.
     """
     from wp_etl_migration_spark.operators.graph import dedup_keep_list
-    survivors = exact_dedup(df, id_col, [text_col])
+    survivors = exact_dedup(df, id_col, [text_col]).cache()
     exact = df.join(survivors, id_col, "left_semi")
     pairs = minhash_lsh_pairs(exact, id_col, text_col, n, num_hashes,
                               rows_per_band,
                               verify_threshold=verify_threshold,
                               max_doc_freq=max_doc_freq)
-    keep = dedup_keep_list(exact, pairs, id_col, order_col=order_col)
-    return exact.join(keep, id_col, "left_semi")
+    nodes = survivors if order_col is None else \
+        df.select(id_col, order_col).join(survivors, id_col, "left_semi")
+    keep = dedup_keep_list(nodes, pairs, id_col, order_col=order_col)
+    return df.join(keep, id_col, "left_semi")
 
 
 def lsh_band_params(threshold: float, num_hashes: int) -> tuple[int, int]:
