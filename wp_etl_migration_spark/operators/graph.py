@@ -149,10 +149,18 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         e = pairs_e.unionByName(
             edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     e = pin(e.distinct())
+    # Loop-invariant frames are pinned ONCE (r14): every iteration's
+    # `ranks` is itself pinned, so anything unpinned in its lineage —
+    # the node universe (a union+distinct over e, ~2|E| shuffled rows)
+    # and the out-degree table (a groupBy over e) — re-executed per
+    # power step. Pinning them (and pre-joining __d onto the edge list
+    # so the loop does one join, not two) makes each step exactly one
+    # (u)-keyed join + one (v)-keyed aggregation over |E| rows.
     outdeg = e.groupBy("u").agg(F.count("*").alias("__d"))
-    nodes = (e.select(F.col("u").alias("node"))
-             .unionByName(e.select(F.col("v").alias("node")))
-             .distinct())
+    e_deg = pin(e.join(outdeg, "u"))
+    nodes = pin(e.select(F.col("u").alias("node"))
+                .unionByName(e.select(F.col("v").alias("node")))
+                .distinct())
     base = (scale * (damping_den - damping_num)) // damping_den
     ranks = nodes.select("node",
                          F.lit(scale).cast("long").alias("rank"))
@@ -164,8 +172,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             "left_anti"))
         n_nodes = nodes.count()
     for _ in range(iterations):
-        contrib = (e.join(ranks.withColumnRenamed("node", "u"), "u")
-                   .join(outdeg, "u")
+        contrib = (e_deg.join(ranks.withColumnRenamed("node", "u"), "u")
                    .select(F.col("v").alias("node"),
                            F.expr("rank div __d").alias("__c"))
                    .groupBy("node").agg(F.sum("__c").alias("__s")))
