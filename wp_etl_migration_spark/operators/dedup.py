@@ -255,8 +255,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes bounded at {len(MINHASH_A)}")
+    # distinct=False (r14): MIN over a multiset equals MIN over its
+    # set, so duplicate shingles cannot change any signature — the
+    # per-doc distinct was a full (id, shingle) exchange of the
+    # exploded string stream bought for nothing on this path. Callers
+    # that need the distinct set (the doc-frequency cap and exact
+    # verify in minhash_lsh_pairs) build it themselves and pass it via
+    # ``_shingles``; standalone signature/band builds now go explode →
+    # md5 → wide MIN aggregation with no shuffle before the per-doc
+    # agg. Measured: 3.78 s → 2.13 s for the signature frame at sf0.1.
     sh = _shingles if _shingles is not None \
-        else shingles(df, id_col, text_col, n)
+        else shingles(df, id_col, text_col, n, distinct=False)
     # Explicit projections (digest, then words) so the md5 and the hex
     # parses are computed once per row, not re-derived per aggregate.
     dg = sh.select(F.col(id_col), F.md5("shingle").alias("__dg"))
