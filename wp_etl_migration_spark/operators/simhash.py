@@ -127,7 +127,14 @@ def simhash_near_dup(df: DataFrame, id_col: str, text_col: str,
     words = [F.conv(F.substring("simhash", w * 32 + 1,
                                 min(32, bits - w * 32)), 2, 10)
              .cast("long").alias(f"__si{w}") for w in range(n_words)]
-    packed = sig.select(F.col(id_col), F.col("simhash"), *words)
+    # Cache the per-doc packed signatures (r14): the chunk self-join
+    # references this frame twice, and with a broadcast build side
+    # there is no Exchange for ReusedExchange to dedupe — without the
+    # cache the whole tokenize → md5 → vote-aggregation subtree
+    # executes once per side. One row per doc (id + bits-char string +
+    # n_words longs), so the cache is corpus-card-sized, never
+    # token-sized.
+    packed = sig.select(F.col(id_col), F.col("simhash"), *words).cache()
     chunked = packed.select(
         F.col(id_col), *[F.col(f"__si{w}") for w in range(n_words)],
         F.explode(F.array(*[
