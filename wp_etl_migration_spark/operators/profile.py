@@ -2,8 +2,12 @@
 companions to the analyze family, SURVEY §2.6/A1).
 
 ``profile_table``  — per-column completeness/cardinality/range summary
-in ONE aggregation pass over the table (no per-column jobs): the scan
-cost is paid once regardless of column count.
+in ONE job: the approx mode is a single aggregation pass (scan cost
+paid once regardless of column count); the exact mode unions one
+single-distinct aggregation per column — 1-column pruned scans, so a
+columnar source still reads each byte once overall — because Spark
+plans multi-column exact distincts via EXPAND (input replicated per
+column into a full-width sort).
 
 ``key_skew_profile`` — hot-key diagnostic for shuffle planning: top-k
 keys by frequency with their share of rows and skew factor (count over
@@ -28,21 +32,42 @@ def profile_table(df: DataFrame,
     one frame.
 
     ``exact_distinct=True`` uses ``count(DISTINCT)`` — engine-portable
-    (what the DuckDB oracle checks) but Spark plans multi-column
-    distincts via EXPAND, multiplying aggregation input by the column
-    count. At 100 TB pass ``exact_distinct=False``: HLL-sketched
-    ``approx_count_distinct`` (±2.3% default rsd) keeps the profile a
-    single narrow pass with no expand.
+    (what the DuckDB oracle checks). Spark plans MULTI-column exact
+    distincts via EXPAND — every input row replicated (column count +
+    1) times into a full-width SORT before a sort-based aggregation —
+    so the exact mode runs one single-distinct aggregation PER column
+    instead (r14): each branch is a 1-column pruned scan (columnar
+    input: the union reads each byte once overall) through the
+    two-level single-distinct rewrite — hash aggregation, partial
+    combine, no expand, no sort — and the branches run concurrently
+    inside the one union job. ``exact_distinct=False`` keeps the
+    single-pass wide aggregation: HLL-sketched
+    ``approx_count_distinct`` (±2.3% default rsd) is a plain
+    aggregate, one narrow pass with no expand — the 100 TB mode.
     """
     cols = cols or df.columns
-    dist = (F.countDistinct if exact_distinct
-            else (lambda c: F.approx_count_distinct(c)))
+    if exact_distinct:
+        parts = [
+            df.select(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0))
+                 .alias("n_nulls"),
+                 F.countDistinct("__v").alias("n_distinct"),
+                 F.min("__v").cast("string").alias("min_str"),
+                 F.max("__v").cast("string").alias("max_str"))
+            .select(F.lit(c).alias("col_name"), "n_rows", "n_nulls",
+                    "n_distinct", "min_str", "max_str")
+            for c in cols]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .alias(f"__null{i}"),
-            dist(F.col(c)).alias(f"__dist{i}"),
+            F.approx_count_distinct(F.col(c)).alias(f"__dist{i}"),
             F.min(F.col(c)).cast("string").alias(f"__min{i}"),
             F.max(F.col(c)).cast("string").alias(f"__max{i}"),
         ]

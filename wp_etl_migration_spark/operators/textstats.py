@@ -337,10 +337,18 @@ def extract_keywords(df: DataFrame, id_col: str, text_col: str,
 
     Returns (id, token, tf, df, rank).
 
-    Scale: one (id, token) count (map-side combined), one (token)
-    document-frequency count joined back on the uniform token key, and
+    Scale: one (id, token) count (map-side combined), then document
+    frequency as a window COUNT over the count frame itself (r14: the
+    former ``tf ⋈ docfreq`` self-join duplicated the whole
+    scan→explode→aggregate subtree in the physical plan — the join's
+    isnotnull(token) filter pushed into only the probe branch defeats
+    ReusedExchange — so the corpus was tokenized and aggregated twice;
+    the window computes the identical exact count in one branch: one
+    scan, one (id, token) exchange, one token exchange, no join), and
     a per-document rank window (partitioned by id — no global sort).
-    The df side is vocabulary-sized; AQE broadcasts it when pruned.
+    Window state per token is one running count over at most one row
+    per document containing it — the same bound the docfreq
+    aggregation key had, pre-reduced by the tf groupBy.
     """
     if not 0.0 < max_doc_freq_share <= 1.0:
         raise ValueError("max_doc_freq_share must be in (0, 1]")
@@ -348,14 +356,12 @@ def extract_keywords(df: DataFrame, id_col: str, text_col: str,
     tf = (df.select(F.col(id_col), F.explode(toks).alias("token"))
           .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
     n_docs = df.count()
-    docfreq = (tf.groupBy("token")
-               .agg(F.count("*").alias("df"))
-               .where(F.col("df")
-                      <= int(max_doc_freq_share * n_docs)))
+    tf = (tf.withColumn("df", F.count(F.lit(1)).over(
+              Window.partitionBy("token")))
+          .where(F.col("df") <= int(max_doc_freq_share * n_docs)))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("token"))
-    return (tf.join(docfreq, "token")
-            .withColumn("rank", F.row_number().over(w).cast("int"))
+    return (tf.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= top_k)
             .select(F.col(id_col), "token",
                     F.col("tf").cast("long").alias("tf"),
@@ -383,31 +389,35 @@ def shared_gram_stats(df: DataFrame, id_col: str, text_col: str,
 
     Returns (id, n_grams, n_dup_grams, dup_fraction).
 
-    Execution: the shingle generator (codegen zip+explode) feeds one
-    distinct-docs-per-gram aggregation; grams seen in ≥2 docs join back
-    (semi-join) against per-doc gram starts. Two shuffles on uniform
-    gram hashes; gram strings travel as xxhash64 longs. ``max_doc_freq``
-    drops stop-phrase grams (above the cap they're noise, not signal —
-    and unbounded they make the doc-frequency key hot).
+    Execution (r14): the shingle generator (codegen zip+explode) feeds
+    ONE (id, gram) count (map-side combined, gram strings travel as
+    xxhash64 longs), the doc frequency is a window COUNT over that
+    count frame (one row per (doc, gram) — the same bound the old
+    distinct-docs-per-gram aggregation keyed on), and both per-doc
+    outputs fall out of a single conditional-sum aggregation by id.
+    The former shape re-derived the gram explode THREE times (per-doc
+    totals, doc-frequency distinct, semi-join probe — three parquet
+    scans in the physical plan) and joined twice; this is one scan,
+    three exchanges, no join. ``max_doc_freq`` drops stop-phrase grams
+    (above the cap they're noise, not signal).
     """
     sh = (shingles_with_count(df, id_col, text_col, k))
-    grams = sh.select(F.col(id_col), F.xxhash64("shingle").alias("__g"))
-    per_doc = grams.groupBy(id_col).agg(
-        F.count("*").alias("n_grams"))
-    df_counts = (grams.distinct()
-                 .groupBy("__g")
-                 .agg(F.count("*").alias("__df")))
-    shared = df_counts.where(F.col("__df") >= 2)
+    counted = (sh.select(F.col(id_col),
+                         F.xxhash64("shingle").alias("__g"))
+               .groupBy(id_col, "__g").agg(F.count("*").alias("__c")))
+    counted = counted.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__g")))
+    shared_cond = F.col("__df") >= 2
     if max_doc_freq is not None:
-        shared = shared.where(F.col("__df") <= max_doc_freq)
-    dup = (grams.join(shared.select("__g"), "__g", "left_semi")
-           .groupBy(id_col).agg(F.count("*").alias("n_dup_grams")))
-    return (per_doc.join(dup, id_col, "left")
+        shared_cond = shared_cond & (F.col("__df") <= max_doc_freq)
+    return (counted.groupBy(id_col)
+            .agg(F.sum("__c").alias("n_grams"),
+                 F.sum(F.when(shared_cond, F.col("__c"))
+                       .otherwise(0)).alias("n_dup_grams"))
             .select(F.col(id_col),
                     F.col("n_grams"),
-                    F.coalesce("n_dup_grams", F.lit(0))
-                    .alias("n_dup_grams"),
-                    (F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+                    F.col("n_dup_grams"),
+                    (F.col("n_dup_grams").cast("double")
                      / F.col("n_grams").cast("double"))
                     .alias("dup_fraction")))
 
