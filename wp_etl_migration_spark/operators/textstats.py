@@ -437,19 +437,24 @@ def remove_shared_passages(df: DataFrame, id_col: str, text_col: str,
     normalized (lowercased, whitespace collapsed to single spaces) —
     the same normalization every dedup operator here applies.
 
-    Scale: positional k-gram starts explode once; the shared-gram set
-    comes from one distinct + one count, both keyed on xxhash64(gram)
-    — uniform, map-side combinable. Coverage expansion is a bounded
-    ×k explode of only the SHARED gram starts (the duplicated tail,
-    not the corpus), and removal is a positional anti-join keyed on
-    (id, position) — uniform again. Rebuild is one per-doc
-    aggregation: sort_array over (pos, token) structs, per-doc data
-    only, no global sort. Nothing in the plan is quadratic: no
-    pair-join exists at all, so no doc-frequency cap is needed — a
-    gram shared by a million docs costs one semi-join hit per
+    Scale (r14 shape): positional k-gram starts explode ONCE and are
+    immediately reduced to one row per (doc, gram-hash) carrying the
+    position list (map-side combinable, keyed on xxhash64(gram) — the
+    former shape re-derived the explode twice: once for the shared-set
+    count, once for the semi-join probe, two parquet scans in the
+    plan). The distinct-document frequency is a window COUNT over that
+    reduced frame (window state per gram is one row per document
+    containing it — the same bound the old distinct+count keyed on).
+    Coverage expansion is a bounded ×k explode of only the SHARED gram
+    starts (the duplicated tail, not the corpus), and removal is a
+    positional anti-join keyed on (id, position) — uniform again.
+    Rebuild is one per-doc aggregation: sort_array over (pos, token)
+    structs, per-doc data only, no global sort. Nothing in the plan is
+    quadratic: no pair-join exists at all, so no doc-frequency cap is
+    needed — a gram shared by a million docs costs one hit per
     occurrence, which is exactly the work its removal requires.
     Cost is linear in DUPLICATED volume (shared-gram occurrences × k).
-    The plan scans the text column four times (gram build ×2, token
+    The plan scans the text column three times (gram build, token
     explode, doc lengths); when the scan dominates — wide tables,
     remote object store — ``df.persist()`` the (id, text) projection
     before calling.
@@ -463,11 +468,12 @@ def remove_shared_passages(df: DataFrame, id_col: str, text_col: str,
              .select(F.col(id_col), F.posexplode(z).alias("__pos", "__g"))
              .select(F.col(id_col), "__pos",
                      F.xxhash64(gram).alias("__h")))
-    shared = (grams.select(F.col(id_col), "__h").distinct()
-              .groupBy("__h").agg(F.count("*").alias("__df"))
-              .where(F.col("__df") >= min_doc_freq)
-              .select("__h"))
-    covered = (grams.join(shared, "__h", "left_semi")
+    per_doc_gram = (grams.groupBy(F.col(id_col), "__h")
+                    .agg(F.collect_list("__pos").alias("__ps")))
+    per_doc_gram = per_doc_gram.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__h")))
+    covered = (per_doc_gram.where(F.col("__df") >= min_doc_freq)
+               .select(F.col(id_col), F.explode("__ps").alias("__pos"))
                .select(F.col(id_col),
                        F.explode(F.sequence(
                            F.col("__pos"),
