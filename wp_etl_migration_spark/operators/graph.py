@@ -53,12 +53,25 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     for _ in range(max_rounds):
         # Every node adopts min(own label, neighbors' labels): join the
         # neighbor's current label across each edge, then min per node.
+        # The node's OWN previous label rides through the aggregation
+        # (labels is one row per node, so the conditional MIN is just
+        # that value) — convergence detection then needs no join back
+        # onto `labels` (r14: that extra (node)-keyed join of the full
+        # label state ran every round for nothing but the `moved`
+        # count).
         nbr = (edges.join(labels.withColumnRenamed("node", "v"), on="v")
                .select(F.col("u").alias("node"),
                        F.col("label").alias("nbr_label")))
-        merged = (labels.unionByName(
-                      nbr.withColumnRenamed("nbr_label", "label"))
-                  .groupBy("node").agg(F.min("label").alias("label")))
+        merged = (labels.select("node", "label",
+                                F.lit(True).alias("__own"))
+                  .unionByName(
+                      nbr.select("node",
+                                 F.col("nbr_label").alias("label"),
+                                 F.lit(False).alias("__own")))
+                  .groupBy("node").agg(
+                      F.min("label").alias("label"),
+                      F.min(F.when(F.col("__own"), F.col("label")))
+                      .alias("__old")))
         # Pointer jump: label ← label's own label. Labels are node ids,
         # every label row exists in `merged`, and labels only decrease,
         # so the jump halves any propagation chain. The self-join below
@@ -67,13 +80,13 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         as_node = merged.select(F.col("node").alias("label"),
                                 F.col("label").alias("__l2"))
         jumped = (merged.join(as_node, on="label", how="left")
-                  .select("node",
+                  .select("node", "__old",
                           F.coalesce("__l2", "label").alias("new_label")))
         obs = Observation()
         nxt = pin(
-            labels.join(jumped, on="node")
+            jumped
             .observe(obs, F.count(F.when(
-                F.col("new_label") < F.col("label"), 1)).alias("moved"))
+                F.col("new_label") < F.col("__old"), 1)).alias("moved"))
             .select("node", F.col("new_label").alias("label")))
         moved = obs.get["moved"]
         labels = nxt
