@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Core-scaling assertion rig (VERDICT r14 item 2): does doubling the
+cores actually speed the engine's compute-heavy kernels up?
+
+The headline bench at sf0.1 cannot answer this — its rows are
+fixed-overhead-bound (median ~0.9 s: job scheduling, codegen, canary
+work swamp the compute), so the driver's 8-core/32-core ratios read
+≈1 and `suspect_cpus_ignored` fires even though ``session.py`` wires
+``local[$SPARK_GRAFT_CPUS]`` and keys ``spark.sql.shuffle.partitions``
+off the same env var. This rig runs three compute-dominant kernels on
+the 32-replica diversified corpus (160k docs — the bench_sf1_text
+fixture) at $SPARK_GRAFT_CPUS ∈ {8, 32} and prints the wall ratio; a
+ratio ≫ 1 (toward 4 in the limit) is the parallelism evidence the
+sf0.1 board cannot give.
+
+Kernels (all pure-engine, no Python boundary, wall dominated by
+per-row work + shuffles):
+
+- ``minhash_sigs``  — shingle explode → md5 per shingle → 16-way MIN
+  aggregation (CPU-bound map work + one (id) exchange).
+- ``gram_docfreq``  — k-gram explode → (id, gram-hash) count →
+  per-gram doc frequency + per-doc conditional sum (the
+  shared_gram_stats kernel: two exchanges, map-side combine).
+- ``lm_build``      — trigram counts + context totals
+  (``ngram_counts``: explode → (ctx,w) exchange → ctx window).
+
+Methodology: each (op, cpus) sample is a FRESH interpreter +
+SparkSession subprocess (same isolation as the other bench_sf1_*
+rigs); cpu counts alternate 8,32,32,8 per op so ambient drift cannot
+masquerade as scaling. The fixture is built once up front (excluded
+from every timed window).
+
+Run:  python bench_scaling.py                 # full study, one JSON line
+      python bench_scaling.py --op NAME       # one op in this process
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPLICAS = 32
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def _spark():
+    from wp_etl_migration_spark.session import get_spark
+    spark = get_spark("wp-etl-scaling",
+                      **{"spark.driver.memory":
+                         os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                                        "48g")})
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def run_op(name: str) -> None:
+    from pyspark.sql import functions as F
+
+    from bench_corpus import diversified_corpus
+
+    spark = _spark()
+    corpus = spark.read.parquet(diversified_corpus(
+        spark, replicas=REPLICAS))
+    spark.sparkContext.setJobDescription(f"scaling:{name}")
+    t0 = time.monotonic()
+    if name == "minhash_sigs":
+        from wp_etl_migration_spark.operators.dedup import (
+            minhash_signatures)
+        out = minhash_signatures(corpus, "doc_id", "text", n=3,
+                                 num_hashes=16)
+    elif name == "gram_docfreq":
+        from wp_etl_migration_spark.operators.textstats import (
+            shared_gram_stats)
+        out = shared_gram_stats(corpus, "doc_id", "text", k=8,
+                                max_doc_freq=100)
+    elif name == "lm_build":
+        from wp_etl_migration_spark.operators.lm import ngram_counts
+        out = ngram_counts(corpus, "text", n=3, min_count=2,
+                           prune="pre_total")
+    else:
+        raise SystemExit(f"unknown op {name}")
+    out.write.format("noop").mode("overwrite").save()
+    print(json.dumps({"op": name,
+                      "cpus": spark.sparkContext.defaultParallelism,
+                      "master": spark.sparkContext.master,
+                      "sec": round(time.monotonic() - t0, 3)}))
+
+
+OPS = ("minhash_sigs", "gram_docfreq", "lm_build")
+
+
+def main() -> int:
+    if "--op" in sys.argv:
+        run_op(sys.argv[sys.argv.index("--op") + 1])
+        return 0
+    # fixture build outside every timed window
+    from bench_corpus import diversified_corpus
+    spark = _spark()
+    diversified_corpus(spark, replicas=REPLICAS)
+    spark.stop()
+
+    samples: dict[str, dict[int, list[float]]] = {
+        op: {8: [], 32: []} for op in OPS}
+    for op in OPS:
+        for cpus in (8, 32, 32, 8):          # alternate vs drift
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--op", op],
+                capture_output=True, text=True, env=env)
+            if proc.returncode != 0:
+                print(json.dumps({"error": proc.stderr[-500:]}))
+                return 1
+            r = json.loads(proc.stdout.strip().splitlines()[-1])
+            assert r["cpus"] == cpus, (r, cpus)
+            samples[op][cpus].append(r["sec"])
+    out = {
+        "metric": "core_scaling_sf1",
+        "unit": "ratio (8-core wall / 32-core wall)",
+        "replicas": REPLICAS,
+        "runs": {op: {str(c): v for c, v in s.items()}
+                 for op, s in samples.items()},
+        "min": {op: {str(c): min(v) for c, v in s.items()}
+                for op, s in samples.items()},
+        "ratio_8_over_32": {
+            op: round(min(s[8]) / min(s[32]), 2)
+            for op, s in samples.items()},
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -95,6 +95,41 @@ def _single_window_cap(df, id_col, key_col, max_per_key, salt):
             .where(F.col("__rk") <= max_per_key).drop("__rk"))
 
 
+def _window_gram_docfreq(df, id_col, text_col, k, max_doc_freq):
+    """The r14 shared_gram_stats shape (doc frequency as COUNT OVER
+    (PARTITION BY gram) — no partial aggregation, no AQE skew split:
+    every row of a hot gram lands in ONE window task), kept here as
+    the comparison arm for the r15 de-skew (VERDICT r14 item 1)."""
+    from wp_etl_migration_spark.operators.textstats import (
+        shingles_with_count)
+    sh = shingles_with_count(df, id_col, text_col, k)
+    counted = (sh.select(F.col(id_col),
+                         F.xxhash64("shingle").alias("__g"))
+               .groupBy(id_col, "__g").agg(F.count("*").alias("__c")))
+    counted = counted.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__g")))
+    shared_cond = (F.col("__df") >= 2) & (F.col("__df") <= max_doc_freq)
+    return (counted.groupBy(id_col)
+            .agg(F.sum("__c").alias("n_grams"),
+                 F.sum(F.when(shared_cond, F.col("__c"))
+                       .otherwise(0)).alias("n_dup_grams")))
+
+
+def _window_keywords(df, id_col, text_col, top_k, n_docs):
+    """The r14 extract_keywords shape (doc frequency as COUNT OVER
+    (PARTITION BY token)) — comparison arm for the r15 de-skew."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("token"))
+          .groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    tf = (tf.withColumn("df", F.count(F.lit(1)).over(
+              Window.partitionBy("token")))
+          .where(F.col("df") <= int(0.5 * n_docs)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token"))
+    return (tf.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= top_k))
+
+
 def run_op(name: str) -> dict:
     spark = _spark()
     build_corpus(spark)
@@ -170,6 +205,33 @@ def run_op(name: str) -> dict:
         out["shard_rows_min_over_fair"] = round(min(per) / fair, 3)
         assert max(per) <= 1.2 * fair and min(per) >= 0.8 * fair, per
         shutil.rmtree(dest, ignore_errors=True)
+    elif name in ("gram_docfreq_join", "gram_docfreq_window"):
+        # r15 de-skew evidence (VERDICT r14 item 1): doc frequency of
+        # a hot gram — the BOILER phrase rides in ~1/3 of all docs and
+        # the 50k mirrors share every gram — via the r15 join shape
+        # (operator) vs the r14 window shape (inline arm above).
+        t0 = time.monotonic()
+        if name == "gram_docfreq_join":
+            from wp_etl_migration_spark.operators.textstats import (
+                shared_gram_stats)
+            res = shared_gram_stats(corpus, "doc_id", "text", k=8,
+                                    max_doc_freq=100_000)
+        else:
+            res = _window_gram_docfreq(corpus, "doc_id", "text", 8,
+                                       100_000)
+        res.write.format("noop").mode("overwrite").save()
+        out["sec"] = round(time.monotonic() - t0, 3)
+    elif name in ("keywords_join", "keywords_window"):
+        n_docs = corpus.count()
+        t0 = time.monotonic()
+        if name == "keywords_join":
+            from wp_etl_migration_spark.operators.textstats import (
+                extract_keywords)
+            res = extract_keywords(corpus, "doc_id", "text", top_k=5)
+        else:
+            res = _window_keywords(corpus, "doc_id", "text", 5, n_docs)
+        res.write.format("noop").mode("overwrite").save()
+        out["sec"] = round(time.monotonic() - t0, 3)
     elif name in ("cap_two_phase", "cap_single_window"):
         from wp_etl_migration_spark.operators.sampling import cap_per_key
         thin = corpus.select("doc_id", "source") \
@@ -189,7 +251,8 @@ def run_op(name: str) -> dict:
 
 
 OPS = ("line_dedup", "vocab_build", "cap_two_phase",
-       "cap_single_window")
+       "cap_single_window", "gram_docfreq_join", "gram_docfreq_window",
+       "keywords_join", "keywords_window")
 JOURNEY_OPS = ("upsert_hot_slug", "training_shards_hot")
 
 

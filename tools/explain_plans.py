@@ -53,17 +53,34 @@ def main() -> int:
     out_dir = os.path.join(_ROOT, "plans", tag)
     os.makedirs(out_dir, exist_ok=True)
 
+    def _explain(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("formatted"))
+
+    from wp_etl_migration_spark.operators import checkpoint
+
     todo = names if names is not None else list(BENCH_QUERIES)
     for name in todo:
         fn, _ = ALL_QUERIES[name]
         spark.catalog.clearCache()
+        # Pre-pin plan capture (VERDICT r14 #7): pinned frames
+        # (localCheckpoint / reliable checkpoint) truncate lineage, so
+        # the query's own after-plan shows only `Scan ExistingRDD`
+        # below each pin. The observer hook in operators.checkpoint
+        # hands every pin() call's UNPINNED frame here; each plan —
+        # for iterative kernels that is one per loop iteration — is
+        # appended to <name>_pins_<suffix>.txt.
+        pin_plans: list[str] = []
+        checkpoint.PLAN_OBSERVER = \
+            lambda df: pin_plans.append(_explain(df))
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution
-                .ExplainMode.fromString("formatted"))
+            plan = _explain(df)
         except Exception as exc:  # noqa: BLE001 — record, keep going
             plan = f"EXPLAIN FAILED: {type(exc).__name__}: {exc}"
+        finally:
+            checkpoint.PLAN_OBSERVER = None
         # strip volatile plan ids (#123L) noise is kept — they aid
         # reading; only normalize absolute scratch paths for diffs.
         plan = re.sub(r"file:[^\s,\]]*/(\.scratch|testdata)",
@@ -72,7 +89,17 @@ def main() -> int:
         with open(path, "w") as fh:
             fh.write(plan)
         ex = plan.count("Exchange")
-        print(f"{name}: {len(plan)}B, Exchange~{ex} -> {path}")
+        extra = ""
+        if pin_plans:
+            ppath = os.path.join(out_dir, f"{name}_pins_{suffix}.txt")
+            with open(ppath, "w") as fh:
+                for i, p in enumerate(pin_plans):
+                    p = re.sub(
+                        r"file:[^\s,\]]*/(\.scratch|testdata)",
+                        r"file:.../\1", p)
+                    fh.write(f"=== pin {i} ===\n{p}\n")
+            extra = f" (+{len(pin_plans)} pre-pin plans -> {ppath})"
+        print(f"{name}: {len(plan)}B, Exchange~{ex} -> {path}{extra}")
     return 0
 
 

@@ -24,6 +24,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Optional plan-capture hook (VERDICT r14 item 7: committed
+#: after-plans for pinned/iterative kernels showed only the
+#: post-checkpoint ``Scan ExistingRDD``, so loop-invariant claims were
+#: not plan-verifiable). When set to a callable, every :func:`pin`
+#: call hands it the UNPINNED frame first — ``tools/explain_plans.py``
+#: registers a collector here to write the pre-pin (loop-body) plans.
+#: ``None`` (the default) costs nothing on the hot path.
+PLAN_OBSERVER = None
+
 
 def pin(df: DataFrame, eager: bool = True,
         reliable: bool | None = None) -> DataFrame:
@@ -35,6 +44,8 @@ def pin(df: DataFrame, eager: bool = True,
     ``True`` without a checkpoint dir raises, as Spark itself would —
     loudly, at pin time, not mid-job).
     """
+    if PLAN_OBSERVER is not None:
+        PLAN_OBSERVER(df)
     sc = df.sparkSession.sparkContext
     has_dir = sc.getCheckpointDir() is not None
     if reliable is None:
