@@ -192,6 +192,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     a trillion shingles still ≪ 1 — and would only merge two shingles,
     nudging one pair's count, not corrupting the structure).
     """
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
     if _shingles is not None:
         sh = _shingles.select(F.col(id_col),
                               F.xxhash64("shingle").alias("shingle"))
@@ -199,11 +201,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         sh = (shingles(df, id_col, text_col, n, distinct=False)
               .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
               .distinct())
+    # r15: pin the distinct frame BEFORE the doc-frequency cap — the
+    # r14 shape cached AFTER it, so materializing the cache executed
+    # the whole explode+distinct subtree twice (once under the cap's
+    # count branch, once as the probe). The cap then drops the HOT set
+    # (count > cap — the stop-phrase shingles, a tiny set AQE
+    # broadcasts) with an anti join instead of keeping the RARE set
+    # (count <= cap — nearly the entire shingle vocabulary, an
+    # unbroadcastable build side at scale) with a semi join.
+    sh = pin(sh, eager=False)
     if max_doc_freq is not None:
-        rare = (sh.groupBy("shingle").count()
-                .where(F.col("count") <= max_doc_freq).select("shingle"))
-        sh = sh.join(rare, "shingle", "left_semi")
-    sh = sh.cache()
+        hot = (sh.groupBy("shingle").count()
+               .where(F.col("count") > max_doc_freq).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__size"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, on="shingle")
@@ -416,14 +426,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     shingles before both the signature and the verify passes, same
     semantics as in ``ngram_jaccard_pairs``.
     """
-    sh = shingles(df, id_col, text_col, n)
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
+    # r15: pin the distinct shingle frame BEFORE the doc-frequency cap
+    # (the r14 cache sat after it, so materializing the cache ran the
+    # explode+distinct subtree twice — once under the cap's count
+    # branch, once as the probe), and express the cap as an anti join
+    # against the HOT set (count > cap: the stop-phrase shingles, tiny,
+    # AQE-broadcast) instead of a semi join keeping the RARE set
+    # (nearly the whole shingle vocabulary — unbroadcastable at scale).
+    sh = pin(shingles(df, id_col, text_col, n), eager=False)
     if max_doc_freq is not None:
-        rare = (sh.groupBy("shingle").count()
-                .where(F.col("count") <= max_doc_freq).select("shingle"))
-        sh = sh.join(rare, "shingle", "left_semi")
-    sh = sh.cache()
-    bands = lsh_bands(df, id_col, text_col, n, num_hashes,
-                      rows_per_band, _shingles=sh)
+        hot = (sh.groupBy("shingle").count()
+               .where(F.col("count") > max_doc_freq).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    # The band frame is consumed on BOTH sides of the candidate
+    # self-join (and a broadcast build side leaves no Exchange for
+    # ReusedExchange to dedupe — the r14 simhash lesson), so pin it
+    # once: one signature pass over the pinned shingles, then both
+    # join sides read the pinned rows.
+    bands = pin(lsh_bands(df, id_col, text_col, n, num_hashes,
+                          rows_per_band, _shingles=sh), eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, on=["band", "band_hash"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -436,20 +459,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # to docs that appear in ANY candidate pair first: candidates are
     # sparse, so the two array-carrying joins below shuffle candidate-doc
     # arrays only, not the corpus (AQE broadcasts the id list when small).
-    # cand/sets are referenced 3×/2× below — cache them (both are
+    # cand/sets are referenced 3×/2× below — pin them (both are
     # candidate-bounded) so the band self-join runs once, not per branch.
-    cand = cand.cache()
+    cand = pin(cand, eager=False)
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
     # Shingles ride into the verify join as xxhash64 longs, not strings
     # (same key-compression rationale as in ngram_jaccard_pairs).
-    sets = (sh.join(cand_ids, id_col, "left_semi")
-            .groupBy(id_col)
-            .agg(F.sort_array(F.collect_list(F.xxhash64("shingle")))
-                 .alias("__set"),
-                 F.count("*").alias("__n"))
-            .cache())
+    sets = pin(
+        sh.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.xxhash64("shingle")))
+             .alias("__set"),
+             F.count("*").alias("__n")), eager=False)
     sa = sets.select(F.col(id_col).alias("id_a"),
                      F.col("__set").alias("__set_a"),
                      F.col("__n").alias("total_a"))

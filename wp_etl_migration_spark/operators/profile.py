@@ -44,6 +44,16 @@ def profile_table(df: DataFrame,
     single-pass wide aggregation: HLL-sketched
     ``approx_count_distinct`` (±2.3% default rsd) is a plain
     aggregate, one narrow pass with no expand — the 100 TB mode.
+
+    Exact-mode caveat (ADVICE r14): the per-column branches each scan
+    the input, which "reads each byte once overall" only for COLUMNAR
+    file sources (each branch prunes to its one column). For
+    row-oriented sources (CSV/JSON/JDBC) or when ``df`` is an
+    expensive computed frame, every branch re-executes the full
+    upstream plan — ``df.persist()`` first, or use
+    ``exact_distinct=False`` (single pass) there. The union of the
+    branches folds as a balanced tree so plan depth stays
+    O(log n_cols) on very wide tables, not O(n_cols).
     """
     cols = cols or df.columns
     if exact_distinct:
@@ -58,10 +68,11 @@ def profile_table(df: DataFrame,
             .select(F.lit(c).alias("col_name"), "n_rows", "n_nulls",
                     "n_distinct", "min_str", "max_str")
             for c in cols]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        while len(parts) > 1:       # balanced union: O(log n) depth
+            parts = [parts[i].unionByName(parts[i + 1])
+                     if i + 1 < len(parts) else parts[i]
+                     for i in range(0, len(parts), 2)]
+        return parts[0]
     aggs: list = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs += [

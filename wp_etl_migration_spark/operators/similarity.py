@@ -388,7 +388,12 @@ def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
 
     Scale: driver/broadcast traffic is k×d doubles + k×d decimal sums
     per iteration — independent of corpus size; the per-iteration corpus
-    work is one mapInPandas pass + one shuffle on (cluster, dim).
+    work is one mapInPandas pass + one shuffle on (cluster, dim). The
+    (id, vector) projection is pinned ONCE (r15,
+    ``operators.checkpoint.pin`` — the Lloyd loop and the seed sample
+    re-executed the scan+cast per iteration: ``iters``+1 source scans
+    for a frame every iteration consumes unchanged; the mapInPandas
+    boundary already sees only the two columns it needs, guide §4).
 
     Returns (cluster_id int, centroid array<double>, n_members long),
     n_members from the final assignment (0 for empty clusters).
@@ -396,11 +401,14 @@ def kmeans_centroids(emb: DataFrame, id_col: str, vec_col: str,
     import numpy as np
     import pandas as pd
 
+    from wp_etl_migration_spark.operators.checkpoint import pin
+
     if dims is None:
         dims = _dims(emb, vec_col)
     spark = emb.sparkSession
-    src = emb.select(F.col(id_col).alias("__id"),
-                     F.col(vec_col).cast("array<double>").alias("__v"))
+    src = pin(emb.select(F.col(id_col).alias("__id"),
+                         F.col(vec_col).cast("array<double>")
+                         .alias("__v")), eager=False)
     seeds = (src.orderBy(F.md5(F.col("__id").cast("string")),
                          F.col("__id"))
              .limit(k).collect())
