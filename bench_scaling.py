@@ -42,8 +42,46 @@ import subprocess
 import sys
 import time
 
-REPLICAS = 32
+#: 256 replicas ≈ 1.28M docs / ~190 MB — sized so the kernels' compute
+#: dominates their fixed pipeline overhead (at the 32-replica /
+#: 24 MB bench_sf1_text fixture every kernel reads ~8-10 s at EITHER
+#: core count: that wall is scheduling + codegen + exchange setup, not
+#: parallelizable work, and the ratio reads ≈1 no matter how many
+#: cores the box honors — measured r15, both quiet and loud windows).
+REPLICAS = int(os.environ.get("SCALING_REPLICAS", "256"))
 _ROOT = os.path.dirname(os.path.abspath(__file__))
+
+
+def cpu_probe_ratio() -> float:
+    """Control experiment: raw fork-level CPU scaling of THIS box,
+    no Spark — 8 vs 32 workers hashing a fixed buffer. ~3-4 on a real
+    32-core box; ≈1 on a quota-throttled one. Separates "the box
+    cannot scale" from "the workload does not expose scaling"."""
+    import hashlib
+    import multiprocessing as mp
+
+    def worker(n, q):
+        buf = bytes(range(256)) * 4096
+        h = hashlib.sha256()
+        for _ in range(n):
+            h.update(buf)
+        q.put(1)
+
+    thr = {}
+    for nw in (8, 32):
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        ps = [ctx.Process(target=worker, args=(512, q))
+              for _ in range(nw)]
+        t0 = time.monotonic()
+        for p in ps:
+            p.start()
+        for _ in ps:
+            q.get()
+        for p in ps:
+            p.join()
+        thr[nw] = nw * 512 / (time.monotonic() - t0)
+    return round(thr[32] / thr[8], 2)
 
 
 def _spark():
@@ -121,6 +159,7 @@ def main() -> int:
         "metric": "core_scaling_sf1",
         "unit": "ratio (8-core wall / 32-core wall)",
         "replicas": REPLICAS,
+        "cpu_probe_32_over_8_throughput": cpu_probe_ratio(),
         "runs": {op: {str(c): v for c, v in s.items()}
                  for op, s in samples.items()},
         "min": {op: {str(c): min(v) for c, v in s.items()}
